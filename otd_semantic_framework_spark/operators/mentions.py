@@ -1,0 +1,68 @@
+"""P4/P5 — vectorized mention detection + explode.
+
+North star: "vectorized pandas/Arrow-UDF mention detection". The
+reference extracts spaCy noun-chunk terms per document [K]; spaCy is
+absent in this sandbox (SURVEY.md §0 [L]) so mention detection is a
+gazetteer n-gram matcher: greedy longest-match left-to-right over
+normalized tokens against the broadcast ontology label set
+(``semantics.find_mentions`` — the same pure function the pandas
+mini-oracle uses).
+
+Scale notes: the gazetteer (a few hundred strings) ships inside the UDF
+closure — one copy per executor python worker, not per row. The UDF is a
+scalar pandas_udf over Arrow batches; per batch it is a tight Python loop
+over rows but each row costs O(tokens) dict lookups only. mention_id is
+``xxhash64(conv_id, turn_idx, tok_start)`` — deterministic, so re-runs /
+resumed runs emit identical ids (SURVEY.md §4 risk 3; never
+``monotonically_increasing_id`` in persisted output).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .. import semantics as S
+from ..schemas import MENTION_STRUCT
+
+_MENTIONS_TYPE = T.ArrayType(MENTION_STRUCT)
+
+
+def mention_detector_udf(gazetteer: dict[str, str], max_ngram: int = S.MAX_NGRAM):
+    """Build the pandas_udf closing over the gazetteer key set."""
+    keys = frozenset(gazetteer)
+
+    @pandas_udf(_MENTIONS_TYPE)
+    def detect(norm_texts: pd.Series) -> pd.Series:
+        find = S.find_mentions
+        return norm_texts.map(
+            lambda t: [] if not t else find(t, keys, max_ngram)
+        )
+
+    return detect
+
+
+def detect_mentions(df: DataFrame, gazetteer: dict[str, str],
+                    norm_col: str = "norm_text") -> DataFrame:
+    """Add a ``mentions`` array<struct<surface,tok_start,tok_end>> column."""
+    return df.withColumn("mentions", mention_detector_udf(gazetteer)(F.col(norm_col)))
+
+
+def explode_mentions(df: DataFrame) -> DataFrame:
+    """P5: one row per mention with a deterministic mention_id."""
+    return (
+        df.select(
+            "conv_id", "turn_idx",
+            F.explode("mentions").alias("m"),
+        )
+        .select(
+            "conv_id", "turn_idx",
+            F.xxhash64("conv_id", "turn_idx", F.col("m.tok_start")).alias("mention_id"),
+            F.col("m.surface").alias("surface"),
+            F.col("m.tok_start").alias("tok_start"),
+            F.col("m.tok_end").alias("tok_end"),
+        )
+    )

@@ -1,0 +1,65 @@
+"""P11 — salted repartitioning for hot keys.
+
+North star: "salted repartitioning to defuse skew from hot conversations
+and frequent concepts". The fixture corpus deliberately contains one
+conversation holding ~5% of all turns (FIXTURES.md B1); at 10^12 turns a
+single hot conv_id would pin one task for the window/groupBy stages.
+
+Pattern: add ``salt = pmod(xxhash64(key...), n_salt)``, repartition on
+(key, salt), aggregate in TWO phases — partial by (key, salt), final by
+key. Only algebraic aggregates (max/sum/count/min) are salt-distributive;
+rank/row_number are NOT — always de-salt before window ranking
+(SURVEY.md §4 risk 2; encoded in tests/test_skew.py: results are
+invariant under n_salt ∈ {1, 8, 64}).
+
+AQE skew-join splitting (enabled in session.py) is the backstop for
+join-side skew; this module handles aggregation-side skew which AQE does
+not cover.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ALGEBRAIC = {"max": F.max, "min": F.min, "sum": F.sum, "count": F.count}
+
+
+def with_salt(df: DataFrame, cols: list[str], n_salt: int = 16,
+              salt_col: str = "salt") -> DataFrame:
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salt)))
+
+
+def salted_repartition(df: DataFrame, key: str, n_salt: int = 16,
+                       num_partitions: int | None = None) -> DataFrame:
+    """Spread a hot key over n_salt partitions. Salt is a deterministic
+    hash of the full row key-set where possible — here of (key, a
+    uniform-ish secondary) — so re-runs produce identical placement."""
+    sub = F.col("turn_idx") if "turn_idx" in df.columns else F.lit(0)
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(key), sub), F.lit(n_salt)))
+    parts = [F.col(key), F.col("_salt")]
+    rep = salted.repartition(num_partitions, *parts) if num_partitions \
+        else salted.repartition(*parts)
+    return rep.drop("_salt")
+
+
+def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, tuple[str, str]],
+               n_salt: int = 16) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    aggs: out_col -> (fn_name, in_col) with fn in max/min/sum/count.
+    Phase 1 aggregates by (keys + salt) — the hot key's rows split across
+    n_salt reducers; phase 2 merges the n_salt partials per key (tiny).
+    """
+    for fn, _ in aggs.values():
+        if fn not in _ALGEBRAIC:
+            raise ValueError(f"{fn} is not salt-distributive; de-salt first")
+    salted = with_salt(df, keys, n_salt, "_salt")
+    partial = salted.groupBy(*keys, "_salt").agg(*[
+        _ALGEBRAIC[fn](c).alias(out) for out, (fn, c) in aggs.items()])
+    merge = {"count": F.sum}  # counts merge by summing partials
+    return partial.groupBy(*keys).agg(*[
+        merge.get(fn, _ALGEBRAIC[fn])(out).alias(out)
+        for out, (fn, _) in aggs.items()])

@@ -1,0 +1,88 @@
+"""P12/P13 — triple extraction and idempotent dedup.
+
+The reference emits dataset→`otd:hasTag`→concept edges into its autotag
+graph [K]; grafted onto transcripts (BASELINE.json "payload:
+transcripts"), each turn becomes an RDF-style subject
+``turn:<conv_id>:<turn_idx>`` and three rules emit edges:
+
+- ``mentions``  : turn → canonical concept   (score = link_score)
+- ``uses_tool`` : turn → ``tool:<name>``     (score = 1.0)
+- ``replies_to``: turn → previous turn       (score = 1.0, via P2 lag)
+
+Dedup (P13) restores rdflib-graph set semantics: one row per (s,p,o),
+max score wins. At scale this is the second wide boundary of the hot
+path (after the candidate/canonical windows); it partial-aggregates
+map-side (hash agg) before the shuffle, and the subject key inherits the
+conv_id salt when P11 salting is active.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import semantics as S
+from .turns import conv_window
+
+
+def _subj(conv_col, turn_col):
+    return F.concat(F.lit("turn:"), conv_col, F.lit(":"), turn_col.cast("string"))
+
+
+def mention_triples(canonical: DataFrame) -> DataFrame:
+    return canonical.select(
+        _subj(F.col("conv_id"), F.col("turn_idx")).alias("subj"),
+        F.lit("mentions").alias("pred"),
+        F.col("concept_id").alias("obj"),
+        "conv_id", "turn_idx",
+        F.col("link_score").alias("score"),
+    )
+
+
+def tool_triples(transcripts: DataFrame) -> DataFrame:
+    return transcripts.filter(F.col("tool").isNotNull()).select(
+        _subj(F.col("conv_id"), F.col("turn_idx")).alias("subj"),
+        F.lit("uses_tool").alias("pred"),
+        F.concat(F.lit("tool:"), F.col("tool")).alias("obj"),
+        "conv_id", "turn_idx",
+        F.lit(1.0).alias("score"),
+    )
+
+
+def reply_triples(transcripts: DataFrame) -> DataFrame:
+    w = conv_window()
+    return (
+        transcripts
+        .withColumn("prev_turn_idx", F.lag("turn_idx", 1).over(w))
+        .filter(F.col("prev_turn_idx").isNotNull())
+        .select(
+            _subj(F.col("conv_id"), F.col("turn_idx")).alias("subj"),
+            F.lit("replies_to").alias("pred"),
+            _subj(F.col("conv_id"), F.col("prev_turn_idx")).alias("obj"),
+            "conv_id", "turn_idx",
+            F.lit(1.0).alias("score"),
+        )
+    )
+
+
+def extract_triples(transcripts: DataFrame, canonical: DataFrame) -> DataFrame:
+    """Union of the three extraction rules (P12)."""
+    return (
+        mention_triples(canonical)
+        .unionByName(tool_triples(transcripts))
+        .unionByName(reply_triples(transcripts))
+    )
+
+
+def dedup_triples(triples: DataFrame) -> DataFrame:
+    """P13: set semantics — one (s,p,o), max score. Idempotent:
+    dedup(dedup(x)) == dedup(x) (property-tested)."""
+    return (
+        triples
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.min("conv_id").alias("conv_id"),
+            F.min("turn_idx").alias("turn_idx"),
+            F.round(F.max("score"), S.SCORE_DECIMALS).alias("score"),
+        )
+    )

@@ -1,0 +1,183 @@
+"""End-to-end KG-construction pipeline (P1→P15) with checkpointed,
+resumable stages (P16).
+
+Stage graph::
+
+    transcripts ─ P2 assemble ─ P3 normalize ─ P4/P5 mentions
+        │                                          │
+        │                                 P6/P7 candidates (broadcast ontology)
+        │                                          │
+        │                                 P8/P9/P10 canonical links
+        ├────────────── P12 triples (mentions ∪ uses_tool ∪ replies_to)
+        │                                          │
+        │                                 P13 dedup → P15 materialize
+        │                                          │
+        └──────────────────────────────── P14 CDS scores
+
+Checkpointing (P16, north rule "resumable from checkpoint with
+per-partition lineage + metrics"): every stage writes its output table
+plus manifest rows (one per conv-hash bucket) carrying an input
+fingerprint, row counters and status. A resumed run skips stages whose
+manifest is complete for the same fingerprint and re-reads the persisted
+output — the property test asserts resume ≡ single run. Totals are also
+attached in-flight via ``df.observe`` (no extra action needed).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from .. import semantics as S
+from ..operators.cds import cds_scores
+from ..operators.linking import canonicalize, link_candidates_broadcast
+from ..operators.mentions import detect_mentions, explode_mentions
+from ..operators.normalize import normalize_turns
+from ..operators.triples import dedup_triples, extract_triples
+from ..operators.wup import concept_similarity
+from ..schemas import ONTOLOGY_CONCEPTS
+from ..sources import fixtures
+from ..sources.storage import Storage
+
+N_LINEAGE_BUCKETS = 64
+
+
+@dataclass
+class PipelineResult:
+    triples: DataFrame
+    cds: DataFrame
+    metrics: dict = field(default_factory=dict)
+
+
+def _fingerprint(*parts: object) -> str:
+    return f"{S.stable_hash('fp', *parts):016x}"
+
+
+class CheckpointedRun:
+    """Stage wrapper: write-through checkpoint with bucket-level lineage."""
+
+    def __init__(self, spark: SparkSession, run_dir: str, run_id: str = "run-0"):
+        self.spark = spark
+        self.run_id = run_id
+        self.storage = Storage(run_dir)
+        self.manifest_path = os.path.join(run_dir, "checkpoint_manifest.parquet")
+        os.makedirs(run_dir, exist_ok=True)
+        self.metrics: dict[str, dict] = {}
+
+    # -- manifest ----------------------------------------------------------
+    def _manifest(self) -> pd.DataFrame:
+        if os.path.exists(self.manifest_path):
+            return pd.read_parquet(self.manifest_path)
+        return pd.DataFrame(columns=[
+            "run_id", "stage", "partition_id", "input_fingerprint",
+            "rows_in", "rows_out", "status", "ts"])
+
+    def _stage_complete(self, stage: str, fp: str) -> bool:
+        m = self._manifest()
+        done = m[(m.stage == stage) & (m.input_fingerprint == fp)
+                 & (m.status == "complete")]
+        return not done.empty
+
+    def _record(self, stage: str, fp: str, bucket_counts: pd.DataFrame,
+                rows_in: int) -> None:
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        rows = bucket_counts.rename(
+            columns={"bucket": "partition_id", "rows": "rows_out"})
+        rows["run_id"] = self.run_id
+        rows["stage"] = stage
+        rows["input_fingerprint"] = fp
+        rows["rows_in"] = rows_in
+        rows["status"] = "complete"
+        rows["ts"] = now
+        prev = self._manifest()
+        new = rows[["run_id", "stage", "partition_id", "input_fingerprint",
+                    "rows_in", "rows_out", "status", "ts"]]
+        m = new if prev.empty else pd.concat([prev, new], ignore_index=True)
+        m.to_parquet(self.manifest_path, index=False)
+
+    # -- stage execution ---------------------------------------------------
+    def stage(self, name: str, fp_parts: tuple, build,
+              lineage_key: str = "conv_id") -> DataFrame:
+        """Run (or resume) one stage. ``build()`` returns the stage DataFrame."""
+        fp = _fingerprint(name, *fp_parts)
+        if self._stage_complete(name, fp) and self.storage.exists(self.spark, name):
+            self.metrics[name] = {"resumed": True}
+            return self.storage.read_table(self.spark, name)
+        obs = Observation(f"obs_{name}")
+        df = build()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows_out"))
+        self.storage.write_table(df, name)
+        out = self.storage.read_table(self.spark, name)
+        # bucket-level lineage counters (deterministic conv-hash buckets —
+        # stable across parallelism, unlike physical partition ids)
+        key = lineage_key if lineage_key in out.columns else out.columns[0]
+        bc = (
+            out.groupBy(F.pmod(F.xxhash64(F.col(key)), F.lit(N_LINEAGE_BUCKETS))
+                .cast("int").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .toPandas()
+        )
+        rows_out = int(obs.get["rows_out"]) if obs.get else int(bc["rows"].sum())
+        self._record(name, fp, bc, rows_out)
+        self.metrics[name] = {"rows_out": rows_out, "resumed": False}
+        return out
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    run_dir: str,
+    ontology_pdf: pd.DataFrame | None = None,
+    run_id: str = "run-0",
+    stop_after: str | None = None,
+) -> PipelineResult:
+    """Execute the full pipeline with checkpoints under ``run_dir``.
+
+    ``stop_after`` kills the run after the named stage (resume tests).
+    """
+    ontology_pdf = ontology_pdf if ontology_pdf is not None else fixtures.ontology_pandas()
+    gaz = S.build_gazetteer([
+        S.Concept(r.concept_id, r.pref_label, list(r.alt_labels), r.parent_id,
+                  int(r.depth), list(r.path))
+        for r in ontology_pdf.itertuples()
+    ])
+    run = CheckpointedRun(spark, run_dir, run_id)
+    cfg_fp = (len(ontology_pdf), S.COS_THRESHOLD, S.LINK_ALPHA, S.TOP_K)
+
+    ontology_df = spark.createDataFrame(ontology_pdf, schema=ONTOLOGY_CONCEPTS)
+    concept_sim = run.stage(
+        "concept_similarity", cfg_fp,
+        lambda: concept_similarity(ontology_df), lineage_key="concept_a")
+    if stop_after == "concept_similarity":
+        return PipelineResult(None, None, run.metrics)
+
+    mentions = run.stage("mentions", cfg_fp, lambda: explode_mentions(
+        detect_mentions(normalize_turns(transcripts), gaz)))
+    if stop_after == "mentions":
+        return PipelineResult(None, None, run.metrics)
+
+    candidates = run.stage("candidates", cfg_fp, lambda: link_candidates_broadcast(
+        mentions, ontology_pdf, gaz))
+    if stop_after == "candidates":
+        return PipelineResult(None, None, run.metrics)
+
+    canonical = run.stage("canonical", cfg_fp, lambda: canonicalize(
+        candidates, concept_sim))
+    if stop_after == "canonical":
+        return PipelineResult(None, None, run.metrics)
+
+    triples = run.stage("triples", cfg_fp, lambda: dedup_triples(
+        extract_triples(transcripts, canonical)))
+    if stop_after == "triples":
+        return PipelineResult(triples, None, run.metrics)
+
+    cds = run.stage("cds_scores", cfg_fp, lambda: cds_scores(
+        triples, concept_sim), lineage_key="subj_key")
+
+    return PipelineResult(triples, cds, run.metrics)

@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the KG-construction pipeline.
+
+Scale posture (BASELINE.json north_rule): the production deployment is
+``spark-submit --py-files`` on a multi-executor cluster reading Iceberg;
+locally we run ``local[N]`` on Parquet. The session config below is the
+same in both — only master/catalog differ.
+
+Key choices (SURVEY.md §4):
+- AQE on (runtime re-plan, skew-join splitting as a backstop to our
+  explicit salting).
+- Arrow enabled + large batches: our only Python stages are vectorized
+  pandas/Arrow UDFs (mention detection, embedding matmul) and batch size
+  dominates their amortized cost.
+- shuffle.partitions sized for the local core count; on a real cluster
+  AQE coalesces, and jobs should set ~2-3x total cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "otd-kg",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cores}]"
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1:master.find("]")] if "[" in master else cores
+        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("OTD_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

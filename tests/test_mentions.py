@@ -1,0 +1,49 @@
+"""P3/P4/P5 — normalization parity, mention detection, explode."""
+
+from pyspark.sql import functions as F
+
+from otd_semantic_framework_spark import semantics as S
+from otd_semantic_framework_spark.operators.mentions import (
+    detect_mentions, explode_mentions)
+from otd_semantic_framework_spark.operators.normalize import normalize_turns
+
+
+def test_normalize_builtin_matches_python(spark, tiny_df, tiny_pdf):
+    out = {(r.conv_id, r.turn_idx): r.norm_text
+           for r in normalize_turns(tiny_df).collect()}
+    for row in tiny_pdf.itertuples():
+        assert out[(row.conv_id, row.turn_idx)] == S.normalize_text(row.text)
+
+
+def test_normalize_nfkc_udf_matches(spark):
+    df = spark.createDataFrame(
+        [("ﬁne Ligature!",), ("ＨＥＬＬＯ ４２",), (None,)], "text string")
+    rows = normalize_turns(df, nfkc=True).select("norm_text").collect()
+    assert [r.norm_text for r in rows] == ["fine ligature", "hello 42", ""]
+
+
+def test_mentions_match_oracle(spark, tiny_df, tiny_pdf, ontology_pdf):
+    gaz = S.build_gazetteer(S.build_ontology())
+    got = (
+        explode_mentions(detect_mentions(normalize_turns(tiny_df), gaz))
+        .select("conv_id", "turn_idx", "surface", "tok_start", "tok_end")
+        .collect()
+    )
+    got_set = {(r.conv_id, r.turn_idx, r.surface, r.tok_start, r.tok_end) for r in got}
+    want = set()
+    for row in tiny_pdf.itertuples():
+        for surf, s, e in S.find_mentions(S.normalize_text(row.text), gaz):
+            want.add((row.conv_id, row.turn_idx, surf, s, e))
+    assert got_set == want
+    assert len(want) > 50  # fixture guarantees plenty of hits
+
+
+def test_mention_id_deterministic(spark, tiny_df):
+    gaz = S.build_gazetteer(S.build_ontology())
+    m1 = explode_mentions(detect_mentions(normalize_turns(tiny_df), gaz))
+    m2 = explode_mentions(detect_mentions(
+        normalize_turns(tiny_df.repartition(11)), gaz))
+    ids1 = sorted(r.mention_id for r in m1.select("mention_id").collect())
+    ids2 = sorted(r.mention_id for r in m2.select("mention_id").collect())
+    assert ids1 == ids2
+    assert len(ids1) == len(set(ids1))  # unique per mention
