@@ -1,0 +1,145 @@
+"""Deduplication operators for training-data pipelines.
+
+All three are pure DataFrame algebra — no Python UDFs anywhere — so they
+stay inside whole-stage codegen and scale by partitioning:
+
+- exact: hash-groupBy on md5(text) (map-side partial agg).
+- MinHash + LSH: shingle → 64 xxhash64 min-aggregations → band → bucket
+  join → Jaccard verify. The classic shingle→minhash→band→bucket-join
+  layout; candidate generation never cross-joins — pairs only form
+  inside LSH buckets.
+- SimHash: per-token 64-bit hash, bit-majority vote via 64 conditional
+  sums, hamming-near pairs by band join on 4x16-bit chunks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_HASHES = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """One canonical row per distinct text; keeps the min id."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (docs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def _tokens(text_col: str):
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             k: int = 3) -> DataFrame:
+    """Token k-gram shingles via native slice/transform (no UDF)."""
+    toks = _tokens(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """doc_id → array<long> of n_hashes min-hashes. One groupBy with
+    n_hashes algebraic min aggregates → single shuffle, map-side combine."""
+    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(n_hashes)]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """Band the signature; docs sharing any band-hash become a pair."""
+    rpb = N_HASHES // n_bands
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.xxhash64(F.array_join(
+                F.transform(F.slice("sig", b * rpb + 1, rpb),
+                            lambda x: x.cast("string")), ",")),
+        )).alias("band", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8,
+                        k_shingle: int = 3) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidate pairs + exact
+    shingle-Jaccard verification, pairs with jaccard >= threshold."""
+    sh = shingles(docs, k=k_shingle).cache()
+    pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (pairs.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document, bit-majority over token hashes."""
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(_tokens(text_col)).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    bit_terms = None
+    for b in range(64):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(0) * F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+        bit_terms = term if bit_terms is None else bit_terms + term
+    return agg.select("doc_id", bit_terms.alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by Hamming distance, candidate-generated by exact
+    match on one of four 16-bit chunks (pigeonhole: hamming<=3*chunks
+    guarantees one equal chunk; at max_hamming>3 it is a recall-traded
+    approximation, standard practice)."""
+    chunks = sim.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ])).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+                    & (F.col("a.chunk") == F.col("b.chunk"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.simhash").alias("sh_a"),
+                     F.col("b.simhash").alias("sh_b"))
+             .distinct())
+    return (pairs.withColumn("hamming", F.bit_count(
+        F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming"))

@@ -1,0 +1,89 @@
+"""Multimodal column handling: opaque ``binary`` payloads with typed
+metadata, processed by Arrow-batched ``mapInPandas``.
+
+The image/audio decode libraries are NOT in this container, so the
+decode step is a STUB — ``decode_image_stub`` produces a deterministic
+fake (dimensions + a tiny feature vector derived from the bytes). The
+Spark-side plumbing is real and tested: binary column schema, typed
+metadata struct, mapInPandas batch shape, partition-preserving flow.
+Swap ``_fake_decode`` for a PIL/libvips call in production.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id long, media_type string, n_bytes int, width int, height int, "
+    "features array<float>"
+)
+
+
+def attach_fake_media(docs: DataFrame) -> DataFrame:
+    """Synthesize an opaque binary column + metadata (the testdata ships
+    no real media; in production this is the Iceberg binary column)."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.when(F.col("doc_id") % 3 == 0, "image/png")
+             .when(F.col("doc_id") % 3 == 1, "audio/wav")
+             .otherwise("video/mp4").alias("media_type"),
+            F.length(F.col("text")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic fake decode: dims + 8-d feature from md5(payload).
+
+    Raises nothing here; a REAL decoder goes behind this seam. If you
+    need the honest failure mode instead, use decode_strict=True below.
+    """
+    h = hashlib.md5(payload).digest()
+    width = 16 + h[0] % 64
+    height = 16 + h[1] % 64
+    feats = (np.frombuffer(h[:8], dtype=np.uint8).astype(np.float32) / 255.0)
+    return width, height, [float(x) for x in feats]
+
+
+def decode_media(media: DataFrame, decode_strict: bool = False) -> DataFrame:
+    """mapInPandas decode/feature-extract. decode_strict=True raises
+    NotImplementedError (no real codec in this container)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if decode_strict:
+                raise NotImplementedError(
+                    "real media decoding requires PIL/ffmpeg — not in container")
+            decoded = pdf["payload"].map(_fake_decode)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["meta"].map(lambda m: m["media_type"]),
+                "n_bytes": pdf["meta"].map(lambda m: m["n_bytes"]).astype("int32"),
+                "width": decoded.map(lambda d: d[0]).astype("int32"),
+                "height": decoded.map(lambda d: d[1]).astype("int32"),
+                "features": decoded.map(lambda d: d[2]),
+            })
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """'Frame sampling' shape: one output row per sampled frame index —
+    pure relational explode, real at any scale; frame *content* decode
+    is behind the stub seam above."""
+    n_frames = (F.length("payload") / every_n).cast("int")
+    return media.select(
+        "doc_id", F.col("meta.media_type").alias("media_type"),
+        F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))))
+        .alias("frame_idx"),
+    ).withColumn("frame_key", F.concat_ws(":", "doc_id", "frame_idx"))

@@ -1,0 +1,71 @@
+"""Text analysis for training-data pipelines: language-ID heuristic,
+quality scoring, token counting — the vectorized-UDF members live here
+(SQL-expressible ones are in plans/driver_queries.py with oracles).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# char-bigram profiles for a tiny language-ID heuristic. Deterministic,
+# dependency-free stand-in for a real LID model (fasttext etc. absent in
+# this sandbox) — the Spark plumbing (vectorized UDF over Arrow batches)
+# is the real deliverable.
+_PROFILES = {
+    "en": ["th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"],
+    "de": ["er", "en", "ch", "de", "ei", "te", "in", "nd", "ie", "ge"],
+    "es": ["de", "es", "en", "el", "la", "os", "ar", "ue", "ra", "as"],
+    "fr": ["es", "le", "de", "en", "re", "nt", "on", "er", "te", "ou"],
+}
+
+_BPE_ISH = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+
+
+@pandas_udf(T.StructType([
+    T.StructField("pred_lang", T.StringType()),
+    T.StructField("lang_score", T.DoubleType()),
+]))
+def langid_udf(texts: pd.Series) -> pd.DataFrame:
+    def score(t: str):
+        if not t:
+            return ("und", 0.0)
+        t = t.lower()
+        bigrams = pd.Series([t[i:i + 2] for i in range(len(t) - 1)])
+        if bigrams.empty:
+            return ("und", 0.0)
+        counts = bigrams.value_counts()
+        best, best_s = "und", -1.0
+        for lang, profile in _PROFILES.items():
+            s = float(counts.reindex(profile).fillna(0).sum()) / len(bigrams)
+            if s > best_s:
+                best, best_s = lang, s
+        return (best, round(best_s, 6))
+
+    out = texts.map(score)
+    return pd.DataFrame({"pred_lang": out.map(lambda x: x[0]),
+                         "lang_score": out.map(lambda x: x[1])})
+
+
+@pandas_udf(T.IntegerType())
+def bpe_ish_token_count(texts: pd.Series) -> pd.Series:
+    """Sub-word-ish token count: letter runs + digit runs + punctuation,
+    a cheap proxy for BPE token counts."""
+    return texts.map(lambda t: len(_BPE_ISH.findall(t.lower())) if t else 0).astype("int32")
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    out = docs.withColumn("_lid", langid_udf(F.col(text_col)))
+    return (out.withColumn("pred_lang", F.col("_lid.pred_lang"))
+            .withColumn("lang_score", F.col("_lid.lang_score")).drop("_lid"))
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    ws = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
+    return (docs.withColumn("ws_tokens", ws)
+            .withColumn("bpe_ish_tokens", bpe_ish_token_count(F.col(text_col))))

@@ -1,0 +1,882 @@
+"""The driver ``queries()`` / ``oracle_sql()`` contract (SURVEY.md §2).
+
+Each entry pairs a Spark implementation (DataFrame API for the KG
+operators — exercising the same operator modules the production pipeline
+uses — or shared ANSI SQL for the relational surface) with a DuckDB
+oracle SQL string over the same parquet tables.
+
+Conventions for hash-stable comparison:
+- every computed column is aliased identically on both sides;
+- every float is ``round(x, 6)``;
+- timestamps are emitted as epoch microseconds
+  (Spark ``unix_micros`` ≡ DuckDB ``epoch_us``);
+- the ``transcripts`` input for KG queries is DERIVED deterministically
+  from the ``documents`` table with engine-portable arithmetic (the
+  BASELINE.json transcript shape synthesized at small scale — no
+  external data).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import semantics as S
+from ..operators.linking import canonicalize
+from ..operators.wup import concept_similarity
+from ..schemas import CONCEPT_SIMILARITY
+from .driver_ontology import (driver_concepts, driver_gazetteer,
+                              driver_scores, driver_wup, values_sql)
+
+# ---------------------------------------------------------------------------
+# Derived transcripts (portable across Spark SQL and DuckDB)
+# ---------------------------------------------------------------------------
+
+N_CONVS = 50
+
+TRANSCRIPTS_CTE = f"""
+  SELECT 'conv-' || lpad(cast(cast(doc_id % {N_CONVS} AS INT) AS STRING), 4, '0') AS conv_id,
+         cast(floor(doc_id / {N_CONVS}) AS INT) AS turn_idx,
+         CASE cast(doc_id % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         lower(text) AS text,
+         CASE WHEN doc_id % 3 = 2 THEN 'tool' || cast(cast(doc_id % 8 AS INT) AS STRING) END AS tool
+  FROM documents
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.concat(F.lit("conv-"), F.lpad((F.col("doc_id") % N_CONVS).cast("int").cast("string"), 4, "0")).alias("conv_id"),
+        F.floor(F.col("doc_id") / N_CONVS).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 3 == 0, "user")
+         .when(F.col("doc_id") % 3 == 1, "assistant")
+         .otherwise("tool").alias("role"),
+        F.lower(F.col("text")).alias("text"),
+        F.when(F.col("doc_id") % 3 == 2,
+               F.concat(F.lit("tool"), (F.col("doc_id") % 8).cast("int").cast("string"))).alias("tool"),
+    )
+
+
+def _gaz_df(spark: SparkSession) -> DataFrame:
+    gaz = driver_gazetteer()
+    return spark.createDataFrame(
+        sorted(gaz.items()), "surface string, concept_id string")
+
+
+def _scores_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        driver_scores(), "surface string, concept_id string, cos_sim double")
+
+
+def _wup_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(driver_wup(), schema=CONCEPT_SIMILARITY)
+
+
+def _gaz_values() -> str:
+    import pandas as pd
+    gaz = driver_gazetteer()
+    pdf = pd.DataFrame(sorted(gaz.items()), columns=["surface", "concept_id"])
+    return values_sql(pdf, "g")
+
+
+# containment mention semantics (SQL-checkable variant of P4, SURVEY.md §2A):
+# a gazetteer phrase is mentioned in a turn iff it appears as a
+# whitespace-delimited token run.
+def _mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = derived_transcripts(spark, sf_dir)
+    gaz = _gaz_df(spark)
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    return (
+        t.join(F.broadcast(gaz),
+               padded.contains(F.concat(F.lit(" "), gaz.surface, F.lit(" "))),
+               "inner")
+        .select("conv_id", "turn_idx", "surface", "concept_id")
+    )
+
+
+_MENTIONS_CTE = f"""
+transcripts AS ({TRANSCRIPTS_CTE}),
+mentions AS (
+  SELECT t.conv_id, t.turn_idx, g.surface, g.concept_id
+  FROM transcripts t JOIN {_gaz_values()} ON
+    (' ' || t.text || ' ') LIKE ('% ' || g.surface || ' %')
+)
+"""
+
+
+def q_kg_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derived_transcripts(spark, sf_dir)
+
+
+SQL_KG_TRANSCRIPTS = f"WITH transcripts AS ({TRANSCRIPTS_CTE}) SELECT * FROM transcripts"
+
+
+def q_kg_turn_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = derived_transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return t.select(
+        "conv_id", "turn_idx", "role",
+        F.row_number().over(w).alias("pos"),
+        F.lag("turn_idx", 1).over(w).alias("prev_turn_idx"),
+        F.lag("role", 1).over(w).alias("prev_role"),
+        F.lead("turn_idx", 1).over(w).alias("next_turn_idx"),
+        F.count(F.lit(1)).over(Window.partitionBy("conv_id")).alias("conv_len"),
+    )
+
+
+SQL_KG_TURN_ASSEMBLY = f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE})
+SELECT conv_id, turn_idx, role,
+       row_number() OVER w AS pos,
+       lag(turn_idx, 1) OVER w AS prev_turn_idx,
+       lag(role, 1) OVER w AS prev_role,
+       lead(turn_idx, 1) OVER w AS next_turn_idx,
+       count(*) OVER (PARTITION BY conv_id) AS conv_len
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+"""
+
+
+def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mentions_df(spark, sf_dir)
+
+
+SQL_KG_MENTIONS = f"WITH {_MENTIONS_CTE} SELECT * FROM mentions"
+
+
+def q_kg_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _mentions_df(spark, sf_dir).drop("concept_id")
+    scores = _scores_df(spark)
+    w = Window.partitionBy("conv_id", "turn_idx", "surface").orderBy(
+        F.desc("cos_sim"), F.asc("concept_id"))
+    return (
+        m.join(F.broadcast(scores), "surface", "inner")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= S.TOP_K)
+        .select("conv_id", "turn_idx", "surface", "concept_id",
+                F.round("cos_sim", 6).alias("cos_sim"), "rnk")
+    )
+
+
+def _sql_kg_candidates_body() -> str:
+    sc = values_sql(driver_scores().round({"cos_sim": 6}), "s")
+    return f"""
+WITH {_MENTIONS_CTE},
+cand AS (
+  SELECT m.conv_id, m.turn_idx, m.surface, s.concept_id,
+         round(s.cos_sim, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY m.conv_id, m.turn_idx, m.surface
+                            ORDER BY s.cos_sim DESC, s.concept_id ASC) AS rnk
+  FROM (SELECT DISTINCT conv_id, turn_idx, surface FROM mentions) m
+  JOIN {sc} ON m.surface = s.surface
+)
+SELECT * FROM cand WHERE rnk <= {S.TOP_K}
+"""
+
+
+def q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full P9 canonicalization over the derived corpus, reusing the
+    production operator (linking.canonicalize) with a mention_id built
+    from the (conv,turn,surface) key."""
+    cands = q_kg_candidates(spark, sf_dir).withColumn(
+        "mention_id", F.xxhash64("conv_id", "turn_idx", "surface"))
+    canon = canonicalize(cands.select(
+        "conv_id", "turn_idx", "mention_id", "surface", "concept_id", "cos_sim"),
+        _wup_df(spark))
+    return canon.select(
+        "conv_id", "turn_idx", "surface", "concept_id",
+        F.round("link_score", 6).alias("link_score"))
+
+
+def _sql_kg_canonical_body(select: str = "SELECT conv_id, turn_idx, surface, concept_id, link_score FROM best WHERE rn = 1") -> str:
+    sc = values_sql(driver_scores().round({"cos_sim": 6}), "s")
+    wu = values_sql(driver_wup(), "w")
+    return f"""
+WITH {_MENTIONS_CTE},
+cand AS (
+  SELECT m.conv_id, m.turn_idx, m.surface, s.concept_id,
+         round(s.cos_sim, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY m.conv_id, m.turn_idx, m.surface
+                            ORDER BY s.cos_sim DESC, s.concept_id ASC) AS rnk
+  FROM (SELECT DISTINCT conv_id, turn_idx, surface FROM mentions) m
+  JOIN {sc} ON m.surface = s.surface
+),
+cand_k AS (SELECT * FROM cand WHERE rnk <= {S.TOP_K}),
+top1 AS (SELECT conv_id, turn_idx, surface, concept_id AS top_concept_id
+         FROM cand_k WHERE rnk = 1),
+best AS (
+  SELECT c.conv_id, c.turn_idx, c.surface, c.concept_id,
+         round({S.LINK_ALPHA} * c.cos_sim + {1 - S.LINK_ALPHA} * coalesce(w.wup, 0.0), 6) AS link_score,
+         row_number() OVER (PARTITION BY c.conv_id, c.turn_idx, c.surface
+                            ORDER BY round({S.LINK_ALPHA} * c.cos_sim + {1 - S.LINK_ALPHA} * coalesce(w.wup, 0.0), 6) DESC,
+                                     c.concept_id ASC) AS rn
+  FROM cand_k c
+  JOIN top1 t ON c.conv_id = t.conv_id AND c.turn_idx = t.turn_idx AND c.surface = t.surface
+  LEFT JOIN {wu} ON w.concept_a = c.concept_id AND w.concept_b = t.top_concept_id
+)
+{select}
+"""
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = derived_transcripts(spark, sf_dir)
+    canon = q_kg_canonical(spark, sf_dir)
+    subj = F.concat(F.lit("turn:"), F.col("conv_id"), F.lit(":"),
+                    F.col("turn_idx").cast("string"))
+    m = canon.select(subj.alias("subj"), F.lit("mentions").alias("pred"),
+                     F.col("concept_id").alias("obj"),
+                     F.col("link_score").alias("score"))
+    u = t.filter(F.col("tool").isNotNull()).select(
+        subj.alias("subj"), F.lit("uses_tool").alias("pred"),
+        F.concat(F.lit("tool:"), F.col("tool")).alias("obj"),
+        F.lit(1.0).alias("score"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    r = (t.withColumn("prev_turn_idx", F.lag("turn_idx", 1).over(w))
+         .filter(F.col("prev_turn_idx").isNotNull())
+         .select(subj.alias("subj"), F.lit("replies_to").alias("pred"),
+                 F.concat(F.lit("turn:"), F.col("conv_id"), F.lit(":"),
+                          F.col("prev_turn_idx").cast("string")).alias("obj"),
+                 F.lit(1.0).alias("score")))
+    return (m.unionByName(u).unionByName(r)
+            .groupBy("subj", "pred", "obj")
+            .agg(F.round(F.max("score"), 6).alias("score")))
+
+
+def _sql_kg_triples_body() -> str:
+    canon = _sql_kg_canonical_body(
+        "SELECT conv_id, turn_idx, surface, concept_id, link_score FROM best WHERE rn = 1")
+    return f"""
+WITH canon AS ({canon}),
+transcripts2 AS ({TRANSCRIPTS_CTE}),
+alltr AS (
+  SELECT 'turn:' || conv_id || ':' || cast(turn_idx AS STRING) AS subj,
+         'mentions' AS pred, concept_id AS obj, link_score AS score
+  FROM canon
+  UNION ALL
+  SELECT 'turn:' || conv_id || ':' || cast(turn_idx AS STRING) AS subj,
+         'uses_tool' AS pred, 'tool:' || tool AS obj, 1.0 AS score
+  FROM transcripts2 WHERE tool IS NOT NULL
+  UNION ALL
+  SELECT 'turn:' || conv_id || ':' || cast(turn_idx AS STRING) AS subj,
+         'replies_to' AS pred,
+         'turn:' || conv_id || ':' || cast(prev_turn_idx AS STRING) AS obj,
+         1.0 AS score
+  FROM (SELECT conv_id, turn_idx,
+               lag(turn_idx, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_turn_idx
+        FROM transcripts2) x
+  WHERE prev_turn_idx IS NOT NULL
+)
+SELECT subj, pred, obj, round(max(score), 6) AS score
+FROM alltr GROUP BY subj, pred, obj
+"""
+
+
+def q_kg_cds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    canon = q_kg_canonical(spark, sf_dir)
+    tags = (canon.groupBy("conv_id", "concept_id")
+            .agg(F.max("link_score").alias("tag_score")))
+    wup = _wup_df(spark)
+    return (
+        tags.join(F.broadcast(wup), tags.concept_id == wup.concept_a, "inner")
+        .groupBy(F.concat(F.lit("conv:"), F.col("conv_id")).alias("subj_key"),
+                 F.col("concept_b").alias("cds_concept"))
+        .agg(F.round(F.max(F.col("tag_score") * F.col("wup")), 6).alias("score"))
+        .filter(F.col("score") >= S.CDS_THRESHOLD)
+    )
+
+
+def _sql_kg_cds_body() -> str:
+    canon = _sql_kg_canonical_body(
+        "SELECT conv_id, turn_idx, surface, concept_id, link_score FROM best WHERE rn = 1")
+    wu = values_sql(driver_wup(), "w")
+    return f"""
+WITH canon AS ({canon}),
+tags AS (
+  SELECT conv_id, concept_id, max(link_score) AS tag_score
+  FROM canon GROUP BY conv_id, concept_id
+)
+SELECT 'conv:' || t.conv_id AS subj_key, w.concept_b AS cds_concept,
+       round(max(t.tag_score * w.wup), 6) AS score
+FROM tags t JOIN {wu} ON w.concept_a = t.concept_id
+GROUP BY subj_key, cds_concept
+HAVING round(max(t.tag_score * w.wup), 6) >= {S.CDS_THRESHOLD}
+"""
+
+
+def q_kg_wup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 DataFrame algebra vs an independent SQL formulation in DuckDB."""
+    import pandas as pd
+    cs = driver_concepts()
+    onto = spark.createDataFrame(pd.DataFrame({
+        "concept_id": [c.concept_id for c in cs],
+        "depth": [c.depth for c in cs],
+        "path": [list(c.path) for c in cs],
+    }), "concept_id string, depth int, path array<string>")
+    return concept_similarity(onto).select(
+        "concept_a", "concept_b", F.round("wup", 6).alias("wup"))
+
+
+def _sql_kg_wup_matrix() -> str:
+    import pandas as pd
+    rows = []
+    for c in driver_concepts():
+        for pos, anc in enumerate(c.path, start=1):
+            rows.append((c.concept_id, c.depth, anc, pos))
+    anc = values_sql(pd.DataFrame(rows, columns=["concept_id", "depth", "anc_id", "anc_depth"]), "an")
+    return f"""
+WITH anc AS (SELECT * FROM {anc})
+SELECT a.concept_id AS concept_a, b.concept_id AS concept_b,
+       round(2.0 * max(a.anc_depth) / (a.depth + b.depth), 6) AS wup
+FROM anc a JOIN anc b ON a.anc_id = b.anc_id AND a.anc_depth = b.anc_depth
+GROUP BY a.concept_id, b.concept_id, a.depth, b.depth
+"""
+
+
+SEARCH_QUERY = "fast hash join on a big table"
+
+
+def q_kg_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17 read path over the derived corpus, top-20."""
+    scores = driver_scores()
+    gaz = driver_gazetteer()
+    norm = S.normalize_text(SEARCH_QUERY)
+    surfaces = sorted({m[0] for m in S.find_mentions(norm, gaz)})
+    q = (scores[scores.surface.isin(surfaces)]
+         .groupby("concept_id", as_index=False)["cos_sim"].max()
+         .rename(columns={"cos_sim": "q_score"}).round({"q_score": 6}))
+    q_df = spark.createDataFrame(q, "concept_id string, q_score double")
+    cds = q_kg_cds(spark, sf_dir)
+    ranked = (
+        cds.join(F.broadcast(q_df), cds.cds_concept == q_df.concept_id, "inner")
+        .groupBy("subj_key")
+        .agg(F.round(F.sum(F.col("score") * F.col("q_score")), 6).alias("search_score"))
+    )
+    w = Window.orderBy(F.desc("search_score"), F.asc("subj_key"))
+    return (ranked.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 20)
+            .select("subj_key", "rank", "search_score"))
+
+
+def _sql_kg_search() -> str:
+    import pandas as pd
+    scores = driver_scores()
+    gaz = driver_gazetteer()
+    norm = S.normalize_text(SEARCH_QUERY)
+    surfaces = sorted({m[0] for m in S.find_mentions(norm, gaz)})
+    q = (scores[scores.surface.isin(surfaces)]
+         .groupby("concept_id", as_index=False)["cos_sim"].max()
+         .rename(columns={"cos_sim": "q_score"}).round({"q_score": 6}))
+    qv = values_sql(pd.DataFrame(q), "q")
+    cds = _sql_kg_cds_body()
+    return f"""
+WITH cds AS ({cds}),
+ranked AS (
+  SELECT c.subj_key, round(sum(c.score * q.q_score), 6) AS search_score
+  FROM cds c JOIN {qv} ON q.concept_id = c.cds_concept
+  GROUP BY c.subj_key
+)
+SELECT subj_key, rank, search_score FROM (
+  SELECT subj_key, search_score,
+         row_number() OVER (ORDER BY search_score DESC, subj_key ASC) AS rank
+  FROM ranked
+) WHERE rank <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2B relational surface — shared SQL text where both dialects agree;
+# engine-specific variants otherwise. Spark runs via spark.sql over temp
+# views so Catalyst sees one declarative plan (scan pushdown + AQE).
+# ---------------------------------------------------------------------------
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        _tbl(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+SQL_REL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-06-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_rel_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(SQL_REL_PRICING)
+
+
+SQL_REL_NATION_REVENUE = """
+SELECT n.n_name AS nation, r.r_name AS region,
+       count(DISTINCT o.o_orderkey) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+"""
+
+
+def q_rel_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "customer", "nation", "region")
+    return spark.sql(SQL_REL_NATION_REVENUE)
+
+
+SQL_REL_SEMI_ANTI = """
+SELECT c.c_mktsegment AS segment,
+       sum(CASE WHEN o.has_order THEN 1 ELSE 0 END) AS with_orders,
+       sum(CASE WHEN o.has_order THEN 0 ELSE 1 END) AS without_orders
+FROM customer c
+LEFT JOIN (SELECT DISTINCT o_custkey, true AS has_order FROM orders) o
+  ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_rel_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataFrame path: real left_semi / left_anti joins (SURVEY.md §2B),
+    # result reconciled to the portable SQL shape above.
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders").select(F.col("o_custkey")).distinct()
+    semi = (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("with_orders")))
+    anti = (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("without_orders")))
+    return (c.select("c_mktsegment").distinct()
+            .join(semi, "c_mktsegment", "left").join(anti, "c_mktsegment", "left")
+            .select(F.col("c_mktsegment").alias("segment"),
+                    F.coalesce("with_orders", F.lit(0)).alias("with_orders"),
+                    F.coalesce("without_orders", F.lit(0)).alias("without_orders")))
+
+
+SQL_REL_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def q_rel_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(SQL_REL_WINDOW_TOPK)
+
+
+SQL_REL_ROLLUP = """
+SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+       coalesce(l_linestatus, '<all>') AS linestatus,
+       grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+       count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(SQL_REL_ROLLUP)
+
+
+SQL_REL_SETOPS = """
+SELECT src, cnt FROM (
+  SELECT 'both' AS src, count(*) AS cnt FROM (
+    SELECT p_brand FROM part WHERE p_size > 25
+    INTERSECT
+    SELECT p_brand FROM part WHERE p_retailprice > 1500
+  )
+  UNION ALL
+  SELECT 'only_large' AS src, count(*) AS cnt FROM (
+    SELECT p_brand FROM part WHERE p_size > 25
+    EXCEPT
+    SELECT p_brand FROM part WHERE p_retailprice > 1500
+  )
+  UNION ALL
+  SELECT 'all_brands' AS src, count(*) AS cnt FROM (
+    SELECT DISTINCT p_brand FROM part
+  )
+)
+"""
+
+
+def q_rel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "part")
+    return spark.sql(SQL_REL_SETOPS)
+
+
+SQL_REL_STRINGS = """
+SELECT p_brand,
+       count(*) AS n,
+       min(length(p_name)) AS min_name_len,
+       max(upper(substring(p_type, 1, 5))) AS max_type_prefix,
+       min(levenshtein(p_brand, 'Brand#11')) AS lev_to_b11,
+       max(concat_ws('|', p_brand, cast(p_size AS STRING))) AS max_concat
+FROM part
+GROUP BY p_brand
+"""
+
+
+def q_rel_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "part")
+    return spark.sql(SQL_REL_STRINGS)
+
+
+def q_rel_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _tbl(spark, sf_dir, "orders")
+    return (o.groupBy(F.unix_micros(F.date_trunc("month", "o_orderdate")).alias("month_us"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count_distinct("o_custkey").alias("n_customers")))
+
+
+SQL_REL_MONTHLY_ORDERS = """
+SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY 1
+"""
+
+
+def q_rel_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _tbl(spark, sf_dir, "events")
+    return (e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("k"), 6).alias("avg_k"),
+                 F.max("k").alias("max_k"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+SQL_REL_JSON = """
+SELECT event_type,
+       count(*) AS n,
+       round(avg(cast(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+       max(cast(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native session_window (batch mode) vs DuckDB gaps-and-islands."""
+    e = _tbl(spark, sf_dir, "events")
+    return (e.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("session_value"))
+            .select("user_id",
+                    F.unix_micros(F.col("w.start").cast("timestamp")).alias("session_start_us"),
+                    "n_events", "session_value"))
+
+
+SQL_REL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+       count(*) AS n_events, round(sum(value), 4) AS session_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+def q_rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY.md §2B): for each event, the latest order ts at
+    or before it — implemented Spark-side with the scalable union+window
+    pattern (no native as-of in Spark SQL), oracle-checked against a
+    correlated max in DuckDB."""
+    e = _tbl(spark, sf_dir, "events").select(
+        "event_id", "ts", F.lit(1).alias("is_event"),
+        F.lit(None).cast("timestamp").alias("o_ts"))
+    o = _tbl(spark, sf_dir, "orders").select(
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("ts"), F.lit(0).alias("is_event"),
+        F.col("o_orderdate").alias("o_ts"))
+    w = (Window.orderBy("ts", "is_event")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (e.unionByName(o)
+            .withColumn("last_order_ts", F.last("o_ts", ignorenulls=True).over(w))
+            .filter(F.col("is_event") == 1)
+            .select("event_id", F.unix_micros("last_order_ts").alias("asof_order_us")))
+
+
+SQL_REL_ASOF = """
+SELECT e.event_id,
+       epoch_us((SELECT max(o.o_orderdate) FROM orders o
+                 WHERE o.o_orderdate <= e.ts)) AS asof_order_us
+FROM events e
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators over documents / embeddings
+# ---------------------------------------------------------------------------
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n_copies,
+       min(doc_id) AS canonical_doc
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (d.groupBy(F.md5("text").alias("text_hash"))
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.min("doc_id").alias("canonical_doc")))
+
+
+JACCARD_THRESHOLD = 0.84
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-dup pairs (SURVEY: n-gram Jaccard dedup).
+    Inverted-index join on shared tokens — never a full cross join; at
+    scale the token join is the standard posting-list self-join with
+    frequent-token pruning."""
+    d = _docs(spark, sf_dir)
+    toks = (d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+            .filter(F.col("tok") != "").distinct())
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       round(cast(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE round(cast(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= {JACCARD_THRESHOLD}
+"""
+
+_STOPWORDS = "('a', 'the', 'of', 'and', 'to', 'in', 'is')"
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    stop_list = F.array(*[F.lit(w) for w in
+                          ["a", "the", "of", "and", "to", "in", "is"]])
+    return d.select(
+        "doc_id", "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("ttr"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_list, t)))
+            / F.size(toks), 6).alias("stopword_ratio"),
+        F.round(F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+                / F.size(toks), 6).alias("avg_tok_len"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH toks AS (
+  SELECT doc_id, lang, text, t.tok
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+)
+SELECT doc_id, any_value(lang) AS lang,
+       count(*) AS n_tokens,
+       count(DISTINCT tok) AS n_distinct,
+       round(cast(count(DISTINCT tok) AS DOUBLE) / count(*), 6) AS ttr,
+       round(cast(sum(CASE WHEN tok IN {_STOPWORDS} THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS stopword_ratio,
+       round(cast(sum(length(tok)) AS DOUBLE) / count(*), 6) AS avg_tok_len,
+       any_value(length(text)) AS n_chars
+FROM toks GROUP BY doc_id
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of the sorted distinct-token set — an
+    order-insensitive content fingerprint (bag-of-words dedup key)."""
+    d = _docs(spark, sf_dir)
+    toks = F.array_sort(F.array_distinct(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "")))
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("exact_fp"),
+        F.md5(F.array_join(toks, " ")).alias("bow_fp"),
+    )
+
+
+SQL_TEXT_FINGERPRINT = """
+WITH toks AS (
+  SELECT doc_id, list_sort(list_distinct(list_filter(
+           string_split(text, ' '), x -> x <> ''))) AS tl
+  FROM documents
+)
+SELECT d.doc_id, md5(d.text) AS exact_fp,
+       md5(array_to_string(t.tl, ' ')) AS bow_fp
+FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+"""
+
+
+N_QUERY_VECS = 5
+SIM_TOP_K = 5
+
+
+def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k with pure higher-order functions
+    (JVM-side — SURVEY §2B array fns; the scale path is the LSH variant)."""
+    e = _tbl(spark, sf_dir, "embeddings")
+    dbl = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
+         .select(F.col("vec_id").alias("qid"), dbl("embedding").alias("qv")))
+    c = (e.filter(F.col("vec_id") >= N_QUERY_VECS)
+         .select(F.col("vec_id").alias("cid"), dbl("embedding").alias("cv")))
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    norm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(F.col(col), lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
+    sim = (q.crossJoin(F.broadcast(c))
+           .withColumn("cos", F.round(dot / (norm("qv") * norm("cv")), 6)))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (sim.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= SIM_TOP_K)
+            .select("qid", "cid", "cos", "rk"))
+
+
+SQL_SIM_TOPK = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= {N_QUERY_VECS}),
+pairs AS (
+  SELECT q.qid, c.cid,
+         round(
+           (SELECT sum(cast(x AS DOUBLE) * cast(y AS DOUBLE))
+            FROM (SELECT unnest(q.qv) AS x, unnest(c.cv) AS y))
+           / (sqrt((SELECT sum(cast(x AS DOUBLE) * cast(x AS DOUBLE)) FROM (SELECT unnest(q.qv) AS x)))
+              * sqrt((SELECT sum(cast(y AS DOUBLE) * cast(y AS DOUBLE)) FROM (SELECT unnest(c.cv) AS y)))),
+           6) AS cos
+  FROM q CROSS JOIN c
+)
+SELECT qid, cid, cos, rk FROM (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rk
+  FROM pairs
+) WHERE rk <= {SIM_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "kg_transcripts": q_kg_transcripts,
+        "kg_turn_assembly": q_kg_turn_assembly,
+        "kg_mentions": q_kg_mentions,
+        "kg_candidates": q_kg_candidates,
+        "kg_canonical": q_kg_canonical,
+        "kg_triples": q_kg_triples,
+        "kg_cds": q_kg_cds,
+        "kg_wup_matrix": q_kg_wup_matrix,
+        "kg_search": q_kg_search,
+        "rel_pricing": q_rel_pricing,
+        "rel_nation_revenue": q_rel_nation_revenue,
+        "rel_semi_anti": q_rel_semi_anti,
+        "rel_window_topk": q_rel_window_topk,
+        "rel_rollup": q_rel_rollup,
+        "rel_setops": q_rel_setops,
+        "rel_strings": q_rel_strings,
+        "rel_monthly_orders": q_rel_monthly_orders,
+        "rel_json": q_rel_json,
+        "rel_sessionize": q_rel_sessionize,
+        "rel_asof_join": q_rel_asof_join,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "sim_topk_cosine": q_sim_topk_cosine,
+    }
+
+
+def build_oracle_sql() -> dict[str, str]:
+    return {
+        "kg_transcripts": SQL_KG_TRANSCRIPTS,
+        "kg_turn_assembly": SQL_KG_TURN_ASSEMBLY,
+        "kg_mentions": SQL_KG_MENTIONS,
+        "kg_candidates": _sql_kg_candidates_body(),
+        "kg_canonical": "WITH x AS (" + _sql_kg_canonical_body() + ") SELECT * FROM x",
+        "kg_triples": _sql_kg_triples_body(),
+        "kg_cds": _sql_kg_cds_body(),
+        "kg_wup_matrix": _sql_kg_wup_matrix(),
+        "kg_search": _sql_kg_search(),
+        "rel_pricing": SQL_REL_PRICING,
+        "rel_nation_revenue": SQL_REL_NATION_REVENUE,
+        "rel_semi_anti": SQL_REL_SEMI_ANTI,
+        "rel_window_topk": SQL_REL_WINDOW_TOPK,
+        "rel_rollup": SQL_REL_ROLLUP,
+        "rel_setops": SQL_REL_SETOPS,
+        "rel_strings": SQL_REL_STRINGS,
+        "rel_monthly_orders": SQL_REL_MONTHLY_ORDERS,
+        "rel_json": SQL_REL_JSON,
+        "rel_sessionize": SQL_REL_SESSIONIZE,
+        "rel_asof_join": SQL_REL_ASOF,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_jaccard": SQL_DEDUP_JACCARD,
+        "text_quality": SQL_TEXT_QUALITY,
+        "text_fingerprint": SQL_TEXT_FINGERPRINT,
+        "sim_topk_cosine": SQL_SIM_TOPK,
+    }

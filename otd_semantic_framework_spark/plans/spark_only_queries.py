@@ -1,0 +1,75 @@
+"""queries() entries with no DuckDB-expressible oracle — the driver
+records rows-only checks for these (noted in ``__spark_entry__``).
+
+Each is still deterministic (stable under re-run and repartitioning) so
+row counts are reproducible.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (minhash_dedup_pairs, simhash,
+                               simhash_near_pairs)
+from ..operators.multimodal import attach_fake_media, decode_media, frame_sample
+from ..operators.simsearch import ann_lsh_topk
+from ..operators.textstats import language_id, token_counts
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sims = simhash(_docs(spark, sf_dir))
+    return simhash_near_pairs(sims, max_hamming=16)
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = (e.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
+    c = (e.filter(F.col("vec_id") >= 5)
+         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")))
+    return ann_lsh_topk(q, c, k=5, n_planes=4)
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "pred_lang", "lang_score")
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "ws_tokens", "bpe_ish_tokens")
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_media(attach_fake_media(_docs(spark, sf_dir)))
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_sample(attach_fake_media(_docs(spark, sf_dir)), every_n=40)
+
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "text_langid": q_text_langid,
+        "text_token_counts": q_text_token_counts,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_frames": q_multimodal_frames,
+    }
