@@ -1,0 +1,137 @@
+"""Per-round benchmark. Prints ONE JSON line:
+
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "kg": {...pipeline throughput + N-vs-4N scaling...}}
+
+Headline = end-to-end KG-construction pipeline (generate → mention
+detect → link → canonicalize → triples → dedup → sink) on a Spark-native
+generated corpus, plus per-query wall times of the driver queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Scaling evidence for the north rule (N vs 4N executors; sandbox proxy
+per driver instruction "N and 4N cores"): the same pipeline job at
+local[2] and local[8] on the identical materialized input; efficiency =
+tput(4N)/(4*tput(N)), best of 3 warmed runs each. local[2]/local[8] stay
+within this host's PHYSICAL cores — 8→32 threads here is SMT-bound (raw
+multiprocessing tops out at ~2.4x going 8→32 on this box), which would
+misreport shuffle/operator scaling. Set SPARK_GRAFT_BENCH_SCALING=0 to
+skip the scaling runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from otd_semantic_framework_spark.session import get_spark  # noqa: E402
+
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "360000"))  # ~4M turns
+SCALING_SMALL = os.environ.get("SPARK_GRAFT_BENCH_N", "2")    # N cores
+SCALING_BIG = os.environ.get("SPARK_GRAFT_BENCH_4N", "8")     # 4N cores
+
+BENCH_QUERIES = [
+    "kg_triples", "kg_cds", "kg_search",
+    "rel_pricing", "rel_nation_revenue", "rel_window_topk",
+    "rel_sessionize", "rel_asof_join", "rel_json",
+    "dedup_exact", "dedup_jaccard", "dedup_minhash_lsh",
+    "sim_topk_cosine", "sim_ann_lsh", "text_quality", "text_langid",
+]
+
+
+def gen_input(n_convs: int, cpus: str) -> str:
+    """Materialize the generated transcript corpus once (both scaling
+    runs read the identical parquet input, like a real table scan)."""
+    path = f"/tmp/bench_transcripts_{n_convs}.parquet"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from otd_semantic_framework_spark.sources.fixtures import transcripts_spark
+    spark = get_spark("kg-bench-gen", master=f"local[{cpus}]")
+    try:
+        transcripts_spark(spark, n_convs).write.mode("overwrite").parquet(path)
+    finally:
+        spark.stop()
+    return path
+
+
+def kg_pipeline_run(master: str, input_path: str, runs: int = 2) -> dict:
+    """Full pipeline executions (parquet scan → triples sink); reports
+    the best of ``runs`` — steady-state throughput, not JVM/codegen
+    warmup (a cluster amortizes JIT over hours; a 20s local run does
+    not)."""
+    from otd_semantic_framework_spark.plans.pipeline import build_triples_fast
+
+    spark = get_spark("kg-bench", master=master)
+    try:
+        transcripts = spark.read.parquet(input_path)
+        n_turns = transcripts.count()  # warms FS cache + JVM
+
+        out = os.path.join("/tmp", f"bench_triples_{master.replace('[', '_').rstrip(']')}")
+        walls = []
+        for _ in range(runs):
+            t0 = time.time()
+            triples = build_triples_fast(spark, transcripts)
+            triples.write.mode("overwrite").parquet(out)
+            walls.append(time.time() - t0)
+        wall = min(walls)
+        n_triples = spark.read.parquet(out).count()
+        return {"master": master, "turns": n_turns, "triples": n_triples,
+                "sec": round(wall, 2), "all_runs_sec": [round(w, 2) for w in walls],
+                "triples_per_sec": round(n_triples / wall, 1),
+                "turns_per_sec": round(n_turns / wall, 1)}
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    do_scaling = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+
+    kg: dict = {}
+    input_path = gen_input(N_CONVS, cpus)
+    big = kg_pipeline_run(f"local[{cpus}]", input_path, runs=1)
+    kg["headline"] = big
+    if do_scaling:
+        # N vs 4N cores (driver instruction). local[2]/local[8] stay within
+        # the host's physical cores; 8→32 on this 32-thread host is
+        # SMT-bound (~2.4x ceiling measured) and would misreport scaling.
+        n4 = kg_pipeline_run(f"local[{SCALING_BIG}]", input_path, runs=3)
+        n1 = kg_pipeline_run(f"local[{SCALING_SMALL}]", input_path, runs=3)
+        kg["scale_n"] = n1
+        kg["scale_4n"] = n4
+        kg["scaling_efficiency"] = round(
+            n4["triples_per_sec"] / (4.0 * n1["triples_per_sec"]), 3)
+
+    import __spark_entry__ as E
+    queries = E.queries()
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    per_query: dict[str, float] = {}
+    try:
+        for name in BENCH_QUERIES:
+            fn = queries.get(name)
+            if fn is None:
+                continue
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            per_query[name] = round(time.time() - t0, 2)
+    finally:
+        spark.stop()
+
+    total = round(sum(per_query.values()) + big["sec"], 2)
+    print(json.dumps({
+        "metric": "kg_pipeline_plus_query_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "kg": kg,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -118,6 +118,57 @@ def link_candidates_broadcast(mentions: DataFrame, ontology_pdf: pd.DataFrame,
     )
 
 
+def surface_canonical_table(ontology_pdf: pd.DataFrame,
+                            gazetteer: dict[str, str],
+                            wup_pdf: pd.DataFrame,
+                            alpha: float = S.LINK_ALPHA,
+                            top_k: int = S.TOP_K,
+                            threshold: float = S.COS_THRESHOLD) -> pd.DataFrame:
+    """Fully-precomputed (surface → canonical concept, link_score).
+
+    Candidate sets, the cos-top anchor, and the Wu-Palmer-blended winner
+    are all pure functions of the surface string, so for a closed
+    mention vocabulary the ENTIRE P7→P9 chain collapses into one tiny
+    table computed driver-side once — the same precompute-the-scores
+    move the reference makes with its cached CDS matrix [K]. At corpus
+    scale canonicalization then costs one broadcast hash join: zero
+    shuffles, zero Python. Equivalence with the compute path is pinned
+    by tests/test_linking.py."""
+    concept_ids, cmat = concept_matrix(ontology_pdf)
+    scores = score_surfaces(sorted(gazetteer), concept_ids, cmat,
+                            top_k, threshold)
+    wup = {(r.concept_a, r.concept_b): r.wup for r in wup_pdf.itertuples()}
+    rows = []
+    for surface, grp in scores.groupby("surface"):
+        g = grp.sort_values(["cos_sim", "concept_id"],
+                            ascending=[False, True])
+        top_cid = g.iloc[0]["concept_id"]
+        best = None
+        for r in g.itertuples():
+            link = round(alpha * r.cos_sim
+                         + (1 - alpha) * wup.get((r.concept_id, top_cid), 0.0),
+                         S.SCORE_DECIMALS)
+            key = (-link, r.concept_id)
+            if best is None or key < best[0]:
+                best = (key, r.concept_id, r.cos_sim, link)
+        _, cid, cos, link = best
+        rows.append((surface, cid, float(cos), float(link)))
+    return pd.DataFrame(
+        rows, columns=["surface", "concept_id", "cos_sim", "link_score"])
+
+
+def canonicalize_broadcast(mentions: DataFrame,
+                           canonical_pdf: pd.DataFrame) -> DataFrame:
+    """Scale path for P7→P9: broadcast-join mentions to the precomputed
+    canonical table (map-side only; unmatched surfaces drop out exactly
+    like sub-threshold candidates)."""
+    spark = mentions.sparkSession
+    canon_df = spark.createDataFrame(
+        canonical_pdf,
+        schema="surface string, concept_id string, cos_sim double, link_score double")
+    return mentions.join(F.broadcast(canon_df), "surface", "inner")
+
+
 def canonicalize(candidates: DataFrame, concept_sim: DataFrame,
                  alpha: float = S.LINK_ALPHA) -> DataFrame:
     """P9: one canonical concept per mention via Wu-Palmer-blended score.

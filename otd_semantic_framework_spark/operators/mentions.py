@@ -31,8 +31,24 @@ from ..schemas import MENTION_STRUCT
 _MENTIONS_TYPE = T.ArrayType(MENTION_STRUCT)
 
 
-def mention_detector_udf(gazetteer: dict[str, str], max_ngram: int = S.MAX_NGRAM):
-    """Build the pandas_udf closing over the gazetteer key set."""
+def mention_detector_udf(gazetteer: dict[str, str], max_ngram: int = S.MAX_NGRAM,
+                         use_regex: bool = True):
+    """Build the pandas_udf closing over the gazetteer.
+
+    use_regex=True (default): compiled leftmost-longest alternation —
+    the hot loop runs in the C regex engine, ~3-5x the pure-Python
+    token walk; exact-equivalent semantics (pinned by tests)."""
+    if use_regex:
+        pattern = S.gazetteer_pattern(gazetteer, max_ngram)
+
+        @pandas_udf(_MENTIONS_TYPE)
+        def detect(norm_texts: pd.Series) -> pd.Series:
+            find = S.find_mentions_regex
+            return norm_texts.map(
+                lambda t: [] if not t else find(t, pattern))
+
+        return detect
+
     keys = frozenset(gazetteer)
 
     @pandas_udf(_MENTIONS_TYPE)
@@ -46,9 +62,12 @@ def mention_detector_udf(gazetteer: dict[str, str], max_ngram: int = S.MAX_NGRAM
 
 
 def detect_mentions(df: DataFrame, gazetteer: dict[str, str],
-                    norm_col: str = "norm_text") -> DataFrame:
+                    norm_col: str = "norm_text",
+                    use_regex: bool = True) -> DataFrame:
     """Add a ``mentions`` array<struct<surface,tok_start,tok_end>> column."""
-    return df.withColumn("mentions", mention_detector_udf(gazetteer)(F.col(norm_col)))
+    return df.withColumn(
+        "mentions",
+        mention_detector_udf(gazetteer, use_regex=use_regex)(F.col(norm_col)))
 
 
 def explode_mentions(df: DataFrame) -> DataFrame:

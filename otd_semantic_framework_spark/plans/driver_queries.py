@@ -660,6 +660,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JACCARD_THRESHOLD = 0.84
+JACCARD_MAX_DOC = 500  # bounded pair set: the testdata vocabulary is only
+# ~31 tokens, so nearly every doc pair shares tokens and the posting-list
+# self-join is quadratic in practice here. Cap the doc subset (portable in
+# both engines); the unbounded scale path is dedup_minhash_lsh, whose LSH
+# bucketing prunes candidates instead.
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,7 +672,7 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Inverted-index join on shared tokens — never a full cross join; at
     scale the token join is the standard posting-list self-join with
     frequent-token pruning."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < JACCARD_MAX_DOC)
     toks = (d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
             .filter(F.col("tok") != "").distinct())
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -691,7 +696,7 @@ SQL_DEDUP_JACCARD = f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, t.tok
   FROM documents, unnest(string_split(text, ' ')) AS t(tok)
-  WHERE t.tok <> ''
+  WHERE t.tok <> '' AND doc_id < {JACCARD_MAX_DOC}
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
 inter AS (

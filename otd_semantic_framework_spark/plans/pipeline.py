@@ -129,6 +129,42 @@ class CheckpointedRun:
         return out
 
 
+def build_triples_fast(spark: SparkSession, transcripts: DataFrame,
+                       ontology_pdf: pd.DataFrame | None = None,
+                       spread_partitions: int | None = None) -> DataFrame:
+    """Single-expression hot path (no checkpoint materialization):
+    regex mention UDF → broadcast precomputed canonical table (zero
+    shuffles through P9) → 3-rule union → one groupBy dedup. This is
+    the plan the 100TB cluster runs per partition-slice; the
+    checkpointed ``run_pipeline`` wraps the same operators stage by
+    stage. Output equality with run_pipeline is pinned by
+    tests/test_autotag.py::test_fast_path_equals_checkpointed."""
+    from ..operators.linking import (canonicalize_broadcast,
+                                     surface_canonical_table)
+
+    ontology_pdf = ontology_pdf if ontology_pdf is not None else fixtures.ontology_pandas()
+    concepts = [
+        S.Concept(r.concept_id, r.pref_label, list(r.alt_labels), r.parent_id,
+                  int(r.depth), list(r.path))
+        for r in ontology_pdf.itertuples()
+    ]
+    gaz = S.build_gazetteer(concepts)
+    wup_pdf = pd.DataFrame(
+        [(a.concept_id, b.concept_id, S.wup_similarity(a, b))
+         for a in concepts for b in concepts],
+        columns=["concept_a", "concept_b", "wup"])
+    canon_table = surface_canonical_table(ontology_pdf, gaz, wup_pdf)
+    # P11: the mention UDF is map-only, so a round-robin respread defuses
+    # hot-conversation stragglers (one skewed input partition otherwise
+    # pins the whole wave). Default 3 waves per core.
+    n = spread_partitions or spark.sparkContext.defaultParallelism * 3
+    spread = transcripts.repartition(n)
+    mentions = explode_mentions(detect_mentions(
+        normalize_turns(spread), gaz, use_regex=True))
+    canon = canonicalize_broadcast(mentions, canon_table)
+    return dedup_triples(extract_triples(transcripts, canon))
+
+
 def run_pipeline(
     spark: SparkSession,
     transcripts: DataFrame,

@@ -260,6 +260,33 @@ def build_gazetteer(concepts: list[Concept]) -> dict[str, str]:
     return gaz
 
 
+def gazetteer_pattern(gazetteer, max_ngram: int = MAX_NGRAM) -> "re.Pattern[str]":
+    """Compiled alternation implementing the same greedy
+    leftmost-longest non-overlapping semantics as :func:`find_mentions`
+    on normalized text (tokens are [a-z0-9]+ single-space separated, so
+    ``\\b`` boundaries == token boundaries). Alternatives are ordered by
+    descending token length so the longest match wins at each position;
+    the regex engine then continues after the match (no overlap) —
+    byte-for-byte the find_mentions walk, at C speed.
+    Equivalence is pinned by tests/test_mentions.py."""
+    keys = sorted((k for k in gazetteer if len(k.split()) <= max_ngram),
+                  key=lambda s: (-len(s.split()), s))
+    alts = "|".join(re.escape(k) for k in keys)
+    return re.compile(rf"\b(?:{alts})\b")
+
+
+def find_mentions_regex(norm_text: str, pattern: "re.Pattern[str]"
+                        ) -> list[tuple[str, int, int]]:
+    """Regex twin of find_mentions returning the same
+    (surface, tok_start, tok_end) triples."""
+    out = []
+    for m in pattern.finditer(norm_text):
+        surface = m.group(0)
+        tok_start = norm_text.count(" ", 0, m.start())
+        out.append((surface, tok_start, tok_start + surface.count(" ") + 1))
+    return out
+
+
 def find_mentions(norm_text: str, gazetteer: dict[str, str],
                   max_ngram: int = MAX_NGRAM) -> list[tuple[str, int, int]]:
     """All gazetteer n-gram matches in normalized text.

@@ -51,3 +51,13 @@ def test_cds_matches_oracle(spark, pipeline_result, golden):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-6, k
+
+
+def test_fast_path_equals_checkpointed(spark, tiny_df, pipeline_result):
+    from otd_semantic_framework_spark.plans.pipeline import build_triples_fast
+    fast = build_triples_fast(spark, tiny_df)
+    k1 = sorted((r.subj, r.pred, r.obj, round(r.score, 6))
+                for r in fast.collect())
+    k2 = sorted((r.subj, r.pred, r.obj, round(r.score, 6))
+                for r in pipeline_result.triples.collect())
+    assert k1 == k2

@@ -1,0 +1,133 @@
+"""Training-data pipeline operators: dedup (exact/MinHash/SimHash),
+similarity search (brute force vs LSH), text stats, multimodal stubs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from otd_semantic_framework_spark.operators.dedup import (
+    exact_dedup, lsh_candidate_pairs, minhash_dedup_pairs,
+    minhash_signatures, shingles, simhash, simhash_near_pairs)
+from otd_semantic_framework_spark.operators.multimodal import (
+    attach_fake_media, decode_media, frame_sample)
+from otd_semantic_framework_spark.operators.simsearch import (
+    ann_lsh_topk, cosine_topk)
+from otd_semantic_framework_spark.operators.textstats import (
+    language_id, token_counts)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (3, "completely different content about spark engines"),
+        (4, "spark engines process completely different content"),
+        (5, "einzelne deutsche woerter ohne englische zeichen"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs)
+    assert out.count() == 5  # doc 2 collapsed into doc 0
+    assert 2 not in {r.doc_id for r in out.collect()}
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = minhash_dedup_pairs(docs, threshold=0.5).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (0, 2) in got       # exact dup → jaccard 1.0
+    assert (0, 1) in got or (1, 2) in got  # near dup shares most shingles
+    by_pair = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    assert by_pair[(0, 2)] == 1.0
+
+
+def test_minhash_signature_shape(spark, docs):
+    sig = minhash_signatures(shingles(docs)).collect()
+    assert all(len(r.sig) == 64 for r in sig)
+    # identical docs → identical signatures
+    by_id = {r.doc_id: list(r.sig) for r in sig}
+    assert by_id[0] == by_id[2]
+
+
+def test_lsh_no_cross_join(spark, docs):
+    """Candidate pairs must come only from shared buckets (doc 3/5 share
+    nothing with 0)."""
+    pairs = lsh_candidate_pairs(minhash_signatures(shingles(docs)))
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (0, 2) in got
+    assert (3, 5) not in got
+
+
+def test_simhash_hamming(spark, docs):
+    sims = simhash(docs)
+    by_id = {r.doc_id: r.simhash for r in sims.collect()}
+    assert by_id[0] == by_id[2]
+    pairs = simhash_near_pairs(sims, max_hamming=0).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} >= {(0, 2)}
+
+
+def test_cosine_topk_vs_ann(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
+    c = (emb.filter(F.col("vec_id") >= 3)
+         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")))
+    exact = cosine_topk(q, c, k=10)
+    rows = exact.collect()
+    assert len(rows) == 30
+    assert all(-1.000001 <= r.cos <= 1.000001 for r in rows)
+    # rank 1 has max cos per qid
+    top = {r.qid: r.cos for r in rows if r.rk == 1}
+    for r in rows:
+        assert top[r.qid] >= r.cos
+    # ANN with few planes: results are a subset of the candidate space and
+    # every returned neighbour's cos matches the exact computation
+    ann = ann_lsh_topk(q, c, k=10, n_planes=4)
+    exact_cos = {(r.qid, r.cid): r.cos for r in
+                 cosine_topk(q, c, k=10**6).collect()}
+    for r in ann.collect():
+        assert abs(exact_cos[(r.qid, r.cid)] - r.cos) < 1e-9
+    # recall@10 of ANN vs exact should be non-trivial (same buckets exist)
+    exact_top = {(r.qid, r.cid) for r in rows}
+    ann_top = {(r.qid, r.cid) for r in ann.collect()}
+    assert len(ann_top & exact_top) > 0
+
+
+def test_language_id(spark, docs):
+    out = {r.doc_id: r.pred_lang for r in language_id(docs).collect()}
+    assert out[0] == "en"  # 'the quick brown fox' is peak English bigrams
+    assert len(out) == 6
+
+
+def test_token_counts(spark, docs):
+    out = {r.doc_id: (r.ws_tokens, r.bpe_ish_tokens)
+           for r in token_counts(docs).collect()}
+    assert out[0][0] == 9
+    assert out[0][1] >= 9
+
+
+def test_multimodal_decode_deterministic(spark, docs):
+    media = attach_fake_media(docs)
+    a = {r.doc_id: (r.width, r.height, tuple(r.features))
+         for r in decode_media(media).collect()}
+    b = {r.doc_id: (r.width, r.height, tuple(r.features))
+         for r in decode_media(attach_fake_media(docs.repartition(3))).collect()}
+    assert a == b
+    assert all(len(v[2]) == 8 for v in a.values())
+    # identical payloads decode identically
+    assert a[0] == a[2]
+
+
+def test_multimodal_strict_raises(spark, docs):
+    media = attach_fake_media(docs)
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        decode_media(media, decode_strict=True).collect()
+
+
+def test_frame_sample(spark, docs):
+    frames = frame_sample(attach_fake_media(docs), every_n=10)
+    rows = frames.collect()
+    assert len(rows) > 6  # multiple frames per doc
+    assert all(r.frame_key == f"{r.doc_id}:{r.frame_idx}" for r in rows)

@@ -57,3 +57,24 @@ def test_canonicalize_one_per_mention(spark, tiny_df, ontology_pdf):
     k1 = sorted((r.mention_id, r.concept_id, r.link_score) for r in canon.collect())
     k2 = sorted((r.mention_id, r.concept_id, r.link_score) for r in canon2.collect())
     assert k1 == k2
+
+
+def test_precomputed_canonical_equals_compute_path(spark, tiny_df, ontology_pdf):
+    """The zero-shuffle broadcast canonical table (P7→P9 precomputed)
+    must equal the full compute path (arrow candidates → windows → wup
+    join) mention for mention."""
+    from otd_semantic_framework_spark.operators.linking import (
+        canonicalize_broadcast, surface_canonical_table)
+    from tests.oracle_tagger import oracle_concept_similarity
+
+    mentions, gaz = _mentions(tiny_df)
+    sim = concept_similarity(ontology_spark(spark))
+    compute = canonicalize(link_candidates_arrow(mentions, ontology_pdf), sim)
+    table = surface_canonical_table(
+        ontology_pdf, gaz, oracle_concept_similarity(S.build_ontology()))
+    fast = canonicalize_broadcast(mentions, table)
+    k1 = sorted((r.mention_id, r.concept_id, round(r.link_score, 6))
+                for r in compute.collect())
+    k2 = sorted((r.mention_id, r.concept_id, round(r.link_score, 6))
+                for r in fast.collect())
+    assert k1 == k2

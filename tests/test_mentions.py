@@ -47,3 +47,32 @@ def test_mention_id_deterministic(spark, tiny_df):
     ids2 = sorted(r.mention_id for r in m2.select("mention_id").collect())
     assert ids1 == ids2
     assert len(ids1) == len(set(ids1))  # unique per mention
+
+
+def test_regex_detector_equals_python_walk(spark, tiny_df):
+    gaz = S.build_gazetteer(S.build_ontology())
+    fast = explode_mentions(detect_mentions(
+        normalize_turns(tiny_df), gaz, use_regex=True))
+    slow = explode_mentions(detect_mentions(
+        normalize_turns(tiny_df), gaz, use_regex=False))
+    k = lambda df: sorted((r.conv_id, r.turn_idx, r.surface, r.tok_start,
+                           r.tok_end, r.mention_id) for r in df.collect())
+    assert k(fast) == k(slow)
+
+
+def test_regex_twin_pure_function_equivalence():
+    """Property-ish: the regex twin matches find_mentions on adversarial
+    strings (overlaps, prefixes, max_ngram exclusion)."""
+    gaz = {"bus": "c1", "bus stop": "c2", "stop": "c3", "night bus": "c4",
+           "open transport data": "c5"}
+    pat = S.gazetteer_pattern(gaz, max_ngram=2)
+    cases = [
+        "the bus stop is near the night bus stop",
+        "stop bus stop bus",
+        "open transport data bus",   # 3-gram excluded at max_ngram=2
+        "busy stopper bus",          # no partial-token matches
+        "", "bus", "stop stop stop",
+    ]
+    for text in cases:
+        assert S.find_mentions_regex(text, pat) == \
+            S.find_mentions(text, gaz, max_ngram=2), text
