@@ -76,13 +76,17 @@ def extract_triples(transcripts: DataFrame, canonical: DataFrame) -> DataFrame:
 
 def dedup_triples(triples: DataFrame) -> DataFrame:
     """P13: set semantics — one (s,p,o), max score. Idempotent:
-    dedup(dedup(x)) == dedup(x) (property-tested)."""
+    dedup(dedup(x)) == dedup(x) (property-tested).
+
+    conv_id/turn_idx are functionally determined by subj
+    (``turn:<conv>:<idx>``) so they join the GROUP BY keys instead of
+    being min()-aggregated: string min/max forces SortAggregate, while
+    keys+max(double) stays HashAggregate with map-side partial
+    aggregation — the property that keeps this shuffle linear in
+    distinct triples at 10^12-turn scale (asserted by tests/test_plans.py)."""
     return (
         triples
-        .groupBy("subj", "pred", "obj")
-        .agg(
-            F.min("conv_id").alias("conv_id"),
-            F.min("turn_idx").alias("turn_idx"),
-            F.round(F.max("score"), S.SCORE_DECIMALS).alias("score"),
-        )
+        .groupBy("subj", "pred", "obj", "conv_id", "turn_idx")
+        .agg(F.round(F.max("score"), S.SCORE_DECIMALS).alias("score"))
+        .select("subj", "pred", "obj", "conv_id", "turn_idx", "score")
     )

@@ -854,6 +854,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "sim_topk_cosine": q_sim_topk_cosine,
+        "rel_pivot": q_rel_pivot,
+        "rel_window_analytics": q_rel_window_analytics,
+        "rel_range_join": q_rel_range_join,
+        "rel_datefns": q_rel_datefns,
+        "rel_collect_list": q_rel_collect_list,
+        "kg_eval_pr": q_kg_eval_pr,
     }
 
 
@@ -884,4 +890,161 @@ def build_oracle_sql() -> dict[str, str]:
         "text_quality": SQL_TEXT_QUALITY,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "sim_topk_cosine": SQL_SIM_TOPK,
+        "rel_pivot": SQL_REL_PIVOT,
+        "rel_window_analytics": SQL_REL_WINDOW_ANALYTICS,
+        "rel_range_join": SQL_REL_RANGE_JOIN,
+        "rel_datefns": SQL_REL_DATEFNS,
+        "rel_collect_list": SQL_REL_COLLECT_LIST,
+        "kg_eval_pr": _sql_kg_eval_pr(),
     }
+
+
+# ---------------------------------------------------------------------------
+# §2B widening: pivot, window analytics, range join, date fns,
+# collect_list, and the P18 evaluation as relational algebra.
+# ---------------------------------------------------------------------------
+
+def q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() — DuckDB oracle uses conditional aggregation."""
+    o = _tbl(spark, sf_dir, "orders")
+    piv = (o.groupBy("o_orderstatus")
+           .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+           .agg(F.count(F.lit(1))))
+    return piv.select(
+        F.col("o_orderstatus").alias("status"),
+        F.coalesce(F.col("`1-URGENT`"), F.lit(0)).alias("urgent_n"),
+        F.coalesce(F.col("`2-HIGH`"), F.lit(0)).alias("high_n"),
+        F.coalesce(F.col("`3-MEDIUM`"), F.lit(0)).alias("medium_n"))
+
+
+SQL_REL_PIVOT = """
+SELECT o_orderstatus AS status,
+       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent_n,
+       sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high_n,
+       sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium_n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+SQL_REL_WINDOW_ANALYTICS = """
+SELECT o_custkey, o_orderkey,
+       dense_rank() OVER w AS drk,
+       ntile(4) OVER w AS quartile,
+       round(o_totalprice - lag(o_totalprice, 1, 0.0) OVER w, 2) AS diff_prev,
+       round(nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS second_price,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
+def q_rel_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(SQL_REL_WINDOW_ANALYTICS)
+
+
+RANGE_JOIN_MAX_EVENT = 1000
+
+
+def q_rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/interval join (SURVEY §2B): orders within 1 day before each
+    event ts. Bounded event subset; Spark executes broadcast-nested-loop
+    — the scale path adds a day-bucket equi-conjunct."""
+    e = (_tbl(spark, sf_dir, "events")
+         .filter(F.col("event_id") < RANGE_JOIN_MAX_EVENT)
+         .select("event_id", "ts"))
+    o = _tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = e.join(
+        o, (o.o_orderdate <= e.ts)
+        & (o.o_orderdate > e.ts - F.expr("INTERVAL 1 DAY")), "left")
+    return (joined.groupBy("event_id")
+            .agg(F.count("o_orderkey").alias("n_orders_1d")))
+
+
+SQL_REL_RANGE_JOIN = f"""
+SELECT e.event_id, count(o.o_orderkey) AS n_orders_1d
+FROM (SELECT event_id, ts FROM events WHERE event_id < {RANGE_JOIN_MAX_EVENT}) e
+LEFT JOIN orders o
+  ON o.o_orderdate <= e.ts AND o.o_orderdate > e.ts - INTERVAL 1 DAY
+GROUP BY e.event_id
+"""
+
+
+def q_rel_datefns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _tbl(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.datediff(F.lit("2025-01-01").cast("date"),
+                   F.col("o_orderdate").cast("date")).alias("days_to_2025"),
+        F.unix_micros(F.date_trunc("week", "o_orderdate")).alias("week_us"),
+    )
+
+
+SQL_REL_DATEFNS = """
+SELECT o_orderkey,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       day(o_orderdate) AS dom,
+       date_diff('day', cast(o_orderdate AS DATE), DATE '2025-01-01') AS days_to_2025,
+       epoch_us(date_trunc('week', o_orderdate)) AS week_us
+FROM orders
+"""
+
+
+def q_rel_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+                 F.count(F.lit(1)).alias("n_customers")))
+
+
+SQL_REL_COLLECT_LIST = """
+SELECT n.n_name, list_sort(list(DISTINCT c.c_mktsegment)) AS segments,
+       count(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def q_kg_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P18 as relational algebra: P/R of the top-cos-only tagger variant
+    vs the canonical tagger (inner join = TP, anti joins = FP/FN)."""
+    canon = q_kg_canonical(spark, sf_dir).select(
+        "conv_id", "turn_idx", "concept_id").distinct()
+    top_cos = (q_kg_candidates(spark, sf_dir).filter(F.col("rnk") == 1)
+               .select("conv_id", "turn_idx", "concept_id").distinct())
+    key = ["conv_id", "turn_idx", "concept_id"]
+    tp = top_cos.join(canon, key, "inner").count()
+    fp = top_cos.join(canon, key, "left_anti").count()
+    fn = canon.join(top_cos, key, "left_anti").count()
+    return spark.createDataFrame(
+        [(tp, fp, fn,
+          round(tp / (tp + fp), 6) if tp + fp else 1.0,
+          round(tp / (tp + fn), 6) if tp + fn else 1.0)],
+        "tp long, fp long, fn long, precision double, recall double")
+
+
+def _sql_kg_eval_pr() -> str:
+    canon = _sql_kg_canonical_body(
+        "SELECT DISTINCT conv_id, turn_idx, concept_id FROM best WHERE rn = 1")
+    cand = _sql_kg_candidates_body()
+    return f"""
+WITH canon AS ({canon}),
+top_cos AS (SELECT DISTINCT conv_id, turn_idx, concept_id FROM ({cand}) WHERE rnk = 1),
+tp AS (SELECT count(*) AS v FROM top_cos t JOIN canon c USING (conv_id, turn_idx, concept_id)),
+fp AS (SELECT count(*) AS v FROM top_cos t ANTI JOIN canon c USING (conv_id, turn_idx, concept_id)),
+fn AS (SELECT count(*) AS v FROM canon c ANTI JOIN top_cos t USING (conv_id, turn_idx, concept_id))
+SELECT tp.v AS tp, fp.v AS fp, fn.v AS fn,
+       round(CASE WHEN tp.v + fp.v = 0 THEN 1.0 ELSE cast(tp.v AS DOUBLE) / (tp.v + fp.v) END, 6) AS precision,
+       round(CASE WHEN tp.v + fn.v = 0 THEN 1.0 ELSE cast(tp.v AS DOUBLE) / (tp.v + fn.v) END, 6) AS recall
+FROM tp, fp, fn
+"""

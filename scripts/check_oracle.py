@@ -24,6 +24,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
+    if isinstance(v, (list, tuple)) or "ndarray" in type(v).__name__:
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
     if v is None or v != v:
         return "NULL"
     if isinstance(v, float):

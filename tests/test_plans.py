@@ -1,0 +1,118 @@
+"""Physical-plan audits (SURVEY.md §4): the optimizer must actually pick
+the strategies the 100TB design assumes — broadcast hash joins for every
+ontology-sized side, pushed filters/pruned columns at the scan, no
+cartesian products outside the intended tiny cross joins, no per-row
+Python in JVM-expressible stages.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from otd_semantic_framework_spark import semantics as S
+from otd_semantic_framework_spark.operators.linking import (
+    canonicalize, link_candidates_broadcast)
+from otd_semantic_framework_spark.operators.mentions import (
+    detect_mentions, explode_mentions)
+from otd_semantic_framework_spark.operators.normalize import normalize_turns
+from otd_semantic_framework_spark.operators.wup import concept_similarity
+from otd_semantic_framework_spark.plans.pipeline import build_triples_fast
+from otd_semantic_framework_spark.sources.fixtures import (
+    ontology_pandas, ontology_spark)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _opt(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_linking_is_broadcast_join(spark, tiny_df, ontology_pdf):
+    gaz = S.build_gazetteer(S.build_ontology())
+    mentions = explode_mentions(detect_mentions(normalize_turns(tiny_df), gaz))
+    cands = link_candidates_broadcast(mentions, ontology_pdf, gaz)
+    plan = _plan(cands)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_canonicalize_wup_join_is_broadcast(spark, tiny_df, ontology_pdf):
+    gaz = S.build_gazetteer(S.build_ontology())
+    mentions = explode_mentions(detect_mentions(normalize_turns(tiny_df), gaz))
+    cands = link_candidates_broadcast(mentions, ontology_pdf, gaz)
+    canon = canonicalize(cands, concept_similarity(ontology_spark(spark)))
+    plan = _plan(canon)
+    assert plan.count("BroadcastHashJoin") >= 2  # scores + wup sides
+    assert "CartesianProduct" not in plan
+
+
+def test_fast_path_plan_shape(spark, tiny_df):
+    """The hot path: no sort-merge joins, no cartesian product, codegen
+    spans present (codegen explain mode — the AQE root string hides
+    WholeStageCodegen until a plan is final)."""
+    df = build_triples_fast(spark, tiny_df)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    jvm = spark.sparkContext._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    assert "WholeStageCodegen" in df._jdf.queryExecution().explainString(mode)
+
+
+def test_scan_pushdown_filter_and_pruning(spark, tmp_path):
+    """Predicate pushdown + column pruning must reach the parquet scan."""
+    p = str(tmp_path / "t.parquet")
+    spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("v"),
+        F.lit("unused").alias("w"),
+    ).write.parquet(p)
+    df = spark.read.parquet(p).filter(F.col("k") > 3).select("id", "v", "k")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,3)]" in plan
+    assert "w" not in plan.split("ReadSchema")[-1]  # column pruned
+
+
+def test_dedup_is_hash_aggregate_with_partials(spark, tiny_df):
+    """The final dedup must be HashAggregate (NOT SortAggregate — caught
+    live: min(string) aggregates degrade to sort-based) and must
+    partial-aggregate map-side (two HashAggregate levels around one
+    exchange) — what keeps the shuffle linear in distinct keys at
+    10^12-turn scale."""
+    plan = _plan(build_triples_fast(spark, tiny_df))
+    assert "SortAggregate" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_python_udf_outside_mention_stage(spark, tiny_df, tmp_path):
+    """Everything after mention detection is JVM-side: the canonical link
+    + triple rules + dedup must contain no Python evals. (Materialize the
+    mention stage to cut lineage, then audit the downstream plan.)"""
+    gaz = S.build_gazetteer(S.build_ontology())
+    p = str(tmp_path / "mentions.parquet")
+    explode_mentions(
+        detect_mentions(normalize_turns(tiny_df), gaz)).write.parquet(p)
+    mentions = spark.read.parquet(p)
+    from otd_semantic_framework_spark.operators.linking import (
+        canonicalize_broadcast, surface_canonical_table)
+    import pandas as pd
+    concepts = S.build_ontology()
+    wup_pdf = pd.DataFrame(
+        [(a.concept_id, b.concept_id, S.wup_similarity(a, b))
+         for a in concepts for b in concepts],
+        columns=["concept_a", "concept_b", "wup"])
+    canon = canonicalize_broadcast(
+        mentions, surface_canonical_table(ontology_pandas(), gaz, wup_pdf))
+    plan = _plan(canon)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, marker
+
+
+def test_skew_respread_is_roundrobin(spark, tiny_df):
+    """The P11 respread must be a RoundRobinPartitioning exchange (even
+    spread), not hash-on-conv_id (which would preserve the hot key)."""
+    plan = _plan(build_triples_fast(spark, tiny_df))
+    assert "RoundRobinPartitioning" in plan
