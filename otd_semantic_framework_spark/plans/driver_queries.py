@@ -860,6 +860,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_datefns": q_rel_datefns,
         "rel_collect_list": q_rel_collect_list,
         "kg_eval_pr": q_kg_eval_pr,
+        "rel_cube": q_rel_cube,
     }
 
 
@@ -896,6 +897,7 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_datefns": SQL_REL_DATEFNS,
         "rel_collect_list": SQL_REL_COLLECT_LIST,
         "kg_eval_pr": _sql_kg_eval_pr(),
+        "rel_cube": SQL_REL_CUBE,
     }
 
 
@@ -1048,3 +1050,19 @@ SELECT tp.v AS tp, fp.v AS fp, fn.v AS fn,
        round(CASE WHEN tp.v + fn.v = 0 THEN 1.0 ELSE cast(tp.v AS DOUBLE) / (tp.v + fn.v) END, 6) AS recall
 FROM tp, fp, fn
 """
+
+
+SQL_REL_CUBE = """
+SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+       coalesce(l_linestatus, '<all>') AS linestatus,
+       grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+       count(*) AS n,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(SQL_REL_CUBE)

@@ -61,3 +61,16 @@ def test_fast_path_equals_checkpointed(spark, tiny_df, pipeline_result):
     k2 = sorted((r.subj, r.pred, r.obj, round(r.score, 6))
                 for r in pipeline_result.triples.collect())
     assert k1 == k2
+
+
+def test_autotag_small_corpus_pr_gate(spark, small_df, small_pdf, tmp_path_factory):
+    """The BASELINE P/R gate on the larger 'small' corpus (300 convs,
+    SURVEY.md §5.3) — fast path vs mini-oracle goldens."""
+    from otd_semantic_framework_spark.plans.pipeline import build_triples_fast
+    got = spark.createDataFrame(
+        build_triples_fast(spark, small_df)
+        .select("subj", "pred", "obj").collect(), "subj string, pred string, obj string")
+    golden = spark.createDataFrame(oracle_triples(small_pdf))
+    pr = precision_recall(got, golden)
+    assert pr["precision"] >= 0.95, pr
+    assert pr["recall"] >= 0.95, pr

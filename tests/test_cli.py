@@ -1,0 +1,36 @@
+"""Reference-parity CLI multiplexer (dataontosearch.py equivalent):
+gen → autotag → matrix → search → evaluate, as subprocesses."""
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(*args):
+    proc = subprocess.run(
+        [sys.executable, "-m", "otd_semantic_framework_spark",
+         "--master", "local[4]", *args],
+        capture_output=True, text=True, cwd=ROOT, timeout=280)
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def test_cli_lifecycle(tmp_path):
+    corpus = str(tmp_path / "t.parquet")
+    run_dir = str(tmp_path / "run")
+    out = _run("gen", "--convs", "40", "--out", corpus)
+    assert out["turns"] > 100
+
+    out = _run("autotag", "--input", corpus, "--run-dir", run_dir)
+    assert out["triples"] > 100 and out["cds_rows"] > 0
+
+    out = _run("search", "--run-dir", run_dir, "bus timetable delay", "--top-n", "3")
+    assert len(out["results"]) == 3
+    assert out["results"][0]["rank"] == 1
+
+    golden = os.path.join(run_dir, "triples.parquet")  # self-eval: P=R=1
+    out = _run("evaluate", "--run-dir", run_dir, "--golden", golden)
+    assert out["precision"] == 1.0 and out["recall"] == 1.0
