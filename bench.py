@@ -101,7 +101,7 @@ def main() -> None:
         # the host's physical cores; 8→32 on this 32-thread host is
         # SMT-bound (~2.4x ceiling measured) and would misreport scaling.
         n4 = kg_pipeline_run(f"local[{SCALING_BIG}]", input_path, runs=3)
-        n1 = kg_pipeline_run(f"local[{SCALING_SMALL}]", input_path, runs=3)
+        n1 = kg_pipeline_run(f"local[{SCALING_SMALL}]", input_path, runs=2)
         kg["scale_n"] = n1
         kg["scale_4n"] = n4
         kg["scaling_efficiency"] = round(

@@ -861,6 +861,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_collect_list": q_rel_collect_list,
         "kg_eval_pr": q_kg_eval_pr,
         "rel_cube": q_rel_cube,
+        "rel_misc_fns": q_rel_misc_fns,
+        "rel_array_fns": q_rel_array_fns,
     }
 
 
@@ -898,6 +900,8 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_collect_list": SQL_REL_COLLECT_LIST,
         "kg_eval_pr": _sql_kg_eval_pr(),
         "rel_cube": SQL_REL_CUBE,
+        "rel_misc_fns": _SQL_REL_MISC_FNS_DUCK,
+        "rel_array_fns": _SQL_REL_ARRAY_FNS_DUCK,
     }
 
 
@@ -1066,3 +1070,71 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "lineitem")
     return spark.sql(SQL_REL_CUBE)
+
+
+SQL_REL_MISC_FNS = """
+SELECT p_partkey,
+       format_string('%s/%02d', p_brand, cast(p_size AS INT)) AS brand_size,
+       repeat(substring(p_brand, 1, 2), 2) AS rep2,
+       reverse(p_brand) AS rev,
+       position('#' IN p_brand) AS hash_pos,
+       greatest(p_size, 25) AS size_floor,
+       least(cast(floor(p_retailprice) AS INT), 1500) AS price_cap,
+       round(log(2.0, cast(p_size + 1 AS DOUBLE)), 6) AS log2_size,
+       round(pow(p_size, 0.5), 6) AS sqrt_size,
+       cast(p_size % 5 AS INT) AS size_mod
+FROM part
+"""
+
+# DuckDB dialect variant: format_string -> printf, position syntax shared
+_SQL_REL_MISC_FNS_DUCK = """
+SELECT p_partkey,
+       printf('%s/%02d', p_brand, cast(p_size AS INT)) AS brand_size,
+       repeat(substring(p_brand, 1, 2), 2) AS rep2,
+       reverse(p_brand) AS rev,
+       position('#' IN p_brand) AS hash_pos,
+       greatest(p_size, 25) AS size_floor,
+       least(cast(floor(p_retailprice) AS INT), 1500) AS price_cap,
+       round(log2(cast(p_size + 1 AS DOUBLE)), 6) AS log2_size,
+       round(pow(p_size, 0.5), 6) AS sqrt_size,
+       cast(p_size % 5 AS INT) AS size_mod
+FROM part
+"""
+
+
+def q_rel_misc_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "part")
+    return spark.sql(SQL_REL_MISC_FNS)
+
+
+SQL_REL_ARRAY_FNS = """
+SELECT doc_id,
+       element_at(toks, 1) AS first_tok,
+       element_at(toks, len) AS last_tok,
+       len AS n_toks,
+       array_contains(toks, 'the') AS has_the,
+       size(filter(toks, t -> length(t) > 5)) AS n_long
+FROM (
+  SELECT doc_id, toks, size(toks) AS len
+  FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents)
+) WHERE len > 0
+"""
+
+_SQL_REL_ARRAY_FNS_DUCK = """
+SELECT doc_id,
+       toks[1] AS first_tok,
+       toks[len] AS last_tok,
+       len AS n_toks,
+       list_contains(toks, 'the') AS has_the,
+       n_long
+FROM (
+  SELECT doc_id, toks, len(toks) AS len,
+         len(list_filter(toks, t -> length(t) > 5)) AS n_long
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+) x WHERE len > 0
+"""
+
+
+def q_rel_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "documents")
+    return spark.sql(SQL_REL_ARRAY_FNS)

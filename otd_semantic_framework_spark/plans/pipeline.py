@@ -193,8 +193,10 @@ def run_pipeline(
     if stop_after == "concept_similarity":
         return PipelineResult(None, None, run.metrics)
 
+    # P11 respread before the UDF stage (hot-conversation stragglers)
+    spread = transcripts.repartition(spark.sparkContext.defaultParallelism * 3)
     mentions = run.stage("mentions", cfg_fp, lambda: explode_mentions(
-        detect_mentions(normalize_turns(transcripts), gaz)))
+        detect_mentions(normalize_turns(spread), gaz)))
     if stop_after == "mentions":
         return PipelineResult(None, None, run.metrics)
 
