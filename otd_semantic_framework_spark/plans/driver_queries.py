@@ -1009,12 +1009,13 @@ def q_rel_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _tbl(spark, sf_dir, "nation")
     return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .groupBy("n_name")
-            .agg(F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+            .agg(F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|")
+                 .alias("segments"),
                  F.count(F.lit(1)).alias("n_customers")))
 
 
 SQL_REL_COLLECT_LIST = """
-SELECT n.n_name, list_sort(list(DISTINCT c.c_mktsegment)) AS segments,
+SELECT n.n_name, array_to_string(list_sort(list(DISTINCT c.c_mktsegment)), '|') AS segments,
        count(*) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
