@@ -822,6 +822,44 @@ SELECT qid, cid, cos, rk FROM (
 ) WHERE rk <= {SIM_TOP_K}
 """
 
+EMB_DEDUP_THRESHOLD = 0.38
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (task addendum): exact
+    all-pairs cosine >= threshold via broadcast blocked matmul
+    (mapInPandas) — see operators/simsearch.py for the scale notes."""
+    from ..operators.simsearch import embedding_near_dup_pairs
+    e = _tbl(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=EMB_DEDUP_THRESHOLD)
+
+
+SQL_DEDUP_EMBEDDING = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(cast(a.embedding AS DOUBLE[]),
+                                    cast(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(cast(a.embedding AS DOUBLE[]),
+                                   cast(b.embedding AS DOUBLE[])), 6)
+      >= {EMB_DEDUP_THRESHOLD}
+"""
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (ws split + BPE-ish regex pandas_udf) — the UDF
+    path is value-hash-pinned against the DuckDB regex oracle."""
+    from ..operators.textstats import token_counts
+    return token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "ws_tokens", "bpe_ish_tokens")
+
+
+SQL_TEXT_TOKEN_COUNTS = r"""
+SELECT doc_id,
+  len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ws_tokens,
+  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_ish_tokens
+FROM documents
+"""
+
 
 # ---------------------------------------------------------------------------
 # Registry
@@ -854,6 +892,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "sim_topk_cosine": q_sim_topk_cosine,
+        "dedup_embedding": q_dedup_embedding,
+        "text_token_counts": q_text_token_counts,
         "rel_pivot": q_rel_pivot,
         "rel_window_analytics": q_rel_window_analytics,
         "rel_range_join": q_rel_range_join,
@@ -893,6 +933,8 @@ def build_oracle_sql() -> dict[str, str]:
         "text_quality": SQL_TEXT_QUALITY,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "sim_topk_cosine": SQL_SIM_TOPK,
+        "dedup_embedding": SQL_DEDUP_EMBEDDING,
+        "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
         "rel_pivot": SQL_REL_PIVOT,
         "rel_window_analytics": SQL_REL_WINDOW_ANALYTICS,
         "rel_range_join": SQL_REL_RANGE_JOIN,

@@ -15,8 +15,8 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (minhash_dedup_pairs, simhash,
                                simhash_near_pairs)
 from ..operators.multimodal import attach_fake_media, decode_media, frame_sample
-from ..operators.simsearch import ann_lsh_topk
-from ..operators.textstats import language_id, token_counts
+from ..operators.simsearch import ann_ivf_topk, ann_lsh_topk
+from ..operators.textstats import language_id
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,14 +45,18 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(q, c, k=5, n_planes=4)
 
 
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = (e.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
+    c = (e.filter(F.col("vec_id") >= 5)
+         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")))
+    return ann_ivf_topk(q, c, k=5, n_cells=16, n_probe=4)
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(_docs(spark, sf_dir)).select(
         "doc_id", "lang", "pred_lang", "lang_score")
-
-
-def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return token_counts(_docs(spark, sf_dir)).select(
-        "doc_id", "ws_tokens", "bpe_ish_tokens")
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,8 +72,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_ivf": q_sim_ann_ivf,
         "text_langid": q_text_langid,
-        "text_token_counts": q_text_token_counts,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
         "stats_approx_distinct": q_stats_approx_distinct,

@@ -10,7 +10,7 @@ from otd_semantic_framework_spark.operators.dedup import (
 from otd_semantic_framework_spark.operators.multimodal import (
     attach_fake_media, decode_media, frame_sample)
 from otd_semantic_framework_spark.operators.simsearch import (
-    ann_lsh_topk, cosine_topk)
+    ann_ivf_topk, ann_lsh_topk, cosine_topk, embedding_near_dup_pairs)
 from otd_semantic_framework_spark.operators.textstats import (
     language_id, token_counts)
 
@@ -93,6 +93,46 @@ def test_cosine_topk_vs_ann(spark):
     exact_top = {(r.qid, r.cid) for r in rows}
     ann_top = {(r.qid, r.cid) for r in ann.collect()}
     assert len(ann_top & exact_top) > 0
+
+
+def test_ann_ivf(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
+    c = (emb.filter(F.col("vec_id") >= 3)
+         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")))
+    exact_cos = {(r.qid, r.cid): r.cos for r in
+                 cosine_topk(q, c, k=10**6).collect()}
+    # probe=all cells == exhaustive search: identical to brute force
+    full = ann_ivf_topk(q, c, k=10, n_cells=8, n_probe=8)
+    exact = cosine_topk(q, c, k=10)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, exact.collect()))
+    # partial probing: every returned cos is exact, per-query <= k rows
+    part = ann_ivf_topk(q, c, k=10, n_cells=8, n_probe=2).collect()
+    for r in part:
+        assert abs(exact_cos[(r.qid, r.cid)] - r.cos) < 1e-9
+        assert r.rk <= 10
+
+
+def test_embedding_near_dup(spark):
+    import numpy as np
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {(r.vec_a, r.vec_b): r.cos
+           for r in embedding_near_dup_pairs(emb, threshold=0.3).collect()}
+    # local numpy oracle over the same vectors
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    M = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    n = np.linalg.norm(M, axis=1)
+    C = np.round((M @ M.T) / np.outer(n, n), 6)
+    want = {(ids[i], ids[j]): C[i, j]
+            for i in range(len(ids)) for j in range(len(ids))
+            if ids[i] < ids[j] and C[i, j] >= 0.3}
+    assert got.keys() == want.keys()
+    for k_, v in want.items():
+        assert abs(got[k_] - v) < 1e-9
+    # pairs are ordered and above threshold
+    assert all(a < b and c >= 0.3 for (a, b), c in got.items())
 
 
 def test_language_id(spark, docs):
