@@ -38,8 +38,9 @@ BENCH_QUERIES = [
     "kg_triples", "kg_cds", "kg_search",
     "rel_pricing", "rel_nation_revenue", "rel_window_topk",
     "rel_sessionize", "rel_asof_join", "rel_json",
-    "dedup_exact", "dedup_jaccard", "dedup_minhash_lsh",
-    "sim_topk_cosine", "sim_ann_lsh", "text_quality", "text_langid",
+    "dedup_exact", "dedup_jaccard", "dedup_minhash_lsh", "dedup_embedding",
+    "sim_topk_cosine", "sim_ann_lsh", "sim_ann_ivf",
+    "text_quality", "text_langid",
 ]
 
 
@@ -94,7 +95,7 @@ def main() -> None:
 
     kg: dict = {}
     input_path = gen_input(N_CONVS, cpus)
-    big = kg_pipeline_run(f"local[{cpus}]", input_path, runs=1)
+    big = kg_pipeline_run(f"local[{cpus}]", input_path, runs=2)
     kg["headline"] = big
     if do_scaling:
         # N vs 4N cores (driver instruction). local[2]/local[8] stay within

@@ -46,26 +46,43 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
-def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """doc_id → array<long> of n_hashes min-hashes. One groupBy with
-    n_hashes algebraic min aggregates → single shuffle, map-side combine."""
-    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-            for i in range(n_hashes)]
+def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES,
+                       portable: bool = False) -> DataFrame:
+    """doc_id → array of n_hashes min-hashes. One groupBy with n_hashes
+    algebraic min aggregates → single shuffle, map-side combine.
+
+    portable=False (production default): xxhash64(shingle, seed) → long,
+    the fast JVM path. portable=True: md5(shingle || ':' || seed) → hex
+    string, bit-identical to DuckDB's md5 so the driver oracle can
+    replay the exact signature math (min over hex strings is the same
+    lexicographic order in both engines)."""
+    if portable:
+        aggs = [F.min(F.md5(F.concat_ws(":", F.col("shingle"),
+                                        F.lit(str(i))))).alias(f"h{i}")
+                for i in range(n_hashes)]
+    else:
+        aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+                for i in range(n_hashes)]
     sig = sh.groupBy("doc_id").agg(*aggs)
     return sig.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
 
 
-def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS,
+                        portable: bool = False) -> DataFrame:
     """Band the signature; docs sharing any band-hash become a pair."""
     rpb = N_HASHES // n_bands
+
+    def band_hash(b):
+        joined = F.array_join(
+            F.transform(F.slice("sig", b * rpb + 1, rpb),
+                        lambda x: x.cast("string")), ",")
+        return F.md5(joined) if portable else F.xxhash64(joined)
+
     bands = sig.select(
         "doc_id",
         F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.lit(n_bands - 1)),
-            lambda b: F.xxhash64(F.array_join(
-                F.transform(F.slice("sig", b * rpb + 1, rpb),
-                            lambda x: x.cast("string")), ",")),
+            F.sequence(F.lit(0), F.lit(n_bands - 1)), band_hash,
         )).alias("band", "band_hash"),
     )
     a = bands.alias("a")
@@ -79,11 +96,13 @@ def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
 
 
 def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8,
-                        k_shingle: int = 3) -> DataFrame:
+                        k_shingle: int = 3,
+                        portable: bool = False) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidate pairs + exact
     shingle-Jaccard verification, pairs with jaccard >= threshold."""
     sh = shingles(docs, k=k_shingle).cache()
-    pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    pairs = lsh_candidate_pairs(minhash_signatures(sh, portable=portable),
+                                portable=portable)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

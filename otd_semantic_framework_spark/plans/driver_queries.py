@@ -861,6 +861,150 @@ FROM documents
 """
 
 
+SQL_REL_PERCENTILES = """
+SELECT l_returnflag,
+  round(median(l_quantity), 6) AS med_qty,
+  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+  round(quantile_cont(l_extendedprice, 0.25), 6) AS q1_price,
+  round(quantile_cont(l_discount, 0.75), 6) AS q3_disc
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles / median (SURVEY §2B aggregations).
+    Spark's exact `percentile` matches DuckDB's `quantile_cont` (linear
+    interpolation); at 10^12 rows you'd switch to `approx_percentile`
+    (t-digest, one pass, mergeable) — paired here via the exact form."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("med_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("q1_price"),
+        F.round(F.expr("percentile(l_discount, 0.75)"), 6).alias("q3_disc")))
+
+
+# One SQL string serves BOTH engines (Spark temp views + DuckDB views):
+# scalar subquery (avg benchmark), correlated EXISTS, uncorrelated IN —
+# Catalyst decorrelates these into joins (SURVEY §4 "subquery
+# decorrelation: free").
+SQL_REL_SUBQUERIES = """
+WITH tot AS (
+  SELECT o_custkey, sum(o_totalprice) AS total
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey, round(t.total, 2) AS total_spend
+FROM customer c JOIN tot t ON c.c_custkey = t.o_custkey
+WHERE t.total > (SELECT 1.5 * avg(total) FROM tot)
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+  AND c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey < 3)
+"""
+
+
+def q_rel_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "customer", "nation")
+    return spark.sql(SQL_REL_SUBQUERIES)
+
+
+MINHASH_THRESHOLD = 0.5
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup (shingle → 64 min-hashes → 16 bands →
+    bucket join → exact Jaccard verify). Uses the engine-portable md5
+    hash flavor so DuckDB replays the identical signature math; the
+    production default is the faster xxhash64 flavor (same layout,
+    covered by pytest)."""
+    from ..operators.dedup import minhash_dedup_pairs
+    return minhash_dedup_pairs(_docs(spark, sf_dir),
+                               threshold=MINHASH_THRESHOLD, portable=True)
+
+
+def _sql_dedup_minhash(threshold: float = MINHASH_THRESHOLD, k: int = 3,
+                       n_hashes: int = 64, n_bands: int = 16) -> str:
+    rpb = n_hashes // n_bands
+    mins = ",\n    ".join(f"min(md5(shingle || ':{i}')) AS h{i}"
+                          for i in range(n_hashes))
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ',' || ".join(f"h{b * rpb + j}" for j in range(rpb))
+        + ") AS band_hash FROM sig"
+        for b in range(n_bands))
+    return f"""
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i + 1:i + {k}], ' ') AS shingle
+  FROM tokd, unnest(range(0, greatest(len(toks) - {k}, 0) + 1)) AS r(i)
+),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(cast(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE round(cast(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= {threshold}
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID: the Spark side is the vectorized bigram-profile
+    pandas UDF (operators/textstats.py); the oracle re-derives the same
+    scores in pure SQL (replace-based non-overlapping bigram counts ==
+    the UDF's regex counts — both count greedily left-to-right), pinning
+    the UDF batch math to 6 decimals."""
+    from ..operators.textstats import language_id
+    return language_id(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "pred_lang", "lang_score")
+
+
+def _sql_text_langid() -> str:
+    from ..operators.textstats import _PROFILES
+    langs = list(_PROFILES)  # tie-break order == UDF argmax first-wins
+
+    def count_expr(bg: str) -> str:
+        return f"(length(t) - length(replace(t, '{bg}', ''))) / 2"
+
+    score_cols = ", ".join(
+        "(" + " + ".join(count_expr(bg) for bg in prof)
+        + f") / greatest(length(t) - 1, 1) AS sc_{lang}"
+        for lang, prof in _PROFILES.items())
+    best = "greatest(" + ", ".join(f"sc_{lg}" for lg in langs) + ")"
+    pred_cases = " ".join(
+        "WHEN " + " AND ".join(f"sc_{lg} >= sc_{other}"
+                               for other in langs[i + 1:])
+        + f" THEN '{lg}'"
+        for i, lg in enumerate(langs[:-1]))
+    return f"""
+WITH base AS (SELECT doc_id, lang, lower(coalesce(text, '')) AS t FROM documents),
+scored AS (SELECT doc_id, lang, {score_cols} FROM base)
+SELECT doc_id, lang,
+  CASE WHEN {best} <= 0 THEN 'und' {pred_cases} ELSE '{langs[-1]}' END AS pred_lang,
+  round({best}, 6) AS lang_score
+FROM scored
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -894,6 +1038,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_cosine": q_sim_topk_cosine,
         "dedup_embedding": q_dedup_embedding,
         "text_token_counts": q_text_token_counts,
+        "text_langid": q_text_langid,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "rel_percentiles": q_rel_percentiles,
+        "rel_subqueries": q_rel_subqueries,
         "rel_pivot": q_rel_pivot,
         "rel_window_analytics": q_rel_window_analytics,
         "rel_range_join": q_rel_range_join,
@@ -935,6 +1083,10 @@ def build_oracle_sql() -> dict[str, str]:
         "sim_topk_cosine": SQL_SIM_TOPK,
         "dedup_embedding": SQL_DEDUP_EMBEDDING,
         "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
+        "text_langid": _sql_text_langid(),
+        "dedup_minhash_lsh": _sql_dedup_minhash(),
+        "rel_percentiles": SQL_REL_PERCENTILES,
+        "rel_subqueries": SQL_REL_SUBQUERIES,
         "rel_pivot": SQL_REL_PIVOT,
         "rel_window_analytics": SQL_REL_WINDOW_ANALYTICS,
         "rel_range_join": SQL_REL_RANGE_JOIN,

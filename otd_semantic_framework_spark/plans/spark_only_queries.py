@@ -12,11 +12,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import (minhash_dedup_pairs, simhash,
-                               simhash_near_pairs)
+from ..operators.dedup import simhash, simhash_near_pairs
 from ..operators.multimodal import attach_fake_media, decode_media, frame_sample
 from ..operators.simsearch import ann_ivf_topk, ann_lsh_topk
-from ..operators.textstats import language_id
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -25,10 +23,6 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-
-
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,11 +48,6 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(q, c, k=5, n_cells=16, n_probe=4)
 
 
-def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return language_id(_docs(spark, sf_dir)).select(
-        "doc_id", "lang", "pred_lang", "lang_score")
-
-
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(attach_fake_media(_docs(spark, sf_dir)))
 
@@ -69,11 +58,9 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
-        "text_langid": q_text_langid,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
         "stats_approx_distinct": q_stats_approx_distinct,
