@@ -42,6 +42,48 @@ def streaming_dedup_turns(stream: DataFrame,
             .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"]))
 
 
+def running_conv_stats(stream: DataFrame,
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Arbitrary-state streaming op (SURVEY §2B S-ops:
+    applyInPandasWithState): running per-conversation turn assembly
+    stats. State = (turns_seen, max_turn_idx) per conv_id, carried
+    across micro-batches; each batch emits the updated running totals
+    plus how many rows that batch contributed. The batch equivalent is a
+    plain groupBy count — pinned in tests."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turns_seen", T.LongType()),
+        T.StructField("max_turn_idx", T.IntegerType()),
+        T.StructField("batch_rows", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("turns_seen", T.LongType()),
+        T.StructField("max_turn_idx", T.IntegerType()),
+    ])
+
+    def update(key, pdfs, state):
+        (conv_id,) = key
+        turns, mx = state.get if state.exists else (0, -1)
+        n_batch = 0
+        for pdf in pdfs:
+            n_batch += len(pdf)
+            if len(pdf):
+                mx = max(mx, int(pdf["turn_idx"].max()))
+        turns += n_batch
+        state.update((turns, mx))
+        yield pd.DataFrame({"conv_id": [conv_id], "turns_seen": [turns],
+                            "max_turn_idx": [mx], "batch_rows": [n_batch]})
+
+    return (stream.withWatermark("ts", watermark)
+            .groupBy("conv_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def run_stream_to_table(result: DataFrame, checkpoint_dir: str,
                         out_path: str, output_mode: str = "append") -> None:
     """Drain with availableNow (test/incremental-batch mode), exactly-once

@@ -116,3 +116,33 @@ def test_skew_respread_is_roundrobin(spark, tiny_df):
     spread), not hash-on-conv_id (which would preserve the hot key)."""
     plan = _plan(build_triples_fast(spark, tiny_df))
     assert "RoundRobinPartitioning" in plan
+
+
+def test_embedding_near_dup_is_map_only(spark):
+    """The broadcast-matmul near-dup must be scan → mapInPandas with no
+    shuffle (Exchange) and no join — the pair generation happens inside
+    the Arrow batches against the broadcast matrix."""
+    from otd_semantic_framework_spark.operators.simsearch import (
+        embedding_near_dup_pairs)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(embedding_near_dup_pairs(emb, threshold=0.3))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_ann_bucket_joins_are_equi(spark):
+    """LSH and IVF candidate generation must be equi-joins on the
+    bucket/cell key — never CartesianProduct / BroadcastNestedLoop."""
+    from otd_semantic_framework_spark.operators.simsearch import (
+        ann_ivf_topk, ann_lsh_topk)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
+    c = (emb.filter(F.col("vec_id") >= 3)
+         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")))
+    for df in (ann_lsh_topk(q, c, k=5, n_planes=4),
+               ann_ivf_topk(q, c, k=5, n_cells=8, n_probe=2)):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan

@@ -10,7 +10,7 @@ from otd_semantic_framework_spark.sources.fixtures import (
     ontology_pandas, transcripts_spark_df)
 from otd_semantic_framework_spark.streaming.sessions import (
     conversation_sessions, incremental_triples, read_transcript_stream,
-    run_stream_to_table, streaming_dedup_turns)
+    run_stream_to_table, running_conv_stats, streaming_dedup_turns)
 
 
 @pytest.fixture(scope="module")
@@ -70,6 +70,36 @@ def test_streaming_dedup_drops_replays(spark, tiny_df, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == tiny_df.count()
     assert got.select("conv_id", "turn_idx").distinct().count() == tiny_df.count()
+
+
+def test_stateful_running_stats(spark, tiny_df, tmp_path):
+    """applyInPandasWithState carries per-conv state across micro-batches:
+    conversations split over several input files accumulate, and the
+    final running totals equal the batch groupBy."""
+    p = str(tmp_path / "state_in")
+    # round-robin split → each conv spans several files → several batches
+    tiny_df.repartition(4).write.mode("overwrite").parquet(p)
+    out = str(tmp_path / "state_out")
+    ckpt = str(tmp_path / "state_ckpt")
+    stream = read_transcript_stream(spark, p, max_files_per_trigger=1)
+    run_stream_to_table(running_conv_stats(stream), ckpt, out)
+    got = spark.read.parquet(out)
+
+    final = (got.groupBy("conv_id")
+             .agg(F.max("turns_seen").alias("turns"),
+                  F.max("max_turn_idx").alias("mx")))
+    batch = (tiny_df.groupBy("conv_id")
+             .agg(F.count(F.lit(1)).alias("turns"),
+                  F.max("turn_idx").alias("mx")))
+    assert (sorted(map(tuple, final.collect()))
+            == sorted(map(tuple, batch.collect())))
+    # state persisted across batches: some conv emitted more than once
+    multi = got.groupBy("conv_id").count().filter(F.col("count") > 1).count()
+    assert multi > 0
+    # emitted totals are running (monotone): per conv, batch_rows sums to total
+    sums = got.groupBy("conv_id").agg(F.sum("batch_rows").alias("s"))
+    assert (sorted((r.conv_id, r.s) for r in sums.collect())
+            == sorted((r.conv_id, r.turns) for r in batch.collect()))
 
 
 def test_incremental_triples_equal_batch(spark, tiny_df, stream_input, tmp_path):
