@@ -30,7 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from otd_semantic_framework_spark.session import get_spark  # noqa: E402
 
-N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "360000"))  # ~4M turns
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "720000"))  # ~8M turns
+# big enough that the 4N-leg run is shuffle/compute-bound (~45 s), not
+# dominated by fixed JVM/scheduler/Python-worker startup — at ~4M turns the
+# 8-core leg ran ~23 s and fixed costs visibly depressed measured scaling
 SCALING_SMALL = os.environ.get("SPARK_GRAFT_BENCH_N", "2")    # N cores
 SCALING_BIG = os.environ.get("SPARK_GRAFT_BENCH_4N", "8")     # 4N cores
 
@@ -38,7 +41,7 @@ BENCH_QUERIES = [
     "kg_triples", "kg_cds", "kg_search",
     "rel_pricing", "rel_nation_revenue", "rel_window_topk",
     "rel_sessionize", "rel_asof_join", "rel_json",
-    "dedup_exact", "dedup_jaccard", "dedup_minhash_lsh", "dedup_embedding",
+    "dedup_exact", "dedup_jaccard", "dedup_minhash_fast", "dedup_embedding",
     "sim_topk_cosine", "sim_ann_lsh", "sim_ann_ivf",
     "text_quality", "text_langid",
 ]
@@ -102,7 +105,7 @@ def main() -> None:
         # the host's physical cores; 8→32 on this 32-thread host is
         # SMT-bound (~2.4x ceiling measured) and would misreport scaling.
         n4 = kg_pipeline_run(f"local[{SCALING_BIG}]", input_path, runs=3)
-        n1 = kg_pipeline_run(f"local[{SCALING_SMALL}]", input_path, runs=2)
+        n1 = kg_pipeline_run(f"local[{SCALING_SMALL}]", input_path, runs=3)
         kg["scale_n"] = n1
         kg["scale_4n"] = n4
         kg["scaling_efficiency"] = round(

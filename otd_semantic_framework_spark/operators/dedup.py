@@ -117,6 +117,60 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8,
             .select("doc_a", "doc_b", "jaccard"))
 
 
+def simhash_chunks_portable(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Engine-portable SimHash: 64 bits derived from each token's md5
+    hex digits (bit b = bit b%4 of hex char b//4), bit-majority vote,
+    packed as four unsigned 16-bit chunks c0..c3. Identical math is
+    expressible in DuckDB (md5 + strpos + shifts), so the driver oracle
+    can replay it; the xxhash64 ``simhash`` stays the fast prod default."""
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(_tokens(text_col)).alias("tok"))
+    hx = toks.withColumn("h", F.md5("tok"))
+    votes = []
+    for b in range(64):
+        p, k = b // 4 + 1, b % 4
+        bit = F.expr(
+            f"((instr('0123456789abcdef', substring(h, {p}, 1)) - 1) >> {k}) & 1")
+        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{b}"))
+    agg = hx.groupBy("doc_id").agg(*votes)
+    chunk_cols = []
+    for i in range(4):
+        terms = None
+        for j in range(16):
+            t = F.when(F.col(f"b{i * 16 + j}") > 0, F.lit(1 << j)).otherwise(0)
+            terms = t if terms is None else terms + t
+        chunk_cols.append(terms.cast("int").alias(f"c{i}"))
+    return agg.select("doc_id", *chunk_cols)
+
+
+def simhash_near_pairs_chunks(chunks: DataFrame,
+                              max_hamming: int = 16) -> DataFrame:
+    """Near-dup pairs from the chunked representation: candidates share
+    at least one equal 16-bit chunk (pigeonhole), hamming = sum of
+    bit_count(xor) over the four chunks."""
+    bands = chunks.select(
+        "doc_id", "c0", "c1", "c2", "c3",
+        F.posexplode(F.array("c0", "c1", "c2", "c3")).alias("chunk_idx", "chunk"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+                    & (F.col("a.chunk") == F.col("b.chunk"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     *[F.col(f"a.c{i}").alias(f"a{i}") for i in range(4)],
+                     *[F.col(f"b.c{i}").alias(f"b{i}") for i in range(4)])
+             .distinct())
+    hamming = None
+    for i in range(4):
+        t = F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")))
+        hamming = t if hamming is None else hamming + t
+    return (pairs.withColumn("hamming", hamming.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document, bit-majority over token hashes."""

@@ -31,20 +31,9 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from .. import semantics as S
-
-
-def _as_double(col):
-    return F.transform(col, lambda x: x.cast("double"))
-
-
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v)
-
-
-def _norm(col):
-    return F.sqrt(F.aggregate(F.transform(col, lambda x: x * x),
-                              F.lit(0.0), lambda a, v: a + v))
+from ..functions.vector import as_double as _as_double
+from ..functions.vector import dot as _dot
+from ..functions.vector import l2_norm as _norm
 
 
 def cosine_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,

@@ -967,6 +967,61 @@ WHERE round(cast(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= {threshol
 """
 
 
+SIMHASH_MAX_HAMMING = 16
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup via the engine-portable md5-bit flavor (four
+    16-bit chunks; candidates share a chunk, hamming <= threshold). The
+    xxhash64 packed-long flavor is the prod default (pytest-covered)."""
+    from ..operators.dedup import (simhash_chunks_portable,
+                                   simhash_near_pairs_chunks)
+    return simhash_near_pairs_chunks(
+        simhash_chunks_portable(_docs(spark, sf_dir)),
+        max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def _sql_dedup_simhash(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    votes = ",\n    ".join(
+        "sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, "
+        f"{b // 4 + 1}, 1)) - 1) >> {b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(64))
+    chunk_exprs = ", ".join(
+        "(" + " + ".join(f"CASE WHEN b{i * 16 + j} > 0 THEN {1 << j} ELSE 0 END"
+                         for j in range(16)) + f")::INT AS c{i}"
+        for i in range(4))
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {i} AS chunk_idx, c{i} AS chunk, c0, c1, c2, c3 FROM chunks"
+        for i in range(4))
+    ham = " + ".join(f"bit_count(xor(a{i}, b{i}))" for i in range(4))
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, t.tok
+  FROM documents,
+       unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t(tok)
+),
+hx AS (SELECT doc_id, md5(tok) AS h FROM tokd),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM hx GROUP BY doc_id
+),
+chunks AS (SELECT doc_id, {chunk_exprs} FROM votes),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.c0 AS a0, a.c1 AS a1, a.c2 AS a2, a.c3 AS a3,
+         b.c0 AS b0, b.c1 AS b1, b.c2 AS b2, b.c3 AS b3
+  FROM bands a JOIN bands b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ({ham})::INT AS hamming
+FROM cand WHERE ({ham}) <= {max_hamming}
+"""
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID: the Spark side is the vectorized bigram-profile
     pandas UDF (operators/textstats.py); the oracle re-derives the same
@@ -1040,6 +1095,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_langid": q_text_langid,
         "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
         "rel_percentiles": q_rel_percentiles,
         "rel_subqueries": q_rel_subqueries,
         "rel_pivot": q_rel_pivot,
@@ -1085,6 +1141,7 @@ def build_oracle_sql() -> dict[str, str]:
         "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
         "text_langid": _sql_text_langid(),
         "dedup_minhash_lsh": _sql_dedup_minhash(),
+        "dedup_simhash": _sql_dedup_simhash(),
         "rel_percentiles": SQL_REL_PERCENTILES,
         "rel_subqueries": SQL_REL_SUBQUERIES,
         "rel_pivot": SQL_REL_PIVOT,

@@ -12,7 +12,6 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import simhash, simhash_near_pairs
 from ..operators.multimodal import attach_fake_media, decode_media, frame_sample
 from ..operators.simsearch import ann_ivf_topk, ann_lsh_topk
 
@@ -25,9 +24,13 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sims = simhash(_docs(spark, sf_dir))
-    return simhash_near_pairs(sims, max_hamming=16)
+def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production MinHash-LSH flavor (xxhash64 signatures — the fast JVM
+    path, what a 100 TB run uses). Same layout as the oracle-paired md5
+    flavor (`dedup_minhash_lsh`); rows-only here because DuckDB has no
+    xxhash64-with-seed."""
+    from ..operators.dedup import minhash_dedup_pairs
+    return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,7 +61,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "dedup_simhash": q_dedup_simhash,
+        "dedup_minhash_fast": q_dedup_minhash_fast,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
         "multimodal_decode": q_multimodal_decode,
