@@ -174,7 +174,7 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.38,
                 continue
             B = _stack(b[vec_col])
             bn = np.linalg.norm(B, axis=1)
-            cos = np.round((B @ M_r.T) / np.outer(bn, n_r), 6)
+            cos = S.round_half_away((B @ M_r.T) / np.outer(bn, n_r), 6)
             bi = b[id_col].to_numpy()
             mask = (cos >= threshold) & (bi[:, None] < ids_r[None, :])
             r, c = np.nonzero(mask)

@@ -50,8 +50,9 @@ def langid_udf(texts: pd.Series) -> pd.DataFrame:
     best_idx = mat.argmax(axis=0)
     best = mat.max(axis=0)
     pred = np.where(best > 0, np.asarray(langs)[best_idx], "und")
+    from .. import semantics as S
     return pd.DataFrame({"pred_lang": pred,
-                         "lang_score": np.round(best, 6)})
+                         "lang_score": S.round_half_away(best, 6)})
 
 
 @pandas_udf(T.IntegerType())

@@ -822,6 +822,116 @@ SELECT qid, cid, cos, rk FROM (
 ) WHERE rk <= {SIM_TOP_K}
 """
 
+ANN_N_PLANES = 4
+ANN_K = 5
+IVF_N_CELLS = 16
+IVF_N_PROBE = 4
+
+
+def _sql_vec_lit(vec) -> str:
+    return "[" + ",".join(repr(float(x)) for x in vec) + "]"
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN. Paired: the hyperplanes are deterministic
+    hash-derived constants, so DuckDB recomputes the identical sign
+    buckets via list_dot_product with the plane vectors as literals
+    (decision margins are ~1e-4, far above float noise)."""
+    from ..operators.simsearch import ann_lsh_topk
+    e = _tbl(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
+    c = (e.filter(F.col("vec_id") >= N_QUERY_VECS)
+         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")))
+    return ann_lsh_topk(q, c, k=ANN_K, n_planes=ANN_N_PLANES)
+
+
+def _sql_sim_ann_lsh() -> str:
+    from ..operators.simsearch import hyperplanes
+    planes = hyperplanes(ANN_N_PLANES, 64)
+
+    def bucket(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({col}, {_sql_vec_lit(p)}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes))
+
+    return f"""
+WITH q AS (SELECT vec_id AS qid, cast(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+c AS (SELECT vec_id AS cid, cast(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id >= {N_QUERY_VECS}),
+qb AS (SELECT qid, qv, {bucket('qv')} AS bucket FROM q),
+cb AS (SELECT cid, cv, {bucket('cv')} AS bucket FROM c),
+pairs AS (
+  SELECT qb.qid, cb.cid,
+         round(list_cosine_similarity(qb.qv, cb.cv), 6) AS cos
+  FROM qb JOIN cb USING (bucket)
+)
+SELECT qid, cid, cos, rk FROM (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rk
+  FROM pairs
+) WHERE rk <= {ANN_K}
+"""
+
+
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN. Paired: centroids are deterministic constants;
+    cell assignment (argmax dot, first-wins ties) and n_probe cell
+    selection (stable argsort) replay in SQL as rank-over-unpivoted
+    dot products with index tie-break."""
+    from ..operators.simsearch import ann_ivf_topk
+    e = _tbl(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
+    c = (e.filter(F.col("vec_id") >= N_QUERY_VECS)
+         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")))
+    return ann_ivf_topk(q, c, k=ANN_K, n_cells=IVF_N_CELLS,
+                        n_probe=IVF_N_PROBE)
+
+
+def _sql_sim_ann_ivf() -> str:
+    from ..operators.simsearch import ivf_centroids
+    C = ivf_centroids(IVF_N_CELLS, 64)
+    cent_rows = ",\n    ".join(
+        f"({i}, {_sql_vec_lit(C[i])}::DOUBLE[])" for i in range(IVF_N_CELLS))
+    return f"""
+WITH cent(cell, cvec) AS (
+  VALUES
+    {cent_rows}
+),
+q AS (SELECT vec_id AS qid, cast(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+c AS (SELECT vec_id AS cid, cast(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id >= {N_QUERY_VECS}),
+cc AS (
+  SELECT cid, cv, cell,
+         row_number() OVER (PARTITION BY cid
+             ORDER BY list_dot_product(cv, cvec) DESC, cell ASC) AS rnk
+  FROM c CROSS JOIN cent
+),
+cassign AS (SELECT cid, cv, cell FROM cc WHERE rnk = 1),
+qc AS (
+  SELECT qid, qv, cell,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY list_dot_product(qv, cvec) DESC, cell ASC) AS rnk
+  FROM q CROSS JOIN cent
+),
+qprobe AS (SELECT qid, qv, cell FROM qc WHERE rnk <= {IVF_N_PROBE}),
+pairs AS (
+  SELECT p.qid, a.cid,
+         round(list_cosine_similarity(p.qv, a.cv), 6) AS cos
+  FROM qprobe p JOIN cassign a USING (cell)
+)
+SELECT qid, cid, cos, rk FROM (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rk
+  FROM pairs
+) WHERE rk <= {ANN_K}
+"""
+
+
 EMB_DEDUP_THRESHOLD = 0.38
 
 
@@ -1096,6 +1206,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_ivf": q_sim_ann_ivf,
         "rel_percentiles": q_rel_percentiles,
         "rel_subqueries": q_rel_subqueries,
         "rel_pivot": q_rel_pivot,
@@ -1142,6 +1254,8 @@ def build_oracle_sql() -> dict[str, str]:
         "text_langid": _sql_text_langid(),
         "dedup_minhash_lsh": _sql_dedup_minhash(),
         "dedup_simhash": _sql_dedup_simhash(),
+        "sim_ann_lsh": _sql_sim_ann_lsh(),
+        "sim_ann_ivf": _sql_sim_ann_ivf(),
         "rel_percentiles": SQL_REL_PERCENTILES,
         "rel_subqueries": SQL_REL_SUBQUERIES,
         "rel_pivot": SQL_REL_PIVOT,

@@ -13,15 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import attach_fake_media, decode_media, frame_sample
-from ..operators.simsearch import ann_ivf_topk, ann_lsh_topk
-
-
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
-
-
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -31,24 +24,6 @@ def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64-with-seed."""
     from ..operators.dedup import minhash_dedup_pairs
     return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
-
-
-def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir)
-    q = (e.filter(F.col("vec_id") < 5)
-         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
-    c = (e.filter(F.col("vec_id") >= 5)
-         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")))
-    return ann_lsh_topk(q, c, k=5, n_planes=4)
-
-
-def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir)
-    q = (e.filter(F.col("vec_id") < 5)
-         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
-    c = (e.filter(F.col("vec_id") >= 5)
-         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")))
-    return ann_ivf_topk(q, c, k=5, n_cells=16, n_probe=4)
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,8 +37,6 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_minhash_fast": q_dedup_minhash_fast,
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "sim_ann_ivf": q_sim_ann_ivf,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
         "stats_approx_distinct": q_stats_approx_distinct,

@@ -98,6 +98,17 @@ ROLES = ["user", "assistant", "tool"]
 # ---------------------------------------------------------------------------
 
 
+def round_half_away(x, decimals: int = 6):
+    """Round half away from zero — the SQL ROUND semantics shared by
+    Spark (HALF_UP) and DuckDB. ``np.round`` is half-to-even (banker's),
+    which diverges from the DuckDB oracle exactly on .5 boundaries
+    (e.g. 0.1015625 → 0.101562 vs SQL's 0.101563), so every numpy-side
+    value that is hash-compared against SQL must round through this."""
+    scale = 10.0 ** decimals
+    ax = np.floor(np.abs(x) * scale + 0.5) / scale
+    return np.sign(x) * ax
+
+
 def stable_hash(*parts: object, mod: int | None = None) -> int:
     """Deterministic 63-bit hash of the string-joined parts (md5-based).
 
