@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -72,3 +73,68 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ws = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
     return (docs.withColumn("ws_tokens", ws)
             .withColumn("bpe_ish_tokens", bpe_ish_token_count(F.col(text_col))))
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (rolling hash): the MOSS scheme — k-gram
+# Rabin-Karp rolling hashes, window-of-w minimum selection (rightmost on
+# ties), dedup of selected (pos, fp). Guarantees any match of length
+# >= w + k - 1 between two docs shares a fingerprint.
+# --------------------------------------------------------------------------
+
+WINNOW_K = 5        # k-gram length (chars)
+WINNOW_W = 4        # window size (hashes)
+_WINNOW_BASE = np.uint64(1000003)
+
+
+def _rolling_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """Rabin-Karp hashes of all k-grams of a uint64 char-code array,
+    mod 2^64 (numpy wraparound — deterministic on every platform)."""
+    n = data.shape[0] - k + 1
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the hash
+        powers = np.empty(k, dtype=np.uint64)
+        powers[k - 1] = np.uint64(1)
+        for j in range(k - 2, -1, -1):
+            powers[j] = powers[j + 1] * _WINNOW_BASE
+        windows = np.lib.stride_tricks.sliding_window_view(data, k)[:n]
+        return (windows * powers).sum(axis=1, dtype=np.uint64)
+
+
+def winnow_text(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list[tuple[int, int]]:
+    """Winnowing fingerprints of one string: [(pos, fp_int63)] — shared
+    by the Spark UDF and the pytest oracle."""
+    t = (text or "").lower()
+    if len(t) < k:
+        return []
+    codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    hashes = _rolling_hashes(codes, k)
+    if hashes.shape[0] <= w:
+        i = int(hashes.shape[0] - 1 - hashes[::-1].argmin())
+        return [(i, int(hashes[i] >> np.uint64(1)))]
+    win = np.lib.stride_tricks.sliding_window_view(hashes, w)
+    rev_arg = w - 1 - win[:, ::-1].argmin(axis=1)  # rightmost minimum
+    pos = rev_arg + np.arange(win.shape[0])
+    picked = sorted({(int(p), int(hashes[p] >> np.uint64(1))) for p in pos})
+    return picked
+
+
+def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, fp) rows of winnowing fingerprints — join fp to
+    find shared passages between documents at any scale (the fp column
+    is the shuffle key; matches of length >= w+k-1 are guaranteed to
+    collide). Map-only + explode; no shuffle until the consumer joins."""
+    out = T.ArrayType(T.StructType([
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("fp", T.LongType()),
+    ]))
+
+    @pandas_udf(out)
+    def winnow_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: winnow_text(t))
+
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        winnow_udf(F.col(text_col)).alias("fps"))
+            .select("doc_id", F.explode("fps").alias("f"))
+            .select("doc_id", F.col("f.pos").alias("pos"),
+                    F.col("f.fp").alias("fp")))

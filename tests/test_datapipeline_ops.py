@@ -148,6 +148,54 @@ def test_token_counts(spark, docs):
     assert out[0][1] >= 9
 
 
+def _winnow_naive(text, k=5, w=4):
+    """Textbook winnowing: explicit loops, no numpy — the oracle."""
+    t = (text or "").lower()
+    if len(t) < k:
+        return []
+    base, mask = 1000003, (1 << 64) - 1
+    hashes = []
+    for i in range(len(t) - k + 1):
+        h = 0
+        for ch in t[i:i + k]:
+            h = (h * base + ord(ch)) & mask
+        hashes.append(h)
+    picked = set()
+    if len(hashes) <= w:
+        # single short window: rightmost minimum
+        m = min(hashes)
+        i = max(j for j, h in enumerate(hashes) if h == m)
+        picked.add((i, hashes[i] >> 1))
+    else:
+        for s in range(len(hashes) - w + 1):
+            window = hashes[s:s + w]
+            m = min(window)
+            i = s + max(j for j, h in enumerate(window) if h == m)
+            picked.add((i, hashes[i] >> 1))
+    return sorted(picked)
+
+
+def test_winnow_fingerprints(spark, docs):
+    from otd_semantic_framework_spark.operators.textstats import (
+        winnow_fingerprints, winnow_text)
+    # 1. vectorized == naive oracle on varied strings
+    cases = ["the quick brown fox jumps over the lazy dog", "", "ab",
+             "aaaaaaaaaaaa", "abcabcabcabc", "x" * 4, "hello world " * 3]
+    for s in cases:
+        assert winnow_text(s) == _winnow_naive(s), repr(s)
+    # 2. Spark end-to-end == oracle per doc
+    got = {}
+    for r in winnow_fingerprints(docs).collect():
+        got.setdefault(r.doc_id, []).append((r.pos, r.fp))
+    for r in docs.collect():
+        assert sorted(got.get(r.doc_id, [])) == _winnow_naive(r.text), r.doc_id
+    # 3. winnowing guarantee: docs 0 and 1 share a long common prefix
+    #    (>= w+k-1 chars) → must share at least one fingerprint value
+    fps0 = {fp for _, fp in got[0]}
+    fps1 = {fp for _, fp in got[1]}
+    assert fps0 & fps1
+
+
 def test_multimodal_decode_deterministic(spark, docs):
     media = attach_fake_media(docs)
     a = {r.doc_id: (r.width, r.height, tuple(r.features))
