@@ -42,6 +42,22 @@ def streaming_dedup_turns(stream: DataFrame,
             .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"]))
 
 
+def windowed_turn_counts(stream: DataFrame, size: str = "5 minutes",
+                         slide: str | None = None,
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling (slide=None) or sliding windowed per-role turn counts
+    with a watermark for late data — the §2B tumbling/sliding S-ops.
+    Batch equivalent: the same ``window()`` groupBy on a static frame
+    (pinned in tests)."""
+    w = (F.window("ts", size) if slide is None
+         else F.window("ts", size, slide))
+    return (stream.withWatermark("ts", watermark)
+            .groupBy(w.alias("w"), F.col("role"))
+            .agg(F.count(F.lit(1)).alias("n_turns"))
+            .select(F.col("w.start").alias("win_start"),
+                    F.col("w.end").alias("win_end"), "role", "n_turns"))
+
+
 def running_conv_stats(stream: DataFrame,
                        watermark: str = "10 minutes") -> DataFrame:
     """Arbitrary-state streaming op (SURVEY §2B S-ops:

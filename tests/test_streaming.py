@@ -10,7 +10,8 @@ from otd_semantic_framework_spark.sources.fixtures import (
     ontology_pandas, transcripts_spark_df)
 from otd_semantic_framework_spark.streaming.sessions import (
     conversation_sessions, incremental_triples, read_transcript_stream,
-    run_stream_to_table, running_conv_stats, streaming_dedup_turns)
+    run_stream_to_table, running_conv_stats, streaming_dedup_turns,
+    windowed_turn_counts)
 
 
 @pytest.fixture(scope="module")
@@ -70,6 +71,35 @@ def test_streaming_dedup_drops_replays(spark, tiny_df, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == tiny_df.count()
     assert got.select("conv_id", "turn_idx").distinct().count() == tiny_df.count()
+
+
+@pytest.mark.parametrize("slide", [None, "5 minutes"])
+def test_windowed_counts_match_batch(spark, tiny_df, tmp_path, slide):
+    """Tumbling (slide=None) and sliding windows drained with a
+    far-future flush row equal the batch window() aggregation."""
+    import datetime as dt
+    tag = "tumble" if slide is None else "slide"
+    in_dir = str(tmp_path / f"win_in_{tag}")
+    out = str(tmp_path / f"win_out_{tag}")
+    ckpt = str(tmp_path / f"win_ckpt_{tag}")
+    tiny_df.repartition(4, "conv_id").write.mode("overwrite").parquet(in_dir)
+    size = "10 minutes"
+    max_ts = tiny_df.agg(F.max("ts")).collect()[0][0]
+    flush = spark.createDataFrame(
+        [("__flush__", 0, "user", "x", None, max_ts + dt.timedelta(days=10))],
+        schema=tiny_df.schema)
+    flush.write.mode("append").parquet(in_dir)
+    run_stream_to_table(windowed_turn_counts(
+        read_transcript_stream(spark, in_dir), size, slide), ckpt, out)
+    got = (spark.read.parquet(out)
+           .filter(F.col("win_start") <= max_ts))
+    w = F.window("ts", size) if slide is None else F.window("ts", size, slide)
+    want = (tiny_df.groupBy(w.alias("w"), "role")
+            .agg(F.count(F.lit(1)).alias("n_turns"))
+            .select(F.col("w.start").alias("win_start"),
+                    F.col("w.end").alias("win_end"), "role", "n_turns"))
+    assert (sorted(map(tuple, got.collect()))
+            == sorted(map(tuple, want.collect())))
 
 
 def test_stateful_running_stats(spark, tiny_df, tmp_path):
