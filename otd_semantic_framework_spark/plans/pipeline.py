@@ -172,17 +172,35 @@ def run_pipeline(
     ontology_pdf: pd.DataFrame | None = None,
     run_id: str = "run-0",
     stop_after: str | None = None,
+    fused_linking: bool = False,
 ) -> PipelineResult:
     """Execute the full pipeline with checkpoints under ``run_dir``.
 
     ``stop_after`` kills the run after the named stage (resume tests).
+
+    ``fused_linking=True`` collapses mentions→candidates→canonical into
+    ONE checkpointed stage computed via the precomputed broadcast
+    canonical table (the fast-path plan) — ~3x fewer large intermediate
+    materializations, same output (equality pinned by tests). Resume
+    granularity becomes concept_similarity → canonical → triples → cds,
+    which is the right trade at 10^12 turns where writing the candidate
+    table (mentions × top-k) dominates; the fine-grained default keeps
+    every stage inspectable/resumable for debugging and small runs.
+
+    Measured spectrum on the 7.9M-turn bench corpus, local[32]
+    (BENCH/BASELINE.md): build_triples_fast (no checkpoints) 25.8 s;
+    fused_linking 165 s; fine-grained 276 s — identical 20,495,698
+    triples from all three. At cluster scale the per-input-slice
+    manifest buckets, not more stages, are the unit of partial-failure
+    recovery.
     """
     ontology_pdf = ontology_pdf if ontology_pdf is not None else fixtures.ontology_pandas()
-    gaz = S.build_gazetteer([
+    concepts = [
         S.Concept(r.concept_id, r.pref_label, list(r.alt_labels), r.parent_id,
                   int(r.depth), list(r.path))
         for r in ontology_pdf.itertuples()
-    ])
+    ]
+    gaz = S.build_gazetteer(concepts)
     run = CheckpointedRun(spark, run_dir, run_id)
     cfg_fp = (len(ontology_pdf), S.COS_THRESHOLD, S.LINK_ALPHA, S.TOP_K)
 
@@ -195,20 +213,35 @@ def run_pipeline(
 
     # P11 respread before the UDF stage (hot-conversation stragglers)
     spread = transcripts.repartition(spark.sparkContext.defaultParallelism * 3)
-    mentions = run.stage("mentions", cfg_fp, lambda: explode_mentions(
-        detect_mentions(normalize_turns(spread), gaz)))
-    if stop_after == "mentions":
-        return PipelineResult(None, None, run.metrics)
 
-    candidates = run.stage("candidates", cfg_fp, lambda: link_candidates_broadcast(
-        mentions, ontology_pdf, gaz))
-    if stop_after == "candidates":
-        return PipelineResult(None, None, run.metrics)
+    if fused_linking:
+        from ..operators.linking import (canonicalize_broadcast,
+                                         surface_canonical_table)
+        wup_pdf = pd.DataFrame(
+            [(a.concept_id, b.concept_id, S.wup_similarity(a, b))
+             for a in concepts for b in concepts],
+            columns=["concept_a", "concept_b", "wup"])
+        canon_table = surface_canonical_table(ontology_pdf, gaz, wup_pdf)
+        canonical = run.stage("canonical", cfg_fp, lambda: canonicalize_broadcast(
+            explode_mentions(detect_mentions(normalize_turns(spread), gaz)),
+            canon_table))
+        if stop_after == "canonical":
+            return PipelineResult(None, None, run.metrics)
+    else:
+        mentions = run.stage("mentions", cfg_fp, lambda: explode_mentions(
+            detect_mentions(normalize_turns(spread), gaz)))
+        if stop_after == "mentions":
+            return PipelineResult(None, None, run.metrics)
 
-    canonical = run.stage("canonical", cfg_fp, lambda: canonicalize(
-        candidates, concept_sim))
-    if stop_after == "canonical":
-        return PipelineResult(None, None, run.metrics)
+        candidates = run.stage("candidates", cfg_fp, lambda: link_candidates_broadcast(
+            mentions, ontology_pdf, gaz))
+        if stop_after == "candidates":
+            return PipelineResult(None, None, run.metrics)
+
+        canonical = run.stage("canonical", cfg_fp, lambda: canonicalize(
+            candidates, concept_sim))
+        if stop_after == "canonical":
+            return PipelineResult(None, None, run.metrics)
 
     triples = run.stage("triples", cfg_fp, lambda: dedup_triples(
         extract_triples(transcripts, canonical)))

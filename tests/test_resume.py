@@ -32,6 +32,27 @@ def test_resume_equals_single_run(spark, tiny_df, tmp_path, stop_after):
     assert resumed.metrics[stop_after]["resumed"] is True
 
 
+def test_fused_linking_equals_fine(spark, tiny_df, tmp_path):
+    """fused_linking=True (single checkpointed canonical stage, broadcast
+    precomputed table — the 10^12-turn configuration) produces identical
+    triples+cds to the fine-grained staged path, resumes after a kill,
+    and skips the mentions/candidates materializations."""
+    fine = run_pipeline(spark, tiny_df, str(tmp_path / "fine"))
+    fused_dir = str(tmp_path / "fused")
+    partial = run_pipeline(spark, tiny_df, fused_dir, fused_linking=True,
+                           stop_after="canonical")
+    assert partial.triples is None
+    fused = run_pipeline(spark, tiny_df, fused_dir, fused_linking=True)
+    assert fused.metrics["canonical"]["resumed"] is True
+    assert "mentions" not in fused.metrics
+    assert "candidates" not in fused.metrics
+    assert _triples_key(fused.triples) == _triples_key(fine.triples)
+    k = lambda df: sorted((r.subj_key, r.concept_id, round(r.score, 6))  # noqa: E731
+                          for r in df.collect())
+    assert k(fused.cds) == k(fine.cds)
+    assert not os.path.exists(os.path.join(fused_dir, "mentions"))
+
+
 def test_manifest_lineage_counters(spark, tiny_df, tmp_path):
     run_dir = str(tmp_path / "lineage")
     res = run_pipeline(spark, tiny_df, run_dir)
