@@ -971,6 +971,35 @@ FROM documents
 """
 
 
+def q_rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (DataFrame.unpivot / melt): per-returnflag
+    aggregate metrics unpivoted to (l_returnflag, metric, value)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"))
+    return wide.unpivot(["l_returnflag"],
+                        ["sum_qty", "sum_price", "avg_disc"],
+                        "metric", "value")
+
+
+SQL_REL_UNPIVOT = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(avg(l_discount), 6) AS avg_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'avg_disc' AS metric, avg_disc AS value FROM wide
+"""
+
+
 SQL_REL_PERCENTILES = """
 SELECT l_returnflag,
   round(median(l_quantity), 6) AS med_qty,
@@ -1210,6 +1239,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf": q_sim_ann_ivf,
         "rel_percentiles": q_rel_percentiles,
         "rel_subqueries": q_rel_subqueries,
+        "rel_unpivot": q_rel_unpivot,
         "rel_pivot": q_rel_pivot,
         "rel_window_analytics": q_rel_window_analytics,
         "rel_range_join": q_rel_range_join,
@@ -1258,6 +1288,7 @@ def build_oracle_sql() -> dict[str, str]:
         "sim_ann_ivf": _sql_sim_ann_ivf(),
         "rel_percentiles": SQL_REL_PERCENTILES,
         "rel_subqueries": SQL_REL_SUBQUERIES,
+        "rel_unpivot": SQL_REL_UNPIVOT,
         "rel_pivot": SQL_REL_PIVOT,
         "rel_window_analytics": SQL_REL_WINDOW_ANALYTICS,
         "rel_range_join": SQL_REL_RANGE_JOIN,
