@@ -70,6 +70,75 @@ def detect_mentions(df: DataFrame, gazetteer: dict[str, str],
         mention_detector_udf(gazetteer, use_regex=use_regex)(F.col(norm_col)))
 
 
+def detect_mentions_exploded(df: DataFrame, gazetteer: dict[str, str],
+                             max_ngram: int = S.MAX_NGRAM,
+                             norm_col: str = "norm_text") -> DataFrame:
+    """Fused P4+P5 hot path: mapInPandas that emits exploded mention
+    rows directly — output identical to
+    ``explode_mentions(detect_mentions(df))`` (test-pinned), including
+    the deterministic xxhash64 mention_id, but ~2x faster:
+
+    - ONE regex pass per Arrow batch over a ``\\x00``-joined mega-string
+      (normalized text is strictly ``[a-z0-9 ]`` so the separator can
+      never match or merge across rows) instead of a per-row
+      ``Series.map`` lambda;
+    - token offsets via numpy cumulative space counts — O(1) per match
+      rather than O(prefix) ``str.count``;
+    - no array-of-struct Arrow serialization and no separate explode.
+    """
+    import numpy as np
+
+    pattern = S.gazetteer_pattern(gazetteer, max_ngram)
+    out_schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("surface", T.StringType()),
+        T.StructField("tok_start", T.IntegerType()),
+        T.StructField("tok_end", T.IntegerType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            texts = pdf[norm_col].fillna("").tolist()
+            mega = "\x00".join(texts)
+            starts: list[int] = []
+            surfaces: list[str] = []
+            for m in pattern.finditer(mega):
+                starts.append(m.start())
+                surfaces.append(m.group(0))
+            if not starts:
+                continue
+            arr = np.frombuffer(mega.encode("ascii"), dtype=np.uint8)
+            lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                               count=len(texts))
+            offsets = np.zeros(len(texts), dtype=np.int64)
+            if len(texts) > 1:
+                np.cumsum(lens[:-1] + 1, out=offsets[1:])
+            cumspace = np.concatenate(
+                ([0], np.cumsum(arr == 32, dtype=np.int64)))
+            st = np.asarray(starts, dtype=np.int64)
+            rows = np.searchsorted(offsets, st, side="right") - 1
+            tok_start = (cumspace[st] - cumspace[offsets[rows]]).astype("int32")
+            n_toks = np.fromiter((s.count(" ") + 1 for s in surfaces),
+                                 dtype=np.int32, count=len(surfaces))
+            yield pd.DataFrame({
+                "conv_id": pdf["conv_id"].to_numpy()[rows],
+                "turn_idx": pdf["turn_idx"].to_numpy()[rows],
+                "surface": surfaces,
+                "tok_start": tok_start,
+                "tok_end": tok_start + n_toks,
+            })
+
+    exploded = df.select("conv_id", "turn_idx", norm_col).mapInPandas(
+        gen, schema=out_schema)
+    return exploded.select(
+        "conv_id", "turn_idx",
+        F.xxhash64("conv_id", "turn_idx", F.col("tok_start")).alias("mention_id"),
+        "surface", "tok_start", "tok_end")
+
+
 def explode_mentions(df: DataFrame) -> DataFrame:
     """P5: one row per mention with a deterministic mention_id."""
     return (

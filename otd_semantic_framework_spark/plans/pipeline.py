@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 from .. import semantics as S
 from ..operators.cds import cds_scores
 from ..operators.linking import canonicalize, link_candidates_broadcast
-from ..operators.mentions import detect_mentions, explode_mentions
+from ..operators.mentions import (detect_mentions, detect_mentions_exploded,
+                                  explode_mentions)
 from ..operators.normalize import normalize_turns
 from ..operators.triples import dedup_triples, extract_triples
 from ..operators.wup import concept_similarity
@@ -159,8 +160,7 @@ def build_triples_fast(spark: SparkSession, transcripts: DataFrame,
     # pins the whole wave). Default 3 waves per core.
     n = spread_partitions or spark.sparkContext.defaultParallelism * 3
     spread = transcripts.repartition(n)
-    mentions = explode_mentions(detect_mentions(
-        normalize_turns(spread), gaz, use_regex=True))
+    mentions = detect_mentions_exploded(normalize_turns(spread), gaz)
     canon = canonicalize_broadcast(mentions, canon_table)
     return dedup_triples(extract_triples(transcripts, canon))
 
@@ -223,7 +223,7 @@ def run_pipeline(
             columns=["concept_a", "concept_b", "wup"])
         canon_table = surface_canonical_table(ontology_pdf, gaz, wup_pdf)
         canonical = run.stage("canonical", cfg_fp, lambda: canonicalize_broadcast(
-            explode_mentions(detect_mentions(normalize_turns(spread), gaz)),
+            detect_mentions_exploded(normalize_turns(spread), gaz),
             canon_table))
         if stop_after == "canonical":
             return PipelineResult(None, None, run.metrics)

@@ -60,6 +60,21 @@ def test_regex_detector_equals_python_walk(spark, tiny_df):
     assert k(fast) == k(slow)
 
 
+def test_fused_exploded_detector_equivalence(spark, tiny_df):
+    """detect_mentions_exploded (mega-string mapInPandas, the hot path)
+    emits exactly explode_mentions(detect_mentions(...)) including
+    mention_id, under repartitioning (batch boundaries move)."""
+    from otd_semantic_framework_spark.operators.mentions import (
+        detect_mentions_exploded)
+    gaz = S.build_gazetteer(S.build_ontology())
+    k = lambda df: sorted((r.conv_id, r.turn_idx, r.surface, r.tok_start,
+                           r.tok_end, r.mention_id) for r in df.collect())
+    want = k(explode_mentions(detect_mentions(normalize_turns(tiny_df), gaz)))
+    assert k(detect_mentions_exploded(normalize_turns(tiny_df), gaz)) == want
+    assert k(detect_mentions_exploded(
+        normalize_turns(tiny_df.repartition(13)), gaz)) == want
+
+
 def test_regex_twin_pure_function_equivalence():
     """Property-ish: the regex twin matches find_mentions on adversarial
     strings (overlaps, prefixes, max_ngram exclusion)."""
