@@ -51,19 +51,38 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES,
     """doc_id → array of n_hashes min-hashes. One groupBy with n_hashes
     algebraic min aggregates → single shuffle, map-side combine.
 
-    portable=False (production default): xxhash64(shingle, seed) → long,
-    the fast JVM path. portable=True: md5(shingle || ':' || seed) → hex
-    string, bit-identical to DuckDB's md5 so the driver oracle can
-    replay the exact signature math (min over hex strings is the same
+    portable=False (production default): TWO xxhash64 string hashes per
+    shingle, expanded to n_hashes values with a Carter-Wegman 2-universal
+    family h_i(x) = (a_i*x1 + b_i*x2 + c_i) mod (2^31-1) over the hash's
+    32-bit halves — hashing the string n_hashes times is the dominant
+    cost of the signature stage at scale, and the affine family is
+    min-wise good enough because the base hash already uniformizes.
+    All arithmetic stays below 2^49 (ANSI overflow-safe).
+    portable=True: md5(shingle || ':' || seed) → hex string,
+    bit-identical to DuckDB's md5 so the driver oracle can replay the
+    exact signature math (min over hex strings is the same
     lexicographic order in both engines)."""
     if portable:
         aggs = [F.min(F.md5(F.concat_ws(":", F.col("shingle"),
                                         F.lit(str(i))))).alias(f"h{i}")
                 for i in range(n_hashes)]
+        sig = sh.groupBy("doc_id").agg(*aggs)
     else:
-        aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-                for i in range(n_hashes)]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+        from .. import semantics as S
+        mersenne = (1 << 31) - 1
+        sh2 = (sh.withColumn("_x1", F.shiftrightunsigned(
+                   F.xxhash64("shingle"), 32))
+               .withColumn("_x2", F.xxhash64(F.col("shingle"), F.lit(1))
+                   .bitwiseAND(F.lit((1 << 32) - 1))))
+        aggs = []
+        for i in range(n_hashes):
+            a = S.stable_hash("minhash-a", i, mod=1 << 16) | 1
+            b = S.stable_hash("minhash-b", i, mod=1 << 16) | 1
+            c = S.stable_hash("minhash-c", i, mod=mersenne)
+            aggs.append(F.min(F.pmod(
+                F.col("_x1") * F.lit(a) + F.col("_x2") * F.lit(b) + F.lit(c),
+                F.lit(mersenne))).alias(f"h{i}"))
+        sig = sh2.groupBy("doc_id").agg(*aggs)
     return sig.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
 
