@@ -38,7 +38,8 @@ def cmd_autotag(args) -> None:
     from .plans.pipeline import run_pipeline
     spark = _spark(args)
     transcripts = spark.read.parquet(args.input)
-    res = run_pipeline(spark, transcripts, args.run_dir, run_id=args.run_id)
+    res = run_pipeline(spark, transcripts, args.run_dir, run_id=args.run_id,
+                       fused_linking=args.fused)
     print(json.dumps({"triples": res.triples.count(),
                       "cds_rows": res.cds.count(),
                       "metrics": res.metrics}))
@@ -92,6 +93,9 @@ def main(argv: list[str] | None = None) -> None:
 
     a = sub.add_parser("autotag");  a.add_argument("--input", required=True)
     a.add_argument("--run-dir", required=True); a.add_argument("--run-id", default="run-0")
+    a.add_argument("--fused", action="store_true",
+                   help="coarse checkpoints via the broadcast canonical "
+                        "table (the high-throughput 10^12-turn configuration)")
     a.set_defaults(fn=cmd_autotag)
 
     m = sub.add_parser("matrix");   m.add_argument("--run-dir", required=True)
