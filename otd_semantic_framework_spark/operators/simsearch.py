@@ -104,15 +104,40 @@ def ivf_centroids(n_cells: int, dim: int) -> np.ndarray:
     return C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
+def ivf_centroids_kmeans(candidates: DataFrame, vec_col: str = "cv",
+                         n_cells: int = 16, seed: int = 42) -> np.ndarray:
+    """Data-driven coarse quantizer: MLlib KMeans centers, L2-normed.
+    FLAGGED path (SURVEY §7 risk 2): k-means is seed-stable but
+    partitioning-sensitive, so the hash-derived ``ivf_centroids`` stays
+    the reproducibility default; use this when recall matters more than
+    bit-stable re-runs. IVF correctness is centroid-independent — with
+    n_probe == n_cells the result equals brute force for ANY centroid
+    set (test-pinned), so swapping quantizers only moves recall."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = candidates.select(
+        array_to_vector(_as_double(F.col(vec_col))).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feats)
+    C = np.stack([np.asarray(c, dtype=np.float64)
+                  for c in model.clusterCenters()])
+    norms = np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C / norms
+
+
 def ann_ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
                  n_cells: int = 16, n_probe: int = 4, dim: int = 64,
                  q_id: str = "qid", c_id: str = "cid",
-                 q_vec: str = "qv", c_vec: str = "cv") -> DataFrame:
+                 q_vec: str = "qv", c_vec: str = "cv",
+                 centroids: np.ndarray | None = None) -> DataFrame:
     """IVF-style ANN: candidates partition into their nearest-centroid
     cell; each query probes its n_probe nearest cells; exact cosine only
     inside probed cells. The join is equi on cell id → shuffle by cell,
-    never a cross join; n_probe=n_cells degrades gracefully to exact."""
-    C = ivf_centroids(n_cells, dim)
+    never a cross join; n_probe=n_cells degrades gracefully to exact.
+    ``centroids`` overrides the deterministic hash-derived quantizer
+    (e.g. with ``ivf_centroids_kmeans`` output)."""
+    C = centroids if centroids is not None else ivf_centroids(n_cells, dim)
+    n_cells = C.shape[0]
 
     @pandas_udf(T.IntegerType())
     def cell_udf(vecs: pd.Series) -> pd.Series:

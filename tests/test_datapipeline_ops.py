@@ -114,6 +114,24 @@ def test_ann_ivf(spark):
         assert r.rk <= 10
 
 
+def test_ann_ivf_kmeans_centroids(spark):
+    """Centroid-independence: with probe=all cells the IVF result equals
+    brute force for ANY quantizer — here MLlib KMeans-trained centers
+    (the flagged data-driven path)."""
+    from otd_semantic_framework_spark.operators.simsearch import (
+        ivf_centroids_kmeans)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
+    c = (emb.filter(F.col("vec_id") >= 3)
+         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")))
+    C = ivf_centroids_kmeans(c, n_cells=4)
+    assert C.shape == (4, 64)
+    full = ann_ivf_topk(q, c, k=10, n_probe=4, centroids=C)
+    exact = cosine_topk(q, c, k=10)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, exact.collect()))
+
+
 def test_embedding_near_dup(spark):
     import numpy as np
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
