@@ -146,11 +146,14 @@ def simhash_chunks_portable(docs: DataFrame, id_col: str = "doc_id",
     toks = docs.select(F.col(id_col).alias("doc_id"),
                        F.explode(_tokens(text_col)).alias("tok"))
     hx = toks.withColumn("h", F.md5("tok"))
+    # decode each of the 16 hex digits ONCE, then the 64 bit votes are
+    # cheap shifts over the digit columns (4x fewer string ops)
+    for p in range(16):
+        hx = hx.withColumn(f"d{p}", F.expr(
+            f"instr('0123456789abcdef', substring(h, {p + 1}, 1)) - 1"))
     votes = []
     for b in range(64):
-        p, k = b // 4 + 1, b % 4
-        bit = F.expr(
-            f"((instr('0123456789abcdef', substring(h, {p}, 1)) - 1) >> {k}) & 1")
+        bit = F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1))
         votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{b}"))
     agg = hx.groupBy("doc_id").agg(*votes)
     chunk_cols = []

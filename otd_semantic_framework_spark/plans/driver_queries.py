@@ -1121,9 +1121,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_dedup_simhash(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    digits = ", ".join(
+        f"strpos('0123456789abcdef', substr(h, {p + 1}, 1)) - 1 AS d{p}"
+        for p in range(16))
     votes = ",\n    ".join(
-        "sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, "
-        f"{b // 4 + 1}, 1)) - 1) >> {b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        f"sum(CASE WHEN (d{b // 4} >> {b % 4}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS b{b}"
         for b in range(64))
     chunk_exprs = ", ".join(
         "(" + " + ".join(f"CASE WHEN b{i * 16 + j} > 0 THEN {1 << j} ELSE 0 END"
@@ -1140,10 +1143,11 @@ WITH tokd AS (
        unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t(tok)
 ),
 hx AS (SELECT doc_id, md5(tok) AS h FROM tokd),
+hd AS (SELECT doc_id, {digits} FROM hx),
 votes AS (
   SELECT doc_id,
     {votes}
-  FROM hx GROUP BY doc_id
+  FROM hd GROUP BY doc_id
 ),
 chunks AS (SELECT doc_id, {chunk_exprs} FROM votes),
 bands AS (
