@@ -58,18 +58,35 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES,
     cost of the signature stage at scale, and the affine family is
     min-wise good enough because the base hash already uniformizes.
     All arithmetic stays below 2^49 (ANSI overflow-safe).
-    portable=True: md5(shingle || ':' || seed) → hex string,
-    bit-identical to DuckDB's md5 so the driver oracle can replay the
-    exact signature math (min over hex strings is the same
-    lexicographic order in both engines)."""
+    portable=True: ONE md5 per shingle, its first 16 hex digits decoded
+    to two 32-bit ints x1/x2 (digit-by-digit, so the construction is
+    bit-identical in DuckDB), expanded with the SAME Carter-Wegman
+    family — the oracle replays the exact signature math with integer
+    arithmetic both engines share."""
+    mersenne = (1 << 31) - 1
     if portable:
-        aggs = [F.min(F.md5(F.concat_ws(":", F.col("shingle"),
-                                        F.lit(str(i))))).alias(f"h{i}")
-                for i in range(n_hashes)]
-        sig = sh.groupBy("doc_id").agg(*aggs)
+        from .. import semantics as S
+        sh2 = sh.withColumn("_h", F.md5("shingle"))
+        for p in range(16):
+            sh2 = sh2.withColumn(f"_d{p}", F.expr(
+                f"instr('0123456789abcdef', substring(_h, {p + 1}, 1)) - 1"))
+        dl = lambda p: F.col(f"_d{p}").cast("long")  # noqa: E731
+        x1 = sum((dl(p) * F.lit(16 ** (7 - p)) for p in range(1, 8)),
+                 dl(0) * F.lit(16 ** 7))
+        x2 = sum((dl(p) * F.lit(16 ** (15 - p)) for p in range(9, 16)),
+                 dl(8) * F.lit(16 ** 7))
+        sh2 = sh2.withColumn("_x1", x1).withColumn("_x2", x2)
+        aggs = []
+        for i in range(n_hashes):
+            a = S.stable_hash("minhash-a", i, mod=1 << 16) | 1
+            b = S.stable_hash("minhash-b", i, mod=1 << 16) | 1
+            c = S.stable_hash("minhash-c", i, mod=mersenne)
+            aggs.append(F.min(F.pmod(
+                F.col("_x1") * F.lit(a) + F.col("_x2") * F.lit(b) + F.lit(c),
+                F.lit(mersenne))).alias(f"h{i}"))
+        sig = sh2.groupBy("doc_id").agg(*aggs)
     else:
         from .. import semantics as S
-        mersenne = (1 << 31) - 1
         sh2 = (sh.withColumn("_x1", F.shiftrightunsigned(
                    F.xxhash64("shingle"), 32))
                .withColumn("_x2", F.xxhash64(F.col("shingle"), F.lit(1))

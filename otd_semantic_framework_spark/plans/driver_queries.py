@@ -1062,12 +1062,24 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_dedup_minhash(threshold: float = MINHASH_THRESHOLD, k: int = 3,
                        n_hashes: int = 64, n_bands: int = 16) -> str:
+    from .. import semantics as S
     rpb = n_hashes // n_bands
-    mins = ",\n    ".join(f"min(md5(shingle || ':{i}')) AS h{i}"
-                          for i in range(n_hashes))
+    mersenne = (1 << 31) - 1
+    digits = ", ".join(
+        f"strpos('0123456789abcdef', substr(h, {p + 1}, 1)) - 1 AS d{p}"
+        for p in range(16))
+    x1 = " + ".join(f"d{p} * {16 ** (7 - p)}" for p in range(8))
+    x2 = " + ".join(f"d{p} * {16 ** (15 - p)}" for p in range(8, 16))
+    mins = []
+    for i in range(n_hashes):
+        a = S.stable_hash("minhash-a", i, mod=1 << 16) | 1
+        b = S.stable_hash("minhash-b", i, mod=1 << 16) | 1
+        c = S.stable_hash("minhash-c", i, mod=mersenne)
+        mins.append(f"min((x1 * {a} + x2 * {b} + {c}) % {mersenne}) AS h{i}")
     band_selects = "\n  UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("
-        + " || ',' || ".join(f"h{b * rpb + j}" for j in range(rpb))
+        + " || ',' || ".join(f"CAST(h{b * rpb + j} AS VARCHAR)"
+                             for j in range(rpb))
         + ") AS band_hash FROM sig"
         for b in range(n_bands))
     return f"""
@@ -1080,7 +1092,9 @@ sh AS (
   SELECT DISTINCT doc_id, array_to_string(toks[i + 1:i + {k}], ' ') AS shingle
   FROM tokd, unnest(range(0, greatest(len(toks) - {k}, 0) + 1)) AS r(i)
 ),
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+hd AS (SELECT doc_id, {digits} FROM (SELECT doc_id, md5(shingle) AS h FROM sh)),
+hx AS (SELECT doc_id, {x1} AS x1, {x2} AS x2 FROM hd),
+sig AS (SELECT doc_id, {', '.join(mins)} FROM hx GROUP BY doc_id),
 bands AS (
   {band_selects}
 ),
