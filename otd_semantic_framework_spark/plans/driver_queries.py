@@ -1179,6 +1179,52 @@ FROM cand WHERE ({ham}) <= {max_hamming}
 """
 
 
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints — the numpy-vectorized
+    pandas UDF, hash-pinned against a DuckDB oracle that replays the
+    full scheme (HUGEINT Rabin-Karp mod 2^64, window-of-w minimum with
+    rightmost tie-break, short-document single window)."""
+    from ..operators.textstats import winnow_fingerprints
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
+def _sql_text_winnow() -> str:
+    from ..operators.textstats import _WINNOW_BASE, WINNOW_K, WINNOW_W
+    B, K, W = int(_WINNOW_BASE), WINNOW_K, WINNOW_W
+    M = 1 << 64
+    h = "unicode(substr(t, i+1, 1))::HUGEINT"
+    for j in range(1, K):
+        h = f"(({h}) * {B} + unicode(substr(t, i+1+{j}, 1))) % {M}::HUGEINT"
+    return f"""
+WITH base AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+kgram AS (
+  SELECT doc_id, r.i AS i, ({h}) AS h
+  FROM base, lateral unnest(range(0, greatest(length(t) - {K} + 1, 0))) AS r(i)
+  WHERE length(t) >= {K}
+),
+stats AS (SELECT doc_id, count(*) AS n_h FROM kgram GROUP BY doc_id),
+starts AS (
+  SELECT k.doc_id, k.i AS s
+  FROM kgram k JOIN stats st USING (doc_id)
+  WHERE k.i <= greatest(st.n_h - {W}, 0)
+),
+winners AS (
+  SELECT s.doc_id AS doc_id, s.s, max(k.i) AS pos
+  FROM starts s
+  JOIN kgram k ON k.doc_id = s.doc_id AND k.i BETWEEN s.s AND s.s + {W - 1}
+  JOIN (
+    SELECT s2.doc_id AS doc_id, s2.s AS s, min(k2.h) AS wmin
+    FROM starts s2 JOIN kgram k2
+      ON k2.doc_id = s2.doc_id AND k2.i BETWEEN s2.s AND s2.s + {W - 1}
+    GROUP BY s2.doc_id, s2.s
+  ) m ON m.doc_id = s.doc_id AND m.s = s.s AND k.h = m.wmin
+  GROUP BY s.doc_id, s.s
+)
+SELECT DISTINCT w.doc_id AS doc_id, w.pos AS pos, (k.h // 2)::BIGINT AS fp
+FROM winners w JOIN kgram k ON k.doc_id = w.doc_id AND k.i = w.pos
+"""
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID: the Spark side is the vectorized bigram-profile
     pandas UDF (operators/textstats.py); the oracle re-derives the same
@@ -1251,6 +1297,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "text_token_counts": q_text_token_counts,
         "text_langid": q_text_langid,
+        "text_winnow": q_text_winnow,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -1300,6 +1347,7 @@ def build_oracle_sql() -> dict[str, str]:
         "dedup_embedding": SQL_DEDUP_EMBEDDING,
         "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
         "text_langid": _sql_text_langid(),
+        "text_winnow": _sql_text_winnow(),
         "dedup_minhash_lsh": _sql_dedup_minhash(),
         "dedup_simhash": _sql_dedup_simhash(),
         "sim_ann_lsh": _sql_sim_ann_lsh(),

@@ -26,14 +26,6 @@ def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
-def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (rolling-hash) fingerprints. Rows-only: the Rabin-Karp
-    mod-2^64 arithmetic has no DuckDB equivalent; the scheme itself is
-    pinned against a naive pure-python oracle in pytest."""
-    from ..operators.textstats import winnow_fingerprints
-    return winnow_fingerprints(_docs(spark, sf_dir))
-
-
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(attach_fake_media(_docs(spark, sf_dir)))
 
@@ -45,7 +37,6 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_minhash_fast": q_dedup_minhash_fast,
-        "text_winnow": q_text_winnow,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
         "stats_approx_distinct": q_stats_approx_distinct,
