@@ -142,7 +142,10 @@ def main() -> None:
         # local[2]/local[8] stay within the host's physical cores; 8→32
         # on this 32-thread host is SMT-bound (~2.4x ceiling measured)
         # and would misreport scaling.
-        n4 = kg_pipeline_run_pinned(int(SCALING_BIG), input_path, runs=3)
+        # min-of-4 on the short 4N leg: host-tenant noise on this VM can
+        # slow any single window by ~30%, and the 4N leg (shorter runs)
+        # is the more exposed of the two
+        n4 = kg_pipeline_run_pinned(int(SCALING_BIG), input_path, runs=4)
         n1 = kg_pipeline_run_pinned(int(SCALING_SMALL), input_path, runs=3)
         kg["scale_n"] = n1
         kg["scale_4n"] = n4
