@@ -445,8 +445,8 @@ def q_rel_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_REL_SEMI_ANTI = """
 SELECT c.c_mktsegment AS segment,
-       sum(CASE WHEN o.has_order THEN 1 ELSE 0 END) AS with_orders,
-       sum(CASE WHEN o.has_order THEN 0 ELSE 1 END) AS without_orders
+       CAST(sum(CASE WHEN o.has_order THEN 1 ELSE 0 END) AS BIGINT) AS with_orders,
+       CAST(sum(CASE WHEN o.has_order THEN 0 ELSE 1 END) AS BIGINT) AS without_orders
 FROM customer c
 LEFT JOIN (SELECT DISTINCT o_custkey, true AS has_order FROM orders) o
   ON c.c_custkey = o.o_custkey
@@ -936,12 +936,14 @@ EMB_DEDUP_THRESHOLD = 0.38
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (task addendum): exact
-    all-pairs cosine >= threshold via broadcast blocked matmul
-    (mapInPandas) — see operators/simsearch.py for the scale notes."""
+    """Embedding-cosine near-dup pairs (task addendum): exact all-pairs
+    cosine >= threshold via the distributed grid self-join (n_blocks
+    forced so the scale path — not the small-N broadcast shortcut — is
+    what the oracle verifies). See operators/simsearch.py."""
     from ..operators.simsearch import embedding_near_dup_pairs
     e = _tbl(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, threshold=EMB_DEDUP_THRESHOLD)
+    return embedding_near_dup_pairs(e, threshold=EMB_DEDUP_THRESHOLD,
+                                    n_blocks=8)
 
 
 SQL_DEDUP_EMBEDDING = f"""
@@ -1387,9 +1389,9 @@ def q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_REL_PIVOT = """
 SELECT o_orderstatus AS status,
-       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent_n,
-       sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high_n,
-       sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium_n
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_n,
+       CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_n,
+       CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium_n
 FROM orders GROUP BY o_orderstatus
 """
 

@@ -27,7 +27,16 @@ def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decode_media(attach_fake_media(_docs(spark, sf_dir)))
+    """Driver-facing projection: the operator's `features array<float>` is
+    stringified (CSV of %.6f) because the driver's row canonicalizer
+    cannot sort list cells; the array-returning operator stays as-is for
+    pipeline use."""
+    decoded = decode_media(attach_fake_media(_docs(spark, sf_dir)))
+    return decoded.select(
+        "doc_id", "media_type", "n_bytes", "width", "height",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.format_string("%.6f", x))
+        ).alias("features_csv"))
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,18 +24,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
+    # STRICT on purpose (mirrors the driver's canonicalizer, which does
+    # NOT coerce float==int): a Spark bigint 5 vs a DuckDB HUGEINT->float
+    # 5.0 must MISMATCH here so local green predicts driver green.
     if isinstance(v, (list, tuple)) or "ndarray" in type(v).__name__:
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     if v is None or v != v:
         return "NULL"
-    if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{round(v, 6):.6f}"
     if isinstance(v, bool):
         return str(int(v))
-    if isinstance(v, (list, tuple)) or "ndarray" in type(v).__name__:
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, float):
+        return f"{round(v, 6) + 0.0:.6f}"
     return str(v)
 
 

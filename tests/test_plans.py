@@ -131,6 +131,20 @@ def test_embedding_near_dup_is_map_only(spark):
     assert "MapInPandas" in plan
 
 
+def test_near_dup_grid_is_equi_shuffle(spark):
+    """The grid self-join scale path must be broadcast-fanout + one
+    hash shuffle on pair_key + grouped-map — never a cartesian or
+    broadcast-nested-loop, and no driver-side collect (the plan is
+    lazy-built here, so any toPandas would have already run)."""
+    from otd_semantic_framework_spark.operators.simsearch import (
+        embedding_near_dup_pairs)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(embedding_near_dup_pairs(emb, threshold=0.3, n_blocks=4))
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
 def test_ann_bucket_joins_are_equi(spark):
     """LSH and IVF candidate generation must be equi-joins on the
     bucket/cell key — never CartesianProduct / BroadcastNestedLoop."""
