@@ -11,6 +11,13 @@ Implemented as: conv-level tag aggregation (map-side partial agg), then
 a broadcast join against the tiny concept_similarity table (the matrix
 "multiply" becomes a broadcast hash join + re-aggregation — no shuffle
 of the big side beyond the tag groupBy).
+
+Round 2 split: the propagation is exposed standalone
+(:func:`propagate_cds`) so it can run over ANY tag table — pure autotag
+(:func:`cds_scores`), the manual∪auto merge (operators/manual.py), or a
+multi-configuration tag graph (a ``config_id`` column is picked up
+automatically and configurations never bleed into each other — the
+groupBy key includes it).
 """
 
 from __future__ import annotations
@@ -21,21 +28,49 @@ from pyspark.sql import functions as F
 from .. import semantics as S
 
 
-def cds_scores(triples: DataFrame, concept_sim: DataFrame,
-               threshold: float = S.CDS_THRESHOLD) -> DataFrame:
-    tags = (
+def conv_tags(triples: DataFrame) -> DataFrame:
+    """Autotag tags at conversation granularity: tag(s, c) = max over
+    the conv's turns of the mention link score. Output
+    (subj_key, concept_id, tag_score)."""
+    return (
         triples.filter(F.col("pred") == "mentions")
-        .groupBy("conv_id", F.col("obj").alias("concept_id"))
+        .groupBy(
+            F.concat(F.lit("conv:"), F.col("conv_id")).alias("subj_key"),
+            F.col("obj").alias("concept_id"),
+        )
         .agg(F.max("score").alias("tag_score"))
     )
+
+
+def propagate_cds(tags: DataFrame, concept_sim: DataFrame,
+                  threshold: float = S.CDS_THRESHOLD) -> DataFrame:
+    """Wu-Palmer propagation over a (subj_key, concept_id, tag_score)
+    table: cds(s, c') = max over c of tag(s, c) * wup(c, c'), >= θ.
+
+    A ``config_id`` column, when present, joins the grouping key — one
+    physical table holds several named tagging graphs with no bleed
+    (pytest-pinned by tests/test_manual_tags.py)."""
+    keys = ["config_id"] if "config_id" in tags.columns else []
     return (
         tags.join(F.broadcast(concept_sim),
                   tags.concept_id == concept_sim.concept_a, "inner")
-        .groupBy(
-            F.concat(F.lit("conv:"), F.col("conv_id")).alias("subj_key"),
-            F.col("concept_b").alias("concept_id"),
-        )
+        .groupBy(*keys, "subj_key", F.col("concept_b"))
         .agg(F.round(F.max(F.col("tag_score") * F.col("wup")),
                      S.SCORE_DECIMALS).alias("score"))
         .filter(F.col("score") >= threshold)
+        .select(*keys, "subj_key",
+                F.col("concept_b").alias("concept_id"), "score")
     )
+
+
+def cds_scores(triples: DataFrame, concept_sim: DataFrame,
+               threshold: float = S.CDS_THRESHOLD,
+               manual_tags: DataFrame | None = None) -> DataFrame:
+    """CDS from autotag triples, optionally merged with a curated manual
+    tag table (the reference's second first-class tagging input [K]) —
+    the merge is set-semantics max per (subj, concept)."""
+    tags = conv_tags(triples)
+    if manual_tags is not None:
+        from .manual import merge_tag_sources
+        tags = merge_tag_sources(tags, manual_tags).drop("sources")
+    return propagate_cds(tags, concept_sim, threshold)

@@ -85,6 +85,13 @@ def detect_mentions_exploded(df: DataFrame, gazetteer: dict[str, str],
     - token offsets via numpy cumulative space counts — O(1) per match
       rather than O(prefix) ``str.count``;
     - no array-of-struct Arrow serialization and no separate explode.
+
+    HARD PRECONDITION: ``norm_col`` must already be normalized to the
+    ``[a-z0-9 ]`` single-space alphabet (what both built-in normalizers
+    in operators/normalize.py emit). The mega-string encodes as ASCII
+    and token offsets count single spaces, so any other input is
+    rejected with an explicit error naming the offending row rather
+    than an opaque UnicodeEncodeError deep in an executor.
     """
     import numpy as np
 
@@ -103,6 +110,14 @@ def detect_mentions_exploded(df: DataFrame, gazetteer: dict[str, str],
                 continue
             texts = pdf[norm_col].fillna("").tolist()
             mega = "\x00".join(texts)
+            try:
+                mega_bytes = mega.encode("ascii")
+            except UnicodeEncodeError:
+                bad = next(t for t in texts if not t.isascii())
+                raise ValueError(
+                    "detect_mentions_exploded requires [a-z0-9 ]-normalized "
+                    f"text (run normalize_turns first); offending row text: "
+                    f"{bad[:80]!r}") from None
             starts: list[int] = []
             surfaces: list[str] = []
             for m in pattern.finditer(mega):
@@ -110,7 +125,7 @@ def detect_mentions_exploded(df: DataFrame, gazetteer: dict[str, str],
                 surfaces.append(m.group(0))
             if not starts:
                 continue
-            arr = np.frombuffer(mega.encode("ascii"), dtype=np.uint8)
+            arr = np.frombuffer(mega_bytes, dtype=np.uint8)
             lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
                                count=len(texts))
             offsets = np.zeros(len(texts), dtype=np.int64)

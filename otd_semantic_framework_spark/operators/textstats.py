@@ -59,8 +59,12 @@ def langid_udf(texts: pd.Series) -> pd.DataFrame:
 @pandas_udf(T.IntegerType())
 def bpe_ish_token_count(texts: pd.Series) -> pd.Series:
     """Sub-word-ish token count: letter runs + digit runs + punctuation,
-    a cheap proxy for BPE token counts."""
-    return texts.map(lambda t: len(_BPE_ISH.findall(t.lower())) if t else 0).astype("int32")
+    a cheap proxy for BPE token counts. Whole-batch vectorized
+    ``str.count`` (C-speed regex over the Series) — identical counts to
+    the per-row ``len(findall)`` formulation it replaces, without the
+    per-row Python dispatch."""
+    return (texts.fillna("").str.lower()
+            .str.count(_BPE_ISH).astype("int32"))
 
 
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:

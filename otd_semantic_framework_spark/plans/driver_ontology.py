@@ -82,6 +82,28 @@ def driver_wup() -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["concept_a", "concept_b", "wup"])
 
 
+@lru_cache(maxsize=1)
+def driver_manual_tags() -> pd.DataFrame:
+    """Deterministic curated manual-tag table (conv_id, concept_id,
+    weight) for the kg_manual_* queries — the reference's second
+    first-class tagging input, synthesized at small scale (no external
+    data). Includes deliberately-invalid concept ids (``bogus:…``) that
+    ontology validation must drop, and convs with no manual tags."""
+    concepts = [c.concept_id for c in driver_concepts()]
+    rows = []
+    for n in range(50):  # matches driver_queries.N_CONVS
+        if n % 3 == 2:
+            continue  # every third conv is un-curated
+        for k in range(2):
+            if n % 10 == 0 and k == 0:
+                cid = "bogus:unknown"  # must be rejected by validation
+            else:
+                cid = concepts[(n * 7 + 3 * k) % len(concepts)]
+            rows.append((f"conv-{n:04d}", cid,
+                         round(0.5 + ((n + k) % 5) * 0.1, 6)))
+    return pd.DataFrame(rows, columns=["conv_id", "concept_id", "weight"])
+
+
 def _sql_lit(v) -> str:
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"

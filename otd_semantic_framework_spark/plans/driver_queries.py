@@ -395,6 +395,210 @@ SELECT subj_key, rank, search_score FROM (
 
 
 # ---------------------------------------------------------------------------
+# Manual-tagging ingest/merge, per-configuration graphs, WuP-blended
+# search (VERDICT r1 items 4/5/7) — all exercising the production
+# operators in operators/manual.py, operators/cds.py, plans/search.py.
+# ---------------------------------------------------------------------------
+
+def _auto_tags_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    canon = q_kg_canonical(spark, sf_dir)
+    return (canon.groupBy(
+        F.concat(F.lit("conv:"), F.col("conv_id")).alias("subj_key"),
+        "concept_id")
+        .agg(F.max("link_score").alias("tag_score")))
+
+
+def _manual_raw_df(spark: SparkSession) -> DataFrame:
+    from .driver_ontology import driver_manual_tags
+    m = driver_manual_tags()
+    return spark.createDataFrame(
+        m, "conv_id string, concept_id string, weight double").select(
+        F.concat(F.lit("conv:"), F.col("conv_id")).alias("subj_key"),
+        "concept_id", "weight")
+
+
+def _onto_ids_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(c.concept_id,) for c in driver_concepts()], "concept_id string")
+
+
+def _merged_tags_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.manual import ingest_manual_tags, merge_tag_sources
+    valid = ingest_manual_tags(_manual_raw_df(spark), _onto_ids_df(spark))
+    return merge_tag_sources(_auto_tags_df(spark, sf_dir), valid)
+
+
+def q_kg_manual_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated-tag ingestion: validate an external manual tag table
+    against the ontology (bogus concept ids dropped), merge with
+    autotag conversation tags (set semantics, max weight, provenance)."""
+    return _merged_tags_df(spark, sf_dir)
+
+
+def _sql_manual_merge_ctes() -> str:
+    """CTEs shared by the kg_manual_* oracles: canon → auto tags,
+    manual VALUES → validated, union → merged."""
+    from .driver_ontology import driver_manual_tags
+    import pandas as pd
+    canon = _sql_kg_canonical_body()
+    manual = values_sql(driver_manual_tags(), "mr")
+    onto = values_sql(
+        pd.DataFrame({"concept_id": [c.concept_id for c in driver_concepts()]}),
+        "oc")
+    return f"""
+canon AS ({canon}),
+auto_tags AS (
+  SELECT 'conv:' || conv_id AS subj_key, concept_id,
+         max(link_score) AS tag_score, 'auto' AS source
+  FROM canon GROUP BY subj_key, concept_id
+),
+manual_valid AS (
+  SELECT mr.subj_key, mr.concept_id,
+         round(greatest(0.0, least(1.0, max(mr.weight))), 6) AS tag_score,
+         'manual' AS source
+  FROM (SELECT 'conv:' || conv_id AS subj_key, concept_id, weight
+        FROM {manual}) mr
+  JOIN (SELECT DISTINCT concept_id FROM {onto}) oc
+    ON oc.concept_id = mr.concept_id
+  GROUP BY mr.subj_key, mr.concept_id
+),
+merged AS (
+  SELECT subj_key, concept_id, round(max(tag_score), 6) AS tag_score,
+         string_agg(DISTINCT source, '+' ORDER BY source) AS sources
+  FROM (SELECT * FROM auto_tags UNION ALL SELECT * FROM manual_valid)
+  GROUP BY subj_key, concept_id
+)
+"""
+
+
+def _sql_kg_manual_merge() -> str:
+    return (f"WITH {_sql_manual_merge_ctes()} "
+            "SELECT subj_key, concept_id, tag_score, sources FROM merged")
+
+
+def q_kg_manual_cds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDS propagation fed from the manual∪auto tag union (the
+    reference propagates its curated graph identically to autotag)."""
+    from ..operators.cds import propagate_cds
+    merged = _merged_tags_df(spark, sf_dir).drop("sources")
+    return propagate_cds(merged, _wup_df(spark))
+
+
+def _sql_kg_manual_cds() -> str:
+    wu = values_sql(driver_wup(), "w")
+    return f"""
+WITH {_sql_manual_merge_ctes()}
+SELECT m.subj_key, w.concept_b AS concept_id,
+       round(max(m.tag_score * w.wup), 6) AS score
+FROM merged m JOIN {wu} ON w.concept_a = m.concept_id
+GROUP BY m.subj_key, w.concept_b
+HAVING round(max(m.tag_score * w.wup), 6) >= {S.CDS_THRESHOLD}
+"""
+
+
+def q_kg_config_cds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two named tagging configurations ('auto_only' and 'curated') in
+    one physical graph; CDS grouped per config_id — configurations must
+    not bleed (isolation pytest-pinned in tests/test_manual_tags.py)."""
+    from ..operators.cds import propagate_cds
+    from ..operators.manual import tag_graph
+    graph = tag_graph({
+        "auto_only": _auto_tags_df(spark, sf_dir),
+        "curated": _merged_tags_df(spark, sf_dir).drop("sources"),
+    })
+    return propagate_cds(graph, _wup_df(spark))
+
+
+def _sql_kg_config_cds() -> str:
+    wu = values_sql(driver_wup(), "w")
+    return f"""
+WITH {_sql_manual_merge_ctes()},
+graph AS (
+  SELECT 'auto_only' AS config_id, subj_key, concept_id, tag_score
+  FROM auto_tags
+  UNION ALL
+  SELECT 'curated' AS config_id, subj_key, concept_id, tag_score
+  FROM merged
+)
+SELECT g.config_id, g.subj_key, w.concept_b AS concept_id,
+       round(max(g.tag_score * w.wup), 6) AS score
+FROM graph g JOIN {wu} ON w.concept_a = g.concept_id
+GROUP BY g.config_id, g.subj_key, w.concept_b
+HAVING round(max(g.tag_score * w.wup), 6) >= {S.CDS_THRESHOLD}
+"""
+
+
+def q_kg_search_wup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17 with the reference's lexical+taxonomic query scoring [K]:
+    each query surface's candidates rescored by the P9 blend
+    (α·cos + (1−α)·wup vs the cos-top anchor) before the per-concept
+    max — exercising plans/search.blend_query_scores."""
+    from .search import blend_query_scores
+    scores = driver_scores()
+    gaz = driver_gazetteer()
+    norm = S.normalize_text(SEARCH_QUERY)
+    surfaces = sorted({m[0] for m in S.find_mentions(norm, gaz)})
+    qs = scores[scores.surface.isin(surfaces)].round({"cos_sim": 6})
+    blended = blend_query_scores(qs, driver_wup())
+    q = (blended.groupby("concept_id", as_index=False)["cos_sim"].max()
+         .rename(columns={"cos_sim": "q_score"}))
+    q_df = spark.createDataFrame(q, "concept_id string, q_score double")
+    cds = q_kg_cds(spark, sf_dir)
+    ranked = (
+        cds.join(F.broadcast(q_df), cds.cds_concept == q_df.concept_id, "inner")
+        .groupBy("subj_key")
+        .agg(F.round(F.sum(F.col("score") * F.col("q_score")), 6)
+             .alias("search_score"))
+    )
+    w = Window.orderBy(F.desc("search_score"), F.asc("subj_key"))
+    return (ranked.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 20)
+            .select("subj_key", "rank", "search_score"))
+
+
+def _sql_kg_search_wup() -> str:
+    scores = driver_scores()
+    gaz = driver_gazetteer()
+    norm = S.normalize_text(SEARCH_QUERY)
+    surfaces = sorted({m[0] for m in S.find_mentions(norm, gaz)})
+    qs = values_sql(
+        scores[scores.surface.isin(surfaces)].round({"cos_sim": 6}), "qs")
+    wu = values_sql(driver_wup(), "w")
+    cds = _sql_kg_cds_body()
+    return f"""
+WITH cds AS ({cds}),
+qsc AS (SELECT * FROM {qs}),
+anchor AS (
+  SELECT surface, concept_id AS anchor_id FROM (
+    SELECT surface, concept_id,
+           row_number() OVER (PARTITION BY surface
+                              ORDER BY cos_sim DESC, concept_id ASC) AS rn
+    FROM qsc) WHERE rn = 1
+),
+blended AS (
+  SELECT q.surface, q.concept_id,
+         round({S.LINK_ALPHA} * q.cos_sim
+               + {1 - S.LINK_ALPHA} * coalesce(w.wup, 0.0), 6) AS bscore
+  FROM qsc q
+  JOIN anchor a ON a.surface = q.surface
+  LEFT JOIN {wu} ON w.concept_a = q.concept_id AND w.concept_b = a.anchor_id
+),
+qvec AS (SELECT concept_id, max(bscore) AS q_score FROM blended
+         GROUP BY concept_id),
+ranked AS (
+  SELECT c.subj_key, round(sum(c.score * q.q_score), 6) AS search_score
+  FROM cds c JOIN qvec q ON q.concept_id = c.cds_concept
+  GROUP BY c.subj_key
+)
+SELECT subj_key, rank, search_score FROM (
+  SELECT subj_key, search_score,
+         row_number() OVER (ORDER BY search_score DESC, subj_key ASC) AS rank
+  FROM ranked
+) WHERE rank <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # §2B relational surface — shared SQL text where both dialects agree;
 # engine-specific variants otherwise. Spark runs via spark.sql over temp
 # views so Catalyst sees one declarative plan (scan pushdown + AQE).
@@ -1297,6 +1501,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "sim_topk_cosine": q_sim_topk_cosine,
         "dedup_embedding": q_dedup_embedding,
+        "kg_manual_merge": q_kg_manual_merge,
+        "kg_manual_cds": q_kg_manual_cds,
+        "kg_config_cds": q_kg_config_cds,
+        "kg_search_wup": q_kg_search_wup,
         "text_token_counts": q_text_token_counts,
         "text_langid": q_text_langid,
         "text_winnow": q_text_winnow,
@@ -1347,6 +1555,10 @@ def build_oracle_sql() -> dict[str, str]:
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "sim_topk_cosine": SQL_SIM_TOPK,
         "dedup_embedding": SQL_DEDUP_EMBEDDING,
+        "kg_manual_merge": _sql_kg_manual_merge(),
+        "kg_manual_cds": _sql_kg_manual_cds(),
+        "kg_config_cds": _sql_kg_config_cds(),
+        "kg_search_wup": _sql_kg_search_wup(),
         "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
         "text_langid": _sql_text_langid(),
         "text_winnow": _sql_text_winnow(),
@@ -1417,29 +1629,40 @@ def q_rel_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_REL_WINDOW_ANALYTICS)
 
 
-RANGE_JOIN_MAX_EVENT = 1000
-
-
 def q_rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta/interval join (SURVEY §2B): orders within 1 day before each
-    event ts. Bounded event subset; Spark executes broadcast-nested-loop
-    — the scale path adds a day-bucket equi-conjunct."""
-    e = (_tbl(spark, sf_dir, "events")
-         .filter(F.col("event_id") < RANGE_JOIN_MAX_EVENT)
-         .select("event_id", "ts"))
-    o = _tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    joined = e.join(
-        o, (o.o_orderdate <= e.ts)
-        & (o.o_orderdate > e.ts - F.expr("INTERVAL 1 DAY")), "left")
+    """Theta/interval join at scale (SURVEY §2B; VERDICT r1 #6): for
+    each event, count the OTHER events in the preceding hour — the full
+    table, no row bound. The epoch-hour equi-conjunct (probe side
+    exploded to its 2 covering buckets; each prior event lands in
+    exactly one, so no double counting) lets Spark plan a shuffled HASH
+    join with the range predicate as residual instead of a
+    broadcast-nested-loop over the whole table (plan-asserted in
+    tests/test_plans.py). The DuckDB oracle runs its native IEJoin on
+    the pure range predicate — same result, independent plan."""
+    e = _tbl(spark, sf_dir, "events").select("event_id", "ts")
+    hour = F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long")
+    probe = e.select(
+        "event_id", "ts",
+        F.explode(F.array(hour, hour - 1)).alias("bkt"))
+    build = e.select(F.col("event_id").alias("p_id"),
+                     F.col("ts").alias("p_ts"), hour.alias("p_bkt"))
+    joined = probe.join(
+        build,
+        (F.col("bkt") == F.col("p_bkt"))
+        & (F.col("p_ts") <= F.col("ts"))
+        & (F.col("p_ts") > F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("p_id") != F.col("event_id")),
+        "left")
     return (joined.groupBy("event_id")
-            .agg(F.count("o_orderkey").alias("n_orders_1d")))
+            .agg(F.count("p_id").alias("n_prior_1h")))
 
 
-SQL_REL_RANGE_JOIN = f"""
-SELECT e.event_id, count(o.o_orderkey) AS n_orders_1d
-FROM (SELECT event_id, ts FROM events WHERE event_id < {RANGE_JOIN_MAX_EVENT}) e
-LEFT JOIN orders o
-  ON o.o_orderdate <= e.ts AND o.o_orderdate > e.ts - INTERVAL 1 DAY
+SQL_REL_RANGE_JOIN = """
+SELECT e.event_id, count(p.event_id) AS n_prior_1h
+FROM events e
+LEFT JOIN events p
+  ON p.ts <= e.ts AND p.ts > e.ts - INTERVAL 1 HOUR
+ AND p.event_id != e.event_id
 GROUP BY e.event_id
 """
 

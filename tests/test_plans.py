@@ -131,6 +131,17 @@ def test_embedding_near_dup_is_map_only(spark):
     assert "MapInPandas" in plan
 
 
+def test_range_join_is_hash_not_bnl(spark):
+    """The interval self-join must plan as a HASH join on the epoch-hour
+    equi-conjunct (range predicate as residual) — never a
+    broadcast-nested-loop over the full table (VERDICT r1 #6)."""
+    from otd_semantic_framework_spark.plans.driver_queries import (
+        q_rel_range_join)
+    plan = _plan(q_rel_range_join(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_near_dup_grid_is_equi_shuffle(spark):
     """The grid self-join scale path must be broadcast-fanout + one
     hash shuffle on pair_key + grouped-map — never a cartesian or
