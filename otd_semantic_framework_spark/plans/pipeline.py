@@ -173,10 +173,17 @@ def run_pipeline(
     run_id: str = "run-0",
     stop_after: str | None = None,
     fused_linking: bool = False,
+    manual_tags: DataFrame | None = None,
 ) -> PipelineResult:
     """Execute the full pipeline with checkpoints under ``run_dir``.
 
     ``stop_after`` kills the run after the named stage (resume tests).
+
+    ``manual_tags`` is an optional curated (subj_key, concept_id,
+    tag_score) table (P19, operators/manual.py — validate it with
+    ``ingest_manual_tags`` first); when given, the CDS stage propagates
+    the manual∪auto union instead of autotag alone, exactly like the
+    reference's curated tagging graph feeds its CDS matrix [K].
 
     ``fused_linking=True`` collapses mentions→candidates→canonical into
     ONE checkpointed stage computed via the precomputed broadcast
@@ -248,7 +255,9 @@ def run_pipeline(
     if stop_after == "triples":
         return PipelineResult(triples, None, run.metrics)
 
-    cds = run.stage("cds_scores", cfg_fp, lambda: cds_scores(
-        triples, concept_sim), lineage_key="subj_key")
+    cds_fp = cfg_fp if manual_tags is None else (*cfg_fp, "manual")
+    cds = run.stage("cds_scores", cds_fp, lambda: cds_scores(
+        triples, concept_sim, manual_tags=manual_tags),
+        lineage_key="subj_key")
 
     return PipelineResult(triples, cds, run.metrics)

@@ -119,6 +119,28 @@ def test_config_graphs_do_not_bleed(spark):
         assert solo.exceptAll(part).count() == 0
 
 
+def test_pipeline_accepts_manual_tags(spark, tiny_df, tmp_path):
+    """run_pipeline(manual_tags=...) must feed CDS from the union: the
+    manual-only subject appears in CDS, autotag CDS rows are preserved,
+    and the manual stage keys its own checkpoint fingerprint."""
+    from otd_semantic_framework_spark.plans.pipeline import run_pipeline
+    base = run_pipeline(spark, tiny_df, str(tmp_path / "base"))
+    manual = spark.createDataFrame(
+        [("conv:manual-only", base.cds.first().concept_id, 1.0)],
+        "subj_key string, concept_id string, tag_score double")
+    merged = run_pipeline(spark, tiny_df, str(tmp_path / "merged"),
+                          manual_tags=manual)
+    assert merged.cds.filter(
+        F.col("subj_key") == "conv:manual-only").count() > 0
+    base_rows = {tuple(r) for r in base.cds.collect()}
+    merged_auto = {tuple(r) for r in merged.cds.filter(
+        F.col("subj_key") != "conv:manual-only").collect()}
+    # autotag subjects keep at-least-their-auto scores (manual can only
+    # raise a tag, never remove a CDS row)
+    assert {(s, c) for s, c, _ in base_rows} <= {
+        (s, c) for s, c, _ in merged_auto}
+
+
 def test_conv_tags_matches_cds_first_stage(spark):
     triples = spark.createDataFrame(
         [("turn:x:0", "mentions", "c:a", "x", 0, 0.7),
