@@ -1,0 +1,120 @@
+"""Corpus-curation operators for training-data pipelines: TF-IDF term
+scoring, deterministic stratified sampling, and dedup-aware keep-best
+selection.
+
+All three are pure declarative DataFrame algebra (no UDFs): Catalyst
+gets full pushdown/pruning, every aggregation partial-aggregates
+map-side, and every output is deterministic (hash-based ordering, no
+``rand()``), so re-runs and resume produce identical bytes — the same
+property the KG pipeline's xxhash64 ids provide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import semantics as S
+
+
+def _toks(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(F.split(F.col(text_col), " "),
+                           lambda t: t != "")).alias("tok"))
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Top-k TF-IDF terms per document: tf = term count / doc length,
+    idf = ln(N / doc-frequency), both exact. Output
+    (doc_id, tok, tfidf, rk).
+
+    Scale shape: two hash aggregations (term counts, doc frequencies) —
+    both partial-aggregate map-side — a broadcast-small df join side
+    only when the vocabulary is bounded, and a per-doc window for the
+    top-k (keyed by doc_id: high cardinality, no skewed partitions).
+    N comes from a driver-side count (one cheap metadata-friendly job),
+    keeping idf a literal so Catalyst constant-folds it.
+    """
+    toks = _toks(docs, id_col, text_col)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf_raw"))
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = float(docs.count())
+    scored = (
+        tf.join(dlen, "doc_id").join(dfreq, "tok")
+        .withColumn("tfidf", F.round(
+            (F.col("tf_raw") / F.col("dlen"))
+            * F.log(F.lit(n_docs) / F.col("df")), S.SCORE_DECIMALS)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("doc_id", "tok", "tfidf", "rk"))
+
+
+def stratified_sample(docs: DataFrame, strata_col: str, k: int,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Deterministic per-stratum sample of exactly min(k, |stratum|)
+    rows: rank by md5(id:text) inside each stratum, keep the first k.
+    Engine-portable (md5 exists everywhere) and seedless — re-runs and
+    different engines select the identical rows, unlike ``rand(seed)``
+    whose stream is engine- and partitioning-specific.
+
+    Output (doc_id, stratum, rk). Scale note: a single window per
+    stratum shuffles by the stratum key, which is low-cardinality and
+    potentially skewed; at 10^12 rows pre-prune map-side with a hash
+    threshold (keep rows whose md5 prefix sorts below a bound sized to
+    ~2-3x the quota) so the window only ranks survivors — the same
+    two-phase trick as operators/skew.two_phase_agg."""
+    key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                            F.col(text_col)))
+    w = Window.partitionBy(strata_col).orderBy(key, F.asc(id_col))
+    return (docs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.col(strata_col).alias("stratum"), "rk"))
+
+
+def keep_best(docs: DataFrame, near_pairs: DataFrame,
+              id_col: str = "doc_id", text_col: str = "text",
+              len_col: str = "n_chars") -> DataFrame:
+    """Curation decision per document: drop exact duplicates (keep the
+    smallest id of each md5(text) cluster) and the worse member of each
+    near-dup pair (shorter text loses; tie → larger id loses). Output
+    (doc_id, status) with status ∈ {keep, drop_exact, drop_near}.
+
+    ``near_pairs`` is any (doc_a, doc_b) pair table with doc_a < doc_b
+    (MinHash-LSH, SimHash, Jaccard, embedding-cosine — all produce this
+    shape). Exact-dup detection is one hash groupBy; the near-dup loser
+    set is two joins against the pair table — no iteration, so at scale
+    the cost is the pair generator's, not this operator's. (Greedy
+    pairwise dropping, not connected components: at web scale the pair
+    graph is kept sparse by the LSH generators and greedy matches the
+    reference curation behavior of 'remove the detected duplicate'.)"""
+    d = docs.select(F.col(id_col).alias("doc_id"),
+                    F.md5(F.col(text_col)).alias("text_hash"),
+                    F.col(len_col).alias("_len"))
+    canon = d.groupBy("text_hash").agg(F.min("doc_id").alias("canonical_doc"))
+    with_canon = d.join(canon, "text_hash")
+    exact_losers = (with_canon.filter(F.col("doc_id") != F.col("canonical_doc"))
+                    .select("doc_id"))
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("_len").alias("len_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("_len").alias("len_b"))
+    near_losers = (
+        near_pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a").join(b, "doc_b")
+        .select(F.when(F.col("len_a") < F.col("len_b"), F.col("doc_a"))
+                .when(F.col("len_b") < F.col("len_a"), F.col("doc_b"))
+                .otherwise(F.greatest("doc_a", "doc_b")).alias("doc_id")))
+    return (
+        d.select("doc_id")
+        .join(exact_losers.withColumn("_ex", F.lit(1)).distinct(),
+              "doc_id", "left")
+        .join(near_losers.withColumn("_nr", F.lit(1)).distinct(),
+              "doc_id", "left")
+        .select("doc_id",
+                F.when(F.col("_ex") == 1, "drop_exact")
+                .when(F.col("_nr") == 1, "drop_near")
+                .otherwise("keep").alias("status")))

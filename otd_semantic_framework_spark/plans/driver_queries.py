@@ -916,6 +916,128 @@ JOIN sizes sb ON i.doc_b = sb.doc_id
 WHERE round(cast(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= {JACCARD_THRESHOLD}
 """
 
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF top-3 terms per document (operators/curation.py) —
+    relevance scoring for corpus curation."""
+    from ..operators.curation import tfidf_top_terms
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+SQL_TEXT_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf_raw FROM toks GROUP BY doc_id, tok),
+dlen AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         round((cast(tf.tf_raw AS DOUBLE) / dlen.dlen)
+               * ln(cast(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dlen USING (doc_id) JOIN dfreq USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, tfidf, rk FROM (
+  SELECT doc_id, tok, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, tok ASC) AS rk
+  FROM scored) WHERE rk <= 3
+"""
+
+SAMPLE_PER_STRATUM = 20
+
+
+def q_curation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: md5-ranked top-20 per lang
+    (operators/curation.py — seedless, engine-portable, unlike
+    rand(seed) whose stream is engine/partitioning-specific)."""
+    from ..operators.curation import stratified_sample
+    return stratified_sample(_docs(spark, sf_dir), "lang",
+                             k=SAMPLE_PER_STRATUM)
+
+
+SQL_CURATION_SAMPLE = f"""
+SELECT doc_id, stratum, rk FROM (
+  SELECT doc_id, lang AS stratum,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY md5(cast(doc_id AS VARCHAR) || ':' || text),
+                      doc_id ASC) AS rk
+  FROM documents) WHERE rk <= {SAMPLE_PER_STRATUM}
+"""
+
+
+def q_curation_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware curation decision per document: exact-dup clusters
+    keep min doc_id; each near-dup (Jaccard) pair drops its
+    shorter/larger-id member (operators/curation.py keep_best)."""
+    from ..operators.curation import keep_best
+    docs = _docs(spark, sf_dir)
+    return keep_best(docs, q_dedup_jaccard(spark, sf_dir))
+
+
+def _sql_curation_keep_best() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, md5(text) AS h, n_chars FROM documents),
+canon AS (SELECT h, min(doc_id) AS canonical FROM d GROUP BY h),
+pairs AS ({SQL_DEDUP_JACCARD}),
+near_losers AS (
+  SELECT DISTINCT CASE WHEN a.n_chars < b.n_chars THEN p.doc_a
+                       WHEN b.n_chars < a.n_chars THEN p.doc_b
+                       ELSE greatest(p.doc_a, p.doc_b) END AS doc_id
+  FROM pairs p
+  JOIN d a ON a.doc_id = p.doc_a
+  JOIN d b ON b.doc_id = p.doc_b
+),
+exact_losers AS (
+  SELECT d.doc_id FROM d JOIN canon ON canon.h = d.h
+  WHERE d.doc_id != canon.canonical
+)
+SELECT d.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'drop_exact'
+            WHEN nl.doc_id IS NOT NULL THEN 'drop_near'
+            ELSE 'keep' END AS status
+FROM d
+LEFT JOIN (SELECT DISTINCT doc_id FROM exact_losers) e ON e.doc_id = d.doc_id
+LEFT JOIN near_losers nl ON nl.doc_id = d.doc_id
+"""
+
+
+def q_kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph read path over the materialized triple store: 2-hop
+    traversal turn→replies_to→turn→mentions, emitting
+    concept-follows-concept edges with path counts — the kind of
+    neighborhood query a KG consumer runs on the P15 output. Three
+    equi-joins on the subject key + one hash agg; no traversal loop."""
+    t = q_kg_triples(spark, sf_dir)
+    m = (t.filter(F.col("pred") == "mentions")
+         .select(F.col("subj").alias("turn"), F.col("obj").alias("concept")))
+    r = (t.filter(F.col("pred") == "replies_to")
+         .select(F.col("subj").alias("turn"),
+                 F.col("obj").alias("prev_turn")))
+    pm = m.select(F.col("turn").alias("prev_turn"),
+                  F.col("concept").alias("concept_prev"))
+    return (r.join(m, "turn").join(pm, "prev_turn")
+            .groupBy("concept_prev", F.col("concept").alias("concept_next"))
+            .agg(F.count(F.lit(1)).alias("n_paths")))
+
+
+def _sql_kg_two_hop() -> str:
+    return f"""
+WITH triples AS ({_sql_kg_triples_body()}),
+m AS (SELECT subj AS turn, obj AS concept FROM triples
+      WHERE pred = 'mentions'),
+r AS (SELECT subj AS turn, obj AS prev_turn FROM triples
+      WHERE pred = 'replies_to')
+SELECT pm.concept AS concept_prev, m.concept AS concept_next,
+       count(*) AS n_paths
+FROM r JOIN m ON m.turn = r.turn
+       JOIN m pm ON pm.turn = r.prev_turn
+GROUP BY pm.concept, m.concept
+"""
+
+
 _STOPWORDS = "('a', 'the', 'of', 'and', 'to', 'in', 'is')"
 
 
@@ -1505,6 +1627,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_manual_cds": q_kg_manual_cds,
         "kg_config_cds": q_kg_config_cds,
         "kg_search_wup": q_kg_search_wup,
+        "kg_two_hop": q_kg_two_hop,
+        "text_tfidf": q_text_tfidf,
+        "curation_sample": q_curation_sample,
+        "curation_keep_best": q_curation_keep_best,
         "text_token_counts": q_text_token_counts,
         "text_langid": q_text_langid,
         "text_winnow": q_text_winnow,
@@ -1559,6 +1685,10 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_manual_cds": _sql_kg_manual_cds(),
         "kg_config_cds": _sql_kg_config_cds(),
         "kg_search_wup": _sql_kg_search_wup(),
+        "kg_two_hop": _sql_kg_two_hop(),
+        "text_tfidf": SQL_TEXT_TFIDF,
+        "curation_sample": SQL_CURATION_SAMPLE,
+        "curation_keep_best": _sql_curation_keep_best(),
         "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
         "text_langid": _sql_text_langid(),
         "text_winnow": _sql_text_winnow(),
