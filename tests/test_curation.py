@@ -59,6 +59,40 @@ def test_keep_best_decisions(spark, corpus):
                    3: "keep", 4: "drop_near"}
 
 
+def test_curation_partitioning_invariance(spark, corpus):
+    """Results must not depend on physical input partitioning — the
+    Spark-specific correctness property a 1000-executor run relies on."""
+    shuffled = corpus.repartition(7)
+    for op in (lambda d: tfidf_top_terms(d, k=2),
+               lambda d: stratified_sample(d, "lang", k=2),
+               lambda d: keep_best(
+                   d, d.sparkSession.createDataFrame(
+                       [(1, 4)], "doc_a long, doc_b long"))):
+        a = sorted(map(tuple, op(corpus).collect()))
+        b = sorted(map(tuple, op(shuffled).collect()))
+        assert a == b
+
+
+def test_merge_tag_sources_idempotent_and_commutative(spark):
+    from otd_semantic_framework_spark.operators.manual import (
+        merge_tag_sources)
+    x = spark.createDataFrame(
+        [("conv:1", "c:a", 0.7), ("conv:2", "c:b", 0.9)],
+        "subj_key string, concept_id string, tag_score double")
+    y = spark.createDataFrame(
+        [("conv:1", "c:a", 0.8)],
+        "subj_key string, concept_id string, tag_score double")
+    xy = sorted(map(tuple, merge_tag_sources(x, y).collect()))
+    yx = sorted(map(tuple, merge_tag_sources(y, x).collect()))
+    # scores commute; provenance labels swap roles ('auto'<->'manual')
+    assert [(s, c, t) for s, c, t, _ in xy] == [(s, c, t) for s, c, t, _ in yx]
+    # merging a table with itself under one label keeps set semantics
+    again = merge_tag_sources(x, x.withColumnRenamed("tag_score", "tag_score"))
+    assert sorted((r.subj_key, r.concept_id, r.tag_score)
+                  for r in again.collect()) == sorted(
+        (r.subj_key, r.concept_id, r.tag_score) for r in x.collect())
+
+
 def test_keep_best_tie_drops_larger_id(spark):
     docs = spark.createDataFrame(
         [(7, "aaa", 3), (9, "bbb", 3)],
