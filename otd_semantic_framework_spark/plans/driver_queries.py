@@ -1591,6 +1591,23 @@ FROM scored
 """
 
 
+def q_text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality evaluation: confusion counts of predicted vs
+    the corpus truth column — the model-eval rollup a curation pipeline
+    runs after any classifier stage."""
+    pred = q_text_langid(spark, sf_dir)
+    return (pred.groupBy(F.col("lang").alias("truth"), "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _sql_text_langid_eval() -> str:
+    return f"""
+WITH pred AS ({_sql_text_langid()})
+SELECT lang AS truth, pred_lang, count(*) AS n
+FROM pred GROUP BY lang, pred_lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1628,6 +1645,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_config_cds": q_kg_config_cds,
         "kg_search_wup": q_kg_search_wup,
         "kg_two_hop": q_kg_two_hop,
+        "text_langid_eval": q_text_langid_eval,
         "text_tfidf": q_text_tfidf,
         "curation_sample": q_curation_sample,
         "curation_keep_best": q_curation_keep_best,
@@ -1686,6 +1704,7 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_config_cds": _sql_kg_config_cds(),
         "kg_search_wup": _sql_kg_search_wup(),
         "kg_two_hop": _sql_kg_two_hop(),
+        "text_langid_eval": _sql_text_langid_eval(),
         "text_tfidf": SQL_TEXT_TFIDF,
         "curation_sample": SQL_CURATION_SAMPLE,
         "curation_keep_best": _sql_curation_keep_best(),

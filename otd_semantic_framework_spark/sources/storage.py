@@ -54,6 +54,54 @@ class Storage:
             w = w.partitionBy(*partition_by)
         w.parquet(self._path(name))
 
+    def merge_triples(self, spark: SparkSession, name: str,
+                      new_triples: DataFrame) -> DataFrame:
+        """MERGE-equivalent incremental materialization of the triple
+        graph: existing ∪ new under P13 set semantics (one (s,p,o,conv,
+        turn) row, max score). On Iceberg this is the real statement
+
+            MERGE INTO cat.db.{name} t USING updates u
+            ON t.subj = u.subj AND t.pred = u.pred AND t.obj = u.obj
+            WHEN MATCHED AND u.score > t.score THEN UPDATE SET score = u.score
+            WHEN NOT MATCHED THEN INSERT *
+
+        which the bucket(256, subj) layout serves without a full shuffle
+        of the target; on parquet (no transactional rewrite) the
+        equivalent is union + dedup + atomic-overwrite via staging dir —
+        DataFrames read from the table BEFORE a merge must be consumed
+        before the next merge swaps the directory (Iceberg's snapshot
+        versioning has no such constraint). Incremental == full-batch
+        equality is pytest-pinned
+        (tests/test_resume.py::test_incremental_merge_equals_full)."""
+        from ..operators.triples import dedup_triples
+        if self.mode == "iceberg":
+            new_triples.createOrReplaceTempView("_merge_updates")
+            spark.sql(f"""
+                MERGE INTO {self.catalog}.db.{name} t
+                USING _merge_updates u
+                ON t.subj = u.subj AND t.pred = u.pred AND t.obj = u.obj
+                WHEN MATCHED AND u.score > t.score
+                  THEN UPDATE SET score = u.score
+                WHEN NOT MATCHED THEN INSERT *
+            """)
+            return self.read_table(spark, name)
+        if not self.exists(spark, name):
+            self.write_table(dedup_triples(new_triples), name)
+            return self.read_table(spark, name)
+        merged = dedup_triples(
+            self.read_table(spark, name).unionByName(new_triples))
+        # parquet cannot rewrite in place while being read: stage, swap
+        staging = f"{name}__staging"
+        self.write_table(merged, staging)
+        final = self._path(name)
+        import shutil
+        shutil.rmtree(final)
+        os.rename(self._path(staging), final)
+        # Spark's shared file-status cache still lists the pre-swap
+        # files for this path; refresh before anyone re-reads it
+        spark.catalog.refreshByPath(final)
+        return self.read_table(spark, name)
+
     def exists(self, spark: SparkSession, name: str) -> bool:
         if self.mode == "iceberg":
             return spark.catalog.tableExists(f"{self.catalog}.db.{name}")
