@@ -261,10 +261,21 @@ def main() -> None:
     if do_scaling:
         # N vs 4N cores (driver instruction): interleaved paired pinned
         # legs, efficiency = median over paired ratios (module docstring).
-        kg.update(kg_scaling_paired(
-            input_path, int(SCALING_SMALL), int(SCALING_BIG),
-            pairs=int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "3")),
-            n_turns=big["turns"]))
+        try:
+            kg.update(kg_scaling_paired(
+                input_path, int(SCALING_SMALL), int(SCALING_BIG),
+                pairs=int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "3")),
+                n_turns=big["turns"]))
+        except Exception as ex:  # noqa: BLE001 — a dead leg must not
+            # sink the whole bench; fall back to sequential pinned legs
+            print(f"paired scaling failed ({ex}); sequential fallback",
+                  file=sys.stderr)
+            n4 = kg_pipeline_run_pinned(int(SCALING_BIG), input_path, runs=4)
+            n1 = kg_pipeline_run_pinned(int(SCALING_SMALL), input_path, runs=3)
+            kg.update({"scale_n": n1, "scale_4n": n4, "paired": False,
+                       "scaling_efficiency": round(
+                           n4["triples_per_sec"]
+                           / (4.0 * n1["triples_per_sec"]), 3)})
 
     import __spark_entry__ as E
     queries = E.queries()

@@ -1591,6 +1591,27 @@ FROM scored
 """
 
 
+SQL_REL_RANGE_FRAME = """
+SELECT event_id,
+       count(*) OVER w AS n_last_hour,
+       round(sum(value) OVER w, 2) AS sum_last_hour,
+       round(avg(value) OVER w, 6) AS avg_last_hour
+FROM events
+WINDOW w AS (PARTITION BY date_trunc('day', ts) ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_rel_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE window frame (trailing 1 hour per event) —
+    the window-frame flavor rel_window_analytics doesn't cover. Day
+    partitioning keeps the sort partition-local at scale (the trailing
+    window truncates at day boundaries by design — a scale-sane
+    convention; the exact cross-boundary variant is rel_range_join)."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(SQL_REL_RANGE_FRAME)
+
+
 def q_text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID quality evaluation: confusion counts of predicted vs
     the corpus truth column — the model-eval rollup a curation pipeline
@@ -1646,6 +1667,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_search_wup": q_kg_search_wup,
         "kg_two_hop": q_kg_two_hop,
         "text_langid_eval": q_text_langid_eval,
+        "rel_range_frame": q_rel_range_frame,
         "text_tfidf": q_text_tfidf,
         "curation_sample": q_curation_sample,
         "curation_keep_best": q_curation_keep_best,
@@ -1705,6 +1727,7 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_search_wup": _sql_kg_search_wup(),
         "kg_two_hop": _sql_kg_two_hop(),
         "text_langid_eval": _sql_text_langid_eval(),
+        "rel_range_frame": SQL_REL_RANGE_FRAME,
         "text_tfidf": SQL_TEXT_TFIDF,
         "curation_sample": SQL_CURATION_SAMPLE,
         "curation_keep_best": _sql_curation_keep_best(),

@@ -171,3 +171,29 @@ def test_ann_bucket_joins_are_equi(spark):
         plan = _plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing demo (SURVEY §4: 'bucketing for co-located joins'): two
+    tables bucketed+sorted on the join key into the same bucket count
+    join WITHOUT a shuffle — the physical plan has no Exchange. This is
+    the storage layout the production Iceberg tables use
+    (bucket(1024, conv_id) / bucket(256, subj), sources/storage.py)."""
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+    for name, df in (("bkt_a", a), ("bkt_b", b)):
+        (df.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+         .option("path", str(tmp_path / name)).saveAsTable(name))
+    try:
+        # force the merge-join path (these toy tables would otherwise be
+        # broadcast); on bucketed inputs it must need NO Exchange
+        j = (spark.table("bkt_a").hint("merge")
+             .join(spark.table("bkt_b"), "k"))
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert j.count() == 1000
+    finally:
+        for name in ("bkt_a", "bkt_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
