@@ -1591,6 +1591,50 @@ FROM scored
 """
 
 
+def q_rel_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 two-phase salted aggregation, driver-paired: the oracle is
+    the plain single-phase GROUP BY — salting must be result-invariant
+    (partial by (key, salt), merge by key; counts merge by summing)."""
+    from ..operators.skew import salted_agg
+    o = _tbl(spark, sf_dir, "orders")
+    out = salted_agg(o, ["o_orderstatus"], {
+        "n_orders": ("count", "o_orderkey"),
+        "max_price": ("max", "o_totalprice"),
+        "sum_price": ("sum", "o_totalprice"),
+    }, n_salt=16)
+    return out.select(
+        F.col("o_orderstatus").alias("status"), "n_orders",
+        F.round("max_price", 2).alias("max_price"),
+        F.round("sum_price", 2).alias("sum_price"))
+
+
+SQL_REL_SALTED_AGG = """
+SELECT o_orderstatus AS status,
+       count(o_orderkey) AS n_orders,
+       round(max(o_totalprice), 2) AS max_price,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_kg_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15 sink fidelity, driver-paired: the triple graph written to a
+    subject-bucketed partitioned parquet sink (the local stand-in for
+    Iceberg bucket(256, subj)) and READ BACK must hash-equal the direct
+    computation — the oracle is the same SQL as kg_triples, so any
+    type/row loss through the sink shows up as a mismatch."""
+    import os as _os
+    import tempfile as _tf
+    t = q_kg_triples(spark, sf_dir)
+    out = _os.path.join(
+        _tf.gettempdir(),
+        f"kg_mat_{_os.path.basename(sf_dir.rstrip('/'))}.parquet")
+    (t.withColumn("bucket", F.pmod(F.xxhash64("subj"), F.lit(16)).cast("int"))
+     .write.mode("overwrite").partitionBy("bucket").parquet(out))
+    spark.catalog.refreshByPath(out)
+    return spark.read.parquet(out).drop("bucket")
+
+
 SQL_REL_RANGE_FRAME = """
 SELECT event_id,
        count(*) OVER w AS n_last_hour,
@@ -1668,6 +1712,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_two_hop": q_kg_two_hop,
         "text_langid_eval": q_text_langid_eval,
         "rel_range_frame": q_rel_range_frame,
+        "rel_salted_agg": q_rel_salted_agg,
+        "kg_materialize": q_kg_materialize,
         "text_tfidf": q_text_tfidf,
         "curation_sample": q_curation_sample,
         "curation_keep_best": q_curation_keep_best,
@@ -1728,6 +1774,8 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_two_hop": _sql_kg_two_hop(),
         "text_langid_eval": _sql_text_langid_eval(),
         "rel_range_frame": SQL_REL_RANGE_FRAME,
+        "rel_salted_agg": SQL_REL_SALTED_AGG,
+        "kg_materialize": _sql_kg_triples_body(),
         "text_tfidf": SQL_TEXT_TFIDF,
         "curation_sample": SQL_CURATION_SAMPLE,
         "curation_keep_best": _sql_curation_keep_best(),
