@@ -153,6 +153,52 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8,
             .select("doc_a", "doc_b", "jaccard"))
 
 
+def connected_components(pairs: DataFrame, nodes: DataFrame,
+                         max_iter: int = 25) -> DataFrame:
+    """Dedup-cluster connected components by iterative min-label
+    propagation: every node's label converges to the smallest doc_id
+    reachable through the pair graph. Output (doc_id, component).
+
+    The loop is DRIVER-side over ITERATIONS (O(graph diameter) rounds,
+    each one join + one min-groupBy — both map-side-combining hash
+    ops); rows never pass through Python. Dup-cluster graphs are
+    shallow (near-clique clusters from LSH/SimHash pair generators), so
+    a handful of rounds converges; localCheckpoint() per round cuts the
+    exponentially growing lineage that would otherwise re-execute every
+    prior round inside each new one. Deterministic: min-labels are
+    independent of partitioning and iteration interleaving.
+
+    ``nodes`` is a one-column (doc_id) DataFrame of ALL docs (isolated
+    docs form their own singleton component).
+    """
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                       F.col("doc_a").alias("dst")))
+             .distinct().localCheckpoint(eager=True))
+    labels = nodes.select(F.col(nodes.columns[0]).alias("node"),
+                          F.col(nodes.columns[0]).alias("label"))
+    for _ in range(max_iter):
+        # candidate label for each node: min over its neighbors' labels
+        nbr = (edges.join(labels, edges.dst == labels.node)
+               .groupBy(F.col("src").alias("node"))
+               .agg(F.min("label").alias("nbr_label")))
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select("node", F.least(
+                F.col("label"),
+                F.coalesce("nbr_label", F.col("label"))).alias("label"))
+            .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("component"))
+
+
 def simhash_chunks_portable(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text") -> DataFrame:
     """Engine-portable SimHash: 64 bits derived from each token's md5

@@ -1591,6 +1591,36 @@ FROM scored
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph (iterative
+    min-label propagation, operators/dedup.py) — the cluster view that
+    turns pairwise dedup verdicts into canonical groups. Oracle:
+    DuckDB recursive-CTE transitive closure + min label."""
+    from ..operators.dedup import connected_components
+    pairs = q_dedup_jaccard(spark, sf_dir)
+    nodes = (_docs(spark, sf_dir)
+             .filter(F.col("doc_id") < JACCARD_MAX_DOC).select("doc_id"))
+    return connected_components(pairs, nodes)
+
+
+def _sql_dedup_components() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_JACCARD}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT doc_id FROM documents WHERE doc_id < {JACCARD_MAX_DOC}),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+)
+SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+"""
+
+
 def q_rel_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P11 two-phase salted aggregation, driver-paired: the oracle is
     the plain single-phase GROUP BY — salting must be result-invariant
@@ -1714,6 +1744,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_range_frame": q_rel_range_frame,
         "rel_salted_agg": q_rel_salted_agg,
         "kg_materialize": q_kg_materialize,
+        "dedup_components": q_dedup_components,
         "text_tfidf": q_text_tfidf,
         "curation_sample": q_curation_sample,
         "curation_keep_best": q_curation_keep_best,
@@ -1776,6 +1807,7 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_range_frame": SQL_REL_RANGE_FRAME,
         "rel_salted_agg": SQL_REL_SALTED_AGG,
         "kg_materialize": _sql_kg_triples_body(),
+        "dedup_components": _sql_dedup_components(),
         "text_tfidf": SQL_TEXT_TFIDF,
         "curation_sample": SQL_CURATION_SAMPLE,
         "curation_keep_best": _sql_curation_keep_best(),

@@ -261,3 +261,30 @@ def test_frame_sample(spark, docs):
     rows = frames.collect()
     assert len(rows) > 6  # multiple frames per doc
     assert all(r.frame_key == f"{r.doc_id}:{r.frame_idx}" for r in rows)
+
+
+def test_connected_components_basic(spark):
+    from otd_semantic_framework_spark.operators.dedup import (
+        connected_components)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    got = {r.doc_id: r.component
+           for r in connected_components(pairs, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_chain_and_invariance(spark):
+    """A long chain needs O(diameter) rounds; result must also be
+    invariant under input repartitioning."""
+    from otd_semantic_framework_spark.operators.dedup import (
+        connected_components)
+    chain = [(i, i + 1) for i in range(10, 20)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(10, 21)],
+                                  "doc_id long")
+    a = sorted(map(tuple, connected_components(pairs, nodes).collect()))
+    assert all(c == 10 for _, c in a)
+    b = sorted(map(tuple, connected_components(
+        pairs.repartition(5), nodes.repartition(3)).collect()))
+    assert a == b
