@@ -1591,6 +1591,40 @@ FROM scored
 """
 
 
+def q_kg_mentions_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRUE production mention path (P4: fused mega-string regex
+    mapInPandas, operators/mentions.py) oracle-paired — upgrading it
+    from the rows-only check: DuckDB replays the identical
+    longest-first alternation with RE2 ``regexp_extract_all`` (both
+    engines use leftmost-position, first-alternative semantics, and
+    the alternation is ordered longest-first, so matches coincide;
+    prototype-verified byte-equal before pairing). Surfaces are
+    aggregated per turn; token offsets stay pytest-pinned against the
+    pure-python walk."""
+    from ..operators.mentions import detect_mentions_exploded
+    t = derived_transcripts(spark, sf_dir)
+    m = detect_mentions_exploded(t, driver_gazetteer(), norm_col="text")
+    return (m.groupBy("conv_id", "turn_idx", "surface")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _sql_kg_mentions_regex() -> str:
+    from .. import semantics as S
+    gaz = driver_gazetteer()
+    keys = sorted((k for k in gaz if len(k.split()) <= S.MAX_NGRAM),
+                  key=lambda s: (-len(s.split()), s))
+    assert all(set(k) <= set("abcdefghijklmnopqrstuvwxyz0123456789 ")
+               for k in keys)  # escape-free alternation precondition
+    pattern = r"\b(?:" + "|".join(keys) + r")\b"
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE})
+SELECT conv_id, turn_idx, m.surface, count(*) AS n
+FROM transcripts,
+     unnest(regexp_extract_all(text, '{pattern}')) AS m(surface)
+GROUP BY conv_id, turn_idx, m.surface
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup pair graph (iterative
     min-label propagation, operators/dedup.py) — the cluster view that
@@ -1744,6 +1778,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_range_frame": q_rel_range_frame,
         "rel_salted_agg": q_rel_salted_agg,
         "kg_materialize": q_kg_materialize,
+        "kg_mentions_regex": q_kg_mentions_regex,
         "dedup_components": q_dedup_components,
         "text_tfidf": q_text_tfidf,
         "curation_sample": q_curation_sample,
@@ -1807,6 +1842,7 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_range_frame": SQL_REL_RANGE_FRAME,
         "rel_salted_agg": SQL_REL_SALTED_AGG,
         "kg_materialize": _sql_kg_triples_body(),
+        "kg_mentions_regex": _sql_kg_mentions_regex(),
         "dedup_components": _sql_dedup_components(),
         "text_tfidf": SQL_TEXT_TFIDF,
         "curation_sample": SQL_CURATION_SAMPLE,
