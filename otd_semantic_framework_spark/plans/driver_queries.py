@@ -1625,6 +1625,93 @@ GROUP BY conv_id, turn_idx, m.surface
 """
 
 
+def _fast_onto_pdf():
+    """Ontology frame for the fast-pipeline query (same construction as
+    the production fixtures: driver concepts + hash embeddings)."""
+    import pandas as pd
+    concepts = list(driver_concepts())
+    return pd.DataFrame({
+        "concept_id": [c.concept_id for c in concepts],
+        "pref_label": [c.pref_label for c in concepts],
+        "alt_labels": [list(c.alt_labels) for c in concepts],
+        "parent_id": [c.parent_id for c in concepts],
+        "depth": [c.depth for c in concepts],
+        "path": [list(c.path) for c in concepts],
+        "embedding": [
+            [float(x) for x in S.phrase_vector(S.normalize_text(c.pref_label))]
+            for c in concepts],
+    })
+
+
+def q_kg_fast_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRUE production hot path END-TO-END (normalize → fused regex
+    mention UDF → broadcast precomputed canonical → 3-rule union → one
+    dedup shuffle), oracle-paired since r2: the DuckDB oracle replays
+    mentions with the RE2 alternation (see kg_mentions_regex) and joins
+    the SAME precomputed canonical table as literals — the exact
+    surface→(concept, link_score) function build_triples_fast
+    broadcasts. What a 100 TB run executes is what gets value-checked."""
+    from .pipeline import build_triples_fast
+    t = derived_transcripts(spark, sf_dir).withColumn(
+        "ts", F.lit(None).cast("timestamp"))
+    return build_triples_fast(spark, t, ontology_pdf=_fast_onto_pdf())
+
+
+def _fast_canon_pdf():
+    """The precomputed surface→canonical table build_triples_fast uses,
+    recomputed with the same driver-side functions for the oracle."""
+    import pandas as pd
+
+    from ..operators.linking import surface_canonical_table
+    concepts = list(driver_concepts())
+    gaz = S.build_gazetteer(concepts)
+    wup_pdf = pd.DataFrame(
+        [(a.concept_id, b.concept_id, S.wup_similarity(a, b))
+         for a in concepts for b in concepts],
+        columns=["concept_a", "concept_b", "wup"])
+    return surface_canonical_table(_fast_onto_pdf(), gaz, wup_pdf)
+
+
+def _sql_kg_fast_pipeline() -> str:
+    gaz = driver_gazetteer()
+    keys = sorted((k for k in gaz if len(k.split()) <= S.MAX_NGRAM),
+                  key=lambda s: (-len(s.split()), s))
+    pattern = r"\b(?:" + "|".join(keys) + r")\b"
+    canon = values_sql(
+        _fast_canon_pdf()[["surface", "concept_id", "link_score"]], "c")
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+mentions AS (
+  SELECT DISTINCT conv_id, turn_idx, m.surface
+  FROM transcripts,
+       unnest(regexp_extract_all(text, '{pattern}')) AS m(surface)
+),
+alltr AS (
+  SELECT 'turn:' || mm.conv_id || ':' || cast(mm.turn_idx AS STRING) AS subj,
+         'mentions' AS pred, c.concept_id AS obj,
+         mm.conv_id, mm.turn_idx, c.link_score AS score
+  FROM mentions mm JOIN {canon} ON c.surface = mm.surface
+  UNION ALL
+  SELECT 'turn:' || conv_id || ':' || cast(turn_idx AS STRING) AS subj,
+         'uses_tool' AS pred, 'tool:' || tool AS obj,
+         conv_id, turn_idx, 1.0 AS score
+  FROM transcripts WHERE tool IS NOT NULL
+  UNION ALL
+  SELECT 'turn:' || conv_id || ':' || cast(turn_idx AS STRING) AS subj,
+         'replies_to' AS pred,
+         'turn:' || conv_id || ':' || cast(prev_turn_idx AS STRING) AS obj,
+         conv_id, turn_idx, 1.0 AS score
+  FROM (SELECT conv_id, turn_idx,
+               lag(turn_idx, 1) OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx) AS prev_turn_idx
+        FROM transcripts) x
+  WHERE prev_turn_idx IS NOT NULL
+)
+SELECT subj, pred, obj, conv_id, turn_idx, round(max(score), 6) AS score
+FROM alltr GROUP BY subj, pred, obj, conv_id, turn_idx
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup pair graph (iterative
     min-label propagation, operators/dedup.py) — the cluster view that
@@ -1699,11 +1786,18 @@ def q_kg_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).drop("bucket")
 
 
+# The windowed sum runs over integer cents: double sums over sliding
+# windows associate differently per engine (Spark running-accumulate vs
+# DuckDB segment tree), which flipped 6dp rounding on ~0.01% of rows at
+# sf0.1. Integer addition is associative, so the window math is exact
+# and sum/avg derive from one stable quantity.
 SQL_REL_RANGE_FRAME = """
 SELECT event_id,
        count(*) OVER w AS n_last_hour,
-       round(sum(value) OVER w, 2) AS sum_last_hour,
-       round(avg(value) OVER w, 6) AS avg_last_hour
+       round(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w
+             / CAST(100 AS DOUBLE), 2) AS sum_last_hour,
+       round(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w
+             / (CAST(100 AS DOUBLE) * count(*) OVER w), 6) AS avg_last_hour
 FROM events
 WINDOW w AS (PARTITION BY date_trunc('day', ts) ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
@@ -1779,6 +1873,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_salted_agg": q_rel_salted_agg,
         "kg_materialize": q_kg_materialize,
         "kg_mentions_regex": q_kg_mentions_regex,
+        "kg_fast_pipeline": q_kg_fast_pipeline,
         "dedup_components": q_dedup_components,
         "text_tfidf": q_text_tfidf,
         "curation_sample": q_curation_sample,
@@ -1843,6 +1938,7 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_salted_agg": SQL_REL_SALTED_AGG,
         "kg_materialize": _sql_kg_triples_body(),
         "kg_mentions_regex": _sql_kg_mentions_regex(),
+        "kg_fast_pipeline": _sql_kg_fast_pipeline(),
         "dedup_components": _sql_dedup_components(),
         "text_tfidf": SQL_TEXT_TFIDF,
         "curation_sample": SQL_CURATION_SAMPLE,

@@ -44,12 +44,13 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # kg_fast_pipeline moved to driver_queries in r2 — it gained a full
+    # DuckDB oracle (RE2 mention replay + literal canonical table)
     return {
         "dedup_minhash_fast": q_dedup_minhash_fast,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
         "stats_approx_distinct": q_stats_approx_distinct,
-        "kg_fast_pipeline": q_kg_fast_pipeline,
     }
 
 
@@ -62,30 +63,3 @@ def q_stats_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_orderkey").alias("exact_orders"))
 
 
-def q_kg_fast_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The TRUE production hot path (regex pandas-UDF mention detection →
-    broadcast canonical → dedup) on transcripts derived from testdata,
-    using an ontology over the testdata vocabulary. Rows-only (the UDF
-    span semantics are pinned against the pandas oracle in pytest; the
-    containment variant has the SQL oracle)."""
-    import pandas as pd
-
-    from .. import semantics as S
-    from ..plans.driver_ontology import driver_concepts
-    from ..plans.driver_queries import derived_transcripts
-    from ..plans.pipeline import build_triples_fast
-
-    concepts = list(driver_concepts())
-    onto_pdf = pd.DataFrame({
-        "concept_id": [c.concept_id for c in concepts],
-        "pref_label": [c.pref_label for c in concepts],
-        "alt_labels": [list(c.alt_labels) for c in concepts],
-        "parent_id": [c.parent_id for c in concepts],
-        "depth": [c.depth for c in concepts],
-        "path": [list(c.path) for c in concepts],
-        "embedding": [[float(x) for x in S.phrase_vector(S.normalize_text(c.pref_label))]
-                      for c in concepts],
-    })
-    t = derived_transcripts(spark, sf_dir).withColumn(
-        "ts", F.lit(None).cast("timestamp"))
-    return build_triples_fast(spark, t, ontology_pdf=onto_pdf)
