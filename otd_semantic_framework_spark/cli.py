@@ -4,9 +4,14 @@ evaluate subcommands via argparse; SURVEY.md §3.1].
 
     python -m otd_semantic_framework_spark autotag   --input T.parquet --run-dir RUN
     python -m otd_semantic_framework_spark matrix    --run-dir RUN
-    python -m otd_semantic_framework_spark search    --run-dir RUN "query text"
+    python -m otd_semantic_framework_spark search    --run-dir RUN "query text" [--taxonomic]
+    python -m otd_semantic_framework_spark tag       --run-dir RUN --tags M.parquet
     python -m otd_semantic_framework_spark evaluate  --run-dir RUN --golden G.parquet
     python -m otd_semantic_framework_spark gen       --convs 1000 --out T.parquet
+
+``tag`` is the batch form of the reference's `dataset_tagger` lifecycle
+(curated manual tags merged into the run's CDS); ``search --taxonomic``
+enables the reference's lexical+taxonomic query blend (P17, r2).
 
 Each subcommand is a thin shell over the plans/* modules; Spark session
 config comes from --master (or spark-submit).
@@ -60,15 +65,47 @@ def cmd_matrix(args) -> None:
 
 
 def cmd_search(args) -> None:
-    """The reference's `ontosearch search` lifecycle."""
+    """The reference's `ontosearch search` lifecycle (--taxonomic adds
+    the query-side Wu-Palmer blend)."""
     from .plans.search import search
     from .sources.fixtures import ontology_pandas
     from .sources.storage import Storage
     spark = _spark(args)
-    cds = Storage(args.run_dir).read_table(spark, "cds_scores")
-    hits = search(args.query, cds, ontology_pandas(), top_n=args.top_n)
+    st = Storage(args.run_dir)
+    cds = st.read_table(spark, "cds_scores")
+    wup_pdf = (st.read_table(spark, "concept_similarity").toPandas()
+               if args.taxonomic else None)
+    hits = search(args.query, cds, ontology_pandas(), top_n=args.top_n,
+                  wup_pdf=wup_pdf)
     rows = [r.asDict() for r in hits.collect()]
     print(json.dumps({"query": args.query, "results": rows}, default=str))
+    spark.stop()
+
+
+def cmd_tag(args) -> None:
+    """The reference's `dataset_tagger` lifecycle, batch form: validate
+    a curated (subj_key, concept_id, weight) table against the
+    ontology, merge with the run's autotag conversation tags, refresh
+    the CDS table from the union, and report what was rejected."""
+    from .operators.cds import conv_tags, propagate_cds
+    from .operators.manual import (ingest_manual_tags, invalid_manual_tags,
+                                   merge_tag_sources)
+    from .sources.fixtures import ontology_spark
+    from .sources.storage import Storage
+    spark = _spark(args)
+    st = Storage(args.run_dir)
+    manual_raw = spark.read.parquet(args.tags)
+    onto = ontology_spark(spark)
+    valid = ingest_manual_tags(manual_raw, onto)
+    n_rejected = invalid_manual_tags(manual_raw, onto).count()
+    merged = merge_tag_sources(
+        conv_tags(st.read_table(spark, "triples")), valid)
+    cds = propagate_cds(merged.drop("sources"),
+                        st.read_table(spark, "concept_similarity"))
+    st.write_table(cds, "cds_scores")
+    print(json.dumps({"manual_valid": valid.count(),
+                      "manual_rejected": n_rejected,
+                      "cds_rows": st.read_table(spark, "cds_scores").count()}))
     spark.stop()
 
 
@@ -103,7 +140,14 @@ def main(argv: list[str] | None = None) -> None:
 
     s = sub.add_parser("search");   s.add_argument("--run-dir", required=True)
     s.add_argument("query"); s.add_argument("--top-n", type=int, default=10)
+    s.add_argument("--taxonomic", action="store_true",
+                   help="blend query cosine with Wu-Palmer (P17 r2)")
     s.set_defaults(fn=cmd_search)
+
+    t = sub.add_parser("tag");      t.add_argument("--run-dir", required=True)
+    t.add_argument("--tags", required=True,
+                   help="parquet of curated (subj_key, concept_id, weight)")
+    t.set_defaults(fn=cmd_tag)
 
     e = sub.add_parser("evaluate"); e.add_argument("--run-dir", required=True)
     e.add_argument("--golden", required=True); e.set_defaults(fn=cmd_evaluate)

@@ -39,3 +39,21 @@ def test_cli_lifecycle(tmp_path):
     golden = os.path.join(run_dir, "triples.parquet")  # self-eval: P=R=1
     out = _run("evaluate", "--run-dir", run_dir, "--golden", golden)
     assert out["precision"] == 1.0 and out["recall"] == 1.0
+
+    # taxonomic search needs the concept_similarity table in the run dir
+    _run("matrix", "--run-dir", run_dir)
+    tx = _run("search", "--run-dir", run_dir, "bus timetable delay",
+              "--top-n", "3", "--taxonomic")
+    assert len(tx["results"]) == 3 and tx["results"][0]["rank"] == 1
+
+    # dataset_tagger lifecycle: one valid + one bogus curated tag
+    import pandas as pd
+    tags = str(tmp_path / "manual.parquet")
+    subj = "conv:" + "manual-demo"
+    pd.DataFrame({"subj_key": [subj, subj],
+                  "concept_id": ["otd:C001", "bogus:nope"],
+                  "weight": [0.9, 0.9]}).to_parquet(tags)
+    out = _run("tag", "--run-dir", run_dir, "--tags", tags)
+    assert out["manual_rejected"] == 1
+    assert out["manual_valid"] == 1
+    assert out["cds_rows"] > 0
