@@ -26,7 +26,6 @@ attached in-flight via ``df.observe`` (no extra action needed).
 from __future__ import annotations
 
 import datetime as dt
-import json
 import os
 from dataclasses import dataclass, field
 

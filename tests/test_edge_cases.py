@@ -2,7 +2,6 @@
 the pipeline must degrade to empty results, never crash (a 10^12-turn
 corpus WILL contain every malformed shape)."""
 
-import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 

@@ -1,7 +1,5 @@
 """P3/P4/P5 — normalization parity, mention detection, explode."""
 
-from pyspark.sql import functions as F
-
 from otd_semantic_framework_spark import semantics as S
 from otd_semantic_framework_spark.operators.mentions import (
     detect_mentions, explode_mentions)

@@ -5,7 +5,6 @@ cartesian products outside the intended tiny cross joins, no per-row
 Python in JVM-expressible stages.
 """
 
-import pytest
 from pyspark.sql import functions as F
 
 from otd_semantic_framework_spark import semantics as S

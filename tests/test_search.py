@@ -4,7 +4,6 @@ import pytest
 
 from otd_semantic_framework_spark.plans.pipeline import run_pipeline
 from otd_semantic_framework_spark.plans.search import search
-from otd_semantic_framework_spark.sources.fixtures import ontology_pandas
 
 
 @pytest.fixture(scope="module")

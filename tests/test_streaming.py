@@ -6,8 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from otd_semantic_framework_spark import semantics as S
-from otd_semantic_framework_spark.sources.fixtures import (
-    ontology_pandas, transcripts_spark_df)
+from otd_semantic_framework_spark.sources.fixtures import ontology_pandas
 from otd_semantic_framework_spark.streaming.sessions import (
     conversation_sessions, incremental_triples, read_transcript_stream,
     run_stream_to_table, running_conv_stats, streaming_dedup_turns,
