@@ -528,6 +528,60 @@ HAVING round(max(g.tag_score * w.wup), 6) >= {S.CDS_THRESHOLD}
 """
 
 
+def q_kg_config_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-configuration search (the reference selects one named
+    tagging graph at query time [K]): the same free-text query ranked
+    independently against each configuration's CDS — one window
+    partitioned by config_id, top-10 each, no bleed."""
+    scores = driver_scores()
+    gaz = driver_gazetteer()
+    norm = S.normalize_text(SEARCH_QUERY)
+    surfaces = sorted({m[0] for m in S.find_mentions(norm, gaz)})
+    q = (scores[scores.surface.isin(surfaces)]
+         .groupby("concept_id", as_index=False)["cos_sim"].max()
+         .rename(columns={"cos_sim": "q_score"}).round({"q_score": 6}))
+    q_df = spark.createDataFrame(q, "concept_id string, q_score double")
+    cds = q_kg_config_cds(spark, sf_dir)
+    ranked = (
+        cds.join(F.broadcast(q_df), "concept_id")
+        .groupBy("config_id", "subj_key")
+        .agg(F.round(F.sum(F.col("score") * F.col("q_score")), 6)
+             .alias("search_score")))
+    w = Window.partitionBy("config_id").orderBy(
+        F.desc("search_score"), F.asc("subj_key"))
+    return (ranked.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("config_id", "subj_key", "rank", "search_score"))
+
+
+def _sql_kg_config_search() -> str:
+    import pandas as pd
+    scores = driver_scores()
+    gaz = driver_gazetteer()
+    norm = S.normalize_text(SEARCH_QUERY)
+    surfaces = sorted({m[0] for m in S.find_mentions(norm, gaz)})
+    q = (scores[scores.surface.isin(surfaces)]
+         .groupby("concept_id", as_index=False)["cos_sim"].max()
+         .rename(columns={"cos_sim": "q_score"}).round({"q_score": 6}))
+    qv = values_sql(pd.DataFrame(q), "q")
+    cds = _sql_kg_config_cds()
+    return f"""
+WITH cds AS ({cds}),
+ranked AS (
+  SELECT c.config_id, c.subj_key,
+         round(sum(c.score * q.q_score), 6) AS search_score
+  FROM cds c JOIN {qv} ON q.concept_id = c.concept_id
+  GROUP BY c.config_id, c.subj_key
+)
+SELECT config_id, subj_key, rank, search_score FROM (
+  SELECT config_id, subj_key, search_score,
+         row_number() OVER (PARTITION BY config_id
+                            ORDER BY search_score DESC, subj_key ASC) AS rank
+  FROM ranked
+) WHERE rank <= 10
+"""
+
+
 def q_kg_search_wup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P17 with the reference's lexical+taxonomic query scoring [K]:
     each query surface's candidates rescored by the P9 blend
@@ -1866,6 +1920,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_manual_merge": q_kg_manual_merge,
         "kg_manual_cds": q_kg_manual_cds,
         "kg_config_cds": q_kg_config_cds,
+        "kg_config_search": q_kg_config_search,
         "kg_search_wup": q_kg_search_wup,
         "kg_two_hop": q_kg_two_hop,
         "text_langid_eval": q_text_langid_eval,
@@ -1931,6 +1986,7 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_manual_merge": _sql_kg_manual_merge(),
         "kg_manual_cds": _sql_kg_manual_cds(),
         "kg_config_cds": _sql_kg_config_cds(),
+        "kg_config_search": _sql_kg_config_search(),
         "kg_search_wup": _sql_kg_search_wup(),
         "kg_two_hop": _sql_kg_two_hop(),
         "text_langid_eval": _sql_text_langid_eval(),
