@@ -1840,6 +1840,45 @@ def q_kg_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).drop("bucket")
 
 
+SQL_REL_GROUPING_SETS = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       grouping(o_orderstatus) AS g_status,
+       grouping(o_orderpriority) AS g_prio,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize)
+    with grouping() indicators — shared SQL in both dialects."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(SQL_REL_GROUPING_SETS)
+
+
+SQL_REL_LATERAL = """
+SELECT c.c_custkey, t.o_orderkey AS top_order,
+       round(t.o_totalprice, 2) AS top_price
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1) t
+WHERE c.c_custkey < 100
+"""
+
+
+def q_rel_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table (top order per customer) —
+    Catalyst decorrelates it into a ranked join; the bounded customer
+    subset keeps the query small while exercising the operator. At
+    scale the equivalent per-group top-k is the window-rank pattern
+    (rel_window_topk), which this must agree with semantically."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(SQL_REL_LATERAL)
+
+
 # The windowed sum runs over integer cents: double sums over sliding
 # windows associate differently per engine (Spark running-accumulate vs
 # DuckDB segment tree), which flipped 6dp rounding on ~0.01% of rows at
@@ -1925,6 +1964,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_two_hop": q_kg_two_hop,
         "text_langid_eval": q_text_langid_eval,
         "rel_range_frame": q_rel_range_frame,
+        "rel_grouping_sets": q_rel_grouping_sets,
+        "rel_lateral": q_rel_lateral,
         "rel_salted_agg": q_rel_salted_agg,
         "kg_materialize": q_kg_materialize,
         "kg_mentions_regex": q_kg_mentions_regex,
@@ -1991,6 +2032,8 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_two_hop": _sql_kg_two_hop(),
         "text_langid_eval": _sql_text_langid_eval(),
         "rel_range_frame": SQL_REL_RANGE_FRAME,
+        "rel_grouping_sets": SQL_REL_GROUPING_SETS,
+        "rel_lateral": SQL_REL_LATERAL,
         "rel_salted_agg": SQL_REL_SALTED_AGG,
         "kg_materialize": _sql_kg_triples_body(),
         "kg_mentions_regex": _sql_kg_mentions_regex(),
