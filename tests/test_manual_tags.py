@@ -141,6 +141,24 @@ def test_pipeline_accepts_manual_tags(spark, tiny_df, tmp_path):
         (s, c) for s, c, _ in merged_auto}
 
 
+def test_manual_edge_cases(spark, onto):
+    """Empty curated input → empty validated output (no crash); an
+    empty tag_graph is an explicit error; merging with an empty side
+    passes the other side through with its own provenance."""
+    empty = spark.createDataFrame(
+        [], "subj_key string, concept_id string, weight double")
+    assert ingest_manual_tags(empty, onto).count() == 0
+    with pytest.raises(ValueError, match="at least one configuration"):
+        tag_graph({})
+    auto = spark.createDataFrame(
+        [("conv:1", "c:a", 0.7)],
+        "subj_key string, concept_id string, tag_score double")
+    merged = merge_tag_sources(
+        auto, ingest_manual_tags(empty, onto)).collect()
+    assert [(r.subj_key, r.concept_id, r.tag_score, r.sources)
+            for r in merged] == [("conv:1", "c:a", 0.7, "auto")]
+
+
 def test_conv_tags_matches_cds_first_stage(spark):
     triples = spark.createDataFrame(
         [("turn:x:0", "mentions", "c:a", "x", 0, 0.7),
