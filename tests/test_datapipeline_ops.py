@@ -288,3 +288,37 @@ def test_connected_components_chain_and_invariance(spark):
     b = sorted(map(tuple, connected_components(
         pairs.repartition(5), nodes.repartition(3)).collect()))
     assert a == b
+
+
+@pytest.mark.parametrize("seed", [7, 21, 99])
+def test_connected_components_vs_union_find(spark, seed):
+    """Seeded random graphs vs a pure-python union-find oracle."""
+    import random
+
+    from otd_semantic_framework_spark.operators.dedup import (
+        connected_components)
+    rng = random.Random(seed)
+    n = 30
+    edges = sorted({(a, b) for a, b in (
+        sorted(rng.sample(range(n), 2)) for _ in range(25))})
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comp = {}
+    for i in range(n):
+        comp.setdefault(find(i), []).append(i)
+    want = {i: min(members) for members in comp.values() for i in members}
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {r.doc_id: r.component
+           for r in connected_components(pairs, nodes).collect()}
+    assert got == want, f"seed={seed}"
