@@ -1092,6 +1092,57 @@ GROUP BY pm.concept, m.concept
 """
 
 
+_MEDIA_CTE = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         strlen(text) AS n_bytes
+  FROM documents
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary media columns (operators/multimodal) —
+    paired since r2: the synthetic media attachment and the relational
+    frame explode are deterministic arithmetic, so DuckDB replays them
+    exactly (only the byte-DECODING inside a frame stays behind the
+    documented stub seam)."""
+    from ..operators.multimodal import attach_fake_media, frame_sample
+    return frame_sample(attach_fake_media(_docs(spark, sf_dir)), every_n=40)
+
+
+SQL_MULTIMODAL_FRAMES = f"""
+WITH media AS ({_MEDIA_CTE})
+SELECT doc_id, media_type, f.frame_idx,
+       doc_id || ':' || cast(f.frame_idx AS VARCHAR) AS frame_key
+FROM media, unnest(generate_series(0,
+     greatest(cast(floor(n_bytes / 40) AS INT) - 1, 0))) AS f(frame_idx)
+"""
+
+
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata rollup over the media table: per-type counts and
+    exact byte-size stats — the catalog view a media-curation pipeline
+    maintains; pure relational over the binary column's metadata."""
+    from ..operators.multimodal import attach_fake_media
+    m = attach_fake_media(_docs(spark, sf_dir))
+    return (m.groupBy(F.col("meta.media_type").alias("media_type"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg(F.col("meta.n_bytes")), 6).alias("avg_bytes"),
+                 F.round(F.percentile(F.col("meta.n_bytes"), F.lit(0.5)), 6)
+                 .alias("median_bytes")))
+
+
+SQL_MULTIMODAL_STATS = f"""
+WITH media AS ({_MEDIA_CTE})
+SELECT media_type, count(*) AS n,
+       round(avg(n_bytes), 6) AS avg_bytes,
+       round(quantile_cont(n_bytes, 0.5), 6) AS median_bytes
+FROM media GROUP BY media_type
+"""
+
+
 _STOPWORDS = "('a', 'the', 'of', 'and', 'to', 'in', 'is')"
 
 
@@ -1969,6 +2020,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_salted_agg": q_rel_salted_agg,
         "kg_materialize": q_kg_materialize,
         "kg_mentions_regex": q_kg_mentions_regex,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_stats": q_multimodal_stats,
         "kg_fast_pipeline": q_kg_fast_pipeline,
         "dedup_components": q_dedup_components,
         "text_tfidf": q_text_tfidf,
@@ -2037,6 +2090,8 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_salted_agg": SQL_REL_SALTED_AGG,
         "kg_materialize": _sql_kg_triples_body(),
         "kg_mentions_regex": _sql_kg_mentions_regex(),
+        "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+        "multimodal_stats": SQL_MULTIMODAL_STATS,
         "kg_fast_pipeline": _sql_kg_fast_pipeline(),
         "dedup_components": _sql_dedup_components(),
         "text_tfidf": SQL_TEXT_TFIDF,

@@ -12,7 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import attach_fake_media, decode_media, frame_sample
+from ..operators.multimodal import attach_fake_media, decode_media
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -39,17 +39,12 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("features_csv"))
 
 
-def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return frame_sample(attach_fake_media(_docs(spark, sf_dir)), every_n=40)
-
-
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # kg_fast_pipeline moved to driver_queries in r2 — it gained a full
-    # DuckDB oracle (RE2 mention replay + literal canonical table)
+    # kg_fast_pipeline and multimodal_frames moved to driver_queries in
+    # r2 — both gained full DuckDB oracles
     return {
         "dedup_minhash_fast": q_dedup_minhash_fast,
         "multimodal_decode": q_multimodal_decode,
-        "multimodal_frames": q_multimodal_frames,
         "stats_approx_distinct": q_stats_approx_distinct,
     }
 
