@@ -1121,6 +1121,49 @@ FROM media, unnest(generate_series(0,
 """
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas media decode (operators/multimodal.py) — paired
+    since r2: the deterministic fake decode is md5 arithmetic, so the
+    oracle replays it digit-by-digit (hex decode → byte values →
+    width/height mod; features = byte/255 CAST AS FLOAT so DuckDB
+    reproduces the float32 rounding — verified identical for all 256
+    byte values before pairing). A REAL codec stays behind the stub
+    seam and would return this query to rows-only."""
+    from ..operators.multimodal import attach_fake_media, decode_media
+    decoded = decode_media(attach_fake_media(_docs(spark, sf_dir)))
+    return decoded.select(
+        "doc_id", "media_type", "n_bytes", "width", "height",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.format_string("%.6f", x))
+        ).alias("features_csv"))
+
+
+def _sql_multimodal_decode() -> str:
+    digits = ", ".join(
+        f"instr('0123456789abcdef', substring(h, {p + 1}, 1)) - 1 AS d{p}"
+        for p in range(16))
+    feats = ", ".join(
+        f"printf('%.6f', CAST((16 * d{2 * i} + d{2 * i + 1}) / 255.0 AS FLOAT))"
+        for i in range(8))
+    return f"""
+WITH hx AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         strlen(text) AS n_bytes,
+         md5(text) AS h
+  FROM documents
+),
+d AS (SELECT doc_id, media_type, n_bytes, {digits} FROM hx)
+SELECT doc_id, media_type, n_bytes,
+       16 + (16 * d0 + d1) % 64 AS width,
+       16 + (16 * d2 + d3) % 64 AS height,
+       concat_ws(',', {feats}) AS features_csv
+FROM d
+"""
+
+
 def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-metadata rollup over the media table: per-type counts and
     exact byte-size stats — the catalog view a media-curation pipeline
@@ -2021,6 +2064,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_materialize": q_kg_materialize,
         "kg_mentions_regex": q_kg_mentions_regex,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_decode": q_multimodal_decode,
         "multimodal_stats": q_multimodal_stats,
         "kg_fast_pipeline": q_kg_fast_pipeline,
         "dedup_components": q_dedup_components,
@@ -2091,6 +2135,7 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_materialize": _sql_kg_triples_body(),
         "kg_mentions_regex": _sql_kg_mentions_regex(),
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+        "multimodal_decode": _sql_multimodal_decode(),
         "multimodal_stats": SQL_MULTIMODAL_STATS,
         "kg_fast_pipeline": _sql_kg_fast_pipeline(),
         "dedup_components": _sql_dedup_components(),

@@ -12,7 +12,6 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import attach_fake_media, decode_media
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -26,25 +25,11 @@ def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
-def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-facing projection: the operator's `features array<float>` is
-    stringified (CSV of %.6f) because the driver's row canonicalizer
-    cannot sort list cells; the array-returning operator stays as-is for
-    pipeline use."""
-    decoded = decode_media(attach_fake_media(_docs(spark, sf_dir)))
-    return decoded.select(
-        "doc_id", "media_type", "n_bytes", "width", "height",
-        F.concat_ws(
-            ",", F.transform("features", lambda x: F.format_string("%.6f", x))
-        ).alias("features_csv"))
-
-
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # kg_fast_pipeline and multimodal_frames moved to driver_queries in
-    # r2 — both gained full DuckDB oracles
+    # kg_fast_pipeline and the multimodal queries moved to driver_queries
+    # in r2 — all gained full DuckDB oracles
     return {
         "dedup_minhash_fast": q_dedup_minhash_fast,
-        "multimodal_decode": q_multimodal_decode,
         "stats_approx_distinct": q_stats_approx_distinct,
     }
 
