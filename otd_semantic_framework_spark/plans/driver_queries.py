@@ -1934,6 +1934,32 @@ def q_kg_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).drop("bucket")
 
 
+# Statistical aggregates over SMALL-magnitude columns (discount/tax in
+# [0, 0.1]): partial-aggregation merge order makes large-magnitude
+# moment sums diverge across engines in the low bits, but at these
+# magnitudes the 6dp rounding is stable. Spark's skewness/kurtosis use
+# different bias corrections than DuckDB's — deliberately excluded.
+SQL_REL_STATS_AGG = """
+SELECT l_returnflag AS flag,
+       round(corr(l_discount, l_tax), 6) AS corr_disc_tax,
+       round(covar_samp(l_discount, l_tax), 6) AS covar_disc_tax,
+       round(stddev_samp(l_discount), 6) AS sd_disc,
+       round(var_samp(l_tax), 6) AS var_tax,
+       round(regr_slope(l_discount, l_tax), 6) AS slope,
+       round(regr_intercept(l_discount, l_tax), 6) AS intercept,
+       round(regr_r2(l_discount, l_tax), 6) AS r2
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_rel_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (correlation, sample covariance/stddev/
+    variance, linear-regression slope/intercept/R²) — shared SQL, both
+    engines implement the textbook definitions."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(SQL_REL_STATS_AGG)
+
+
 SQL_REL_GROUPING_SETS = """
 SELECT coalesce(o_orderstatus, 'ALL') AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
@@ -2060,6 +2086,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_range_frame": q_rel_range_frame,
         "rel_grouping_sets": q_rel_grouping_sets,
         "rel_lateral": q_rel_lateral,
+        "rel_stats_agg": q_rel_stats_agg,
         "rel_salted_agg": q_rel_salted_agg,
         "kg_materialize": q_kg_materialize,
         "kg_mentions_regex": q_kg_mentions_regex,
@@ -2131,6 +2158,7 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_range_frame": SQL_REL_RANGE_FRAME,
         "rel_grouping_sets": SQL_REL_GROUPING_SETS,
         "rel_lateral": SQL_REL_LATERAL,
+        "rel_stats_agg": SQL_REL_STATS_AGG,
         "rel_salted_agg": SQL_REL_SALTED_AGG,
         "kg_materialize": _sql_kg_triples_body(),
         "kg_mentions_regex": _sql_kg_mentions_regex(),
