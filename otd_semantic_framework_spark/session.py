@@ -47,6 +47,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 20k measured best for the mention-UDF hot path: 65536 tested
+        # ~24% SLOWER at 16M turns (fewer, chunkier batches pipeline
+        # worse through the per-batch regex scan) — don't "optimize" up
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("OTD_DRIVER_MEM", "8g"))
