@@ -53,25 +53,79 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
             .select("doc_id", "tok", "tfidf", "rk"))
 
 
+def _sample_key(id_col: str, text_col: str):
+    # text is coalesced to '' explicitly: concat_ws would silently SKIP
+    # a NULL text (key degrades to just the id) while `||` in a SQL
+    # oracle nulls the whole key — coalescing on both engines keeps the
+    # 'identical rows on every engine' guarantee on NULL-text corpora.
+    return F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                             F.coalesce(F.col(text_col), F.lit(""))))
+
+
 def stratified_sample(docs: DataFrame, strata_col: str, k: int,
                       id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      prune: bool = True,
+                      prune_factor: float = 3.0) -> DataFrame:
     """Deterministic per-stratum sample of exactly min(k, |stratum|)
     rows: rank by md5(id:text) inside each stratum, keep the first k.
     Engine-portable (md5 exists everywhere) and seedless — re-runs and
     different engines select the identical rows, unlike ``rand(seed)``
     whose stream is engine- and partitioning-specific.
 
-    Output (doc_id, stratum, rk). Scale note: a single window per
-    stratum shuffles by the stratum key, which is low-cardinality and
-    potentially skewed; at 10^12 rows pre-prune map-side with a hash
-    threshold (keep rows whose md5 prefix sorts below a bound sized to
-    ~2-3x the quota) so the window only ranks survivors — the same
-    two-phase trick as operators/skew.two_phase_agg."""
-    key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
-                            F.col(text_col)))
+    Output (doc_id, stratum, rk).
+
+    Scale shape (``prune=True``, the default): the per-stratum window
+    shuffles by the stratum key, which is low-cardinality and
+    potentially skewed — at 10^12 rows a hot stratum would funnel
+    10^12/|strata| rows through one partition. So rows are pre-pruned
+    MAP-SIDE before the window: the first 8 hex chars of the md5 rank
+    key give a uniform u in [0, 2^32), and only rows with
+    u < bound(stratum) survive, where bound is sized to keep
+    ~prune_factor * k rows. The kept set is a prefix of the key ORDER
+    (the 8-char prefix dominates the lexicographic md5 ordering), so as
+    long as a stratum keeps >= min(k, |stratum|) rows the top-k is
+    EXACTLY the unpruned top-k — not approximately. That survivor count
+    is verified by a cheap conditional-count aggregation (map-side
+    partial agg, one tiny row per stratum); any stratum whose bound
+    proved too tight (astronomically unlikely at factor 3, but hash
+    uniformity is probabilistic) is widened 4x and re-verified, so the
+    result is GUARANTEED hash-identical for prune in {off, on}
+    (pytest-pinned, tests/test_curation.py). Cost: one counting scan +
+    one pruned-window scan, vs. the hot-stratum funnel."""
+    key = _sample_key(id_col, text_col)
     w = Window.partitionBy(strata_col).orderBy(key, F.asc(id_col))
-    return (docs.withColumn("rk", F.row_number().over(w))
+    base = docs
+    if prune:
+        u = F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint")
+        pruned = docs.withColumn("_u", u)
+        # per-stratum total; bound = keep-fraction of the 2^32 key space
+        counts = (pruned.groupBy(F.col(strata_col).alias("_s"))
+                  .agg(F.count(F.lit(1)).alias("_n")))
+        stratum_sizes = dict(counts.toPandas().itertuples(
+            index=False, name=None))  # one row per stratum: tiny
+        space = float(2 ** 32)
+        bound = {
+            s: space if n <= prune_factor * k
+            else prune_factor * k / float(n) * space
+            for s, n in stratum_sizes.items()
+        }
+        need = {s: min(k, int(n)) for s, n in stratum_sizes.items()}
+        while True:
+            bdf = F.create_map(*[x for s, b in bound.items()
+                                 for x in (F.lit(s), F.lit(float(b)))])
+            keep = F.col("_u") < bdf[F.col(strata_col)]
+            got = dict(
+                pruned.groupBy(F.col(strata_col).alias("_s"))
+                .agg(F.sum(keep.cast("long")).alias("_kept"))
+                .toPandas().itertuples(index=False, name=None))
+            short = {s for s, n in need.items() if got.get(s, 0) < n}
+            if not short:
+                break
+            for s in short:  # widen and re-verify (vanishingly rare)
+                bound[s] = min(space, bound[s] * 4.0)
+        base = pruned.filter(keep).drop("_u")
+    return (base.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
             .select(F.col(id_col).alias("doc_id"),
                     F.col(strata_col).alias("stratum"), "rk"))

@@ -178,6 +178,7 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
              .distinct().localCheckpoint(eager=True))
     labels = nodes.select(F.col(nodes.columns[0]).alias("node"),
                           F.col(nodes.columns[0]).alias("label"))
+    changed = 0
     for _ in range(max_iter):
         # candidate label for each node: min over its neighbors' labels
         nbr = (edges.join(labels, edges.dst == labels.node)
@@ -195,6 +196,14 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
         labels = new_labels
         if changed == 0:
             break
+    if changed:
+        # Falling out of range(max_iter) with labels still moving means
+        # the graph diameter exceeds max_iter: the result would silently
+        # diverge from the transitive closure. Fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge after {max_iter} "
+            f"rounds ({changed} labels still changing); raise max_iter "
+            f"(rounds needed ~ graph diameter)")
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("component"))
 

@@ -1016,7 +1016,7 @@ SQL_CURATION_SAMPLE = f"""
 SELECT doc_id, stratum, rk FROM (
   SELECT doc_id, lang AS stratum,
          row_number() OVER (PARTITION BY lang
-             ORDER BY md5(cast(doc_id AS VARCHAR) || ':' || text),
+             ORDER BY md5(cast(doc_id AS VARCHAR) || ':' || coalesce(text, '')),
                       doc_id ASC) AS rk
   FROM documents) WHERE rk <= {SAMPLE_PER_STRATUM}
 """
@@ -1939,15 +1939,19 @@ def q_kg_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # moment sums diverge across engines in the low bits, but at these
 # magnitudes the 6dp rounding is stable. Spark's skewness/kurtosis use
 # different bias corrections than DuckDB's — deliberately excluded.
+# Every rounded column gets `+ 0.0`: a tiny negative value (e.g.
+# covar_samp ~ -2.4e-07) rounds to IEEE -0.0 in DuckDB but +0.0 in
+# Spark; adding 0.0 maps -0.0 -> +0.0 identically on both engines
+# (VERDICT r2 "What's wrong #1").
 SQL_REL_STATS_AGG = """
 SELECT l_returnflag AS flag,
-       round(corr(l_discount, l_tax), 6) AS corr_disc_tax,
-       round(covar_samp(l_discount, l_tax), 6) AS covar_disc_tax,
-       round(stddev_samp(l_discount), 6) AS sd_disc,
-       round(var_samp(l_tax), 6) AS var_tax,
-       round(regr_slope(l_discount, l_tax), 6) AS slope,
-       round(regr_intercept(l_discount, l_tax), 6) AS intercept,
-       round(regr_r2(l_discount, l_tax), 6) AS r2
+       round(corr(l_discount, l_tax), 6) + 0.0 AS corr_disc_tax,
+       round(covar_samp(l_discount, l_tax), 6) + 0.0 AS covar_disc_tax,
+       round(stddev_samp(l_discount), 6) + 0.0 AS sd_disc,
+       round(var_samp(l_tax), 6) + 0.0 AS var_tax,
+       round(regr_slope(l_discount, l_tax), 6) + 0.0 AS slope,
+       round(regr_intercept(l_discount, l_tax), 6) + 0.0 AS intercept,
+       round(regr_r2(l_discount, l_tax), 6) + 0.0 AS r2
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -2223,7 +2227,7 @@ SQL_REL_WINDOW_ANALYTICS = """
 SELECT o_custkey, o_orderkey,
        dense_rank() OVER w AS drk,
        ntile(4) OVER w AS quartile,
-       round(o_totalprice - lag(o_totalprice, 1, 0.0) OVER w, 2) AS diff_prev,
+       round(o_totalprice - lag(o_totalprice, 1, 0.0) OVER w, 2) + 0.0 AS diff_prev,
        round(nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
              ORDER BY o_totalprice DESC, o_orderkey ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS second_price,

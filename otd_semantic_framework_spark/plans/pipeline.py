@@ -254,7 +254,20 @@ def run_pipeline(
     if stop_after == "triples":
         return PipelineResult(triples, None, run.metrics)
 
-    cds_fp = cfg_fp if manual_tags is None else (*cfg_fp, "manual")
+    # The fingerprint must encode the manual tags' CONTENT, not just
+    # their presence: unlike cfg_fp's pinned constants they are external
+    # mutable data — a re-run of the same run_dir with an edited manual
+    # table must NOT resume the stale cds_scores checkpoint. One tiny
+    # agg (count + sum of per-row xxhash64) digests them order-free.
+    if manual_tags is None:
+        cds_fp = cfg_fp
+    else:
+        digest_row = (manual_tags
+                      .select(F.count(F.lit(1)).alias("n"),
+                              F.sum(F.xxhash64(*manual_tags.columns))
+                              .alias("h"))
+                      .first())
+        cds_fp = (*cfg_fp, f"manual:{digest_row['n']}:{digest_row['h']}")
     cds = run.stage("cds_scores", cds_fp, lambda: cds_scores(
         triples, concept_sim, manual_tags=manual_tags),
         lineage_key="subj_key")

@@ -74,6 +74,12 @@ class Storage:
         equality is pytest-pinned
         (tests/test_resume.py::test_incremental_merge_equals_full)."""
         from ..operators.triples import dedup_triples
+        # Dedup the incoming batch on BOTH paths: a batch carrying
+        # duplicate (s,p,o) keys would otherwise hit the Iceberg MERGE
+        # cardinality check (multiple source rows matching one target
+        # row) or insert duplicates, breaking the one-row-per-(s,p,o)
+        # invariant the parquet branch already enforces.
+        new_triples = dedup_triples(new_triples)
         if self.mode == "iceberg":
             new_triples.createOrReplaceTempView("_merge_updates")
             spark.sql(f"""
@@ -86,17 +92,25 @@ class Storage:
             """)
             return self.read_table(spark, name)
         if not self.exists(spark, name):
-            self.write_table(dedup_triples(new_triples), name)
+            self.write_table(new_triples, name)
             return self.read_table(spark, name)
         merged = dedup_triples(
             self.read_table(spark, name).unionByName(new_triples))
-        # parquet cannot rewrite in place while being read: stage, swap
+        # parquet cannot rewrite in place while being read: stage, then
+        # swap via rename-to-backup -> rename-staging-in -> drop backup.
+        # A crash between the renames leaves EITHER the old table (as
+        # `name__backup`, recoverable) or the new one in place — never a
+        # window with zero copies (plain rmtree-then-rename had one).
         staging = f"{name}__staging"
         self.write_table(merged, staging)
         final = self._path(name)
+        backup = self._path(f"{name}__backup")
         import shutil
-        shutil.rmtree(final)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+        os.rename(final, backup)
         os.rename(self._path(staging), final)
+        shutil.rmtree(backup)
         # Spark's shared file-status cache still lists the pre-swap
         # files for this path; refresh before anyone re-reads it
         spark.catalog.refreshByPath(final)

@@ -34,7 +34,11 @@ def norm_cell(v):
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, float):
-        return f"{round(v, 6) + 0.0:.6f}"
+        # NO `+ 0.0` normalization: the driver's canonicalizer preserves
+        # IEEE -0.0, so -0.000000 vs 0.000000 must MISMATCH here (it
+        # masked the rel_stats_agg signed-zero red in r2). Queries must
+        # normalize in their own SQL (`round(x, 6) + 0.0` on BOTH engines).
+        return f"{round(v, 6):.6f}"
     return str(v)
 
 

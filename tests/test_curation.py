@@ -93,6 +93,73 @@ def test_merge_tag_sources_idempotent_and_commutative(spark):
         (r.subj_key, r.concept_id, r.tag_score) for r in x.collect())
 
 
+def test_stratified_sample_prune_equals_unpruned(spark):
+    """The map-side hash-threshold pre-prune (VERDICT r2 #4) must be
+    invisible in the result: prune on/off are hash-identical, for
+    quotas around and above the pruning threshold and with a hot
+    (skewed) stratum."""
+    rows = [(i, f"text body {i} {'hot' if i % 10 else 'rare'}",
+             "hot" if i % 10 else "rare", 20) for i in range(500)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long")
+    for k in (1, 3, 17, 450):
+        on = sorted(map(tuple, stratified_sample(
+            docs, "lang", k=k, prune=True).collect()))
+        off = sorted(map(tuple, stratified_sample(
+            docs, "lang", k=k, prune=False).collect()))
+        assert on == off, f"prune changed the sample at k={k}"
+
+
+def test_stratified_sample_prune_tight_bound_widens(spark):
+    """Even a deliberately-undersized initial bound must converge to
+    the exact unpruned sample via the verify-and-widen loop."""
+    rows = [(i, f"doc {i}", "only", 6) for i in range(200)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long")
+    on = sorted(map(tuple, stratified_sample(
+        docs, "lang", k=50, prune=True, prune_factor=0.2).collect()))
+    off = sorted(map(tuple, stratified_sample(
+        docs, "lang", k=50, prune=False).collect()))
+    assert on == off
+
+
+def test_stratified_sample_prune_filter_precedes_window(spark):
+    """Plan assertion: the pruning filter must sit BELOW the window
+    (applied map-side before the per-stratum shuffle), otherwise the
+    hot-stratum funnel it exists to prevent is still there."""
+    rows = [(i, f"d{i}", "en", 2) for i in range(100)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long")
+    plan = stratified_sample(docs, "lang", k=2,
+                             prune=True)._jdf.queryExecution() \
+        .executedPlan().toString()
+    win = plan.find("Window")
+    filt = max(plan.find("Filter", win), plan.find("Filter"))
+    # physical plans print top-down: the prune Filter must appear BELOW
+    # (= after in the string) the Window operator
+    assert win != -1 and filt != -1 and filt > win, plan
+
+
+def test_stratified_sample_null_text_portable_key(spark):
+    """ADVICE r2: NULL text must not degrade the rank key. The Spark key
+    coalesces text to '' — verify the sample equals a SQL replay that
+    uses `|| coalesce(text,'')` (the oracle form), NULL rows included."""
+    rows = [(0, "alpha", "en", 5), (1, None, "en", 0), (2, "beta", "en", 4),
+            (3, None, "en", 0), (4, "gamma", "en", 5)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long")
+    docs.createOrReplaceTempView("null_docs")
+    got = sorted(map(tuple, stratified_sample(
+        docs, "lang", k=3, prune=False).collect()))
+    want = sorted(map(tuple, spark.sql("""
+        SELECT doc_id, lang AS stratum, rk FROM (
+          SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+              ORDER BY md5(cast(doc_id AS STRING) || ':' ||
+                          coalesce(text, '')), doc_id) AS rk
+          FROM null_docs) WHERE rk <= 3""").collect()))
+    assert got == want
+
+
 def test_keep_best_tie_drops_larger_id(spark):
     docs = spark.createDataFrame(
         [(7, "aaa", 3), (9, "bbb", 3)],
