@@ -38,13 +38,24 @@ def cmd_gen(args) -> None:
     spark.stop()
 
 
+def _ontology_pdf(spark, args):
+    """--ontology <file.ttl>: Spark-native SKOS Turtle ingest
+    (sources/rdf.py) — the reference's rdflib .ttl load [K]. Default:
+    the built-in deterministic taxonomy."""
+    if getattr(args, "ontology", None):
+        from .sources.rdf import ontology_table_from_turtle
+        return ontology_table_from_turtle(spark, args.ontology).toPandas()
+    return None
+
+
 def cmd_autotag(args) -> None:
     """The reference's `autotag` lifecycle: corpus → triples (+ CDS)."""
     from .plans.pipeline import run_pipeline
     spark = _spark(args)
     transcripts = spark.read.parquet(args.input)
     res = run_pipeline(spark, transcripts, args.run_dir, run_id=args.run_id,
-                       fused_linking=args.fused)
+                       fused_linking=args.fused,
+                       ontology_pdf=_ontology_pdf(spark, args))
     print(json.dumps({"triples": res.triples.count(),
                       "cds_rows": res.cds.count(),
                       "metrics": res.metrics}))
@@ -58,7 +69,12 @@ def cmd_matrix(args) -> None:
     from .sources.fixtures import ontology_spark
     from .sources.storage import Storage
     spark = _spark(args)
-    sim = concept_similarity(ontology_spark(spark))
+    if getattr(args, "ontology", None):
+        from .sources.rdf import ontology_table_from_turtle
+        onto = ontology_table_from_turtle(spark, args.ontology)
+    else:
+        onto = ontology_spark(spark)
+    sim = concept_similarity(onto)
     Storage(args.run_dir).write_table(sim, "concept_similarity")
     print(json.dumps({"pairs": sim.count()}))
     spark.stop()
@@ -130,12 +146,16 @@ def main(argv: list[str] | None = None) -> None:
 
     a = sub.add_parser("autotag");  a.add_argument("--input", required=True)
     a.add_argument("--run-dir", required=True); a.add_argument("--run-id", default="run-0")
+    a.add_argument("--ontology", default=None,
+                   help="SKOS Turtle file to use as the ontology")
     a.add_argument("--fused", action="store_true",
                    help="coarse checkpoints via the broadcast canonical "
                         "table (the high-throughput 10^12-turn configuration)")
     a.set_defaults(fn=cmd_autotag)
 
     m = sub.add_parser("matrix");   m.add_argument("--run-dir", required=True)
+    m.add_argument("--ontology", default=None,
+                   help="SKOS Turtle file to use as the ontology")
     m.set_defaults(fn=cmd_matrix)
 
     s = sub.add_parser("search");   s.add_argument("--run-dir", required=True)

@@ -57,3 +57,20 @@ def test_cli_lifecycle(tmp_path):
     assert out["manual_rejected"] == 1
     assert out["manual_valid"] == 1
     assert out["cds_rows"] > 0
+
+
+def test_cli_turtle_ontology(tmp_path):
+    """--ontology <file.ttl>: the reference's own ontology-input shape
+    (SKOS Turtle) drives matrix and autotag end-to-end."""
+    from otd_semantic_framework_spark.sources.rdf import FIXTURE_TTL
+    run_dir = str(tmp_path / "ttl_run")
+    out = _run("matrix", "--run-dir", run_dir, "--ontology", FIXTURE_TTL)
+    assert out["pairs"] == 15 * 15  # fixture has 15 concepts
+
+    corpus = str(tmp_path / "t.parquet")
+    _run("gen", "--convs", "20", "--out", corpus)
+    out = _run("autotag", "--input", corpus, "--run-dir", run_dir,
+               "--ontology", FIXTURE_TTL)
+    # transport fixture labels (bus, timetable, ...) appear in the
+    # generated transport corpus, so tagging must produce triples
+    assert out["triples"] > 0 and out["cds_rows"] > 0
