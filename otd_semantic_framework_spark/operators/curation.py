@@ -172,3 +172,34 @@ def keep_best(docs: DataFrame, near_pairs: DataFrame,
                 F.when(F.col("_ex") == 1, "drop_exact")
                 .when(F.col("_nr") == 1, "drop_near")
                 .otherwise("keep").alias("status")))
+
+
+def pack_sequences(docs: DataFrame, budget: int,
+                   shard_col: str = "source", id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard pretraining
+    formulation: concatenate documents in deterministic id order,
+    split at token-budget boundaries): each document's bin is the
+    budget-chunk its FIRST token lands in. Output
+    (doc_id, shard, bin, n_tokens).
+
+    Relational shape: one whitespace token count (map-only) + one
+    window cumsum per shard — integer math end to end, so results are
+    exact on every engine and parallelism. The window partitions by
+    the shard key; shard cardinality should comfortably exceed
+    executor count at scale (packing is per-shard by definition —
+    sequences never cross shards). Greedy no-straddle packing is
+    prefix-sequential (per-partition state, applyInPandas); this
+    chunking variant is what GPT-style pipelines actually run."""
+    n_tokens = F.size(F.filter(F.split(F.coalesce(F.col(text_col),
+                                                  F.lit("")), " "),
+                               lambda t: t != ""))
+    d = docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(shard_col).alias("shard"),
+                    n_tokens.alias("n_tokens"))
+    excl = F.coalesce(F.sum("n_tokens").over(
+        Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+    return d.select("doc_id", "shard",
+                    F.floor(excl / budget).cast("int").alias("bin"),
+                    "n_tokens")

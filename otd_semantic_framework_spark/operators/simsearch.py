@@ -325,3 +325,44 @@ def _near_dup_grid(e: DataFrame, threshold: float, id_col: str,
 
     return fanned.groupBy("pair_key").applyInPandas(
         emit, schema=_NEAR_DUP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (round 3) — the standard ANN memory/IO
+# lever: 4x smaller vector shards, integer dot products. Symmetric
+# per-vector scaling keeps the math engine-portable: every quantized
+# component is an exact small integer, so similarity scores are
+# integer-exact on any engine/parallelism (no float accumulation
+# order), which is also why the driver can hash-check this path.
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(vecs: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """(id, qvec array<int> in [-127,127], scale double): q_i =
+    round(x_i * 127 / max|x|), scale = max|x| / 127 (dequantize:
+    x ≈ q * scale). Zero vectors quantize to zeros with scale 0.
+    Pure higher-order functions — JVM-side, map-only."""
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(dbl, lambda x: F.abs(x)))
+    q = F.when(maxabs == 0.0,
+               F.transform(dbl, lambda x: F.lit(0))) \
+         .otherwise(F.transform(
+             dbl, lambda x: F.round(x * 127.0 / maxabs, 0).cast("int")))
+    return vecs.select(F.col(id_col), q.alias("qvec"),
+                       (maxabs / 127.0).alias("scale"))
+
+
+def quantized_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
+                   q_id: str = "qid", c_id: str = "cid",
+                   q_vec: str = "qv", c_vec: str = "cv") -> DataFrame:
+    """Brute-force top-k by integer quantized dot product (broadcast
+    the candidate side, same shape as cosine_topk). Output
+    (qid, cid, qdot bigint, rk) — qdot is exact, so ranking is
+    deterministic across engines and parallelism."""
+    qdot = F.aggregate(
+        F.zip_with(q_vec, c_vec, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    sim = queries.crossJoin(F.broadcast(candidates)).withColumn("qdot", qdot)
+    w = Window.partitionBy(q_id).orderBy(F.desc("qdot"), F.asc(c_id))
+    return (sim.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k).select(q_id, c_id, "qdot", "rk"))

@@ -142,3 +142,36 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
             .select("doc_id", F.explode("fps").alias("f"))
             .select("doc_id", F.col("f.pos").alias("pos"),
                     F.col("f.fp").alias("fp")))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (round 3) — standard training-data scrub pass.
+# RE2-compatible patterns (no lookarounds/backrefs) so the driver's
+# DuckDB oracle replays the exact redaction; applied in a FIXED order
+# (email → url → phone) because the rewrites can overlap.
+# ---------------------------------------------------------------------------
+
+RX_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+RX_URL = r"https?://[^\s]+"
+RX_PHONE = r"\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, URLs, and phone-shaped digit runs; emit the
+    redacted text plus per-category match counts. Pure built-in
+    ``regexp_replace``/``regexp_count`` — JVM-side, whole-stage
+    codegen, no Python in the scan (the 100 TB scrub pass is
+    map-only and pipelined with the read)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_emails = F.regexp_count(t, F.lit(RX_EMAIL))
+    after_email = F.regexp_replace(t, RX_EMAIL, "<EMAIL>")
+    n_urls = F.regexp_count(after_email, F.lit(RX_URL))
+    after_url = F.regexp_replace(after_email, RX_URL, "<URL>")
+    n_phones = F.regexp_count(after_url, F.lit(RX_PHONE))
+    redacted = F.regexp_replace(after_url, RX_PHONE, "<PHONE>")
+    return docs.withColumns({
+        "redacted": redacted,
+        "n_emails": n_emails.cast("int"),
+        "n_urls": n_urls.cast("int"),
+        "n_phones": n_phones.cast("int"),
+    })

@@ -100,3 +100,26 @@ def test_incremental_merge_equals_full(spark, tiny_df, tmp_path):
     again = st.merge_triples(spark, "triples",
                              build_triples_fast(spark, half_b))
     assert again.count() == len(merged_rows)
+
+
+def test_merge_accepts_duplicate_keyed_batch(spark, tmp_path):
+    """ADVICE r2: a batch carrying duplicate (s,p,o) keys must be
+    deduped INSIDE merge_triples on every path (on Iceberg a dup batch
+    would violate MERGE cardinality; on parquet it would double-insert)
+    — callers are not required to pre-dedup."""
+    from otd_semantic_framework_spark.sources.storage import Storage
+
+    schema = ("subj string, pred string, obj string, conv_id string, "
+              "turn_idx int, score double")
+    dup_batch = spark.createDataFrame(
+        [("s1", "mentions", "c1", "v", 0, 0.5),
+         ("s1", "mentions", "c1", "v", 0, 0.9),   # same key, higher score
+         ("s2", "mentions", "c2", "v", 1, 0.7)], schema)
+    st = Storage(str(tmp_path / "dup"))
+    first = st.merge_triples(spark, "triples", dup_batch)
+    rows = {(r.subj, r.pred, r.obj): r.score for r in first.collect()}
+    assert len(rows) == 2 and rows[("s1", "mentions", "c1")] == 0.9
+    # and again through the merge (existing-table) path
+    second = st.merge_triples(spark, "triples", dup_batch)
+    rows2 = {(r.subj, r.pred, r.obj): r.score for r in second.collect()}
+    assert rows2 == rows
