@@ -203,3 +203,35 @@ def pack_sequences(docs: DataFrame, budget: int,
     return d.select("doc_id", "shard",
                     F.floor(excl / budget).cast("int").alias("bin"),
                     "n_tokens")
+
+
+def ngram_contamination(docs: DataFrame, probes: DataFrame, n: int = 8,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Training-data decontamination: flag corpus documents sharing any
+    token n-gram with an evaluation-probe set. Output
+    (doc_id, n_grams_matched) for flagged docs only.
+
+    Scale shape: the probe side (eval sets are small by nature) reduces
+    to a DISTINCT n-gram set and BROADCASTS; the corpus side is a
+    map-only n-gram explode (slice windows over the token array — pure
+    higher-order functions, no Python) into a broadcast hash join, so
+    the 100 TB scan never shuffles. n-grams join as md5 digests: fixed
+    16-byte keys instead of arbitrary-length strings in the hash
+    table."""
+    def grams(df, idc):
+        toks = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                        lambda t: t != "")
+        g = F.when(
+            F.size(toks) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                        lambda i: F.md5(F.concat_ws(
+                            " ", F.slice(toks, i + 1, n))))
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(F.col(idc), F.explode(g).alias("gram"))
+
+    probe_grams = grams(probes, id_col).select("gram").distinct()
+    return (grams(docs, id_col)
+            .join(F.broadcast(probe_grams), "gram")
+            .groupBy(id_col)
+            .agg(F.count_distinct("gram").alias("n_grams_matched")))

@@ -2521,6 +2521,43 @@ FROM binned GROUP BY shard, bin
 """
 
 
+CONTAM_N = 8
+CONTAM_PROBE_MOD = 7
+
+
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (operators/curation.ngram_contamination):
+    flag corpus docs sharing any 8-token n-gram with the probe subset
+    (doc_id % 7 == 0 — a deterministic eval-set stand-in sized so the
+    corpus' dup structure produces non-trivial matches: 9 flagged docs
+    at sf0.01)."""
+    from ..operators.curation import ngram_contamination
+    d = _docs(spark, sf_dir)
+    probes = d.filter(F.col("doc_id") % CONTAM_PROBE_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % CONTAM_PROBE_MOD != 0)
+    return ngram_contamination(corpus, probes, n=CONTAM_N)
+
+
+SQL_TEXT_CONTAMINATION = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '),
+                     t -> t <> '') AS tk
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         md5(array_to_string(tk[i:i + {CONTAM_N} - 1], ' ')) AS gram
+  FROM (SELECT doc_id, tk,
+               unnest(range(1, greatest(len(tk) - {CONTAM_N} + 2, 1))) AS i
+        FROM toks)),
+pg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {CONTAM_PROBE_MOD} = 0)
+SELECT g.doc_id, count(DISTINCT g.gram) AS n_grams_matched
+FROM grams g JOIN pg ON pg.gram = g.gram
+WHERE g.doc_id % {CONTAM_PROBE_MOD} <> 0
+GROUP BY g.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2567,6 +2604,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact": q_text_redact,
         "sim_quantized_topk": q_sim_quantized_topk,
         "curation_pack": q_curation_pack,
+        "text_contamination": q_text_contamination,
         "rel_range_frame": q_rel_range_frame,
         "rel_grouping_sets": q_rel_grouping_sets,
         "rel_lateral": q_rel_lateral,
@@ -2647,6 +2685,7 @@ def build_oracle_sql() -> dict[str, str]:
         "sim_quantized_topk": SQL_SIM_QUANTIZED_TOPK_TMPL.format(
             n_query=N_QUERY_VECS, k=SIM_TOP_K),
         "curation_pack": SQL_CURATION_PACK,
+        "text_contamination": SQL_TEXT_CONTAMINATION,
         "rel_range_frame": SQL_REL_RANGE_FRAME,
         "rel_grouping_sets": SQL_REL_GROUPING_SETS,
         "rel_lateral": SQL_REL_LATERAL,

@@ -91,3 +91,33 @@ def test_pack_sequences_partitioning_invariance(spark):
     a = sorted(map(tuple, pack_sequences(docs, 16).collect()))
     b = sorted(map(tuple, pack_sequences(docs.repartition(13), 16).collect()))
     assert a == b
+
+
+def test_ngram_contamination(spark):
+    from otd_semantic_framework_spark.operators.curation import (
+        ngram_contamination)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"),          # shares the 4-gram 'c d e f' tail
+         (2, "x y z w q r"),          # disjoint
+         (3, "c d e f g h"),          # shares 'c d e f' head
+         (4, None)],
+        "doc_id long, text string")
+    probes = spark.createDataFrame(
+        [(100, "zz c d e f zz")], "doc_id long, text string")
+    got = {r.doc_id: r.n_grams_matched
+           for r in ngram_contamination(docs, probes, n=4).collect()}
+    assert got == {1: 1, 3: 1}  # docs 2 and 4 unflagged
+
+
+def test_ngram_contamination_broadcast_plan(spark):
+    """The probe side must broadcast — the corpus scan never shuffles
+    for the join (decontamination is a map-side pass at 100 TB)."""
+    from otd_semantic_framework_spark.operators.curation import (
+        ngram_contamination)
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(20)], "doc_id long, text string")
+    probes = spark.createDataFrame([(99, "a b c d e")],
+                                   "doc_id long, text string")
+    plan = ngram_contamination(docs, probes, n=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
