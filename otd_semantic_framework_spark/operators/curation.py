@@ -235,3 +235,76 @@ def ngram_contamination(docs: DataFrame, probes: DataFrame, n: int = 8,
             .join(F.broadcast(probe_grams), "gram")
             .groupBy(id_col)
             .agg(F.count_distinct("gram").alias("n_grams_matched")))
+
+
+def mixture_sample(docs: DataFrame, domain_col: str, target: int,
+                   weight_scale: int = 1_000_000,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   prune: bool = True,
+                   prune_factor: float = 3.0) -> DataFrame:
+    """Temperature-scaled domain-mixture sampling (the alpha=0.5
+    smoothing used for multilingual/multi-domain training mixes, e.g.
+    mC4/XLM-R): domain d with count c_d receives a quota proportional
+    to sqrt(c_d), so small domains are up-weighted relative to their
+    raw share. Rows inside a domain are chosen by the same
+    deterministic md5(id:text) rank as ``stratified_sample``.
+
+    Quota math is EXACT and engine-portable: w_d = floor(sqrt(c_d) *
+    weight_scale) as int64 (sqrt is IEEE correctly-rounded, identical
+    on every engine), W = sum(w_d) exactly in integers, quota_d =
+    (target * w_d) div W in integer division — no cross-domain float
+    sum whose non-deterministic order could flip a floor() at the
+    boundary.
+
+    Output (domain, doc_id, rnk, quota), rows with rnk <= quota.
+
+    Scale shape: the domain-count aggregation partial-aggregates
+    map-side into a tiny driver-side table (one row per domain); the
+    per-domain ranking window reuses stratified_sample's map-side
+    md5-prefix pre-prune with verify-and-widen, so a hot domain never
+    funnels its full row set through one window partition."""
+    import math
+
+    counts = dict(
+        docs.groupBy(F.col(domain_col).alias("_d"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .toPandas().itertuples(index=False, name=None))
+    w_d = {d: int(math.floor(math.sqrt(float(c)) * weight_scale))
+           for d, c in counts.items()}
+    W = sum(w_d.values())
+    quota = {d: (target * w) // W for d, w in w_d.items()}
+
+    key = _sample_key(id_col, text_col)
+    win = Window.partitionBy(domain_col).orderBy(key, F.asc(id_col))
+    base = docs
+    if prune:
+        u = F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint")
+        pruned = docs.withColumn("_u", u)
+        space = float(2 ** 32)
+        bound = {
+            d: space if counts[d] <= prune_factor * quota[d]
+            else prune_factor * quota[d] / float(counts[d]) * space
+            for d in counts
+        }
+        need = {d: min(quota[d], int(counts[d])) for d in counts}
+        while True:
+            bdf = F.create_map(*[x for d, b in bound.items()
+                                 for x in (F.lit(d), F.lit(float(b)))])
+            keep = F.col("_u") < bdf[F.col(domain_col)]
+            got = dict(
+                pruned.groupBy(F.col(domain_col).alias("_d"))
+                .agg(F.sum(keep.cast("long")).alias("_kept"))
+                .toPandas().itertuples(index=False, name=None))
+            short = {d for d, nn in need.items() if got.get(d, 0) < nn}
+            if not short:
+                break
+            for d in short:
+                bound[d] = min(space, bound[d] * 4.0)
+        base = pruned.filter(keep).drop("_u")
+    qmap = F.create_map(*[x for d, q in quota.items()
+                          for x in (F.lit(d), F.lit(int(q)))])
+    return (base.withColumn("rnk", F.row_number().over(win))
+            .withColumn("quota", qmap[F.col(domain_col)].cast("bigint"))
+            .filter(F.col("rnk") <= F.col("quota"))
+            .select(F.col(domain_col).alias("domain"),
+                    F.col(id_col).alias("doc_id"), "rnk", "quota"))

@@ -310,3 +310,56 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 8) -> DataFrame:
         F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming"))
+
+
+def repeated_span_coverage(docs: DataFrame, n: int = 8,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """ExactSubstr-lite (Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better"): for every document, the fraction of
+    token positions covered by a token n-gram whose exact text occurs
+    at least twice anywhere in the corpus (other docs or a repeat
+    within the same doc). The full suffix-array construction is
+    replaced by fixed-width n-gram spans — the standard distributed
+    relaxation; coverage is computed exactly from the surviving span
+    starts with integer interval arithmetic (no approximation past the
+    fixed width).
+
+    Output (doc_id, n_tokens, n_repeated_spans, covered_tokens,
+    coverage_frac) for docs with at least one repeated span.
+
+    Scale shape: map-only n-gram explode (md5 digests: fixed 16-byte
+    join keys) -> one shuffle keyed by gram for the global occurrence
+    count (window over the gram partition, partial-combine-free but
+    uniformly keyed: dup grams are rare by definition, so no skew) ->
+    one shuffle keyed by doc_id for the ordered span-merge window ->
+    per-doc agg. No self-join materializing the quadratic pair set."""
+    toks = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                    lambda t: t != "")
+    g = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(toks).alias("n_tokens"),
+        F.posexplode(g).alias("pos0", "gram"))
+    # 1-based span start, matching a SQL oracle's unnest(range(1, ...))
+    grams = grams.select("doc_id", "n_tokens",
+                         (F.col("pos0") + 1).alias("i"), "gram")
+    w_gram = Window.partitionBy("gram")
+    shared = (grams.withColumn("occ", F.count(F.lit(1)).over(w_gram))
+              .filter(F.col("occ") >= 2))
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    spans = shared.withColumn(
+        "cov", F.least(F.lit(n),
+                       F.coalesce(F.lead("i").over(w_doc), F.col("i") + n)
+                       - F.col("i")))
+    return (spans.groupBy("doc_id", "n_tokens")
+            .agg(F.count(F.lit(1)).alias("n_repeated_spans"),
+                 F.sum("cov").alias("covered_tokens"))
+            .select("doc_id", "n_tokens", "n_repeated_spans",
+                    "covered_tokens",
+                    (F.round(F.col("covered_tokens").cast("double")
+                             / F.col("n_tokens").cast("double"), 6)
+                     + F.lit(0.0)).alias("coverage_frac")))

@@ -175,3 +175,58 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "n_urls": n_urls.cast("int"),
         "n_phones": n_phones.cast("int"),
     })
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality metrics per document (Rae et al.
+    2021 §A1.1 repetition filters, re-expressed relationally): unique
+    token fraction, most-frequent-bigram fraction, and the fraction of
+    trigram instances belonging to a trigram that repeats in the doc.
+
+    Output (doc_id, n_tokens, uniq_token_frac, top_bigram_frac,
+    dup_trigram_frac) — fractions rounded to 6dp with the `+ 0.0`
+    signed-zero guard; raw integer components drive the math so both
+    engines divide identical integers.
+
+    Scale shape: one explode of (doc_id, n, gram) for n in {1,2,3} —
+    pure higher-order functions, no Python — then two hash
+    aggregations, both partial-aggregating map-side, keyed first by
+    (doc_id, n, gram) then by doc_id: high-cardinality keys, no skew,
+    no window over a low-cardinality partition. The 100 TB corpus scan
+    stays map-only into the first combine."""
+    toks = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                    lambda t: t != "")
+
+    def gram_rows(n: int):
+        g = F.when(
+            F.size(toks) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        ).otherwise(F.array().cast("array<string>"))
+        return docs.select(F.col(id_col).alias("doc_id"), F.lit(n).alias("n"),
+                           F.explode(g).alias("gram"))
+
+    grams = gram_rows(1).unionAll(gram_rows(2)).unionAll(gram_rows(3))
+    counts = (grams.groupBy("doc_id", "n", "gram")
+              .agg(F.count(F.lit(1)).alias("c")))
+    n1, n2, n3 = (F.col("n") == 1), (F.col("n") == 2), (F.col("n") == 3)
+    agg = counts.groupBy("doc_id").agg(
+        F.sum(F.when(n1, F.col("c"))).alias("n_tokens"),
+        F.count(F.when(n1, F.lit(1))).alias("n_uniq"),
+        F.max(F.when(n2, F.col("c"))).alias("top2"),
+        F.sum(F.when(n2, F.col("c"))).alias("tot2"),
+        F.coalesce(F.sum(F.when(n3 & (F.col("c") >= 2), F.col("c"))),
+                   F.lit(0)).alias("dup3"),
+        F.sum(F.when(n3, F.col("c"))).alias("tot3"))
+
+    def frac(num, den):
+        return (F.round(num.cast("double")
+                        / F.nullif(den, F.lit(0)).cast("double"), 6)
+                + F.lit(0.0))
+
+    return agg.select(
+        "doc_id", "n_tokens",
+        frac(F.col("n_uniq"), F.col("n_tokens")).alias("uniq_token_frac"),
+        frac(F.col("top2"), F.col("tot2")).alias("top_bigram_frac"),
+        frac(F.col("dup3"), F.col("tot3")).alias("dup_trigram_frac"))

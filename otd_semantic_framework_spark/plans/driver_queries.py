@@ -2558,6 +2558,133 @@ GROUP BY g.doc_id
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics
+    (operators/textstats.repetition_stats): unique-token / top-bigram /
+    duplicated-trigram fractions per document."""
+    from ..operators.textstats import repetition_stats
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+SQL_TEXT_REPETITION = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '),
+                     t -> t <> '') AS tk
+  FROM documents),
+grams AS (
+  SELECT doc_id, n, array_to_string(tk[i:i + n - 1], ' ') AS gram
+  FROM (SELECT doc_id, tk, n,
+               unnest(range(1, greatest(len(tk) - n + 2, 1))) AS i
+        FROM toks, (SELECT unnest([1, 2, 3]) AS n))),
+counts AS (
+  SELECT doc_id, n, gram, count(*) AS c
+  FROM grams GROUP BY doc_id, n, gram),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(c) FILTER (WHERE n = 1) AS BIGINT) AS n_tokens,
+         count(*) FILTER (WHERE n = 1) AS n_uniq,
+         max(c) FILTER (WHERE n = 2) AS top2,
+         CAST(sum(c) FILTER (WHERE n = 2) AS BIGINT) AS tot2,
+         CAST(coalesce(sum(c) FILTER (WHERE n = 3 AND c >= 2), 0)
+              AS BIGINT) AS dup3,
+         CAST(sum(c) FILTER (WHERE n = 3) AS BIGINT) AS tot3
+  FROM counts GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       round(CAST(n_uniq AS DOUBLE)
+             / CAST(nullif(n_tokens, 0) AS DOUBLE), 6) + 0.0
+           AS uniq_token_frac,
+       round(CAST(top2 AS DOUBLE)
+             / CAST(nullif(tot2, 0) AS DOUBLE), 6) + 0.0
+           AS top_bigram_frac,
+       round(CAST(dup3 AS DOUBLE)
+             / CAST(nullif(tot3, 0) AS DOUBLE), 6) + 0.0
+           AS dup_trigram_frac
+FROM agg
+"""
+
+
+SPAN_N = 8
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-lite repeated-span coverage
+    (operators/dedup.repeated_span_coverage): per-doc fraction of token
+    positions covered by an 8-gram occurring >= 2 times in the
+    corpus."""
+    from ..operators.dedup import repeated_span_coverage
+    return repeated_span_coverage(_docs(spark, sf_dir), n=SPAN_N)
+
+
+SQL_DEDUP_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '),
+                     t -> t <> '') AS tk
+  FROM documents),
+grams AS (
+  SELECT doc_id, len(tk) AS n_tokens, i,
+         md5(array_to_string(tk[i:i + {SPAN_N} - 1], ' ')) AS gram
+  FROM (SELECT doc_id, tk,
+               unnest(range(1, greatest(len(tk) - {SPAN_N} + 2, 1))) AS i
+        FROM toks)),
+shared AS (
+  SELECT doc_id, n_tokens, i
+  FROM grams
+  QUALIFY count(*) OVER (PARTITION BY gram) >= 2),
+spans AS (
+  SELECT doc_id, n_tokens,
+         least({SPAN_N},
+               coalesce(lead(i) OVER (PARTITION BY doc_id ORDER BY i),
+                        i + {SPAN_N}) - i) AS cov
+  FROM shared)
+SELECT doc_id, n_tokens, count(*) AS n_repeated_spans,
+       CAST(sum(cov) AS BIGINT) AS covered_tokens,
+       round(CAST(sum(cov) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0.0
+           AS coverage_frac
+FROM spans GROUP BY doc_id, n_tokens
+"""
+
+
+MIXTURE_TARGET = 120
+MIXTURE_SCALE = 1_000_000
+
+
+def q_curation_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) domain-mixture sampling over the
+    lang column (operators/curation.mixture_sample): per-domain quotas
+    proportional to sqrt(count), exact integer quota math, md5-rank row
+    selection."""
+    from ..operators.curation import mixture_sample
+    return mixture_sample(_docs(spark, sf_dir), "lang",
+                          target=MIXTURE_TARGET,
+                          weight_scale=MIXTURE_SCALE)
+
+
+SQL_CURATION_MIXTURE = f"""
+WITH c AS (SELECT lang AS domain, count(*) AS cnt FROM documents
+           GROUP BY lang),
+w AS (SELECT domain,
+             CAST(floor(sqrt(CAST(cnt AS DOUBLE)) * {MIXTURE_SCALE})
+                  AS BIGINT) AS w
+      FROM c),
+q AS (SELECT domain,
+             CAST(({MIXTURE_TARGET} * w)
+                  // (SELECT CAST(sum(w) AS BIGINT) FROM w)
+                  AS BIGINT) AS quota
+      FROM w),
+r AS (SELECT doc_id, lang AS domain,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || ':'
+                              || coalesce(text, '')),
+                          doc_id ASC) AS rnk
+      FROM documents)
+SELECT r.domain, r.doc_id, r.rnk, q.quota
+FROM r JOIN q ON q.domain = r.domain
+WHERE r.rnk <= q.quota
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2605,6 +2732,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_quantized_topk": q_sim_quantized_topk,
         "curation_pack": q_curation_pack,
         "text_contamination": q_text_contamination,
+        "text_repetition": q_text_repetition,
+        "dedup_spans": q_dedup_spans,
+        "curation_mixture": q_curation_mixture,
         "rel_range_frame": q_rel_range_frame,
         "rel_grouping_sets": q_rel_grouping_sets,
         "rel_lateral": q_rel_lateral,
@@ -2686,6 +2816,9 @@ def build_oracle_sql() -> dict[str, str]:
             n_query=N_QUERY_VECS, k=SIM_TOP_K),
         "curation_pack": SQL_CURATION_PACK,
         "text_contamination": SQL_TEXT_CONTAMINATION,
+        "text_repetition": SQL_TEXT_REPETITION,
+        "dedup_spans": SQL_DEDUP_SPANS,
+        "curation_mixture": SQL_CURATION_MIXTURE,
         "rel_range_frame": SQL_REL_RANGE_FRAME,
         "rel_grouping_sets": SQL_REL_GROUPING_SETS,
         "rel_lateral": SQL_REL_LATERAL,
