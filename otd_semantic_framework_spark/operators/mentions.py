@@ -154,6 +154,108 @@ def detect_mentions_exploded(df: DataFrame, gazetteer: dict[str, str],
         "surface", "tok_start", "tok_end")
 
 
+def detect_canonical_concepts_exploded(
+        df: DataFrame, gazetteer: dict[str, str],
+        canonical_pdf: pd.DataFrame,
+        max_ngram: int = S.MAX_NGRAM,
+        norm_col: str = "norm_text") -> DataFrame:
+    """Fully-fused P4+P5+P7–P9 hot path: ONE mapInPandas stage that
+    regex-detects mentions (same mega-string machinery as
+    ``detect_mentions_exploded``), maps each surface to its precomputed
+    canonical (concept_id, link_score) in-batch, and max-dedups per
+    (turn, concept) — so every emitted row is already unique within its
+    turn.  Output rows equal
+    ``canonicalize_broadcast(detect_mentions_exploded(df), canonical_pdf)``
+    reduced to one max-score row per (conv_id, turn_idx, concept_id)
+    (pinned by tests/test_mentions.py).
+
+    Scale rationale: the per-turn dedup is the ONLY source of duplicate
+    (subj, pred, obj) mention triples — a turn's mentions always live in
+    one Arrow batch, so collapsing them here makes the downstream triple
+    stream globally unique by construction and deletes the full-corpus
+    dedup shuffle (the second wide boundary of ``build_triples_fast``).
+    At 10^12 turns that shuffle moves ~the whole triple table through
+    shared disk/network; this trades it for a vectorized in-batch
+    lexsort. The broadcast-join stage disappears with it: the canonical
+    table (a few hundred rows) ships once per python worker in the UDF
+    closure, exactly like the gazetteer.
+    """
+    import numpy as np
+
+    pattern = S.gazetteer_pattern(gazetteer, max_ngram)
+    # surface -> (dense concept code, link_score); unmatched surfaces
+    # (sub-threshold, absent from the canonical table) drop out exactly
+    # like the inner broadcast join they replace.
+    concept_ids = canonical_pdf["concept_id"].astype(str).unique().tolist()
+    code_of = {c: i for i, c in enumerate(concept_ids)}
+    canon_map = {
+        r.surface: (code_of[r.concept_id], float(r.link_score))
+        for r in canonical_pdf.itertuples(index=False)
+    }
+    concept_arr = np.asarray(concept_ids, dtype=object)
+
+    out_schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("concept_id", T.StringType()),
+        T.StructField("link_score", T.DoubleType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            texts = pdf[norm_col].fillna("").tolist()
+            mega = "\x00".join(texts)
+            try:
+                mega_bytes = mega.encode("ascii")
+            except UnicodeEncodeError:
+                bad = next(t for t in texts if not t.isascii())
+                raise ValueError(
+                    "detect_canonical_concepts_exploded requires "
+                    "[a-z0-9 ]-normalized text (run normalize_turns "
+                    f"first); offending row text: {bad[:80]!r}") from None
+            starts: list[int] = []
+            codes: list[int] = []
+            scores: list[float] = []
+            get = canon_map.get
+            for m in pattern.finditer(mega):
+                hit = get(m.group(0))
+                if hit is None:
+                    continue
+                starts.append(m.start())
+                codes.append(hit[0])
+                scores.append(hit[1])
+            if not starts:
+                continue
+            del mega_bytes  # ascii guarantee was the only use
+            lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                               count=len(texts))
+            offsets = np.zeros(len(texts), dtype=np.int64)
+            if len(texts) > 1:
+                np.cumsum(lens[:-1] + 1, out=offsets[1:])
+            st = np.asarray(starts, dtype=np.int64)
+            rows = np.searchsorted(offsets, st, side="right") - 1
+            cid = np.asarray(codes, dtype=np.int64)
+            sc = np.asarray(scores, dtype=np.float64)
+            # per-(row, concept) max: lexsort (primary row, then concept,
+            # then score descending) and keep each group's first entry
+            order = np.lexsort((-sc, cid, rows))
+            r_s, c_s, s_s = rows[order], cid[order], sc[order]
+            first = np.ones(len(r_s), dtype=bool)
+            first[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+            r_f, c_f, s_f = r_s[first], c_s[first], s_s[first]
+            yield pd.DataFrame({
+                "conv_id": pdf["conv_id"].to_numpy()[r_f],
+                "turn_idx": pdf["turn_idx"].to_numpy()[r_f],
+                "concept_id": concept_arr[c_f],
+                "link_score": s_f,
+            })
+
+    return df.select("conv_id", "turn_idx", norm_col).mapInPandas(
+        gen, schema=out_schema)
+
+
 def explode_mentions(df: DataFrame) -> DataFrame:
     """P5: one row per mention with a deterministic mention_id."""
     return (

@@ -39,6 +39,21 @@ def mention_triples(canonical: DataFrame) -> DataFrame:
     )
 
 
+def canonical_mention_triples(canon_concepts: DataFrame) -> DataFrame:
+    """Mention rule over the fully-fused detector output
+    (``detect_canonical_concepts_exploded``): rows arrive already
+    max-deduped per (turn, concept), so these triples are unique by
+    construction and skip P13's global shuffle. Score rounding matches
+    ``dedup_triples`` exactly (round(max(score), SCORE_DECIMALS))."""
+    return canon_concepts.select(
+        _subj(F.col("conv_id"), F.col("turn_idx")).alias("subj"),
+        F.lit("mentions").alias("pred"),
+        F.col("concept_id").alias("obj"),
+        "conv_id", "turn_idx",
+        F.round(F.col("link_score"), S.SCORE_DECIMALS).alias("score"),
+    )
+
+
 def tool_triples(transcripts: DataFrame) -> DataFrame:
     return transcripts.filter(F.col("tool").isNotNull()).select(
         _subj(F.col("conv_id"), F.col("turn_idx")).alias("subj"),

@@ -131,16 +131,28 @@ class CheckpointedRun:
 
 def build_triples_fast(spark: SparkSession, transcripts: DataFrame,
                        ontology_pdf: pd.DataFrame | None = None,
-                       spread_partitions: int | None = None) -> DataFrame:
-    """Single-expression hot path (no checkpoint materialization):
-    regex mention UDF → broadcast precomputed canonical table (zero
-    shuffles through P9) → 3-rule union → one groupBy dedup. This is
-    the plan the 100TB cluster runs per partition-slice; the
-    checkpointed ``run_pipeline`` wraps the same operators stage by
-    stage. Output equality with run_pipeline is pinned by
+                       spread_partitions: int | None = None,
+                       fuse_canonical: bool = True) -> DataFrame:
+    """Single-expression hot path (no checkpoint materialization).
+
+    Default plan (``fuse_canonical=True``): fully-fused mapInPandas
+    (regex mentions → in-batch canonical map → per-turn max-dedup) →
+    3-rule union. Every rule then emits globally-unique (s,p,o) rows —
+    mention duplicates only ever arise within one turn and are collapsed
+    inside the UDF batch — so P13's full-corpus dedup shuffle is
+    unnecessary by construction and the hot path has exactly ONE wide
+    boundary (the P11 respread; the replies window is narrow-ish:
+    conv_id+turn_idx only after column pruning). PRECONDITION: one row
+    per (conv_id, turn_idx), which P2 turn assembly guarantees; pass
+    ``fuse_canonical=False`` for raw un-assembled input to route through
+    the broadcast-join + global-dedup plan instead. Output equality of
+    both plans with run_pipeline is pinned by
     tests/test_autotag.py::test_fast_path_equals_checkpointed."""
     from ..operators.linking import (canonicalize_broadcast,
                                      surface_canonical_table)
+    from ..operators.mentions import detect_canonical_concepts_exploded
+    from ..operators.triples import (canonical_mention_triples,
+                                     reply_triples, tool_triples)
 
     ontology_pdf = ontology_pdf if ontology_pdf is not None else fixtures.ontology_pandas()
     concepts = [
@@ -159,6 +171,14 @@ def build_triples_fast(spark: SparkSession, transcripts: DataFrame,
     # pins the whole wave). Default 3 waves per core.
     n = spread_partitions or spark.sparkContext.defaultParallelism * 3
     spread = transcripts.repartition(n)
+    if fuse_canonical:
+        canon_concepts = detect_canonical_concepts_exploded(
+            normalize_turns(spread), gaz, canon_table)
+        return (
+            canonical_mention_triples(canon_concepts)
+            .unionByName(tool_triples(transcripts))
+            .unionByName(reply_triples(transcripts))
+        )
     mentions = detect_mentions_exploded(normalize_turns(spread), gaz)
     canon = canonicalize_broadcast(mentions, canon_table)
     return dedup_triples(extract_triples(transcripts, canon))

@@ -89,3 +89,37 @@ def test_regex_twin_pure_function_equivalence():
     for text in cases:
         assert S.find_mentions_regex(text, pat) == \
             S.find_mentions(text, gaz, max_ngram=2), text
+
+
+def test_fused_canonical_detector_equivalence(spark, tiny_df, ontology_pdf):
+    """detect_canonical_concepts_exploded (the fully-fused P4+P5+P7-P9
+    hot path) emits exactly canonicalize_broadcast(
+    detect_mentions_exploded(...)) max-reduced per (turn, concept), with
+    matching dedup_triples score rounding — and is invariant under
+    repartitioning (batch boundaries move)."""
+    import pandas as pd
+    from otd_semantic_framework_spark.operators.linking import (
+        canonicalize_broadcast, surface_canonical_table)
+    from otd_semantic_framework_spark.operators.mentions import (
+        detect_canonical_concepts_exploded, detect_mentions_exploded)
+    concepts = S.build_ontology()
+    gaz = S.build_gazetteer(concepts)
+    wup_pdf = pd.DataFrame(
+        [(a.concept_id, b.concept_id, S.wup_similarity(a, b))
+         for a in concepts for b in concepts],
+        columns=["concept_a", "concept_b", "wup"])
+    canon_table = surface_canonical_table(ontology_pdf, gaz, wup_pdf)
+    ref = canonicalize_broadcast(
+        detect_mentions_exploded(normalize_turns(tiny_df), gaz), canon_table)
+    want = {}
+    for r in ref.collect():
+        key = (r.conv_id, r.turn_idx, r.concept_id)
+        want[key] = max(want.get(key, 0.0), round(r.link_score, 6))
+    k = lambda df: {(r.conv_id, r.turn_idx, r.concept_id):
+                    round(r.link_score, 6) for r in df.collect()}
+    got = k(detect_canonical_concepts_exploded(
+        normalize_turns(tiny_df), gaz, canon_table))
+    assert got == want
+    got13 = k(detect_canonical_concepts_exploded(
+        normalize_turns(tiny_df.repartition(13)), gaz, canon_table))
+    assert got13 == want

@@ -48,10 +48,25 @@ def test_canonicalize_wup_join_is_broadcast(spark, tiny_df, ontology_pdf):
 
 
 def test_fast_path_plan_shape(spark, tiny_df):
-    """The hot path: no sort-merge joins, no cartesian product, codegen
-    spans present (codegen explain mode — the AQE root string hides
-    WholeStageCodegen until a plan is final)."""
+    """The fused hot path (fuse_canonical=True default): JOIN-FREE and
+    AGGREGATION-FREE — canonical mapping and per-turn dedup happen inside
+    the single mapInPandas stage, so the mention branch is scan →
+    round-robin exchange → MapInPandas → project, with nothing wide after
+    the UDF. No sort-merge joins, no cartesian, no global HashAggregate."""
     df = build_triples_fast(spark, tiny_df)
+    plan = _plan(df)
+    assert "Join" not in plan          # canonical map fused into the UDF
+    assert "HashAggregate" not in plan  # per-turn dedup fused into the UDF
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_fast_path_unfused_plan_shape(spark, tiny_df):
+    """The unfused fallback (fuse_canonical=False, for un-assembled
+    input): broadcast canonical join + map-side-partial dedup agg, no
+    sort-merge join, codegen spans present (codegen explain mode — the
+    AQE root string hides WholeStageCodegen until a plan is final)."""
+    df = build_triples_fast(spark, tiny_df, fuse_canonical=False)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
@@ -80,8 +95,9 @@ def test_dedup_is_hash_aggregate_with_partials(spark, tiny_df):
     live: min(string) aggregates degrade to sort-based) and must
     partial-aggregate map-side (two HashAggregate levels around one
     exchange) — what keeps the shuffle linear in distinct keys at
-    10^12-turn scale."""
-    plan = _plan(build_triples_fast(spark, tiny_df))
+    10^12-turn scale. (Routes through fuse_canonical=False: the fused
+    default has no dedup aggregate at all, by design.)"""
+    plan = _plan(build_triples_fast(spark, tiny_df, fuse_canonical=False))
     assert "SortAggregate" not in plan
     assert plan.count("HashAggregate") >= 2
 
