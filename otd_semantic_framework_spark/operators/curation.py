@@ -308,3 +308,93 @@ def mixture_sample(docs: DataFrame, domain_col: str, target: int,
             .filter(F.col("rnk") <= F.col("quota"))
             .select(F.col(domain_col).alias("domain"),
                     F.col(id_col).alias("doc_id"), "rnk", "quota"))
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 25,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BM25 retrieval: top-k documents for a fixed query term set —
+    the curation-side "find documents like this" primitive (and the
+    lexical half of any retrieval-augmented pipeline).
+
+    Per-term scores are computed in double (idf = ln(1 + (N-df+.5)/
+    (df+.5)), Robertson tf saturation), then rounded to an exact ppm
+    INTEGER per (doc, term) BEFORE the per-doc sum — an integer sum is
+    partial-aggregation-merge-order independent, so the only
+    cross-engine float surface is elementwise arithmetic on identical
+    inputs (IEEE-exact) plus one ln per distinct df (same accepted
+    ulp class as tfidf_top_terms).
+
+    Scale shape: the tf table is filtered to the query's terms before
+    any join — a pushed-down isin() prune, so the corpus-wide work is
+    one tokenize + two hash aggs; df/N/avgdl are literal constants by
+    the time scoring runs. The final top-k is sort+limit
+    (TakeOrderedAndProject — per-partition heaps, never a global sort).
+    """
+    toks = _toks(docs, id_col, text_col)
+    tf_all = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dlen.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("dlen").alias("tot")).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["tot"]) / int(stats["n"])
+    qtf = tf_all.filter(F.col("tok").isin(query_terms))
+    dfreq = qtf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        qtf.join(dfreq, "tok").join(dlen, "doc_id")
+        .withColumn("idf", F.log(
+            1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)))
+        .withColumn("term_ppm", F.round(
+            F.col("idf") * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dlen") / avgdl))
+            * 1e6, 0).cast("long")))
+    return (scored.groupBy("doc_id")
+            .agg(F.sum("term_ppm").alias("score_ppm"),
+                 F.count(F.lit(1)).alias("n_terms"))
+            .orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+            .limit(k))
+
+
+def bigram_lm_cost(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """CCNet-style LM quality scoring without an external model: train
+    an add-one-smoothed bigram LM on the corpus itself (two hash aggs),
+    then score every document by its average per-bigram negative
+    log-likelihood — boilerplate/repetitive text scores cheap, rare
+    gibberish scores expensive; curation filters on the tails.
+
+    P(w2|w1) = (c12 + 1) / (c1 + V) with V = corpus vocabulary size;
+    per-bigram cost = -ln P rounded to an exact MICRO-NAT integer, so
+    the per-doc sum and the final integer-division average
+    (sum DIV n_bigrams) are bit-exact regardless of aggregation order.
+    Output: (doc_id, n_bigrams, avg_cost_micro).
+
+    Scale shape: bigram assembly is one per-doc window (lead over token
+    position — doc-keyed, high cardinality, no skew); the LM "model" is
+    the (w1,w2)-keyed count table joined back on the bigram key — a
+    plain shuffle-hash equi-join that needs no broadcast, so vocabulary
+    size is unbounded. Documents shorter than 2 tokens drop out (no
+    bigrams to score).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.filter(F.split(F.col(text_col), " "),
+                              lambda t: t != "")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (toks.withColumn("w2", F.lead("tok", 1).over(w))
+               .filter(F.col("w2").isNotNull())
+               .select("doc_id", F.col("tok").alias("w1"), "w2"))
+    vocab = toks.select("tok").distinct().count()
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    lm = c12.join(c1, "w1").withColumn(
+        "cost_micro", F.round(
+            -F.log((F.col("c12") + 1.0) / (F.col("c1") + F.lit(float(vocab))))
+            * 1e6, 0).cast("long"))
+    return (bigrams.join(lm.select("w1", "w2", "cost_micro"), ["w1", "w2"])
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("cost_micro").alias("tot"))
+            .select("doc_id", "n_bigrams",
+                    F.expr("tot DIV n_bigrams").alias("avg_cost_micro")))

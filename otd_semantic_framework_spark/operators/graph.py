@@ -1,0 +1,126 @@
+"""Graph analytics over the constructed knowledge graph: PageRank and
+concept co-occurrence association strength.
+
+The reference's autotag graph is consumed as an rdflib Graph a user can
+traverse/score arbitrarily [K]; at 100 TB the graph is a distributed
+edge table, so the canonical read-side analytics (node importance,
+concept association) must be expressed as joins + aggregations.
+
+Both operators here are EXACT-INTEGER by construction — fixed-point
+arithmetic (ppm scaling, integer division) instead of floating point —
+so the result is independent of partial-aggregation merge order and
+bit-identical across engines (the same discipline as the integer-cents
+oracles elsewhere in this repo: a distributed float sum is
+order-dependent, an integer sum is not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale: ranks/lifts are parts-per-million integers
+PPM = 1_000_000
+#: damping factor 0.85 expressed exactly in integer per-mille
+DAMPING_PM = 850
+BASE_RANK = PPM * 15 // 100  # (1 - d) * PPM = 150000
+
+
+def kg_edges(triples: DataFrame) -> DataFrame:
+    """Directed edge table of the heterogeneous KG: subj→obj over every
+    predicate (turn→concept mentions, turn→tool uses, turn→turn
+    replies). (subj, obj) is already unique across predicates — the
+    obj namespaces (concept ids / ``tool:*`` / ``turn:*``) are
+    disjoint and each rule emits one row per key — but the distinct
+    is kept so arbitrary triple inputs satisfy the set-semantics
+    precondition at the cost of one map-side-partial agg."""
+    return triples.select("subj", "obj").distinct()
+
+
+def pagerank_exact(triples: DataFrame, iterations: int = 4) -> DataFrame:
+    """Fixed-point PageRank over the KG edge table — ``iterations``
+    synchronous rounds, damping 0.85, no dangling-mass redistribution
+    (dangling sinks simply leak mass; both engines agree on the
+    definition, which is what the oracle pairing needs).
+
+    Arithmetic is pure BIGINT: ranks start at 1_000_000 (1.0 in ppm);
+    each round every node sends ``rank DIV out_degree`` along its out
+    edges and receives ``150000 + (850 * inflow) DIV 1000``. Integer
+    sums are merge-order-independent, so the distributed aggregation is
+    bit-exact — no float tolerance anywhere. Headroom: inflow sums stay
+    below 2^63 until ~10^12 nodes; past that, move the scale to ppb⁻¹
+    or aggregate as DECIMAL(38,0).
+
+    Scale shape per round: one shuffle-hash join rank⋈edges on the node
+    key + one hash agg on the destination key, both map-side-partial.
+    ``edges``/``out_deg``/``nodes`` are computed once, cached, and
+    reused by every round (at cluster scale: bucket the edge table by
+    subj so the per-round join is co-partitioned and shuffle-free).
+    The loop is driver-side but touches no data — Spark only sees a
+    ``iterations``-deep plan; for deep runs, localCheckpoint every few
+    rounds to cut lineage.
+    """
+    edges = kg_edges(triples)
+    out_deg = edges.groupBy("subj").agg(F.count(F.lit(1)).alias("out_deg"))
+    nodes = (edges.select(F.col("subj").alias("node"))
+             .unionByName(edges.select(F.col("obj").alias("node")))
+             .distinct())
+    for df in (edges, out_deg, nodes):
+        df.persist()
+    ranks = nodes.withColumn("rank", F.lit(PPM).cast("long"))
+    send = (edges.join(out_deg, "subj")
+            .select("subj", "obj", "out_deg").persist())
+    for _ in range(iterations):
+        inflow = (
+            send.join(ranks, send["subj"] == ranks["node"])
+            .select(F.col("obj").alias("node"),
+                    F.expr("rank DIV out_deg").alias("contrib"))
+            .groupBy("node").agg(F.sum("contrib").alias("inflow")))
+        ranks = nodes.join(inflow, "node", "left").select(
+            "node",
+            (F.lit(BASE_RANK)
+             + F.expr(f"({DAMPING_PM} * coalesce(inflow, 0L)) DIV 1000")
+             ).alias("rank"))
+    return ranks
+
+
+def concept_lift(mentions: DataFrame, min_pair: int = 2,
+                 conv_col: str = "conv_id",
+                 concept_col: str = "concept_id") -> DataFrame:
+    """Concept-association strength from conversation-level
+    co-occurrence: for every unordered concept pair (a < b) mentioned
+    in the same conversation, emit support counts and the lift ratio
+    P(a,b)/(P(a)P(b)) as an exact ppm integer
+    ``(n_ab * n_convs * 1e6) DIV (n_a * n_b)`` — the monotone core of
+    PMI (PMI = ln(lift)) without a cross-engine transcendental. Input:
+    any (conversation, concept) mention table — pipeline triples
+    filtered to pred='mentions', or the canonical-link output directly.
+
+    Scale shape: the per-conversation distinct concept set is bounded
+    by the ontology size, so the pair self-join is a conv-keyed
+    equi-join with tiny per-key fan-out (never all-pairs across
+    conversations); the three count aggs partial-aggregate map-side.
+    The n_ab * n_convs product needs BIGINT headroom: exact up to
+    ~3*10^12 co-occurring conversations at ppm scale.
+    """
+    conv_concepts = (mentions.select(F.col(conv_col).alias("conv_id"),
+                                     F.col(concept_col).alias("concept"))
+                     .distinct())
+    n_convs = conv_concepts.select("conv_id").distinct().count()
+    marg = conv_concepts.groupBy("concept").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    a = conv_concepts.select("conv_id", F.col("concept").alias("concept_a"))
+    b = conv_concepts.select("conv_id", F.col("concept").alias("concept_b"))
+    pairs = (a.join(b, "conv_id")
+             .filter(F.col("concept_a") < F.col("concept_b"))
+             .groupBy("concept_a", "concept_b")
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .filter(F.col("n_ab") >= min_pair))
+    ma = marg.select(F.col("concept").alias("concept_a"),
+                     F.col("n_docs").alias("n_a"))
+    mb = marg.select(F.col("concept").alias("concept_b"),
+                     F.col("n_docs").alias("n_b"))
+    return (pairs.join(ma, "concept_a").join(mb, "concept_b")
+            .select("concept_a", "concept_b", "n_a", "n_b", "n_ab",
+                    F.expr(f"(n_ab * {n_convs}L * {PPM}L) DIV (n_a * n_b)")
+                    .alias("lift_ppm")))

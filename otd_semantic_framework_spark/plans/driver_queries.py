@@ -2769,6 +2769,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_cube": q_rel_cube,
         "rel_misc_fns": q_rel_misc_fns,
         "rel_array_fns": q_rel_array_fns,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_concept_lift": q_kg_concept_lift,
+        "text_bm25": q_text_bm25,
+        "text_perplexity": q_text_perplexity,
+        "stream_triples": q_stream_triples,
     }
 
 
@@ -2853,6 +2858,11 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_cube": SQL_REL_CUBE,
         "rel_misc_fns": _SQL_REL_MISC_FNS_DUCK,
         "rel_array_fns": _SQL_REL_ARRAY_FNS_DUCK,
+        "kg_pagerank": _sql_kg_pagerank(),
+        "kg_concept_lift": _sql_kg_concept_lift(),
+        "text_bm25": _sql_text_bm25(),
+        "text_perplexity": SQL_TEXT_PERPLEXITY,
+        "stream_triples": _sql_kg_fast_pipeline(),
     }
 
 
@@ -3101,3 +3111,202 @@ FROM (
 def q_rel_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "documents")
     return spark.sql(SQL_REL_ARRAY_FNS)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 tail: graph analytics over the KG (PageRank, concept lift),
+# retrieval + LM curation scoring (BM25, bigram perplexity), and
+# streaming incremental KG construction.
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 4
+
+
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the full heterogeneous KG
+    (operators/graph.py) — node importance on the P15 output, the
+    classic KG read-side analytic. Pure BIGINT arithmetic, so the
+    distributed aggregation is bit-exact against DuckDB's unrolled
+    replay of the same four synchronous rounds."""
+    from ..operators.graph import pagerank_exact
+    return (pagerank_exact(q_kg_triples(spark, sf_dir),
+                           iterations=PAGERANK_ITERS)
+            .select("node", F.col("rank").alias("rank_ppm")))
+
+
+def _sql_kg_pagerank() -> str:
+    its, prev = [], "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        its.append(f"""i{i} AS (
+  SELECT n.node,
+         CAST(150000 + (850 * coalesce(f.inflow, 0)) // 1000 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT s.obj AS node, CAST(sum(r.pr // s.out_deg) AS BIGINT) AS inflow
+    FROM send s JOIN {prev} r ON r.node = s.subj
+    GROUP BY s.obj) f ON f.node = n.node)""")
+        prev = f"i{i}"
+    return f"""
+WITH triples AS ({_sql_kg_triples_body()}),
+edges AS (SELECT DISTINCT subj, obj FROM triples),
+outd AS (SELECT subj, count(*) AS out_deg FROM edges GROUP BY subj),
+nodes AS (SELECT subj AS node FROM edges UNION SELECT obj FROM edges),
+send AS (SELECT e.subj, e.obj, o.out_deg
+         FROM edges e JOIN outd o ON o.subj = e.subj),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+{', '.join(its)}
+SELECT node, pr AS rank_ppm FROM {prev}
+"""
+
+
+def q_kg_concept_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concept-association lift from conversation-level co-occurrence
+    (operators/graph.py) — the monotone core of PMI as an exact ppm
+    integer, over the canonical entity links."""
+    from ..operators.graph import concept_lift
+    return concept_lift(q_kg_canonical(spark, sf_dir), min_pair=2)
+
+
+def _sql_kg_concept_lift() -> str:
+    canon = _sql_kg_canonical_body(
+        "SELECT conv_id, turn_idx, surface, concept_id, link_score FROM best WHERE rn = 1")
+    return f"""
+WITH canon AS ({canon}),
+cc AS (SELECT DISTINCT conv_id, concept_id AS concept FROM canon),
+nconv AS (SELECT count(DISTINCT conv_id) AS n FROM cc),
+marg AS (SELECT concept, count(*) AS n_docs FROM cc GROUP BY concept),
+pairs AS (
+  SELECT a.concept AS concept_a, b.concept AS concept_b, count(*) AS n_ab
+  FROM cc a JOIN cc b ON b.conv_id = a.conv_id AND a.concept < b.concept
+  GROUP BY a.concept, b.concept
+  HAVING count(*) >= 2)
+SELECT p.concept_a, p.concept_b, ma.n_docs AS n_a, mb.n_docs AS n_b,
+       p.n_ab,
+       CAST((p.n_ab * nc.n * 1000000) // (ma.n_docs * mb.n_docs) AS BIGINT)
+         AS lift_ppm
+FROM pairs p JOIN marg ma ON ma.concept = p.concept_a
+     JOIN marg mb ON mb.concept = p.concept_b CROSS JOIN nconv nc
+"""
+
+
+BM25_TERMS = ["join", "filter", "dup", "spark"]
+BM25_K = 25
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed query over the documents corpus
+    (operators/curation.py) — per-term scores rounded to exact ppm
+    integers BEFORE the per-doc sum, so only elementwise IEEE
+    arithmetic (plus one ln per distinct df, the tfidf-accepted ulp
+    class) crosses engines."""
+    from ..operators.curation import bm25_topk
+    return bm25_topk(_docs(spark, sf_dir), BM25_TERMS, k=BM25_K)
+
+
+def _sql_text_bm25() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dlen AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, CAST(sum(dlen) AS BIGINT) AS tot
+          FROM dlen),
+qtf AS (SELECT doc_id, tok, tf FROM tf WHERE tok IN ({terms})),
+dfreq AS (SELECT tok, count(*) AS df FROM qtf GROUP BY tok),
+scored AS (
+  SELECT q.doc_id,
+         CAST(round(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (q.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+           / (q.tf + CAST(1.2 AS DOUBLE)
+              * (1.0 - CAST(0.75 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * dl.dlen
+                   / (CAST(s.tot AS DOUBLE) / s.n_docs)))
+           * CAST(1000000 AS DOUBLE), 0) AS BIGINT) AS term_ppm
+  FROM qtf q JOIN dfreq d ON d.tok = q.tok
+       JOIN dlen dl ON dl.doc_id = q.doc_id CROSS JOIN stats s)
+SELECT doc_id, CAST(sum(term_ppm) AS BIGINT) AS score_ppm,
+       count(*) AS n_terms
+FROM scored GROUP BY doc_id
+ORDER BY score_ppm DESC, doc_id
+LIMIT {BM25_K}
+"""
+
+
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-one bigram LM scoring (operators/curation.py
+    bigram_lm_cost) — CCNet-style quality signal; per-bigram costs are
+    exact micro-nat integers so sums and the integer-division average
+    are merge-order independent."""
+    from ..operators.curation import bigram_lm_cost
+    return bigram_lm_cost(_docs(spark, sf_dir))
+
+
+SQL_TEXT_PERPLEXITY = """
+WITH tl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+         FROM tl),
+big AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, tok AS w1,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks) x
+  WHERE w2 IS NOT NULL),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+voc AS (SELECT count(DISTINCT tok) AS v FROM toks),
+lm AS (
+  SELECT a.w1, a.w2,
+         CAST(round(-ln((a.c12 + 1.0) / (b.c1 + CAST(voc.v AS DOUBLE)))
+                    * CAST(1000000 AS DOUBLE), 0) AS BIGINT) AS cost_micro
+  FROM c12 a JOIN c1 b ON b.w1 = a.w1 CROSS JOIN voc)
+SELECT g.doc_id, count(*) AS n_bigrams,
+       CAST(sum(l.cost_micro) AS BIGINT) // count(*) AS avg_cost_micro
+FROM big g JOIN lm l ON l.w1 = g.w1 AND l.w2 = g.w2
+GROUP BY g.doc_id
+"""
+
+
+def q_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming INCREMENTAL KG construction: the derived transcript
+    table staged as a 4-file directory hash-partitioned by conv_id
+    (conversation-atomic micro-batches), drained availableNow with
+    maxFilesPerTrigger=1 so four genuine triggers each run the fused
+    build_triples_fast on their batch and APPEND to the triple sink.
+    Because triple extraction is conversation-local (mentions/tools per
+    turn, replies within a conv) and the fused detector dedups per
+    turn, the appended union over conv-atomic batches equals the batch
+    run row-for-row — verified against the SAME DuckDB oracle as
+    kg_fast_pipeline. This is the P15/P16 growth path at 100 TB: new
+    conversation slices stream in; nothing is recomputed."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    from .pipeline import build_triples_fast
+    sfx = _os.path.basename(sf_dir.rstrip("/"))
+    out = _os.path.join(_tempfile.gettempdir(), f"stream_tri_{sfx}.parquet")
+    ckpt = _os.path.join(_tempfile.gettempdir(), f"stream_tri_{sfx}_ckpt")
+    src = _os.path.join(_tempfile.gettempdir(), f"stream_tri_{sfx}_src")
+    for d in (out, ckpt, src):
+        _shutil.rmtree(d, ignore_errors=True)
+    t = derived_transcripts(spark, sf_dir).withColumn(
+        "ts", F.lit(None).cast("timestamp"))
+    t.repartition(4, "conv_id").write.parquet(src)
+    stream = (spark.readStream.schema(t.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    def _extract(batch_df: DataFrame, _batch_id: int) -> None:
+        build_triples_fast(spark, batch_df, ontology_pdf=_fast_onto_pdf()
+                           ).write.mode("append").parquet(out)
+
+    q = (stream.writeStream.outputMode("append").foreachBatch(_extract)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    q.awaitTermination()
+    spark.catalog.refreshByPath(out)
+    return spark.read.parquet(out).select(
+        "subj", "pred", "obj", "conv_id", "turn_idx", "score")
