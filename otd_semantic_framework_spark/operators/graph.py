@@ -124,3 +124,93 @@ def concept_lift(mentions: DataFrame, min_pair: int = 2,
             .select("concept_a", "concept_b", "n_a", "n_b", "n_ab",
                     F.expr(f"(n_ab * {n_convs}L * {PPM}L) DIV (n_a * n_b)")
                     .alias("lift_ppm")))
+
+
+def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
+              distinct: bool = True) -> DataFrame:
+    """SPARQL-style basic-graph-pattern matching over the distributed
+    triple table: each pattern is an (s, p, o) tuple whose elements are
+    either constants or ``?var`` variables; the result has one column
+    per variable, one row per binding — what rdflib answers with
+    ``graph.query()`` on the reference's autotag graph [K], re-expressed
+    as relational algebra so Catalyst plans it.
+
+    Compilation: every pattern becomes a filtered projection of the
+    triple table (constants → pushed-down equality filters, variables →
+    renamed columns); patterns are folded left-to-right with natural
+    joins on their shared variables (a pattern sharing no variable with
+    the accumulated prefix is a deliberate error — cartesian BGPs are
+    almost always query bugs and never scale). Catalyst then reorders /
+    broadcast-selects the joins like any other multi-join query; a
+    selective constant pattern (small after its filter) becomes the
+    broadcast side automatically under AQE.
+    """
+    if not patterns:
+        raise ValueError("empty basic graph pattern")
+
+    def compile_one(idx: int, pat: tuple[str, str, str]) -> DataFrame:
+        df = triples
+        cols = []
+        seen: dict[str, str] = {}
+        for name, term in zip(("subj", "pred", "obj"), pat):
+            if term.startswith("?"):
+                var = term[1:]
+                if var in seen:  # same var twice in one pattern
+                    df = df.filter(F.col(name) == F.col(seen[var]))
+                else:
+                    seen[var] = name
+                    cols.append(F.col(name).alias(var))
+            else:
+                df = df.filter(F.col(name) == term)
+        if not cols:
+            raise ValueError(f"pattern {idx} binds no variable: {pat}")
+        return df.select(*cols)
+
+    out = compile_one(0, patterns[0])
+    for i, pat in enumerate(patterns[1:], start=1):
+        nxt = compile_one(i, pat)
+        shared = sorted(set(out.columns) & set(nxt.columns))
+        if not shared:
+            raise ValueError(
+                f"pattern {i} {pat} shares no variable with the prefix "
+                f"{sorted(out.columns)} — cartesian BGP refused")
+        out = out.join(nxt, shared)
+    return out.distinct() if distinct else out
+
+
+def bounded_path(triples: DataFrame, pred: str,
+                 max_depth: int = 3) -> DataFrame:
+    """Bounded property-path closure ``pred{1,max_depth}`` (the SPARQL
+    ``p+`` operator with an explicit depth cap): all (src, dst, depth)
+    pairs connected by 1..max_depth consecutive ``pred`` edges, with
+    ``depth`` the MINIMUM hop count (set-semantic union per level, then
+    a min-agg — so diamond-shaped multi-path graphs still emit one row
+    per pair).
+
+    Iterative frontier expansion: level k+1 joins the level-k frontier
+    with the (cached) edge table on the frontier's dst — k-1 shuffle
+    joins total, each keyed on the join node. An UNBOUNDED closure at
+    10^12 edges is a different algorithm (doubling joins — depth log
+    rounds — or the connected-components machinery in dedup.py); the
+    explicit cap is the point of this operator: path queries a KG
+    consumer runs are depth-bounded.
+    """
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    edges = (triples.filter(F.col("pred") == pred)
+             .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+             .distinct().persist())
+    frontier = edges.withColumn("depth", F.lit(1))
+    levels = [frontier]
+    for k in range(2, max_depth + 1):
+        step = edges.select(F.col("src").alias("dst"),
+                            F.col("dst").alias("nxt"))
+        frontier = (frontier.join(step, "dst")
+                    .select("src", F.col("nxt").alias("dst"),
+                            F.lit(k).alias("depth")))
+        levels.append(frontier)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return (out.groupBy("src", "dst")
+            .agg(F.min("depth").alias("depth")))

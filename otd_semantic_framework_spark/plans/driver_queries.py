@@ -2774,6 +2774,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": q_text_bm25,
         "text_perplexity": q_text_perplexity,
         "stream_triples": q_stream_triples,
+        "kg_bgp_query": q_kg_bgp_query,
+        "kg_path_query": q_kg_path_query,
     }
 
 
@@ -2863,6 +2865,8 @@ def build_oracle_sql() -> dict[str, str]:
         "text_bm25": _sql_text_bm25(),
         "text_perplexity": SQL_TEXT_PERPLEXITY,
         "stream_triples": _sql_kg_fast_pipeline(),
+        "kg_bgp_query": _sql_kg_bgp_query(),
+        "kg_path_query": _sql_kg_path_query(),
     }
 
 
@@ -3310,3 +3314,60 @@ def q_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.refreshByPath(out)
     return spark.read.parquet(out).select(
         "subj", "pred", "obj", "conv_id", "turn_idx", "score")
+
+
+BGP_CONCEPT = "dq:L17"
+PATH_DEPTH = 3
+
+
+def q_kg_bgp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style basic graph pattern over the KG
+    (operators/graph.py bgp_match): find turns that mention a fixed
+    concept AND used a tool AND reply to a turn, binding the tool and
+    the predecessor's concepts — four triple patterns compiled to
+    pushed-down filters + natural joins, the rdflib graph.query()
+    analog. Oracle: the same conjunctive query as explicit SQL joins."""
+    from ..operators.graph import bgp_match
+    return bgp_match(q_kg_triples(spark, sf_dir), [
+        ("?t", "mentions", BGP_CONCEPT),
+        ("?t", "uses_tool", "?tool"),
+        ("?t", "replies_to", "?u"),
+        ("?u", "mentions", "?c2"),
+    ])
+
+
+def _sql_kg_bgp_query() -> str:
+    return f"""
+WITH triples AS ({_sql_kg_triples_body()})
+SELECT DISTINCT p0.subj AS t, p1.obj AS tool, p2.obj AS u, p3.obj AS c2
+FROM triples p0
+JOIN triples p1 ON p1.subj = p0.subj AND p1.pred = 'uses_tool'
+JOIN triples p2 ON p2.subj = p0.subj AND p2.pred = 'replies_to'
+JOIN triples p3 ON p3.subj = p2.obj AND p3.pred = 'mentions'
+WHERE p0.pred = 'mentions' AND p0.obj = '{BGP_CONCEPT}'
+"""
+
+
+def q_kg_path_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded property path replies_to{{1,3}} (SPARQL p+ with a depth
+    cap, operators/graph.py bounded_path): every turn's reply ancestors
+    up to 3 hops with minimum hop count. Oracle: the same closure
+    unrolled as chained SQL joins."""
+    from ..operators.graph import bounded_path
+    return bounded_path(q_kg_triples(spark, sf_dir), "replies_to",
+                        max_depth=PATH_DEPTH)
+
+
+def _sql_kg_path_query() -> str:
+    return f"""
+WITH triples AS ({_sql_kg_triples_body()}),
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples
+      WHERE pred = 'replies_to'),
+d1 AS (SELECT src, dst, 1 AS depth FROM e),
+d2 AS (SELECT a.src, b.dst, 2 AS depth FROM d1 a JOIN e b ON b.src = a.dst),
+d3 AS (SELECT a.src, b.dst, 3 AS depth FROM d2 a JOIN e b ON b.src = a.dst),
+lv AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL
+       SELECT * FROM d3)
+SELECT src, dst, CAST(min(depth) AS INTEGER) AS depth
+FROM lv GROUP BY src, dst
+"""

@@ -136,3 +136,61 @@ def test_bigram_lm_partitioning_invariance(spark, tiny_pdf):
     k = lambda df: sorted((r.doc_id, r.n_bigrams, r.avg_cost_micro)
                           for r in df.collect())
     assert k(bigram_lm_cost(docs)) == k(bigram_lm_cost(docs.repartition(7)))
+
+
+def _kg(spark, rows):
+    return spark.createDataFrame(
+        [(s, p, o, "c", 0, 1.0) for s, p, o in rows],
+        "subj string, pred string, obj string, conv_id string, "
+        "turn_idx int, score double")
+
+
+def test_bgp_match_hand_graph(spark):
+    from otd_semantic_framework_spark.operators.graph import bgp_match
+    t = _kg(spark, [
+        ("t1", "mentions", "bus"), ("t1", "uses_tool", "tool:x"),
+        ("t2", "mentions", "bus"), ("t2", "mentions", "rail"),
+        ("t2", "replies_to", "t1"), ("t3", "replies_to", "t2"),
+        ("t3", "mentions", "rail"),
+    ])
+    got = {(r.t, r.u) for r in bgp_match(t, [
+        ("?t", "mentions", "rail"),
+        ("?t", "replies_to", "?u"),
+        ("?u", "mentions", "bus"),
+    ]).collect()}
+    assert got == {("t2", "t1"), ("t3", "t2")}
+    # variable repeated within one pattern = self-equality filter
+    loop = _kg(spark, [("a", "replies_to", "a"), ("a", "replies_to", "b")])
+    from otd_semantic_framework_spark.operators.graph import bgp_match as bm
+    assert [r.x for r in bm(loop, [("?x", "replies_to", "?x")]).collect()] \
+        == ["a"]
+
+
+def test_bgp_match_rejects_cartesian_and_empty(spark):
+    import pytest as _pytest
+    from otd_semantic_framework_spark.operators.graph import bgp_match
+    t = _kg(spark, [("t1", "mentions", "bus")])
+    with _pytest.raises(ValueError):
+        bgp_match(t, [])
+    with _pytest.raises(ValueError):
+        bgp_match(t, [("?a", "mentions", "?b"), ("?c", "mentions", "?d")])
+
+
+def test_bounded_path_min_depth_on_diamond(spark):
+    from otd_semantic_framework_spark.operators.graph import bounded_path
+    # diamond a->b->d, a->c->d plus direct a->d: min depth for (a,d) is 1
+    t = _kg(spark, [(s, "replies_to", o) for s, o in
+                    [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+                     ("a", "d"), ("d", "e")]])
+    got = {(r.src, r.dst): r.depth
+           for r in bounded_path(t, "replies_to", max_depth=3).collect()}
+    assert got[("a", "d")] == 1
+    assert got[("a", "e")] == 2
+    assert got[("b", "e")] == 2
+    assert got[("a", "b")] == 1
+    # depth cap respected: chain of 4 hops absent at max_depth=3
+    chain = _kg(spark, [(f"n{i}", "replies_to", f"n{i+1}")
+                        for i in range(5)])
+    got2 = {(r.src, r.dst) for r in
+            bounded_path(chain, "replies_to", max_depth=3).collect()}
+    assert ("n0", "n3") in got2 and ("n0", "n4") not in got2
