@@ -74,3 +74,49 @@ def cds_scores(triples: DataFrame, concept_sim: DataFrame,
         from .manual import merge_tag_sources
         tags = merge_tag_sources(tags, manual_tags).drop("sources")
     return propagate_cds(tags, concept_sim, threshold)
+
+
+def merge_tag_state(state: DataFrame, delta_tags: DataFrame) -> DataFrame:
+    """Incremental-view-maintenance merge for the tag state: tag(s, c)
+    is a MAX aggregate, so any append batch folds in with one set-
+    semantic max per (subj_key, concept_id) — order- and
+    batch-boundary-independent (merging batch A then B equals one merge
+    of A∪B, even when a conversation spans batches)."""
+    return (state.unionByName(delta_tags)
+            .groupBy("subj_key", "concept_id")
+            .agg(F.max("tag_score").alias("tag_score")))
+
+
+def incremental_cds_update(cds: DataFrame, state: DataFrame,
+                           delta_tags: DataFrame, concept_sim: DataFrame,
+                           threshold: float = S.CDS_THRESHOLD,
+                           ) -> tuple[DataFrame, DataFrame]:
+    """Maintain the CDS table under an append of new tag evidence
+    WITHOUT full recomputation — the P14/P16 growth path.
+
+    CDS is conversation-local: cds(s, ·) depends only on tag(s, ·), so
+    an append touching the subject set A requires re-propagating ONLY
+    A's rows. Steps: (1) max-merge the delta into the tag state;
+    (2) re-run the broadcast Wu-Palmer propagation over the merged
+    state restricted to A (a semi join — the big side is filtered
+    before the propagate work); (3) splice: keep every CDS row whose
+    subject is outside A (anti join), union the recomputed rows.
+    Rows that newly cross the threshold appear, and none can vanish
+    (tag maxes are monotone under appends), but the splice is correct
+    either way. Returns (new_state, new_cds); equality with a full
+    recompute over the union is pytest- and driver-oracle-pinned.
+
+    Scale shape: the delta's subject set A is tiny next to the
+    accumulated state, and every join here is keyed on subj_key — with
+    the state and CDS tables bucketed by subj_key (the P15 sink
+    layout), the semi/anti joins are co-partitioned and the recompute
+    cost is O(|A| × ontology), independent of history size.
+    """
+    affected = delta_tags.select("subj_key").distinct()
+    new_state = merge_tag_state(state, delta_tags)
+    recomputed = propagate_cds(
+        new_state.join(affected, "subj_key", "semi"),
+        concept_sim, threshold)
+    new_cds = (cds.join(affected, "subj_key", "anti")
+               .unionByName(recomputed))
+    return new_state, new_cds

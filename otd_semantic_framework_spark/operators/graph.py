@@ -214,3 +214,42 @@ def bounded_path(triples: DataFrame, pred: str,
         out = out.unionByName(lv)
     return (out.groupBy("src", "dst")
             .agg(F.min("depth").alias("depth")))
+
+
+def bgp_query(triples: DataFrame, patterns: list[tuple[str, str, str]],
+              optional: list[list[tuple[str, str, str]]] | None = None,
+              not_exists: list[list[tuple[str, str, str]]] | None = None,
+              ) -> DataFrame:
+    """``bgp_match`` extended with the other two workhorse SPARQL
+    constructs: OPTIONAL groups (left join on shared variables — the
+    group's variables stay NULL where it doesn't match) and
+    FILTER NOT EXISTS groups (left-anti join — the group's variables
+    are purely existential and never appear in the output). Each group
+    is itself a BGP compiled by ``bgp_match`` and must share at least
+    one variable with the mandatory pattern block.
+
+    Relationally: OPTIONAL is exactly LEFT OUTER JOIN and NOT EXISTS is
+    exactly ANTI JOIN, so Catalyst applies the same broadcast/shuffle
+    strategy selection as for the mandatory block; a selective
+    NOT EXISTS group (e.g. pred-filtered) broadcasts its build side.
+    DISTINCT is applied once at the end (SPARQL set semantics over the
+    final projection, matching SELECT DISTINCT over LEFT JOINs in SQL).
+    """
+    out = bgp_match(triples, patterns, distinct=False)
+
+    def _group(grp, kind):
+        sub = bgp_match(triples, grp, distinct=False)
+        shared = sorted(set(out.columns) & set(sub.columns))
+        if not shared:
+            raise ValueError(
+                f"{kind} group {grp} shares no variable with the "
+                f"mandatory patterns {sorted(out.columns)}")
+        return sub, shared
+
+    for grp in (optional or []):
+        sub, shared = _group(grp, "OPTIONAL")
+        out = out.join(sub, shared, "left")
+    for grp in (not_exists or []):
+        sub, shared = _group(grp, "NOT EXISTS")
+        out = out.join(sub.select(*shared), shared, "left_anti")
+    return out.distinct()

@@ -2776,6 +2776,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_triples": q_stream_triples,
         "kg_bgp_query": q_kg_bgp_query,
         "kg_path_query": q_kg_path_query,
+        "kg_bgp_optional": q_kg_bgp_optional,
+        "kg_incremental_cds": q_kg_incremental_cds,
     }
 
 
@@ -2867,6 +2869,8 @@ def build_oracle_sql() -> dict[str, str]:
         "stream_triples": _sql_kg_fast_pipeline(),
         "kg_bgp_query": _sql_kg_bgp_query(),
         "kg_path_query": _sql_kg_path_query(),
+        "kg_bgp_optional": _sql_kg_bgp_optional(),
+        "kg_incremental_cds": _sql_kg_cds_body(),
     }
 
 
@@ -3371,3 +3375,57 @@ lv AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL
 SELECT src, dst, CAST(min(depth) AS INTEGER) AS depth
 FROM lv GROUP BY src, dst
 """
+
+
+def q_kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP with OPTIONAL and FILTER NOT EXISTS (operators/graph.py
+    bgp_query): conversation-OPENING turns (no replies_to edge — anti
+    join) that mention a fixed concept, with the tool they used if any
+    (left join). Oracle: LEFT JOIN + NOT EXISTS in SQL."""
+    from ..operators.graph import bgp_query
+    return bgp_query(
+        q_kg_triples(spark, sf_dir),
+        [("?t", "mentions", BGP_CONCEPT)],
+        optional=[[("?t", "uses_tool", "?tool")]],
+        not_exists=[[("?t", "replies_to", "?u")]])
+
+
+def _sql_kg_bgp_optional() -> str:
+    return f"""
+WITH triples AS ({_sql_kg_triples_body()})
+SELECT DISTINCT p0.subj AS t, p1.obj AS tool
+FROM triples p0
+LEFT JOIN triples p1 ON p1.subj = p0.subj AND p1.pred = 'uses_tool'
+WHERE p0.pred = 'mentions' AND p0.obj = '{BGP_CONCEPT}'
+  AND NOT EXISTS (SELECT 1 FROM triples p2
+                  WHERE p2.subj = p0.subj AND p2.pred = 'replies_to')
+"""
+
+
+def q_kg_incremental_cds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDS maintenance (operators/cds.py
+    incremental_cds_update): the canonical links are split by TURN
+    parity — so conversations deliberately span both batches — batch 1
+    builds the tag state + CDS table, batch 2 arrives as an append and
+    only its affected subjects are re-propagated and spliced in. The
+    returned final CDS is value-checked against the ORACLE OF A FULL
+    RECOMPUTE (the same SQL as kg_cds), which is exactly the IVM
+    correctness claim."""
+    from ..operators.cds import incremental_cds_update
+    canon = q_kg_canonical(spark, sf_dir)
+
+    def tags_of(df):
+        return (df.groupBy(
+            F.concat(F.lit("conv:"), F.col("conv_id")).alias("subj_key"),
+            F.col("concept_id"))
+            .agg(F.max("link_score").alias("tag_score")))
+
+    batch1 = canon.filter(F.col("turn_idx") % 2 == 0)
+    batch2 = canon.filter(F.col("turn_idx") % 2 == 1)
+    state = tags_of(batch1)
+    from ..operators.cds import propagate_cds
+    cds = propagate_cds(state, _wup_df(spark))
+    _, final = incremental_cds_update(cds, state, tags_of(batch2),
+                                      _wup_df(spark))
+    return final.select("subj_key",
+                        F.col("concept_id").alias("cds_concept"), "score")

@@ -194,3 +194,69 @@ def test_bounded_path_min_depth_on_diamond(spark):
     got2 = {(r.src, r.dst) for r in
             bounded_path(chain, "replies_to", max_depth=3).collect()}
     assert ("n0", "n3") in got2 and ("n0", "n4") not in got2
+
+
+def test_bgp_query_optional_and_not_exists(spark):
+    from otd_semantic_framework_spark.operators.graph import bgp_query
+    t = _kg(spark, [
+        ("t1", "mentions", "bus"), ("t1", "uses_tool", "tool:x"),
+        ("t2", "mentions", "bus"),
+        ("t3", "mentions", "bus"), ("t3", "replies_to", "t2"),
+    ])
+    got = {(r.t, r.tool) for r in bgp_query(
+        t, [("?t", "mentions", "bus")],
+        optional=[[("?t", "uses_tool", "?tool")]],
+        not_exists=[[("?t", "replies_to", "?u")]]).collect()}
+    # t3 excluded by NOT EXISTS; t2 kept with NULL tool via OPTIONAL
+    assert got == {("t1", "tool:x"), ("t2", None)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bgp_query(t, [("?t", "mentions", "bus")],
+                  optional=[[("?a", "uses_tool", "?b")]])
+
+
+@pytest.mark.parametrize("n_batches", [2, 4])
+def test_incremental_cds_equals_full(spark, tiny_df, n_batches):
+    """IVM invariant: folding the canonical links in as n_batches
+    arbitrary appends (split by a turn hash, so conversations span
+    batches) yields byte-identical CDS to one full propagation."""
+    import pandas as pd
+    from otd_semantic_framework_spark import semantics as S
+    from otd_semantic_framework_spark.operators.cds import (
+        incremental_cds_update, propagate_cds)
+    from otd_semantic_framework_spark.operators.linking import (
+        canonicalize_broadcast, surface_canonical_table)
+    from otd_semantic_framework_spark.operators.mentions import (
+        detect_mentions_exploded)
+    from otd_semantic_framework_spark.operators.normalize import (
+        normalize_turns)
+    from otd_semantic_framework_spark.operators.wup import concept_similarity
+    from otd_semantic_framework_spark.sources.fixtures import (
+        ontology_pandas, ontology_spark)
+
+    concepts = S.build_ontology()
+    gaz = S.build_gazetteer(concepts)
+    wup_pdf = pd.DataFrame(
+        [(a.concept_id, b.concept_id, S.wup_similarity(a, b))
+         for a in concepts for b in concepts],
+        columns=["concept_a", "concept_b", "wup"])
+    canon = canonicalize_broadcast(
+        detect_mentions_exploded(normalize_turns(tiny_df), gaz),
+        surface_canonical_table(ontology_pandas(), gaz, wup_pdf)).cache()
+    sim = concept_similarity(ontology_spark(spark))
+
+    def tags_of(df):
+        return (df.groupBy(
+            F.concat(F.lit("conv:"), F.col("conv_id")).alias("subj_key"),
+            F.col("concept_id"))
+            .agg(F.max("link_score").alias("tag_score")))
+
+    part = F.abs(F.xxhash64("conv_id", "turn_idx")) % n_batches
+    state = tags_of(canon.filter(part == 0))
+    cds = propagate_cds(state, sim)
+    for b in range(1, n_batches):
+        state, cds = incremental_cds_update(
+            cds, state, tags_of(canon.filter(part == b)), sim)
+    k = lambda df: sorted((r.subj_key, r.concept_id, round(r.score, 6))
+                          for r in df.collect())
+    assert k(cds) == k(propagate_cds(tags_of(canon), sim))
