@@ -2778,6 +2778,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_query": q_kg_path_query,
         "kg_bgp_optional": q_kg_bgp_optional,
         "kg_incremental_cds": q_kg_incremental_cds,
+        "rel_profile": q_rel_profile,
     }
 
 
@@ -2871,6 +2872,7 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_path_query": _sql_kg_path_query(),
         "kg_bgp_optional": _sql_kg_bgp_optional(),
         "kg_incremental_cds": _sql_kg_cds_body(),
+        "rel_profile": _sql_rel_profile(),
     }
 
 
@@ -3429,3 +3431,28 @@ def q_kg_incremental_cds(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       _wup_df(spark))
     return final.select("subj_key",
                         F.col("concept_id").alias("cds_concept"), "score")
+
+
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_rel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler (operators/profile.py): one
+    aggregation over one scan computes n / nulls / distinct / min /
+    max / exact median for every requested column, unpivoted
+    driver-free. Oracle: per-column UNION ALL of the same aggregates."""
+    from ..operators.profile import profile_columns
+    return profile_columns(_tbl(spark, sf_dir, "lineitem"), PROFILE_COLS)
+
+
+def _sql_rel_profile() -> str:
+    parts = [f"""
+SELECT '{c}' AS col_name, count(*) AS n,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       round(CAST(min({c}) AS DOUBLE), 6) AS min_v,
+       round(CAST(max({c}) AS DOUBLE), 6) AS max_v,
+       round(quantile_cont({c}, 0.5), 6) AS median_v
+FROM lineitem""" for c in PROFILE_COLS]
+    return "\nUNION ALL\n".join(parts)
