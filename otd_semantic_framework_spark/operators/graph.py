@@ -253,3 +253,49 @@ def bgp_query(triples: DataFrame, patterns: list[tuple[str, str, str]],
         sub, shared = _group(grp, "NOT EXISTS")
         out = out.join(sub.select(*shared), shared, "left_anti")
     return out.distinct()
+
+
+def negative_samples(triples: DataFrame, n_neg: int = 2) -> DataFrame:
+    """Deterministic corrupted-tail negative sampling for KG-embedding
+    training (TransE-family): for every distinct (subj, obj) mention
+    edge, emit ``n_neg`` negatives whose tail is drawn from the concept
+    pool by an md5-keyed index — seedless and engine-replayable, like
+    every sampler in this repo (no rand(): re-runs, resumes, and the
+    DuckDB oracle all see identical rows).
+
+    Draw j for edge (s, o): idx = int(md5(s|o|j)[:8hex]) mod P over the
+    sorted concept pool; if the draw hits the true tail, take the next
+    pool slot (cyclic) — so obj_neg != obj_pos whenever the pool has
+    >= 2 concepts. Rejection-free (exactly n_neg rows per edge, no
+    variable-length retry loops to skew partitions).
+
+    Scale shape: the pool is ontology-sized → one row_number window on
+    a tiny set + two BROADCAST joins (slot and next-slot lookups); the
+    big side is one explode (xn_neg) of the edge table with no shuffle.
+    """
+    from pyspark.sql import Window
+
+    m = (triples.filter(F.col("pred") == "mentions")
+         .select("subj", "obj").distinct())
+    pool = (m.select(F.col("obj").alias("concept")).distinct()
+            .withColumn("idx", F.row_number().over(
+                Window.orderBy("concept")) - 1))
+    p = pool.count()
+    if p < 2:
+        raise ValueError("negative sampling needs >= 2 distinct concepts")
+    e = m.withColumn("neg_idx", F.explode(
+        F.sequence(F.lit(1), F.lit(n_neg))))
+    h0 = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", "subj", "obj", F.col("neg_idx").cast("string"))), 1, 8),
+        16, 10).cast("bigint") % p
+    e = e.withColumn("h0", h0)
+    p0 = pool.select(F.col("idx").alias("h0"),
+                     F.col("concept").alias("c0"))
+    p1 = pool.select(F.col("idx").alias("h1"),
+                     F.col("concept").alias("c1"))
+    return (e.join(F.broadcast(p0), "h0")
+            .withColumn("h1", (F.col("h0") + 1) % p)
+            .join(F.broadcast(p1), "h1")
+            .select("subj", F.col("obj").alias("obj_pos"), "neg_idx",
+                    F.when(F.col("c0") == F.col("obj"), F.col("c1"))
+                    .otherwise(F.col("c0")).alias("obj_neg")))

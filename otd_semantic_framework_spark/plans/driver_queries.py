@@ -2779,6 +2779,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_optional": q_kg_bgp_optional,
         "kg_incremental_cds": q_kg_incremental_cds,
         "rel_profile": q_rel_profile,
+        "kg_negative_samples": q_kg_negative_samples,
     }
 
 
@@ -2873,6 +2874,7 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_bgp_optional": _sql_kg_bgp_optional(),
         "kg_incremental_cds": _sql_kg_cds_body(),
         "rel_profile": _sql_rel_profile(),
+        "kg_negative_samples": _sql_kg_negative_samples(),
     }
 
 
@@ -3456,3 +3458,45 @@ SELECT '{c}' AS col_name, count(*) AS n,
        round(quantile_cont({c}, 0.5), 6) AS median_v
 FROM lineitem""" for c in PROFILE_COLS]
     return "\nUNION ALL\n".join(parts)
+
+
+N_NEG_SAMPLES = 2
+
+
+def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corrupted-tail negative sampling over the KG's
+    mention edges (operators/graph.py negative_samples) — the
+    KG-embedding training-data generator. Oracle: digit-by-digit md5
+    index replay + the same cyclic collision shift in SQL."""
+    from ..operators.graph import negative_samples
+    return negative_samples(q_kg_triples(spark, sf_dir),
+                            n_neg=N_NEG_SAMPLES)
+
+
+def _sql_kg_negative_samples() -> str:
+    dig = " + ".join(
+        f"(instr('0123456789abcdef', substring(k, {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}" for i in range(8))
+    return f"""
+WITH triples AS ({_sql_kg_triples_body()}),
+m AS (SELECT DISTINCT subj, obj FROM triples WHERE pred = 'mentions'),
+pool AS (
+  SELECT concept, row_number() OVER (ORDER BY concept) - 1 AS idx
+  FROM (SELECT DISTINCT obj AS concept FROM triples
+        WHERE pred = 'mentions')),
+pc AS (SELECT count(*) AS p FROM pool),
+e AS (SELECT m.subj, m.obj, j.j AS neg_idx
+      FROM m, unnest(range(1, {N_NEG_SAMPLES} + 1)) AS j(j)),
+h AS (
+  SELECT subj, obj, neg_idx, p,
+         CAST(({dig}) AS BIGINT) % p AS h0
+  FROM (SELECT e.*, pc.p,
+               md5(subj || '|' || obj || '|' || cast(neg_idx AS VARCHAR))
+                 AS k
+        FROM e CROSS JOIN pc) x)
+SELECT h.subj, h.obj AS obj_pos, CAST(h.neg_idx AS INTEGER) AS neg_idx,
+       CASE WHEN p0.concept = h.obj THEN p1.concept
+            ELSE p0.concept END AS obj_neg
+FROM h JOIN pool p0 ON p0.idx = h.h0
+     JOIN pool p1 ON p1.idx = (h.h0 + 1) % h.p
+"""

@@ -260,3 +260,23 @@ def test_incremental_cds_equals_full(spark, tiny_df, n_batches):
     k = lambda df: sorted((r.subj_key, r.concept_id, round(r.score, 6))
                           for r in df.collect())
     assert k(cds) == k(propagate_cds(tags_of(canon), sim))
+
+
+def test_negative_samples_properties(spark):
+    from otd_semantic_framework_spark.operators.graph import (
+        negative_samples)
+    t = _kg(spark, [(f"t{i}", "mentions", f"c{i % 5}", ) + ()
+                    for i in range(30)])
+    out = negative_samples(t, n_neg=3).collect()
+    # exactly n_neg rows per distinct edge, negatives never the positive
+    assert len(out) == 30 * 3
+    assert all(r.obj_neg != r.obj_pos for r in out)
+    assert all(r.obj_neg.startswith("c") for r in out)
+    # deterministic: second run identical (seedless md5 indexing)
+    again = negative_samples(t, n_neg=3).collect()
+    key = lambda rows: sorted((r.subj, r.obj_pos, r.neg_idx, r.obj_neg)
+                              for r in rows)
+    assert key(out) == key(again)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        negative_samples(_kg(spark, [("t", "mentions", "only")]), 1)
