@@ -212,3 +212,39 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         for name in ("bkt_a", "bkt_b"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_profile_is_single_scan(spark, tmp_path):
+    """The column profiler must touch the table ONCE: one parquet scan,
+    count-distincts via Expand, no joins."""
+    from otd_semantic_framework_spark.operators.profile import (
+        profile_columns)
+    p = str(tmp_path / "prof.parquet")
+    spark.range(500).select(
+        F.col("id").cast("double").alias("a"),
+        (F.col("id") % 7).cast("double").alias("b")).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = _plan(profile_columns(df, ["a", "b"]))
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_bgp_constant_filter_reaches_scan(spark, tmp_path):
+    """A constant in a BGP pattern must become a pushed-down parquet
+    filter (obj = const at the scan), and the compiled join tree must
+    be cartesian-free."""
+    from otd_semantic_framework_spark.operators.graph import bgp_match
+    p = str(tmp_path / "trip.parquet")
+    spark.createDataFrame(
+        [("t1", "mentions", "bus", "c", 0, 1.0),
+         ("t1", "replies_to", "t0", "c", 0, 1.0),
+         ("t0", "mentions", "rail", "c", 0, 1.0)],
+        "subj string, pred string, obj string, conv_id string, "
+        "turn_idx int, score double").write.parquet(p)
+    t = spark.read.parquet(p)
+    plan = _plan(bgp_match(t, [("?t", "mentions", "bus"),
+                               ("?t", "replies_to", "?u")]))
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(obj,bus)" in plan  # pushed to the scan
+    assert "EqualTo(pred,mentions)" in plan
