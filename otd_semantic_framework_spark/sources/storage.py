@@ -123,3 +123,46 @@ class Storage:
         return os.path.exists(os.path.join(p, "_SUCCESS")) or (
             os.path.isdir(p) and any(f.endswith(".parquet") for f in os.listdir(p))
         )
+
+    def compact_table(self, spark: SparkSession, name: str,
+                      target_file_mb: int = 128) -> int:
+        """Small-file compaction — the ops chore every incremental sink
+        accumulates at scale (each merge_triples/append leaves one file
+        set per write; thousands of tiny files tank scan parallelism
+        bookkeeping and NameNode/manifest pressure long before data
+        volume does).
+
+        Iceberg mode delegates to the engine's own maintenance
+        (``rewrite_data_files``); parquet mode rewrites the table into
+        ``ceil(bytes / target_file_mb)`` files via a round-robin
+        repartition (even output sizes, no key skew) using the same
+        crash-safe backup-rename swap as merge_triples. Content is
+        byte-identical under set semantics (pytest-pinned). Returns the
+        resulting file count.
+        """
+        import math
+        import shutil
+
+        if self.mode == "iceberg":
+            spark.sql(
+                f"CALL {self.catalog}.system.rewrite_data_files("
+                f"table => 'db.{name}', "
+                f"options => map('target-file-size-bytes', "
+                f"'{target_file_mb * 1024 * 1024}'))")
+            return -1  # engine-managed; count not tracked here
+        final = self._path(name)
+        total = sum(
+            os.path.getsize(os.path.join(final, f))
+            for f in os.listdir(final) if f.endswith(".parquet"))
+        n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+        df = self.read_table(spark, name).repartition(n_files)
+        staging = f"{name}__staging"
+        self.write_table(df, staging)
+        backup = self._path(f"{name}__backup")
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+        os.rename(final, backup)
+        os.rename(self._path(staging), final)
+        shutil.rmtree(backup)
+        spark.catalog.refreshByPath(final)
+        return sum(1 for f in os.listdir(final) if f.endswith(".parquet"))

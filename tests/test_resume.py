@@ -123,3 +123,27 @@ def test_merge_accepts_duplicate_keyed_batch(spark, tmp_path):
     second = st.merge_triples(spark, "triples", dup_batch)
     rows2 = {(r.subj, r.pred, r.obj): r.score for r in second.collect()}
     assert rows2 == rows
+
+
+def test_compact_table_preserves_content(spark, tiny_df, tmp_path):
+    """Compaction rewrites many small files into few, byte-identical
+    content (set semantics), crash-safe swap like merge_triples."""
+    import os
+    from otd_semantic_framework_spark.plans.pipeline import (
+        build_triples_fast)
+    from otd_semantic_framework_spark.sources.storage import Storage
+
+    st = Storage(str(tmp_path))
+    triples = build_triples_fast(spark, tiny_df)
+    # fragment: 17 tiny files
+    st.write_table(triples.repartition(17), "triples")
+    p = st._path("triples")
+    assert sum(1 for f in os.listdir(p) if f.endswith(".parquet")) == 17
+    before = sorted((r.subj, r.pred, r.obj, round(r.score, 6))
+                    for r in st.read_table(spark, "triples").collect())
+    n = st.compact_table(spark, "triples", target_file_mb=128)
+    assert n == 1  # tiny table → single file
+    assert sum(1 for f in os.listdir(p) if f.endswith(".parquet")) == 1
+    after = sorted((r.subj, r.pred, r.obj, round(r.score, 6))
+                   for r in st.read_table(spark, "triples").collect())
+    assert after == before
