@@ -398,3 +398,34 @@ def bigram_lm_cost(docs: DataFrame, id_col: str = "doc_id",
                  F.sum("cost_micro").alias("tot"))
             .select("doc_id", "n_bigrams",
                     F.expr("tot DIV n_bigrams").alias("avg_cost_micro")))
+
+
+def quantile_buckets(scored: DataFrame, score_col: str,
+                     n_buckets: int = 10) -> DataFrame:
+    """Curriculum / quality bucketing: assign every row a 1..n_buckets
+    bucket by exact quantile thresholds of ``score_col`` — how a
+    training pipeline splits a corpus into quality tiers for mixture
+    weighting or curriculum ordering.
+
+    NOT an ``ntile()`` over a global ORDER BY — that window collapses
+    to a single partition and dies at scale. Instead: one aggregation
+    computes the n-1 interpolated quantile thresholds (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, the rel_percentiles
+    precedent), broadcast as a 1-row frame, and the bucket is
+    ``1 + Σ (score > q_i)`` — a map-side comparison chain, no sort, no
+    shuffle of the big side. Boundary ties deterministically fall into
+    the lower bucket on both engines (strict >); heavily duplicated
+    scores may leave buckets empty rather than split a value across
+    buckets — the property that keeps assignment a pure function of
+    the value.
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    th = scored.agg(*[
+        F.expr(f"percentile({score_col}, {q!r})").alias(f"q{i}")
+        for i, q in enumerate(qs)])
+    bucket = F.lit(1)
+    for i in range(len(qs)):
+        bucket = bucket + (F.col(score_col) > F.col(f"q{i}")).cast("int")
+    return (scored.crossJoin(F.broadcast(th))
+            .withColumn("bucket", bucket)
+            .drop(*[f"q{i}" for i in range(len(qs))]))

@@ -2780,6 +2780,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental_cds": q_kg_incremental_cds,
         "rel_profile": q_rel_profile,
         "kg_negative_samples": q_kg_negative_samples,
+        "curation_deciles": q_curation_deciles,
     }
 
 
@@ -2875,6 +2876,7 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_incremental_cds": _sql_kg_cds_body(),
         "rel_profile": _sql_rel_profile(),
         "kg_negative_samples": _sql_kg_negative_samples(),
+        "curation_deciles": _sql_curation_deciles(),
     }
 
 
@@ -3499,4 +3501,32 @@ SELECT h.subj, h.obj AS obj_pos, CAST(h.neg_idx AS INTEGER) AS neg_idx,
             ELSE p0.concept END AS obj_neg
 FROM h JOIN pool p0 ON p0.idx = h.h0
      JOIN pool p1 ON p1.idx = (h.h0 + 1) % h.p
+"""
+
+
+def q_curation_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile curriculum bucketing (operators/curation.py
+    quantile_buckets over bigram_lm_cost): every document gets a 1..10
+    tier by exact LM-cost quantile thresholds — broadcast-threshold
+    comparison chain, never a single-partition global ntile."""
+    from ..operators.curation import bigram_lm_cost, quantile_buckets
+    scored = bigram_lm_cost(_docs(spark, sf_dir))
+    return (quantile_buckets(scored, "avg_cost_micro", n_buckets=10)
+            .select("doc_id", "avg_cost_micro",
+                    F.col("bucket").alias("decile")))
+
+
+def _sql_curation_deciles() -> str:
+    cases = " + ".join(
+        f"(CASE WHEN avg_cost_micro > t.q{i} THEN 1 ELSE 0 END)"
+        for i in range(9))
+    qcols = ", ".join(
+        f"quantile_cont(avg_cost_micro, {(i + 1) / 10!r}) AS q{i}"
+        for i in range(9))
+    return f"""
+WITH scored AS ({SQL_TEXT_PERPLEXITY}),
+th AS (SELECT {qcols} FROM scored)
+SELECT s.doc_id, s.avg_cost_micro,
+       CAST(1 + {cases} AS INTEGER) AS decile
+FROM scored s CROSS JOIN th t
 """

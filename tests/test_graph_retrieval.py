@@ -280,3 +280,23 @@ def test_negative_samples_properties(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         negative_samples(_kg(spark, [("t", "mentions", "only")]), 1)
+
+
+def test_quantile_buckets_hand_model(spark):
+    from otd_semantic_framework_spark.operators.curation import (
+        quantile_buckets)
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 101)],
+                               "doc_id long, s double")
+    out = {r.doc_id: r.bucket
+           for r in quantile_buckets(df, "s", n_buckets=10).collect()}
+    # thresholds are interpolated percentiles of 1..100: q_i = 10i + 0.9i/...
+    # spot-check the monotone staircase and the extremes
+    assert out[1] == 1 and out[100] == 10
+    assert all(out[i] <= out[i + 1] for i in range(1, 100))
+    assert sorted(set(out.values())) == list(range(1, 11))
+    # duplicate-heavy column: assignment is a pure function of the value
+    dup = spark.createDataFrame([(i, 5.0) for i in range(50)]
+                                + [(99, 9.0)], "doc_id long, s double")
+    got = {r.doc_id: r.bucket
+           for r in quantile_buckets(dup, "s", n_buckets=4).collect()}
+    assert len({got[i] for i in range(50)}) == 1  # all 5.0s in ONE bucket
