@@ -41,7 +41,23 @@ class Storage:
 
     def write_table(self, df: DataFrame, name: str,
                     partition_by: list[str] | None = None,
-                    mode: str = "overwrite") -> None:
+                    mode: str = "overwrite",
+                    cluster_by: list[str] | None = None,
+                    n_files: int | None = None) -> None:
+        """``cluster_by`` range-clusters the data layout on the given
+        key(s): repartitionByRange + sortWithinPartitions before the
+        write, so each output file owns a disjoint key range and every
+        parquet row-group carries tight min/max stats — a point lookup
+        or range scan on the cluster key then prunes to one file at
+        the footer level, before any row is read (pytest-pinned via
+        the actual parquet footers). This is the local analog of
+        Iceberg's SORTED BY table write-order; in iceberg mode the
+        same range-shuffled, sorted DataFrame feeds the writer and the
+        table's declared sort order does the bookkeeping."""
+        if cluster_by:
+            n = n_files or df.sparkSession.sparkContext.defaultParallelism
+            df = (df.repartitionByRange(n, *cluster_by)
+                  .sortWithinPartitions(*cluster_by))
         if self.mode == "iceberg":
             w = df.writeTo(f"{self.catalog}.db.{name}")
             if mode == "overwrite":

@@ -147,3 +147,43 @@ def test_compact_table_preserves_content(spark, tiny_df, tmp_path):
     after = sorted((r.subj, r.pred, r.obj, round(r.score, 6))
                    for r in st.read_table(spark, "triples").collect())
     assert after == before
+
+
+def test_cluster_by_yields_disjoint_file_ranges(spark, tiny_df, tmp_path):
+    """cluster_by=subj must produce files owning DISJOINT subj ranges
+    (checked against the real parquet footer min/max stats) — the
+    property that lets a point lookup prune to one file before reading
+    any row."""
+    import os
+    import pyarrow.parquet as pq
+    from otd_semantic_framework_spark.plans.pipeline import (
+        build_triples_fast)
+    from otd_semantic_framework_spark.sources.storage import Storage
+
+    st = Storage(str(tmp_path))
+    st.write_table(build_triples_fast(spark, tiny_df), "triples",
+                   cluster_by=["subj"], n_files=4)
+    p = st._path("triples")
+    ranges = []
+    for f in sorted(os.listdir(p)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(p, f)).metadata
+        col = next(i for i in range(md.num_columns)
+                   if md.row_group(0).column(i).path_in_schema == "subj")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(col).statistics
+            mins.append(s.min); maxs.append(s.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges = [r for r in ranges if r]
+    assert len(ranges) >= 2  # actually split into multiple files
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)  # disjoint key ranges
+    # content unchanged by the layout
+    got = sorted((r.subj, r.pred, r.obj) for r in
+                 st.read_table(spark, "triples").collect())
+    want = sorted((r.subj, r.pred, r.obj) for r in
+                  build_triples_fast(spark, tiny_df).collect())
+    assert got == want
