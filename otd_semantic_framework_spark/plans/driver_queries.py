@@ -2781,6 +2781,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_profile": q_rel_profile,
         "kg_negative_samples": q_kg_negative_samples,
         "curation_deciles": q_curation_deciles,
+        "sim_recall": q_sim_recall,
     }
 
 
@@ -2877,6 +2878,7 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_profile": _sql_rel_profile(),
         "kg_negative_samples": _sql_kg_negative_samples(),
         "curation_deciles": _sql_curation_deciles(),
+        "sim_recall": _sql_sim_recall(),
     }
 
 
@@ -3529,4 +3531,39 @@ th AS (SELECT {qcols} FROM scored)
 SELECT s.doc_id, s.avg_cost_micro,
        CAST(1 + {cases} AS INTEGER) AS decile
 FROM scored s CROSS JOIN th t
+"""
+
+
+def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN self-evaluation: recall@k of the LSH ANN against the exact
+    brute-force top-k, per query vector — the metric that justifies the
+    approximate path's bucket-join plan at scale. Pure composition of
+    the two paired queries; recall emitted as an exact ppm integer."""
+    bf = q_sim_topk_cosine(spark, sf_dir).select("qid", "cid")
+    ann = q_sim_ann_lsh(spark, sf_dir).select(
+        F.col("qid").alias("aqid"), F.col("cid").alias("acid"))
+    hits = (bf.join(ann, (F.col("qid") == F.col("aqid"))
+                    & (F.col("cid") == F.col("acid")))
+            .groupBy("qid").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (bf.select("qid").distinct()
+            .join(hits, "qid", "left")
+            .select("qid",
+                    F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+                    .alias("n_hits"))
+            .withColumn("recall_ppm",
+                        F.expr(f"(n_hits * 1000000L) DIV {SIM_TOP_K}")))
+
+
+def _sql_sim_recall() -> str:
+    return f"""
+WITH bf AS ({SQL_SIM_TOPK}),
+ann AS ({_sql_sim_ann_lsh()}),
+hits AS (
+  SELECT bf.qid, count(*) AS n_hits
+  FROM bf JOIN ann ON ann.qid = bf.qid AND ann.cid = bf.cid
+  GROUP BY bf.qid)
+SELECT q.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((coalesce(h.n_hits, 0) * 1000000) // {SIM_TOP_K} AS BIGINT)
+         AS recall_ppm
+FROM (SELECT DISTINCT qid FROM bf) q LEFT JOIN hits h ON h.qid = q.qid
 """
