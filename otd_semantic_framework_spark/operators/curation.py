@@ -429,3 +429,35 @@ def quantile_buckets(scored: DataFrame, score_col: str,
     return (scored.crossJoin(F.broadcast(th))
             .withColumn("bucket", bucket)
             .drop(*[f"q{i}" for i in range(len(qs))]))
+
+
+def weighted_sample(docs: DataFrame, weight_col: str, n: int,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each row draws u ∈ (0,1) from an
+    md5-keyed uniform (seedless — re-runs, resumes, and the oracle see
+    the same sample) and gets key = -ln(u) / w; the n SMALLEST keys are
+    the sample, giving inclusion probability proportional to weight.
+    Keys are rounded to 6 dp with an id tiebreak, so the selection
+    order is engine-portable (the only cross-engine float surface is
+    one ln per row — the tfidf-accepted ulp class — and rounding + id
+    tiebreak make a flip require landing exactly on a rounding
+    boundary).
+
+    Scale shape: the key is a map-side expression; the top-n is
+    sort+limit (TakeOrderedAndProject — per-partition heaps, never a
+    global sort). Zero/negative weights are rejected rather than
+    silently dropped."""
+    u = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                16, 10).cast("double") + 1.0) / 4294967297.0
+    key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 6)
+    return (docs
+            .withColumn("_w", F.col(weight_col).cast("double"))
+            .filter(F.assert_true(F.col("_w") > 0,
+                                  f"non-positive weight in {weight_col}")
+                    .isNull())
+            .withColumn("es_key", key)
+            .orderBy(F.asc("es_key"), F.asc(id_col))
+            .limit(n)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.col("_w").alias("weight"), "es_key"))

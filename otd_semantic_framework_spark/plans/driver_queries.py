@@ -2782,6 +2782,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": q_kg_negative_samples,
         "curation_deciles": q_curation_deciles,
         "sim_recall": q_sim_recall,
+        "curation_weighted": q_curation_weighted,
     }
 
 
@@ -2879,6 +2880,7 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_negative_samples": _sql_kg_negative_samples(),
         "curation_deciles": _sql_curation_deciles(),
         "sim_recall": _sql_sim_recall(),
+        "curation_weighted": _sql_curation_weighted(),
     }
 
 
@@ -3566,4 +3568,34 @@ SELECT q.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
        CAST((coalesce(h.n_hits, 0) * 1000000) // {SIM_TOP_K} AS BIGINT)
          AS recall_ppm
 FROM (SELECT DISTINCT qid FROM bf) q LEFT JOIN hits h ON h.qid = q.qid
+"""
+
+
+WEIGHTED_SAMPLE_N = 50
+
+
+def q_curation_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/curation.py weighted_sample, Efraimidis–Spirakis keys
+    from md5 uniforms): 50 docs drawn proportional to length. Oracle:
+    digit-by-digit md5 uniform replay + the same key arithmetic."""
+    from ..operators.curation import weighted_sample
+    return weighted_sample(_docs(spark, sf_dir), "n_chars",
+                           n=WEIGHTED_SAMPLE_N)
+
+
+def _sql_curation_weighted() -> str:
+    dig = " + ".join(
+        f"(instr('0123456789abcdef', substring(k, {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}" for i in range(8))
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         round(-ln((CAST(({dig}) AS DOUBLE) + 1.0) / 4294967297.0)
+               / CAST(n_chars AS DOUBLE), 6) AS es_key
+  FROM (SELECT doc_id, n_chars,
+               md5(cast(doc_id AS VARCHAR)) AS k FROM documents) x)
+SELECT doc_id, weight, es_key FROM keyed
+ORDER BY es_key ASC, doc_id ASC
+LIMIT {WEIGHTED_SAMPLE_N}
 """

@@ -300,3 +300,29 @@ def test_quantile_buckets_hand_model(spark):
     got = {r.doc_id: r.bucket
            for r in quantile_buckets(dup, "s", n_buckets=4).collect()}
     assert len({got[i] for i in range(50)}) == 1  # all 5.0s in ONE bucket
+
+
+def test_weighted_sample_properties(spark):
+    from otd_semantic_framework_spark.operators.curation import (
+        weighted_sample)
+    docs = spark.createDataFrame(
+        [(i, 1 + (i % 10) * 100) for i in range(200)],
+        "doc_id long, w long")
+    out = weighted_sample(docs, "w", n=40).collect()
+    assert len(out) == 40
+    # deterministic re-run
+    again = weighted_sample(docs, "w", n=40).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
+    # heavier rows must be overrepresented: mean selected weight well
+    # above the population mean (weights 1..901, mean ~451)
+    mean_sel = sum(r.weight for r in out) / len(out)
+    assert mean_sel > 500, mean_sel
+    # keys are sorted ascending in the output
+    keys = [r.es_key for r in out]
+    assert keys == sorted(keys)
+    # non-positive weight rejected
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    bad = spark.createDataFrame([(1, 0)], "doc_id long, w long")
+    with _pytest.raises(Exception):
+        weighted_sample(bad, "w", n=1).collect()
