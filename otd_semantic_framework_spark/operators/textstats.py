@@ -230,3 +230,50 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
         frac(F.col("n_uniq"), F.col("n_tokens")).alias("uniq_token_frac"),
         frac(F.col("top2"), F.col("tot2")).alias("top_bigram_frac"),
         frac(F.col("dup3"), F.col("tot3")).alias("dup_trigram_frac"))
+
+
+HASHCLF_N_BUCKETS = 64
+
+
+def hashed_quality_classifier(docs: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              n_buckets: int = HASHCLF_N_BUCKETS) -> DataFrame:
+    """Model-based quality filtering via a hashed bag-of-words linear
+    classifier (the fastText-style filter every LLM data pipeline runs
+    as its cheap quality gate): each token hashes into one of
+    ``n_buckets`` feature buckets (first two md5 hex digits — the
+    engine-portable hash this repo standardizes on), each bucket
+    carries a fixed weight, and the document score is the mean token
+    weight pushed through a sigmoid.
+
+    The weight table here is deterministic (derived from the bucket id)
+    so the operator is oracle-replayable end to end; a real deployment
+    swaps in trained weights via a broadcast-joined (bucket, weight)
+    table without changing the plan shape.
+
+    Scale: zero UDFs — tokenize/hash/weight/fold are all higher-order
+    functions inside whole-stage codegen, so this is a map-only pass
+    over the corpus scan. The fold runs in list order in every engine,
+    so the float sum is bit-reproducible.
+    """
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                            r"\s+"),
+                    lambda t: t != "")
+
+    def weight(tok):
+        bucket = F.conv(F.substring(F.md5(tok), 1, 2), 16, 10) \
+                  .cast("int") % n_buckets
+        return ((bucket % 9) - 4).cast("double") / 4.0
+
+    logit = F.when(
+        F.size(toks) > 0,
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + weight(t))
+        / F.size(toks)).otherwise(F.lit(0.0))
+    logit = F.round(logit, 6) + F.lit(0.0)
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6) + F.lit(0.0)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        logit.alias("quality_logit"),
+        prob.alias("quality_prob"),
+        (prob >= 0.5).cast("int").alias("keep"))

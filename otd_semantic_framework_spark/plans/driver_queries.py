@@ -2783,6 +2783,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_deciles": q_curation_deciles,
         "sim_recall": q_sim_recall,
         "curation_weighted": q_curation_weighted,
+        "kg_tool_sequences": q_kg_tool_sequences,
+        "kg_tool_latency": q_kg_tool_latency,
+        "rel_scd2": q_rel_scd2,
+        "kg_triangles": q_kg_triangles,
+        "text_hash_classifier": q_text_hash_classifier,
     }
 
 
@@ -2881,6 +2886,11 @@ def build_oracle_sql() -> dict[str, str]:
         "curation_deciles": _sql_curation_deciles(),
         "sim_recall": _sql_sim_recall(),
         "curation_weighted": _sql_curation_weighted(),
+        "kg_tool_sequences": SQL_KG_TOOL_SEQUENCES,
+        "kg_tool_latency": SQL_KG_TOOL_LATENCY,
+        "rel_scd2": SQL_REL_SCD2,
+        "kg_triangles": SQL_KG_TRIANGLES,
+        "text_hash_classifier": _sql_text_hash_classifier(),
     }
 
 
@@ -3598,4 +3608,194 @@ WITH keyed AS (
 SELECT doc_id, weight, es_key FROM keyed
 ORDER BY es_key ASC, doc_id ASC
 LIMIT {WEIGHTED_SAMPLE_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Agent-transcript analytics (tool sequences / latency), CDC SCD2,
+# triangle counting, hashed quality classifier (round 3, second wave)
+# ---------------------------------------------------------------------------
+
+TS_BASE_S = 1735689600  # 2025-01-01T00:00:00Z, engine-portable integer
+
+
+def _transcripts_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived transcripts plus a deterministic integer epoch-seconds
+    column (the BASELINE.json ts field, kept as bigint so the paired
+    hash never depends on timestamp formatting)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.concat(F.lit("conv-"),
+                 F.lpad((F.col("doc_id") % N_CONVS).cast("int").cast("string"),
+                        4, "0")).alias("conv_id"),
+        F.floor(F.col("doc_id") / N_CONVS).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 3 == 2,
+               F.concat(F.lit("tool"),
+                        (F.col("doc_id") % 8).cast("int").cast("string")))
+         .alias("tool"),
+        (F.lit(TS_BASE_S) + F.col("doc_id") * 7 + F.col("doc_id") % 13)
+        .alias("ts_s"))
+
+
+_TS_TRANSCRIPTS_CTE = f"""
+  SELECT 'conv-' || lpad(cast(cast(doc_id % {N_CONVS} AS INT) AS STRING), 4, '0') AS conv_id,
+         cast(floor(doc_id / {N_CONVS}) AS INT) AS turn_idx,
+         CASE WHEN doc_id % 3 = 2 THEN 'tool' || cast(cast(doc_id % 8 AS INT) AS STRING) END AS tool,
+         {TS_BASE_S} + doc_id * 7 + doc_id % 13 AS ts_s
+  FROM documents
+"""
+
+
+def q_kg_tool_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call bigram transition counts over the agent transcripts
+    (operators/agentstats.py:tool_transitions)."""
+    from ..operators.agentstats import tool_transitions
+    return tool_transitions(derived_transcripts(spark, sf_dir))
+
+
+SQL_KG_TOOL_SEQUENCES = f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+t AS (SELECT conv_id, turn_idx, tool FROM transcripts WHERE tool IS NOT NULL),
+p AS (
+  SELECT conv_id, tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+  FROM t
+)
+SELECT prev_tool, tool, count(*) AS n_pairs,
+       count(DISTINCT conv_id) AS n_convs
+FROM p WHERE prev_tool IS NOT NULL
+GROUP BY prev_tool, tool
+"""
+
+
+def q_kg_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool latency stats from per-conversation ts deltas
+    (operators/agentstats.py:tool_latency)."""
+    from ..operators.agentstats import tool_latency
+    return tool_latency(_transcripts_with_ts(spark, sf_dir))
+
+
+SQL_KG_TOOL_LATENCY = f"""
+WITH t AS ({_TS_TRANSCRIPTS_CTE}),
+lat AS (
+  SELECT tool,
+         ts_s - lag(ts_s) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS lat_s
+  FROM t
+)
+SELECT tool, count(*) AS n_calls,
+       round(avg(lat_s), 6) + 0.0 AS avg_lat_s,
+       min(lat_s) AS min_lat_s, max(lat_s) AS max_lat_s
+FROM lat WHERE tool IS NOT NULL AND lat_s IS NOT NULL
+GROUP BY tool
+"""
+
+
+def q_rel_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD dimension history from the events change stream
+    (operators/agentstats.py:scd2_history): gaps-and-islands collapse of
+    consecutive identical event_type per user, half-open validity
+    intervals via lead(), deterministic (ts, event_id) tiebreak."""
+    from ..operators.agentstats import scd2_history
+    return scd2_history(_tbl(spark, sf_dir, "events"),
+                        key_col="user_id", attr_col="event_type",
+                        ts_col="ts", tiebreak_col="event_id")
+
+
+SQL_REL_SCD2 = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+       epoch_us(ts) AS eff_from_us,
+       epoch_us(lead(ts) OVER w) AS eff_to_us,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+         AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation counts over the concept co-occurrence
+    graph (edges = concept pairs tagged in the same turn;
+    operators/agentstats.py:triangle_count)."""
+    from ..operators.agentstats import triangle_count
+    tags = (_mentions_df(spark, sf_dir)
+            .select("conv_id", "turn_idx", "concept_id").distinct())
+    a = tags.alias("ta")
+    b = tags.alias("tb")
+    edges = (a.join(b, (F.col("ta.conv_id") == F.col("tb.conv_id"))
+                    & (F.col("ta.turn_idx") == F.col("tb.turn_idx"))
+                    & (F.col("ta.concept_id") < F.col("tb.concept_id")))
+             .select(F.col("ta.concept_id").alias("src"),
+                     F.col("tb.concept_id").alias("dst")))
+    return triangle_count(edges)
+
+
+SQL_KG_TRIANGLES = f"""
+WITH {_MENTIONS_CTE},
+tags AS (SELECT DISTINCT conv_id, turn_idx, concept_id FROM mentions),
+edges AS (
+  SELECT DISTINCT a.concept_id AS a, b.concept_id AS b
+  FROM tags a JOIN tags b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND a.concept_id < b.concept_id
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT a AS v FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT v AS concept_id, count(*) AS n_triangles FROM corners GROUP BY v
+"""
+
+
+def q_text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear quality classifier
+    (operators/textstats.py:hashed_quality_classifier)."""
+    from ..operators.textstats import hashed_quality_classifier
+    return hashed_quality_classifier(_docs(spark, sf_dir))
+
+
+def _sql_text_hash_classifier() -> str:
+    from ..operators.textstats import HASHCLF_N_BUCKETS
+    # bucket = first two md5 hex digits of the token, mod n_buckets —
+    # digit-by-digit replay of Spark's conv(substring(md5, 1, 2), 16, 10)
+    bucket = ("(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16"
+              " + strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1")
+    return f"""
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) > 0 THEN
+           round(list_sum(list_transform(toks, t ->
+             CAST((({bucket}) % {HASHCLF_N_BUCKETS}) % 9 - 4 AS DOUBLE) / 4.0))
+             / len(toks), 6) + 0.0
+         ELSE 0.0 END AS quality_logit
+  FROM tokd
+)
+SELECT doc_id, n_tokens, quality_logit,
+       round(1.0 / (1.0 + exp(-quality_logit)), 6) + 0.0 AS quality_prob,
+       CAST(CASE WHEN round(1.0 / (1.0 + exp(-quality_logit)), 6) + 0.0 >= 0.5
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM scored
 """
