@@ -461,3 +461,67 @@ def weighted_sample(docs: DataFrame, weight_col: str, n: int,
             .limit(n)
             .select(F.col(id_col).alias("doc_id"),
                     F.col("_w").alias("weight"), "es_key"))
+
+
+N_SHARDS = 16
+
+
+def assign_shards(docs: DataFrame, n_shards: int = N_SHARDS,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic shard assignment for training-data loaders: each
+    document hashes (first 8 md5 hex digits of its id — the repo's
+    engine-portable hash) to one of ``n_shards`` shards, plus an
+    ``order_key`` the loader can sort on for a reproducible
+    within-shard shuffle (the same md5 draw, so global order is a
+    seedless permutation).
+
+    Scale: entirely map-side — no shuffle, no window, no aggregation.
+    A 10^12-row corpus shards in one scan; writers then
+    ``partitionBy("shard")`` for one output directory per shard.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        (bucket % n_shards).cast("int").alias("shard"),
+        F.substring(h, 9, 8).alias("order_key"))
+
+
+def source_filter(docs: DataFrame, min_mean_chars: float | None = None,
+                  blocklist: tuple[str, ...] = (),
+                  id_col: str = "doc_id", source_col: str = "source",
+                  len_col: str = "n_chars") -> DataFrame:
+    """Source-level quality gating (the RefinedWeb/C4 move of scoring a
+    whole domain, not each page): aggregate a mean length score per
+    source, then keep only documents whose source clears the threshold
+    and is not blocklisted. Returns the kept docs annotated with their
+    source score so downstream sampling can stratify on it.
+
+    With ``min_mean_chars=None`` the gate is RELATIVE: keep sources at
+    or above the corpus-wide mean. Both means average an integer column
+    (exact bigint sum / count), so the comparison is bit-deterministic
+    across engines and partitionings — no float-accumulation order in
+    the gate.
+
+    Scale: one partial-aggregating groupBy over the low-cardinality
+    source key, then the per-source score table (|sources| rows — tiny)
+    broadcast-joins back onto the corpus scan; the corpus-mean row is a
+    broadcast single-row cross join. The corpus itself never shuffles.
+    """
+    stats = (docs.groupBy(source_col)
+             .agg((F.round(F.avg(len_col), 6) + F.lit(0.0))
+                  .alias("source_score"),
+                  F.count(F.lit(1)).alias("source_docs")))
+    if min_mean_chars is None:
+        corpus = docs.agg((F.round(F.avg(len_col), 6) + F.lit(0.0))
+                          .alias("_corpus_mean"))
+        gate = (stats.crossJoin(F.broadcast(corpus))
+                .filter(F.col("source_score") >= F.col("_corpus_mean"))
+                .drop("_corpus_mean"))
+    else:
+        gate = stats.filter(F.col("source_score") >= min_mean_chars)
+    if blocklist:
+        gate = gate.filter(~F.col(source_col).isin(*blocklist))
+    return (docs.join(F.broadcast(gate), source_col, "inner")
+            .select(F.col(id_col).alias("doc_id"), F.col(source_col),
+                    "source_score", "source_docs"))

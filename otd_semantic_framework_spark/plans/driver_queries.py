@@ -2788,6 +2788,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_scd2": q_rel_scd2,
         "kg_triangles": q_kg_triangles,
         "text_hash_classifier": q_text_hash_classifier,
+        "curation_shards": q_curation_shards,
+        "curation_source_filter": q_curation_source_filter,
+        "stream_dedup": q_stream_dedup,
     }
 
 
@@ -2891,6 +2894,9 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_scd2": SQL_REL_SCD2,
         "kg_triangles": SQL_KG_TRIANGLES,
         "text_hash_classifier": _sql_text_hash_classifier(),
+        "curation_shards": _sql_curation_shards(),
+        "curation_source_filter": _sql_curation_source_filter(),
+        "stream_dedup": SQL_STREAM_DEDUP,
     }
 
 
@@ -3798,4 +3804,99 @@ SELECT doc_id, n_tokens, quality_logit,
        CAST(CASE WHEN round(1.0 / (1.0 + exp(-quality_logit)), 6) + 0.0 >= 0.5
                  THEN 1 ELSE 0 END AS INT) AS keep
 FROM scored
+"""
+
+
+def q_curation_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment
+    (operators/curation.py:assign_shards) — map-only, no shuffle."""
+    from ..operators.curation import assign_shards
+    return assign_shards(_docs(spark, sf_dir))
+
+
+def _sql_curation_shards() -> str:
+    from ..operators.curation import N_SHARDS
+    dig = " + ".join(
+        f"(instr('0123456789abcdef', substring(k, {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}" for i in range(8))
+    return f"""
+SELECT doc_id,
+       CAST(({dig}) % {N_SHARDS} AS INT) AS shard,
+       substring(k, 9, 8) AS order_key
+FROM (SELECT doc_id, md5(cast(doc_id AS VARCHAR)) AS k FROM documents) x
+"""
+
+
+SOURCE_FILTER_BLOCKLIST = ("src13",)
+
+
+def q_curation_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level quality gate (operators/curation.py:source_filter):
+    per-source mean-length score vs the corpus mean (relative gate, so
+    the filter genuinely drops sources at every sf), broadcast-joined
+    back as a filter; one source blocklisted on top."""
+    from ..operators.curation import source_filter
+    return source_filter(_docs(spark, sf_dir),
+                         blocklist=SOURCE_FILTER_BLOCKLIST)
+
+
+def _sql_curation_source_filter() -> str:
+    bl = ", ".join(f"'{s}'" for s in SOURCE_FILTER_BLOCKLIST)
+    return f"""
+WITH stats AS (
+  SELECT source,
+         round(avg(n_chars), 6) + 0.0 AS source_score,
+         count(*) AS source_docs
+  FROM documents GROUP BY source
+),
+corpus AS (SELECT round(avg(n_chars), 6) + 0.0 AS corpus_mean FROM documents),
+gate AS (
+  SELECT s.* FROM stats s, corpus c
+  WHERE s.source_score >= c.corpus_mean AND s.source NOT IN ({bl})
+)
+SELECT d.doc_id, d.source, g.source_score, g.source_docs
+FROM documents d JOIN gate g ON d.source = g.source
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful exact dedup: dropDuplicates over a 4-file
+    file-stream (maxFilesPerTrigger=1 forces 4 micro-batches, so the
+    dedup state genuinely carries keys ACROSS triggers — a key first
+    seen in batch 0 suppresses its duplicates in batch 3). Append-mode
+    foreachBatch accumulates exactly one row per distinct text hash;
+    only the key column is emitted, so the result is deterministic
+    regardless of which physical row won the race within a batch."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    sfx = _os.path.basename(sf_dir.rstrip("/"))
+    out = _os.path.join(_tempfile.gettempdir(), f"stream_dedup_{sfx}.parquet")
+    ckpt = _os.path.join(_tempfile.gettempdir(), f"stream_dedup_{sfx}_ckpt")
+    src = _os.path.join(_tempfile.gettempdir(), f"stream_dedup_{sfx}_src")
+    for d in (out, ckpt, src):
+        _shutil.rmtree(d, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    docs.repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src))
+    deduped = (stream
+               .select(F.md5(F.coalesce(F.col("text"), F.lit("")))
+                       .alias("text_hash"))
+               .dropDuplicates(["text_hash"]))
+
+    def _write(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (deduped.writeStream.outputMode("append").foreachBatch(_write)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    q.awaitTermination()
+    spark.catalog.refreshByPath(out)
+    return spark.read.parquet(out)
+
+
+SQL_STREAM_DEDUP = """
+SELECT DISTINCT md5(coalesce(text, '')) AS text_hash FROM documents
 """

@@ -1,0 +1,85 @@
+"""Tests for assign_shards, source_filter, and the streaming stateful
+dedup query (round 3, second wave)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from otd_semantic_framework_spark.operators.curation import (
+    assign_shards, source_filter)
+
+
+def _docs(spark):
+    rows = [(i, f"text {i}", f"src{i % 3}", 100 + (i % 3) * 200)
+            for i in range(60)]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long")
+
+
+def test_assign_shards_partition_invariant(spark):
+    d = _docs(spark)
+    a = {r.doc_id: (r.shard, r.order_key)
+         for r in assign_shards(d).collect()}
+    b = {r.doc_id: (r.shard, r.order_key)
+         for r in assign_shards(d.repartition(7)).collect()}
+    assert a == b
+    assert len(a) == 60
+    assert all(0 <= s < 16 for s, _ in a.values())
+    # every doc assigned, order_key is an 8-hex-char string
+    assert all(len(k) == 8 for _, k in a.values())
+
+
+def test_assign_shards_covers_shards(spark):
+    # with 600 docs all 16 shards should be populated (md5 is uniform)
+    d = spark.createDataFrame([(i,) for i in range(600)], "doc_id long")
+    shards = {r.shard for r in assign_shards(d).collect()}
+    assert shards == set(range(16))
+
+
+def test_source_filter_relative_gate(spark):
+    # src0 mean=100, src1 mean=300, src2 mean=500; corpus mean=300 ->
+    # keep src1 (== mean) and src2, drop src0
+    out = source_filter(_docs(spark))
+    kept = {r.source for r in out.collect()}
+    assert kept == {"src1", "src2"}
+    assert out.count() == 40
+
+
+def test_source_filter_absolute_and_blocklist(spark):
+    out = source_filter(_docs(spark), min_mean_chars=250.0,
+                        blocklist=("src2",))
+    kept = {r.source for r in out.collect()}
+    assert kept == {"src1"}
+    scores = {r.source_score for r in out.collect()}
+    assert scores == {300.0}
+
+
+def test_source_filter_annotations(spark):
+    out = {r.doc_id: r for r in source_filter(_docs(spark)).collect()}
+    for r in out.values():
+        assert r.source_docs == 20
+        assert r.source_score in (300.0, 500.0)
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    # the paired query stages its own files; here assert the streaming
+    # result equals batch DISTINCT on a corpus with real duplicates
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": range(40),
+        "text": [f"dup-{i % 10}" for i in range(40)],
+        "lang": ["en"] * 40, "source": ["s"] * 40,
+        "n_chars": [5] * 40,
+    })
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(sf_dir / "documents.parquet"))
+    from otd_semantic_framework_spark.plans.driver_queries import (
+        q_stream_dedup)
+    got = q_stream_dedup(spark, str(sf_dir))
+    batch = (spark.read.parquet(str(sf_dir / "documents.parquet"))
+             .select(F.md5(F.coalesce("text", F.lit(""))).alias("text_hash"))
+             .distinct())
+    assert got.count() == 10
+    assert {r.text_hash for r in got.collect()} \
+        == {r.text_hash for r in batch.collect()}
