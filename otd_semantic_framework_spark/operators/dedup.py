@@ -363,3 +363,62 @@ def repeated_span_coverage(docs: DataFrame, n: int = 8,
                     (F.round(F.col("covered_tokens").cast("double")
                              / F.col("n_tokens").cast("double"), 6)
                      + F.lit(0.0)).alias("coverage_frac")))
+
+
+def incremental_near_dup(new_docs: DataFrame, old_docs: DataFrame,
+                         threshold: float = 0.84,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Incremental ingestion dedup: flag each NEW document whose
+    token-set Jaccard similarity against any document already in the
+    corpus reaches ``threshold``, and report its best match. The
+    batch-vs-corpus shape is what a continuously-fed pipeline actually
+    runs — re-deduping the full corpus per batch is the 10^12-row
+    anti-pattern.
+
+    Output per new doc: (doc_id, best_match, best_jaccard, is_dup) —
+    best_match/best_jaccard NULL/0.0 when the new doc shares no token
+    with the corpus. Ranking uses the 6dp-rounded score with an id
+    tiebreak, so the winner is engine- and partitioning-deterministic
+    (jaccard is a ratio of exact integers — identical doubles in every
+    engine).
+
+    Scale: posting-list equi-join on the token — the new batch's token
+    set is small, so the join is effectively an index probe into the
+    corpus posting list; never a cross join. At web scale the corpus
+    side is the pre-materialized token index (write once, probe per
+    batch), and frequent-token pruning caps posting-list fan-out.
+    """
+    def toks(d: DataFrame) -> DataFrame:
+        return (d.select(F.col(id_col).alias("doc_id"),
+                         F.explode(F.split(F.coalesce(F.col(text_col),
+                                                      F.lit("")), " "))
+                         .alias("tok"))
+                .filter(F.col("tok") != "").distinct())
+
+    nt, ot = toks(new_docs), toks(old_docs)
+    n_sizes = nt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_n"))
+    o_sizes = ot.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_o"))
+    inter = (nt.alias("n").join(ot.alias("o"), F.col("n.tok") == F.col("o.tok"))
+             .groupBy(F.col("n.doc_id").alias("new_id"),
+                      F.col("o.doc_id").alias("old_id"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    scored = (inter
+              .join(n_sizes.withColumnRenamed("doc_id", "new_id"), "new_id")
+              .join(o_sizes.withColumnRenamed("doc_id", "old_id"), "old_id")
+              .withColumn("jaccard", F.round(
+                  F.col("inter")
+                  / (F.col("sz_n") + F.col("sz_o") - F.col("inter")), 6)))
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"),
+                                             F.asc("old_id"))
+    best = (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("new_id", F.col("old_id").alias("best_match"),
+                    F.col("jaccard").alias("best_jaccard")))
+    return (new_docs.select(F.col(id_col).alias("doc_id"))
+            .join(best, F.col("doc_id") == F.col("new_id"), "left")
+            .select("doc_id", "best_match",
+                    F.coalesce(F.col("best_jaccard"), F.lit(0.0))
+                    .alias("best_jaccard"),
+                    (F.coalesce(F.col("best_jaccard"), F.lit(0.0))
+                     >= threshold).cast("int").alias("is_dup")))

@@ -2791,6 +2791,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_shards": q_curation_shards,
         "curation_source_filter": q_curation_source_filter,
         "stream_dedup": q_stream_dedup,
+        "dedup_incremental": q_dedup_incremental,
+        "kg_conv_rollup": q_kg_conv_rollup,
     }
 
 
@@ -2897,6 +2899,8 @@ def build_oracle_sql() -> dict[str, str]:
         "curation_shards": _sql_curation_shards(),
         "curation_source_filter": _sql_curation_source_filter(),
         "stream_dedup": SQL_STREAM_DEDUP,
+        "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+        "kg_conv_rollup": SQL_KG_CONV_ROLLUP,
     }
 
 
@@ -3899,4 +3903,121 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_STREAM_DEDUP = """
 SELECT DISTINCT md5(coalesce(text, '')) AS text_hash FROM documents
+"""
+
+
+INCR_DEDUP_MOD = 10  # doc_id % 10 == 0 -> the "incoming batch"
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus near-dup flagging
+    (operators/dedup.py:incremental_near_dup): docs with
+    doc_id % 10 == 0 play the incoming batch, the rest the existing
+    corpus; capped to the dedup_jaccard doc range so posting lists stay
+    bounded on the synthetic vocabulary."""
+    from ..operators.dedup import incremental_near_dup
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < JACCARD_MAX_DOC)
+    new = d.filter(F.col("doc_id") % INCR_DEDUP_MOD == 0)
+    old = d.filter(F.col("doc_id") % INCR_DEDUP_MOD != 0)
+    return incremental_near_dup(new, old, threshold=JACCARD_THRESHOLD)
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {JACCARD_MAX_DOC}),
+toks AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM d, unnest(string_split(coalesce(text, ''), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+nt AS (SELECT * FROM toks WHERE doc_id % {INCR_DEDUP_MOD} = 0),
+ot AS (SELECT * FROM toks WHERE doc_id % {INCR_DEDUP_MOD} <> 0),
+n_sizes AS (SELECT doc_id, count(*) AS sz_n FROM nt GROUP BY doc_id),
+o_sizes AS (SELECT doc_id, count(*) AS sz_o FROM ot GROUP BY doc_id),
+inter AS (
+  SELECT n.doc_id AS new_id, o.doc_id AS old_id, count(*) AS inter
+  FROM nt n JOIN ot o ON n.tok = o.tok
+  GROUP BY n.doc_id, o.doc_id
+),
+scored AS (
+  SELECT i.new_id, i.old_id,
+         round(cast(i.inter AS DOUBLE) / (ns.sz_n + os.sz_o - i.inter), 6)
+           AS jaccard
+  FROM inter i
+  JOIN n_sizes ns ON i.new_id = ns.doc_id
+  JOIN o_sizes os ON i.old_id = os.doc_id
+),
+best AS (
+  SELECT new_id, old_id AS best_match, jaccard AS best_jaccard
+  FROM (SELECT *, row_number() OVER (PARTITION BY new_id
+                                     ORDER BY jaccard DESC, old_id ASC) AS rnk
+        FROM scored)
+  WHERE rnk = 1
+)
+SELECT d.doc_id, b.best_match,
+       coalesce(b.best_jaccard, 0.0) AS best_jaccard,
+       CAST(coalesce(b.best_jaccard, 0.0) >= {JACCARD_THRESHOLD} AS INT)
+         AS is_dup
+FROM (SELECT doc_id FROM d WHERE doc_id % {INCR_DEDUP_MOD} = 0) d
+LEFT JOIN best b ON d.doc_id = b.new_id
+"""
+
+
+def q_kg_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation KG rollup — the read-side summary a transcript
+    dashboard needs: turns, tool calls, distinct tagged concepts, and
+    the conversation's dominant concept (max mention count, id
+    tiebreak). Joins the transcript table against the mention tags on
+    conv_id; both sides cluster by conv_id, so at scale this rides the
+    pipeline's existing partitioning."""
+    t = derived_transcripts(spark, sf_dir)
+    base = t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.col("tool").isNotNull().cast("long")).alias("n_tool_calls"))
+    m = _mentions_df(spark, sf_dir)
+    per_concept = (m.groupBy("conv_id", "concept_id")
+                   .agg(F.count(F.lit(1)).alias("n_mentions")))
+    # n_concepts and the arg-max concept in ONE aggregation pass — the
+    # min-struct((-count, id)) trick gives (max count, min id) without a
+    # window or a second evaluation of the mentions join
+    summary = per_concept.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_concepts"),
+        F.min(F.struct((-F.col("n_mentions")).alias("neg"),
+                       F.col("concept_id"))).alias("_top"))
+    return (base.join(summary, "conv_id", "left")
+            .select("conv_id", "n_turns", "n_tool_calls",
+                    F.coalesce(F.col("n_concepts"), F.lit(0))
+                    .alias("n_concepts"),
+                    F.col("_top.concept_id").alias("top_concept"),
+                    F.coalesce(-F.col("_top.neg"), F.lit(0))
+                    .alias("top_mentions")))
+
+
+SQL_KG_CONV_ROLLUP = f"""
+WITH {_MENTIONS_CTE},
+base AS (
+  SELECT conv_id, count(*) AS n_turns,
+         CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tool_calls
+  FROM transcripts GROUP BY conv_id
+),
+per_concept AS (
+  SELECT conv_id, concept_id, count(*) AS n_mentions
+  FROM mentions GROUP BY conv_id, concept_id
+),
+top AS (
+  SELECT conv_id, concept_id AS top_concept, n_mentions AS top_mentions
+  FROM (SELECT *, row_number() OVER (PARTITION BY conv_id
+                                     ORDER BY n_mentions DESC, concept_id ASC)
+                    AS rnk
+        FROM per_concept)
+  WHERE rnk = 1
+),
+nc AS (SELECT conv_id, count(*) AS n_concepts FROM per_concept GROUP BY conv_id)
+SELECT b.conv_id, b.n_turns, b.n_tool_calls,
+       coalesce(nc.n_concepts, 0) AS n_concepts,
+       t.top_concept,
+       coalesce(t.top_mentions, 0) AS top_mentions
+FROM base b
+LEFT JOIN nc ON b.conv_id = nc.conv_id
+LEFT JOIN top t ON b.conv_id = t.conv_id
 """
