@@ -23,6 +23,13 @@ local[2]/local[8] stay well inside the 32 physical cores; going to
 local[32] adds host-contention effects (raw multiprocessing tops out at
 ~2.4x going 8→32 here), which would misreport shuffle/operator scaling.
 Set SPARK_GRAFT_BENCH_SCALING=0 to skip the scaling runs.
+
+Pair count defaults to 5 (SPARK_GRAFT_BENCH_PAIRS): the legs inside a
+pair are SEQUENTIAL (big then small), so a noise burst shorter than a
+pair hits one leg only and distorts that ratio — observed on a noisy
+host as identical-code 8-core legs spanning 39-84 s and pair ratios
+0.46-1.05 within one run. A median of 5 rejects two such windows; a
+median of 3 cannot.
 """
 
 from __future__ import annotations
@@ -256,7 +263,7 @@ def main() -> None:
 
     kg: dict = {}
     input_path = gen_input(N_CONVS, cpus)
-    big = kg_pipeline_run(f"local[{cpus}]", input_path, runs=2)
+    big = kg_pipeline_run(f"local[{cpus}]", input_path, runs=3)
     kg["headline"] = big
     if do_scaling:
         # N vs 4N cores (driver instruction): interleaved paired pinned
@@ -264,7 +271,7 @@ def main() -> None:
         try:
             kg.update(kg_scaling_paired(
                 input_path, int(SCALING_SMALL), int(SCALING_BIG),
-                pairs=int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "3")),
+                pairs=int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "5")),
                 n_turns=big["turns"]))
         except Exception as ex:  # noqa: BLE001 — a dead leg must not
             # sink the whole bench; fall back to sequential pinned legs

@@ -63,3 +63,34 @@ def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, tuple[str, str]],
     return partial.groupBy(*keys).agg(*[
         merge.get(fn, _ALGEBRAIC[fn])(out).alias(out)
         for out, (fn, _) in aggs.items()])
+
+
+def skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Key-skew diagnostic — the measurement you run BEFORE deciding a
+    key needs salting: the ``top_k`` heaviest keys with their row count,
+    rank, and corpus share in exact ppm (integer arithmetic — no float
+    sum whose merge order could wobble the report).
+
+    Output: (key, n_rows, rank, share_ppm), rank 1 = heaviest, ties
+    broken by key ascending so the report is deterministic.
+
+    Scale: one partial-aggregating groupBy on the key (the same shuffle
+    the skewed job itself would pay), a 1-row total broadcast back, and
+    TakeOrderedAndProject for the top-k (per-partition heaps — never a
+    global sort or single-partition window over all keys). The final
+    rank window runs over top_k rows only.
+    """
+    from pyspark.sql import Window
+    counts = (df.groupBy(F.col(key_col).alias("key"))
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    top = (counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_k)
+           .crossJoin(F.broadcast(total)))
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    return top.select(
+        "key", "n_rows",
+        F.row_number().over(w).cast("int").alias("rank"),
+        # floor() explicitly: a bare double->bigint CAST truncates in
+        # Spark but rounds in DuckDB — floor is the portable spelling
+        F.floor((F.col("n_rows") * 1000000) / F.col("_total"))
+        .cast("bigint").alias("share_ppm"))

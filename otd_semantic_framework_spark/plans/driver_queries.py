@@ -2793,6 +2793,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "dedup_incremental": q_dedup_incremental,
         "kg_conv_rollup": q_kg_conv_rollup,
+        "rel_skew_profile": q_rel_skew_profile,
+        "rel_pit_join": q_rel_pit_join,
     }
 
 
@@ -2901,6 +2903,8 @@ def build_oracle_sql() -> dict[str, str]:
         "stream_dedup": SQL_STREAM_DEDUP,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "kg_conv_rollup": SQL_KG_CONV_ROLLUP,
+        "rel_skew_profile": SQL_REL_SKEW_PROFILE,
+        "rel_pit_join": SQL_REL_PIT_JOIN,
     }
 
 
@@ -4020,4 +4024,84 @@ SELECT b.conv_id, b.n_turns, b.n_tool_calls,
 FROM base b
 LEFT JOIN nc ON b.conv_id = nc.conv_id
 LEFT JOIN top t ON b.conv_id = t.conv_id
+"""
+
+
+def q_rel_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic over the mention surfaces — the naturally
+    skewed key in this corpus (operators/skew.py:skew_profile)."""
+    from ..operators.skew import skew_profile
+    return skew_profile(_mentions_df(spark, sf_dir), "surface")
+
+
+SQL_REL_SKEW_PROFILE = f"""
+WITH {_MENTIONS_CTE},
+counts AS (SELECT surface AS key, count(*) AS n_rows
+           FROM mentions GROUP BY surface),
+total AS (SELECT count(*) AS _total FROM mentions),
+top AS (
+  SELECT key, n_rows,
+         CAST(row_number() OVER (ORDER BY n_rows DESC, key ASC) AS INT)
+           AS rank
+  FROM counts
+  ORDER BY n_rows DESC, key ASC LIMIT 10
+)
+SELECT t.key, t.n_rows, t.rank,
+       CAST(floor((t.n_rows * 1000000) / tt._total) AS BIGINT) AS share_ppm
+FROM top t, total tt
+"""
+
+
+def q_rel_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of-version) join: each event looks up the SCD2
+    dimension version (rel_scd2) valid AT its timestamp — the
+    training-data / feature-store correctness join that prevents
+    leakage from future attribute values. Equi-join on the key plus a
+    half-open interval predicate; the per-key version list is small, so
+    the range conjunct filters a handful of candidate rows after the
+    hash join (never a BNL: the equi key carries the join).
+
+    Each event matches EXACTLY one version by construction (the
+    intervals partition [first_event_ts, inf) per user), pinned in
+    tests/test_agentstats.py."""
+    from ..operators.agentstats import scd2_history
+    ev = _tbl(spark, sf_dir, "events")
+    dim = scd2_history(ev, key_col="user_id", attr_col="event_type",
+                       ts_col="ts", tiebreak_col="event_id")
+    e = ev.select("event_id", "user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("ts_us"))
+    return (e.join(dim, (e.user_id == dim.user_id)
+                   & (e.ts_us >= dim.eff_from_us)
+                   & (dim.eff_to_us.isNull()
+                      | (e.ts_us < dim.eff_to_us)))
+            .select("event_id", e.user_id.alias("user_id"), "ts_us",
+                    F.col("event_type").alias("type_at_ts"), "version"))
+
+
+SQL_REL_PIT_JOIN = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+dim AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) AS eff_from_us,
+         epoch_us(lead(ts) OVER w) AS eff_to_us,
+         CAST(row_number() OVER w AS BIGINT) AS version
+  FROM changes
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       d.event_type AS type_at_ts, d.version
+FROM events e
+JOIN dim d ON e.user_id = d.user_id
+          AND epoch_us(e.ts) >= d.eff_from_us
+          AND (d.eff_to_us IS NULL OR epoch_us(e.ts) < d.eff_to_us)
 """

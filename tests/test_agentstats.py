@@ -83,6 +83,18 @@ def test_scd2_tiebreak_deterministic(spark):
     assert [r.event_type for r in out] == ["a", "b", "c"]
 
 
+def test_pit_join_exactly_one_version_per_event(spark):
+    from otd_semantic_framework_spark.plans.driver_queries import (
+        q_rel_pit_join)
+    sf = "/root/testdata/sf0.001"
+    out = q_rel_pit_join(spark, sf)
+    n_events = spark.read.parquet(f"{sf}/events.parquet").count()
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
+    # the version valid at an event's ts can never start after it
+    assert out.filter(out.ts_us < 0).count() == 0
+
+
 def test_triangle_count_k4(spark):
     # complete graph on 4 vertices: C(3,2)=3 triangles per vertex,
     # 4 triangles total -> 12 corner participations. Feed edges in mixed

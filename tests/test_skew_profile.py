@@ -1,0 +1,34 @@
+"""Tests for the key-skew profiler (operators/skew.py:skew_profile)."""
+
+from __future__ import annotations
+
+from otd_semantic_framework_spark.operators.skew import skew_profile
+
+
+def test_skew_profile_ranks_and_shares(spark):
+    # key 'hot' 60 rows, 'warm' 30, 'cold' 10 -> shares 600000/300000/100000
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("cold",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    got = {r.key: r for r in skew_profile(df, "k").collect()}
+    assert [got[k].rank for k in ("hot", "warm", "cold")] == [1, 2, 3]
+    assert got["hot"].n_rows == 60 and got["hot"].share_ppm == 600000
+    assert got["warm"].share_ppm == 300000
+    assert got["cold"].share_ppm == 100000
+
+
+def test_skew_profile_top_k_and_tiebreak(spark):
+    # 5 keys with equal counts: tie broken by key ascending; top_k=3 cap
+    rows = [(f"k{i}",) for i in range(5) for _ in range(4)]
+    df = spark.createDataFrame(rows, "k string")
+    out = sorted(skew_profile(df, "k", top_k=3).collect(),
+                 key=lambda r: r.rank)
+    assert [r.key for r in out] == ["k0", "k1", "k2"]
+    assert all(r.n_rows == 4 and r.share_ppm == 200000 for r in out)
+
+
+def test_skew_profile_partition_invariant(spark):
+    rows = [(f"k{i % 7}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string")
+    a = sorted(map(tuple, skew_profile(df, "k").collect()))
+    b = sorted(map(tuple, skew_profile(df.repartition(13), "k").collect()))
+    assert a == b
