@@ -43,7 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from otd_semantic_framework_spark.session import get_spark  # noqa: E402
 
-N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "1440000"))  # ~16M turns
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "2160000"))  # ~24M turns
 # big enough that the 4N-leg run is shuffle/compute-bound (>=45 s), not
 # dominated by fixed JVM/scheduler/Python-worker startup — fixed costs
 # visibly depress measured scaling once the 8-core leg drops under ~30 s
@@ -152,7 +152,20 @@ def serve_leg(n_cores: int, input_path: str) -> None:
             "overwrite").parquet(out)
         return time.time() - t0
 
-    print(f"READY {one_run():.2f}", flush=True)  # warmup run (JIT/codegen)
+    # Adaptive warmup: one run is NOT enough for the high-parallelism
+    # leg (observed 8-core walls 52 -> 44 -> 38 -> 35 s across pairs —
+    # C2 JIT keeps tiering for several runs), which systematically
+    # depresses early pair ratios. Warm until the improvement between
+    # consecutive runs falls under 8% (max 3 runs), so every TIMED run
+    # is steady-state.
+    prev = one_run()
+    for _ in range(2):
+        cur = one_run()
+        if prev - cur < 0.08 * prev:
+            prev = cur
+            break
+        prev = cur
+    print(f"READY {prev:.2f}", flush=True)
     for line in sys.stdin:
         cmd = line.strip()
         if cmd == "run":

@@ -2795,6 +2795,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conv_rollup": q_kg_conv_rollup,
         "rel_skew_profile": q_rel_skew_profile,
         "rel_pit_join": q_rel_pit_join,
+        "kg_episodes": q_kg_episodes,
+        "kg_search_ndcg": q_kg_search_ndcg,
     }
 
 
@@ -2905,6 +2907,8 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_conv_rollup": SQL_KG_CONV_ROLLUP,
         "rel_skew_profile": SQL_REL_SKEW_PROFILE,
         "rel_pit_join": SQL_REL_PIT_JOIN,
+        "kg_episodes": _sql_kg_episodes(),
+        "kg_search_ndcg": _sql_kg_search_ndcg(),
     }
 
 
@@ -4104,4 +4108,161 @@ FROM events e
 JOIN dim d ON e.user_id = d.user_id
           AND epoch_us(e.ts) >= d.eff_from_us
           AND (d.eff_to_us IS NULL OR epoch_us(e.ts) < d.eff_to_us)
+"""
+
+
+EPISODE_JACCARD = 0.5  # boundary when concept overlap with prev turn < this
+
+
+def q_kg_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation episode segmentation by concept drift: a new episode
+    starts when a tagged turn's concept set overlaps its conversation's
+    PREVIOUS tagged turn at Jaccard < 0.5 (or at the first tagged turn).
+    The topic-shift detector a transcript-analytics user runs on agent
+    logs; all joins keyed by conv_id (+concept), episode ids via a
+    running boundary cumsum — one window pass, no iteration.
+
+    Jaccard here is a ratio of exact intersection/union counts, so the
+    boundary decision is engine-deterministic."""
+    tags = (_mentions_df(spark, sf_dir)
+            .select("conv_id", "turn_idx", "concept_id").distinct())
+    sizes = (tags.groupBy("conv_id", "turn_idx")
+             .agg(F.count(F.lit(1)).alias("sz")))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = (sizes
+           .withColumn("prev_turn", F.lag("turn_idx").over(w))
+           .withColumn("prev_sz", F.lag("sz").over(w)))
+    a = tags.alias("a")
+    b = tags.select(F.col("conv_id").alias("b_conv"),
+                    F.col("turn_idx").alias("b_turn"),
+                    F.col("concept_id").alias("b_concept"))
+    inter = (a.join(seq.select("conv_id", "turn_idx", "prev_turn"),
+                    ["conv_id", "turn_idx"])
+             .join(b, (F.col("conv_id") == F.col("b_conv"))
+                   & (F.col("prev_turn") == F.col("b_turn"))
+                   & (F.col("concept_id") == F.col("b_concept")))
+             .groupBy("conv_id", "turn_idx")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    scored = (seq.join(inter, ["conv_id", "turn_idx"], "left")
+              .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
+              .withColumn(
+                  "jac",
+                  F.when(F.col("prev_turn").isNull(), F.lit(None))
+                   .otherwise(F.round(
+                       F.col("inter")
+                       / (F.col("sz") + F.col("prev_sz") - F.col("inter")),
+                       6))))
+    boundary = (F.col("jac").isNull()
+                | (F.col("jac") < EPISODE_JACCARD)).cast("long")
+    return (scored
+            .withColumn("episode",
+                        F.sum(boundary).over(
+                            w.rowsBetween(Window.unboundedPreceding, 0)))
+            .select("conv_id", "turn_idx", "sz",
+                    (F.col("jac") + F.lit(0.0)).alias("jac_prev"),
+                    "episode"))
+
+
+def _sql_kg_episodes() -> str:
+    return f"""
+WITH {_MENTIONS_CTE},
+tags AS (SELECT DISTINCT conv_id, turn_idx, concept_id FROM mentions),
+sizes AS (
+  SELECT conv_id, turn_idx, count(*) AS sz
+  FROM tags GROUP BY conv_id, turn_idx
+),
+seq AS (
+  SELECT conv_id, turn_idx, sz,
+         lag(turn_idx) OVER w AS prev_turn,
+         lag(sz) OVER w AS prev_sz
+  FROM sizes
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+inter AS (
+  SELECT s.conv_id, s.turn_idx, count(*) AS inter
+  FROM seq s
+  JOIN tags a ON a.conv_id = s.conv_id AND a.turn_idx = s.turn_idx
+  JOIN tags b ON b.conv_id = s.conv_id AND b.turn_idx = s.prev_turn
+             AND b.concept_id = a.concept_id
+  GROUP BY s.conv_id, s.turn_idx
+),
+scored AS (
+  SELECT s.conv_id, s.turn_idx, s.sz, s.prev_turn, s.prev_sz,
+         coalesce(i.inter, 0) AS inter,
+         CASE WHEN s.prev_turn IS NULL THEN NULL
+              ELSE round(CAST(coalesce(i.inter, 0) AS DOUBLE)
+                         / (s.sz + s.prev_sz - coalesce(i.inter, 0)), 6)
+         END AS jac
+  FROM seq s LEFT JOIN inter i
+    ON i.conv_id = s.conv_id AND i.turn_idx = s.turn_idx
+)
+SELECT conv_id, turn_idx, sz, jac + 0.0 AS jac_prev,
+       CAST(sum(CASE WHEN jac IS NULL OR jac < {EPISODE_JACCARD}
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY conv_id ORDER BY turn_idx
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS episode
+FROM scored
+"""
+
+
+NDCG_K = 10
+
+
+def q_kg_search_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the kg_search ranking against a deterministic graded
+    relevance oracle (first md5 hex digit of the subject, mod 4 — the
+    labels are synthetic; the METRIC machinery is the operator).
+    Contributions are exact-ppm integers (floor((2^rel - 1) * 1e6 /
+    log2(pos + 1))), so the sums are merge-order independent; the only
+    cross-engine float surface is one log2 per position (the repo's
+    accepted ulp class)."""
+    top = (q_kg_search(spark, sf_dir)
+           .filter(F.col("rank") <= NDCG_K)
+           .withColumn("rel",
+                       F.conv(F.substring(F.md5("subj_key"), 1, 1), 16, 10)
+                       .cast("int") % 4))
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0) * 1000000.0
+    top = top.withColumn(
+        "contrib_ppm",
+        F.floor(gain / F.log2(F.col("rank") + 1)).cast("bigint"))
+    wi = Window.orderBy(F.desc("rel"), F.asc("subj_key"))
+    ideal = (top.withColumn("ipos", F.row_number().over(wi))
+             .withColumn("icontrib_ppm",
+                         F.floor(gain / F.log2(F.col("ipos") + 1))
+                         .cast("bigint")))
+    return ideal.agg(
+        F.lit(NDCG_K).cast("int").alias("k"),
+        F.sum("contrib_ppm").alias("dcg_ppm"),
+        F.sum("icontrib_ppm").alias("idcg_ppm"),
+        F.floor(F.sum("contrib_ppm") * 1000000.0
+                / F.nullif(F.sum("icontrib_ppm"), F.lit(0)))
+        .cast("bigint").alias("ndcg_ppm"))
+
+
+def _sql_kg_search_ndcg() -> str:
+    rel = ("(strpos('0123456789abcdef', substring(md5(subj_key), 1, 1)) - 1)"
+           " % 4")
+    return f"""
+WITH base AS ({_sql_kg_search()}),
+top AS (
+  SELECT subj_key, rank, {rel} AS rel FROM base WHERE rank <= {NDCG_K}
+),
+scored AS (
+  SELECT subj_key, rank, rel,
+         CAST(floor((pow(2.0, rel) - 1.0) * 1000000.0
+                    / log2(rank + 1)) AS BIGINT) AS contrib_ppm,
+         row_number() OVER (ORDER BY rel DESC, subj_key ASC) AS ipos
+  FROM top
+),
+ideal AS (
+  SELECT *, CAST(floor((pow(2.0, rel) - 1.0) * 1000000.0
+                       / log2(ipos + 1)) AS BIGINT) AS icontrib_ppm
+  FROM scored
+)
+SELECT CAST({NDCG_K} AS INT) AS k,
+       CAST(sum(contrib_ppm) AS BIGINT) AS dcg_ppm,
+       CAST(sum(icontrib_ppm) AS BIGINT) AS idcg_ppm,
+       CAST(floor(sum(contrib_ppm) * 1000000.0
+                  / nullif(sum(icontrib_ppm), 0)) AS BIGINT) AS ndcg_ppm
+FROM ideal
 """
