@@ -525,3 +525,37 @@ def source_filter(docs: DataFrame, min_mean_chars: float | None = None,
     return (docs.join(F.broadcast(gate), source_col, "inner")
             .select(F.col(id_col).alias("doc_id"), F.col(source_col),
                     "source_score", "source_docs"))
+
+
+def interleave_domains(docs: DataFrame, domain_col: str,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Deterministic round-robin domain interleaving — the training
+    ORDER schedule that keeps consecutive samples from different
+    domains (prevents long single-domain runs that destabilize
+    training): rows get a seedless md5 rank WITHIN their domain, and
+    the global order is (within-domain position, domain), i.e. first
+    one row of every domain, then the second of every domain, and so
+    on. Returns (doc_id, domain, pos_in_domain, global_pos).
+
+    Scale: one window keyed by the domain — the same low-cardinality
+    hazard as stratified_sample, acceptable because the rank key is a
+    map-side expression and the window only sorts within each domain
+    partition (at 10^12 rows, use assign_shards first and interleave
+    per shard: the schedule is shard-local anyway for a distributed
+    loader). The global position is a SECOND window over the computed
+    (pos, domain) order — a total order the loader consumes once,
+    which is the one genuinely global sort this op exists to produce.
+    """
+    wg = Window.orderBy("pos_in_domain", "domain", F.asc("doc_id"))
+    return (docs
+            .select(F.col(id_col).alias("doc_id"),
+                    F.col(domain_col).alias("domain"),
+                    _sample_key(id_col, text_col).alias("_k"))
+            .withColumn("pos_in_domain",
+                        F.row_number().over(
+                            Window.partitionBy("domain")
+                            .orderBy("_k", F.asc("doc_id"))).cast("long"))
+            .withColumn("global_pos",
+                        F.row_number().over(wg).cast("long"))
+            .select("doc_id", "domain", "pos_in_domain", "global_pos"))

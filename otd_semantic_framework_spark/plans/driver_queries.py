@@ -2797,6 +2797,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pit_join": q_rel_pit_join,
         "kg_episodes": q_kg_episodes,
         "kg_search_ndcg": q_kg_search_ndcg,
+        "curation_interleave": q_curation_interleave,
     }
 
 
@@ -2909,6 +2910,7 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_pit_join": SQL_REL_PIT_JOIN,
         "kg_episodes": _sql_kg_episodes(),
         "kg_search_ndcg": _sql_kg_search_ndcg(),
+        "curation_interleave": SQL_CURATION_INTERLEAVE,
     }
 
 
@@ -4265,4 +4267,30 @@ SELECT CAST({NDCG_K} AS INT) AS k,
        CAST(floor(sum(contrib_ppm) * 1000000.0
                   / nullif(sum(icontrib_ppm), 0)) AS BIGINT) AS ndcg_ppm
 FROM ideal
+"""
+
+
+def q_curation_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin domain interleaving for training order
+    (operators/curation.py:interleave_domains), domains = source."""
+    from ..operators.curation import interleave_domains
+    return interleave_domains(_docs(spark, sf_dir), "source")
+
+
+SQL_CURATION_INTERLEAVE = """
+WITH keyed AS (
+  SELECT doc_id, source AS domain,
+         md5(cast(doc_id AS VARCHAR) || ':' || coalesce(text, '')) AS k
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, domain,
+         CAST(row_number() OVER (PARTITION BY domain ORDER BY k, doc_id)
+              AS BIGINT) AS pos_in_domain
+  FROM keyed
+)
+SELECT doc_id, domain, pos_in_domain,
+       CAST(row_number() OVER (ORDER BY pos_in_domain, domain, doc_id)
+            AS BIGINT) AS global_pos
+FROM pos
 """

@@ -83,3 +83,25 @@ def test_stream_dedup_matches_batch(spark, tmp_path):
     assert got.count() == 10
     assert {r.text_hash for r in got.collect()} \
         == {r.text_hash for r in batch.collect()}
+
+
+def test_interleave_domains_round_robin(spark):
+    from otd_semantic_framework_spark.operators.curation import (
+        interleave_domains)
+    rows = [(i, f"t{i}", f"d{i % 3}") for i in range(12)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = sorted(interleave_domains(d, "source").collect(),
+                 key=lambda r: r.global_pos)
+    # global positions are a 1..N permutation
+    assert [r.global_pos for r in out] == list(range(1, 13))
+    # round-robin: within any window of |domains| consecutive rows at the
+    # same pos_in_domain, all domains are distinct
+    for i in range(0, 12, 3):
+        block = out[i:i + 3]
+        assert len({r.domain for r in block}) == 3
+        assert len({r.pos_in_domain for r in block}) == 1
+    # deterministic under repartition
+    again = sorted(interleave_domains(d.repartition(5), "source").collect(),
+                   key=lambda r: r.global_pos)
+    assert [(r.doc_id, r.global_pos) for r in out] \
+        == [(r.doc_id, r.global_pos) for r in again]
