@@ -87,3 +87,48 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))))
         .alias("frame_idx"),
     ).withColumn("frame_key", F.concat_ws(":", "doc_id", "frame_idx"))
+
+
+RESIZED_SCHEMA = ("doc_id long, media_type string, width int, height int, "
+                  "out_w int, out_h int, resized_fp string")
+
+
+def resize_media(media: DataFrame, max_side: int = 32,
+                 strict: bool = False) -> DataFrame:
+    """mapInPandas resize: aspect-preserving target dimensions computed
+    with EXACT integer math from the (stub-)decoded source dims —
+    out = max(1, dim * max_side // max(w, h)) — plus a deterministic
+    fingerprint standing in for the resized payload. The pixel resample
+    itself sits behind the same stub seam as decode (``strict=True``
+    raises; swap in PIL/libvips in production — the batch shape, schema
+    and partition-preserving flow are the real, tested plumbing).
+
+    Scale: map-only mapInPandas over the media scan, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if strict:
+                raise NotImplementedError(
+                    "real pixel resampling requires PIL/libvips — "
+                    "not in container")
+            decoded = pdf["payload"].map(_fake_decode)
+            w = decoded.map(lambda d: d[0]).to_numpy()
+            h = decoded.map(lambda d: d[1]).to_numpy()
+            m = np.maximum(w, h)
+            out_w = np.maximum(1, (w * max_side) // m).astype("int32")
+            out_h = np.maximum(1, (h * max_side) // m).astype("int32")
+            fp = [hashlib.md5(f"{i}:{a}:{b}".encode()).hexdigest()
+                  for i, a, b in zip(pdf["doc_id"], out_w, out_h)]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["meta"].map(lambda x: x["media_type"]),
+                "width": w.astype("int32"),
+                "height": h.astype("int32"),
+                "out_w": out_w,
+                "out_h": out_h,
+                "resized_fp": fp,
+            })
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)

@@ -2798,6 +2798,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_episodes": q_kg_episodes,
         "kg_search_ndcg": q_kg_search_ndcg,
         "curation_interleave": q_curation_interleave,
+        "multimodal_resize": q_multimodal_resize,
     }
 
 
@@ -2911,6 +2912,7 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_episodes": _sql_kg_episodes(),
         "kg_search_ndcg": _sql_kg_search_ndcg(),
         "curation_interleave": SQL_CURATION_INTERLEAVE,
+        "multimodal_resize": _sql_multimodal_resize(),
     }
 
 
@@ -4293,4 +4295,52 @@ SELECT doc_id, domain, pos_in_domain,
        CAST(row_number() OVER (ORDER BY pos_in_domain, domain, doc_id)
             AS BIGINT) AS global_pos
 FROM pos
+"""
+
+
+RESIZE_MAX_SIDE = 32
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize over the media table
+    (operators/multimodal.py:resize_media): exact-integer target dims,
+    pixel resample stubbed behind the decode seam. Oracle replays the
+    md5-derived source dims digit-by-digit and the same integer math."""
+    from ..operators.multimodal import attach_fake_media, resize_media
+    return resize_media(attach_fake_media(_docs(spark, sf_dir)),
+                        max_side=RESIZE_MAX_SIDE)
+
+
+def _sql_multimodal_resize() -> str:
+    digits = ", ".join(
+        f"instr('0123456789abcdef', substring(h, {p + 1}, 1)) - 1 AS d{p}"
+        for p in range(4))
+    return f"""
+WITH hx AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         md5(text) AS h
+  FROM documents
+),
+d AS (SELECT doc_id, media_type, {digits} FROM hx),
+dims AS (
+  SELECT doc_id, media_type,
+         CAST(16 + (16 * d0 + d1) % 64 AS INT) AS width,
+         CAST(16 + (16 * d2 + d3) % 64 AS INT) AS height
+  FROM d
+),
+resized AS (
+  SELECT *,
+         CAST(greatest(1, (width * {RESIZE_MAX_SIDE})
+                          // greatest(width, height)) AS INT) AS out_w,
+         CAST(greatest(1, (height * {RESIZE_MAX_SIDE})
+                          // greatest(width, height)) AS INT) AS out_h
+  FROM dims
+)
+SELECT doc_id, media_type, width, height, out_w, out_h,
+       md5(cast(doc_id AS VARCHAR) || ':' || cast(out_w AS VARCHAR)
+           || ':' || cast(out_h AS VARCHAR)) AS resized_fp
+FROM resized
 """

@@ -322,3 +322,27 @@ def test_connected_components_vs_union_find(spark, seed):
     got = {r.doc_id: r.component
            for r in connected_components(pairs, nodes).collect()}
     assert got == want, f"seed={seed}"
+
+
+def test_multimodal_resize(spark, docs):
+    from otd_semantic_framework_spark.operators.multimodal import (
+        attach_fake_media, resize_media)
+    media = attach_fake_media(docs)
+    out = resize_media(media, max_side=32).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        # the longer side lands exactly on max_side (dims are >= 16,
+        # so the scaled long side is 32); the shorter side preserves
+        # aspect with exact integer floor math and never hits 0
+        assert max(r.out_w, r.out_h) == 32
+        assert 1 <= min(r.out_w, r.out_h) <= 32
+        assert r.out_w == max(1, r.width * 32 // max(r.width, r.height))
+        assert r.out_h == max(1, r.height * 32 // max(r.width, r.height))
+        assert len(r.resized_fp) == 32
+
+
+def test_multimodal_resize_strict_raises(spark, docs):
+    from otd_semantic_framework_spark.operators.multimodal import (
+        attach_fake_media, resize_media)
+    with pytest.raises(Exception, match="PIL|libvips|NotImplemented"):
+        resize_media(attach_fake_media(docs), strict=True).collect()
