@@ -2799,6 +2799,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_search_ndcg": q_kg_search_ndcg,
         "curation_interleave": q_curation_interleave,
         "multimodal_resize": q_multimodal_resize,
+        "kg_degree_dist": q_kg_degree_dist,
+        "kg_coverage": q_kg_coverage,
     }
 
 
@@ -2913,6 +2915,8 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_search_ndcg": _sql_kg_search_ndcg(),
         "curation_interleave": SQL_CURATION_INTERLEAVE,
         "multimodal_resize": _sql_multimodal_resize(),
+        "kg_degree_dist": _sql_kg_degree_dist(),
+        "kg_coverage": _sql_kg_coverage(),
     }
 
 
@@ -4343,4 +4347,75 @@ SELECT doc_id, media_type, width, height, out_w, out_h,
        md5(cast(doc_id AS VARCHAR) || ':' || cast(out_w AS VARCHAR)
            || ':' || cast(out_h AS VARCHAR)) AS resized_fp
 FROM resized
+"""
+
+
+def q_kg_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the materialized KG — the first graph
+    health check a KG consumer runs (hubs, orphans, power-law shape):
+    out-degree per subject over all predicates, then the histogram
+    (degree -> node count). Two hash aggs, both partial-aggregating;
+    never a collect."""
+    t = q_kg_triples(spark, sf_dir)
+    deg = t.groupBy("subj").agg(F.count(F.lit(1)).alias("degree"))
+    return (deg.groupBy("degree")
+            .agg(F.count(F.lit(1)).alias("n_nodes")))
+
+
+def _sql_kg_degree_dist() -> str:
+    return f"""
+WITH triples AS ({_sql_kg_triples_body()}),
+deg AS (SELECT subj, count(*) AS degree FROM triples GROUP BY subj)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+"""
+
+
+def q_kg_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology coverage QA: per taxonomy depth, how many concepts the
+    corpus actually tags (mention triples) vs how many the ontology
+    defines, with the untagged count — the gap report that tells an
+    ontology maintainer which branches the corpus never exercises.
+    Broadcast-sized concept table left-joined against the distinct
+    tagged-concept set."""
+    import pandas as pd
+    cs = driver_concepts()
+    onto = spark.createDataFrame(
+        pd.DataFrame({"concept_id": [c.concept_id for c in cs],
+                      "depth": [c.depth for c in cs]}),
+        "concept_id string, depth int")
+    tagged = (q_kg_triples(spark, sf_dir)
+              .filter(F.col("pred") == "mentions")
+              .select(F.regexp_replace("obj", "^concept:", "")
+                      .alias("concept_id"))
+              .distinct()
+              .withColumn("is_tagged", F.lit(1)))
+    return (onto.join(tagged, "concept_id", "left")
+            .groupBy("depth")
+            .agg(F.count(F.lit(1)).alias("n_concepts"),
+                 F.coalesce(F.sum("is_tagged"), F.lit(0)).cast("bigint")
+                 .alias("n_tagged"))
+            .withColumn("n_untagged",
+                        (F.col("n_concepts") - F.col("n_tagged"))
+                        .cast("bigint")))
+
+
+def _sql_kg_coverage() -> str:
+    import pandas as pd
+    cs = driver_concepts()
+    onto = values_sql(pd.DataFrame(
+        {"concept_id": [c.concept_id for c in cs],
+         "depth": [c.depth for c in cs]}), "o")
+    return f"""
+WITH triples AS ({_sql_kg_triples_body()}),
+tagged AS (
+  SELECT DISTINCT regexp_replace(obj, '^concept:', '') AS concept_id
+  FROM triples WHERE pred = 'mentions'
+)
+SELECT o.depth, count(*) AS n_concepts,
+       CAST(sum(CASE WHEN t.concept_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tagged,
+       CAST(count(*) - sum(CASE WHEN t.concept_id IS NOT NULL
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_untagged
+FROM {onto} LEFT JOIN tagged t ON o.concept_id = t.concept_id
+GROUP BY o.depth
 """

@@ -45,3 +45,24 @@ def test_ndcg_invariants(spark):
     assert r.k == 10
     assert 0 <= r.dcg_ppm <= r.idcg_ppm
     assert 0 <= r.ndcg_ppm <= 1000000
+
+
+def test_degree_dist_consistent(spark):
+    from otd_semantic_framework_spark.plans.driver_queries import (
+        q_kg_degree_dist, q_kg_triples)
+    rows = q_kg_degree_dist(spark, SF).collect()
+    t = q_kg_triples(spark, SF)
+    assert sum(r.n_nodes for r in rows) \
+        == t.select("subj").distinct().count()
+    assert sum(r.degree * r.n_nodes for r in rows) == t.count()
+
+
+def test_coverage_partition(spark):
+    from otd_semantic_framework_spark.plans.driver_queries import (
+        q_kg_coverage)
+    rows = q_kg_coverage(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_tagged + r.n_untagged == r.n_concepts
+    # the synthetic root is never a mention target -> gap exercised
+    assert any(r.n_untagged > 0 for r in rows)
