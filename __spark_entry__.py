@@ -26,10 +26,44 @@ def entry(spark: SparkSession) -> DataFrame:
     return DQ.q_kg_triples(spark, "/root/testdata/sf0.001")
 
 
+# The driver's CORRECTNESS check samples the FIRST 50 queries() keys in
+# dict order and has sampled the identical 50 for three rounds (r1-r3 all
+# took build_queries()'s head). Rotation (VERDICT r3 item 2): keep the
+# core kg_* nine up front, then lead with 41 paired queries that have
+# never received a driver record (rel_pivot first — red in r1, fixed in
+# r2, never re-sampled). Everything else (r1-r3-green keys + sibling
+# variants of green queries + the 2 rows-only spark-only ops) follows;
+# all 112 remain present and the strict local checker
+# (scripts/check_oracle.py) still gates every pair each round.
+DRIVER_SAMPLE_FIRST_50 = [
+    # core pipeline (kept in-sample every round)
+    "kg_transcripts", "kg_turn_assembly", "kg_mentions", "kg_candidates",
+    "kg_canonical", "kg_triples", "kg_cds", "kg_wup_matrix", "kg_search",
+    # never-driver-sampled paired queries (r4 rotation)
+    "rel_pivot", "kg_eval_pr", "kg_pagerank", "text_bm25",
+    "kg_incremental_cds", "rel_range_join", "rel_misc_fns",
+    "stream_triples", "kg_fast_pipeline", "dedup_components", "text_tfidf",
+    "curation_sample", "curation_keep_best", "dedup_minhash_lsh",
+    "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf", "rel_percentiles",
+    "rel_subqueries", "text_perplexity", "kg_bgp_query", "kg_path_query",
+    "kg_bgp_optional", "rel_profile", "kg_negative_samples",
+    "kg_tool_sequences", "rel_scd2", "kg_triangles",
+    "text_hash_classifier", "curation_source_filter", "stream_dedup",
+    "dedup_incremental", "rel_skew_profile", "rel_pit_join", "kg_episodes",
+    "kg_search_ndcg", "curation_interleave", "multimodal_resize",
+    "kg_coverage", "kg_concept_lift", "rel_array_fns",
+]
+
+
+def _rotate(d: dict) -> dict:
+    head = {k: d[k] for k in DRIVER_SAMPLE_FIRST_50 if k in d}
+    return {**head, **{k: v for k, v in d.items() if k not in head}}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = dict(DQ.build_queries())
     out.update(SOQ.build_queries())
-    return out
+    return _rotate(out)
 
 
 def oracle_sql() -> dict[str, str]:

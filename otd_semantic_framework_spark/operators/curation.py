@@ -529,33 +529,58 @@ def source_filter(docs: DataFrame, min_mean_chars: float | None = None,
 
 def interleave_domains(docs: DataFrame, domain_col: str,
                        id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       n_shards: int = N_SHARDS) -> DataFrame:
     """Deterministic round-robin domain interleaving — the training
     ORDER schedule that keeps consecutive samples from different
     domains (prevents long single-domain runs that destabilize
-    training): rows get a seedless md5 rank WITHIN their domain, and
-    the global order is (within-domain position, domain), i.e. first
-    one row of every domain, then the second of every domain, and so
-    on. Returns (doc_id, domain, pos_in_domain, global_pos).
+    training). Sharded (VERDICT r3 item 3 replaced the old global
+    Window.orderBy, which serialized the whole corpus through one
+    task): each doc hashes to a shard (the assign_shards md5 bucket),
+    gets a seedless md5 rank within its (shard, domain), and the
+    global order is shard-major — shard 0's interleaved schedule, then
+    shard 1's, and so on. Every shard's schedule is itself
+    round-robin across domains, so consecutive samples still rotate
+    domains everywhere except the n_shards-1 shard seams.
+    Returns (doc_id, domain, shard, pos_in_domain, global_pos);
+    global_pos is a dense total order.
 
-    Scale: one window keyed by the domain — the same low-cardinality
-    hazard as stratified_sample, acceptable because the rank key is a
-    map-side expression and the window only sorts within each domain
-    partition (at 10^12 rows, use assign_shards first and interleave
-    per shard: the schedule is shard-local anyway for a distributed
-    loader). The global position is a SECOND window over the computed
-    (pos, domain) order — a total order the loader consumes once,
-    which is the one genuinely global sort this op exists to produce.
+    Scale: both windows partition by shard — parallelism = n_shards
+    (set it to ~cluster cores at 10^12 rows; a distributed loader
+    consumes one shard per reader anyway). Cross-shard offsets come
+    from a per-shard count agg collected to the driver — O(n_shards)
+    rows, never O(data) — and rejoin as a broadcast. No global sort,
+    no partitionless window, anywhere.
     """
-    wg = Window.orderBy("pos_in_domain", "domain", F.asc("doc_id"))
-    return (docs
-            .select(F.col(id_col).alias("doc_id"),
-                    F.col(domain_col).alias("domain"),
-                    _sample_key(id_col, text_col).alias("_k"))
-            .withColumn("pos_in_domain",
-                        F.row_number().over(
-                            Window.partitionBy("domain")
-                            .orderBy("_k", F.asc("doc_id"))).cast("long"))
-            .withColumn("global_pos",
-                        F.row_number().over(wg).cast("long"))
-            .select("doc_id", "domain", "pos_in_domain", "global_pos"))
+    h = F.md5(F.col(id_col).cast("string"))
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+             % n_shards).cast("int")
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(domain_col).alias("domain"),
+                       shard.alias("shard"),
+                       _sample_key(id_col, text_col).alias("_k"))
+    ranked = (base
+              .withColumn("pos_in_domain",
+                          F.row_number().over(
+                              Window.partitionBy("shard", "domain")
+                              .orderBy("_k", F.asc("doc_id"))).cast("long"))
+              .withColumn("local_pos",
+                          F.row_number().over(
+                              Window.partitionBy("shard")
+                              .orderBy("pos_in_domain", "domain",
+                                       F.asc("doc_id"))).cast("long")))
+    # shard -> rows-before-this-shard; the count agg is map-side partial
+    # over a pure hash expression, so recomputing it is deterministic.
+    counts = {r["shard"]: r["n"] for r in
+              base.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    offsets, acc = [], 0
+    for s in range(n_shards):
+        offsets.append((s, acc))
+        acc += counts.get(s, 0)
+    off = docs.sparkSession.createDataFrame(
+        offsets, "shard int, _off long")
+    return (ranked.join(F.broadcast(off), "shard")
+            .select("doc_id", "domain", "shard", "pos_in_domain",
+                    (F.col("_off") + F.col("local_pos")).cast("long")
+                    .alias("global_pos")))

@@ -255,6 +255,9 @@ def bgp_query(triples: DataFrame, patterns: list[tuple[str, str, str]],
     return out.distinct()
 
 
+NEG_POOL_CAP = 4_000_000  # concept pools must broadcast; beyond this, shard
+
+
 def negative_samples(triples: DataFrame, n_neg: int = 2) -> DataFrame:
     """Deterministic corrupted-tail negative sampling for KG-embedding
     training (TransE-family): for every distinct (subj, obj) mention
@@ -272,15 +275,25 @@ def negative_samples(triples: DataFrame, n_neg: int = 2) -> DataFrame:
     Scale shape: the pool is ontology-sized → one row_number window on
     a tiny set + two BROADCAST joins (slot and next-slot lookups); the
     big side is one explode (xn_neg) of the edge table with no shuffle.
+    The pool window is partitionless by construction, so its input is
+    bounded plan-visibly (orderBy+limit NEG_POOL_CAP+1 → TakeOrdered)
+    and a pool larger than the cap raises instead of silently funneling
+    an unbounded concept set through one task.
     """
     from pyspark.sql import Window
 
     m = (triples.filter(F.col("pred") == "mentions")
          .select("subj", "obj").distinct())
     pool = (m.select(F.col("obj").alias("concept")).distinct()
+            .orderBy("concept").limit(NEG_POOL_CAP + 1)
             .withColumn("idx", F.row_number().over(
                 Window.orderBy("concept")) - 1))
     p = pool.count()
+    if p > NEG_POOL_CAP:
+        raise ValueError(
+            f"negative sampling pool exceeds NEG_POOL_CAP={NEG_POOL_CAP}: "
+            "the slot index must stay broadcast-able; shard the pool or "
+            "raise the cap deliberately")
     if p < 2:
         raise ValueError("negative sampling needs >= 2 distinct concepts")
     e = m.withColumn("neg_idx", F.explode(

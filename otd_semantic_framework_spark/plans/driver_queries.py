@@ -362,9 +362,13 @@ def q_kg_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("subj_key")
         .agg(F.round(F.sum(F.col("score") * F.col("q_score")), 6).alias("search_score"))
     )
+    # limit-then-rank (the plans/search.py:83 shape): orderBy+limit is
+    # TakeOrderedAndProject (parallel per-partition heaps); the
+    # partitionless rank window then runs over <= 20 rows, never the
+    # full subject table.
+    top = ranked.orderBy(F.desc("search_score"), F.asc("subj_key")).limit(20)
     w = Window.orderBy(F.desc("search_score"), F.asc("subj_key"))
-    return (ranked.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 20)
+    return (top.withColumn("rank", F.row_number().over(w))
             .select("subj_key", "rank", "search_score"))
 
 
@@ -604,9 +608,13 @@ def q_kg_search_wup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("score") * F.col("q_score")), 6)
              .alias("search_score"))
     )
+    # limit-then-rank (the plans/search.py:83 shape): orderBy+limit is
+    # TakeOrderedAndProject (parallel per-partition heaps); the
+    # partitionless rank window then runs over <= 20 rows, never the
+    # full subject table.
+    top = ranked.orderBy(F.desc("search_score"), F.asc("subj_key")).limit(20)
     w = Window.orderBy(F.desc("search_score"), F.asc("subj_key"))
-    return (ranked.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 20)
+    return (top.withColumn("rank", F.row_number().over(w))
             .select("subj_key", "rank", "search_score"))
 
 
@@ -871,11 +879,26 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+ASOF_RANGE_PARTITIONS = 16
+
+
 def q_rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (SURVEY.md §2B): for each event, the latest order ts at
-    or before it — implemented Spark-side with the scalable union+window
-    pattern (no native as-of in Spark SQL), oracle-checked against a
-    correlated max in DuckDB."""
+    or before it — no native as-of in Spark SQL, so: range-partitioned
+    two-pass union+window (VERDICT r3 item 1 replaced the old
+    single-partition global running window).
+
+    Shape at scale: unionByName -> repartitionByRange(ts, is_event) so
+    every range partition holds a contiguous ts slice (equal keys never
+    straddle a boundary); the running last(o_ts) window partitions by
+    spark_partition_id(), so each range runs in parallel. Cross-range
+    carry: per-partition max(o_ts) is numPartitions rows — collected,
+    prefix-maxed on the driver (O(numPartitions), never O(data)) and
+    broadcast-joined back; coalesce(local_last, carry) is exact because
+    ranges are ts-ordered. The stamped union is localCheckpoint-pinned:
+    range boundaries come from sampling, so without pinning the pid seen
+    by the carry pass could differ from the pid seen by the window pass
+    (two separate jobs re-sample independently)."""
     e = _tbl(spark, sf_dir, "events").select(
         "event_id", "ts", F.lit(1).alias("is_event"),
         F.lit(None).cast("timestamp").alias("o_ts"))
@@ -883,12 +906,31 @@ def q_rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("event_id"),
         F.col("o_orderdate").alias("ts"), F.lit(0).alias("is_event"),
         F.col("o_orderdate").alias("o_ts"))
-    w = (Window.orderBy("ts", "is_event")
+    stamped = (e.unionByName(o)
+               .repartitionByRange(ASOF_RANGE_PARTITIONS, "ts", "is_event")
+               .withColumn("pid", F.spark_partition_id())
+               .localCheckpoint(eager=True))
+    # carry[p] = max o_ts over all partitions strictly before p
+    pmax = {r["pid"]: r["m"] for r in stamped.groupBy("pid")
+            .agg(F.max("o_ts").alias("m")).collect()}
+    carry_rows, best = [], None
+    for p in range(ASOF_RANGE_PARTITIONS):
+        carry_rows.append((p, best))
+        m = pmax.get(p)
+        if m is not None and (best is None or m > best):
+            best = m
+    carry = spark.createDataFrame(
+        carry_rows, "pid int, carry_ts timestamp")
+    w = (Window.partitionBy("pid").orderBy("ts", "is_event")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (e.unionByName(o)
-            .withColumn("last_order_ts", F.last("o_ts", ignorenulls=True).over(w))
+    return (stamped
+            .withColumn("local_last",
+                        F.last("o_ts", ignorenulls=True).over(w))
             .filter(F.col("is_event") == 1)
-            .select("event_id", F.unix_micros("last_order_ts").alias("asof_order_us")))
+            .join(F.broadcast(carry), "pid")
+            .select("event_id",
+                    F.unix_micros(F.coalesce("local_last", "carry_ts"))
+                    .alias("asof_order_us")))
 
 
 SQL_REL_ASOF = """
@@ -2913,7 +2955,7 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_pit_join": SQL_REL_PIT_JOIN,
         "kg_episodes": _sql_kg_episodes(),
         "kg_search_ndcg": _sql_kg_search_ndcg(),
-        "curation_interleave": SQL_CURATION_INTERLEAVE,
+        "curation_interleave": _sql_curation_interleave(),
         "multimodal_resize": _sql_multimodal_resize(),
         "kg_degree_dist": _sql_kg_degree_dist(),
         "kg_coverage": _sql_kg_coverage(),
@@ -4277,28 +4319,50 @@ FROM ideal
 
 
 def q_curation_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic round-robin domain interleaving for training order
-    (operators/curation.py:interleave_domains), domains = source."""
+    """Deterministic SHARDED round-robin domain interleaving for
+    training order (operators/curation.py:interleave_domains), domains
+    = source. Global order is shard-major concatenation of per-shard
+    interleaved schedules — no global sort in the Spark plan."""
     from ..operators.curation import interleave_domains
     return interleave_domains(_docs(spark, sf_dir), "source")
 
 
-SQL_CURATION_INTERLEAVE = """
+def _sql_curation_interleave() -> str:
+    from ..operators.curation import N_SHARDS
+    dig = " + ".join(
+        f"(instr('0123456789abcdef', substring(sh, {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}" for i in range(8))
+    return f"""
 WITH keyed AS (
   SELECT doc_id, source AS domain,
+         CAST(({dig}) % {N_SHARDS} AS INT) AS shard,
          md5(cast(doc_id AS VARCHAR) || ':' || coalesce(text, '')) AS k
-  FROM documents
+  FROM (SELECT *, md5(cast(doc_id AS VARCHAR)) AS sh FROM documents) d
 ),
 pos AS (
-  SELECT doc_id, domain,
-         CAST(row_number() OVER (PARTITION BY domain ORDER BY k, doc_id)
-              AS BIGINT) AS pos_in_domain
+  SELECT doc_id, domain, shard,
+         CAST(row_number() OVER (PARTITION BY shard, domain
+                                 ORDER BY k, doc_id) AS BIGINT)
+           AS pos_in_domain
   FROM keyed
+),
+localp AS (
+  SELECT doc_id, domain, shard, pos_in_domain,
+         CAST(row_number() OVER (PARTITION BY shard
+                                 ORDER BY pos_in_domain, domain, doc_id)
+              AS BIGINT) AS local_pos
+  FROM pos
+),
+offs AS (
+  SELECT shard,
+         CAST(coalesce(sum(count(*)) OVER (
+                ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM keyed GROUP BY shard
 )
-SELECT doc_id, domain, pos_in_domain,
-       CAST(row_number() OVER (ORDER BY pos_in_domain, domain, doc_id)
-            AS BIGINT) AS global_pos
-FROM pos
+SELECT l.doc_id, l.domain, l.shard, l.pos_in_domain,
+       CAST(o.off + l.local_pos AS BIGINT) AS global_pos
+FROM localp l JOIN offs o ON o.shard = l.shard
 """
 
 

@@ -86,11 +86,13 @@ def test_stream_dedup_matches_batch(spark, tmp_path):
 
 
 def test_interleave_domains_round_robin(spark):
+    """With n_shards=1 the sharded implementation degenerates to the
+    exact global round-robin spec — pin that property directly."""
     from otd_semantic_framework_spark.operators.curation import (
         interleave_domains)
     rows = [(i, f"t{i}", f"d{i % 3}") for i in range(12)]
     d = spark.createDataFrame(rows, "doc_id long, text string, source string")
-    out = sorted(interleave_domains(d, "source").collect(),
+    out = sorted(interleave_domains(d, "source", n_shards=1).collect(),
                  key=lambda r: r.global_pos)
     # global positions are a 1..N permutation
     assert [r.global_pos for r in out] == list(range(1, 13))
@@ -101,7 +103,53 @@ def test_interleave_domains_round_robin(spark):
         assert len({r.domain for r in block}) == 3
         assert len({r.pos_in_domain for r in block}) == 1
     # deterministic under repartition
-    again = sorted(interleave_domains(d.repartition(5), "source").collect(),
-                   key=lambda r: r.global_pos)
+    again = sorted(
+        interleave_domains(d.repartition(5), "source", n_shards=1).collect(),
+        key=lambda r: r.global_pos)
     assert [(r.doc_id, r.global_pos) for r in out] \
         == [(r.doc_id, r.global_pos) for r in again]
+
+
+def test_interleave_sharded_order_matches_global_spec(spark):
+    """VERDICT r3 item 3: the distributed shard-major order (per-shard
+    windows + broadcast offsets — no global sort in the plan) must equal
+    the declarative global spec 'sort by (shard, pos_in_domain, domain,
+    doc_id)' computed single-threaded on the driver."""
+    import hashlib
+
+    from otd_semantic_framework_spark.operators.curation import (
+        interleave_domains)
+    rows = [(i, f"text-{i % 7}", f"d{i % 4}") for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = interleave_domains(d, "source", n_shards=8).collect()
+    # dense total order
+    assert sorted(r.global_pos for r in out) == list(range(1, 201))
+
+    # driver-side replay of the spec
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    recs = []
+    for i, text, dom in rows:
+        shard = int(md5(str(i))[:8], 16) % 8
+        k = md5(f"{i}:{text}")
+        recs.append((shard, dom, k, i))
+    pos = {}
+    by_sd = {}
+    for shard, dom, k, i in sorted(recs, key=lambda r: (r[0], r[1], r[2], r[3])):
+        by_sd.setdefault((shard, dom), 0)
+        by_sd[(shard, dom)] += 1
+        pos[i] = (shard, by_sd[(shard, dom)], dom)
+    order = sorted(pos, key=lambda i: (pos[i][0], pos[i][1], pos[i][2], i))
+    expect = {i: gp for gp, i in enumerate(order, start=1)}
+    got = {r.doc_id: r.global_pos for r in out}
+    assert got == expect
+    # within every shard, consecutive rows rotate domains whenever the
+    # remaining domains allow it (the schedule is shard-locally
+    # round-robin)
+    by_shard = {}
+    for r in sorted(out, key=lambda r: r.global_pos):
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        for a, b in zip(shard_rows, shard_rows[1:]):
+            assert (a.pos_in_domain, a.domain) < (b.pos_in_domain, b.domain)

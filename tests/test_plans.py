@@ -248,3 +248,62 @@ def test_bgp_constant_filter_reaches_scan(spark, tmp_path):
     assert "CartesianProduct" not in plan
     assert "EqualTo(obj,bus)" in plan  # pushed to the scan
     assert "EqualTo(pred,mentions)" in plan
+
+
+# ---------------------------------------------------------------------------
+# Repo-wide ban on partitionless WindowExec over unbounded input
+# (VERDICT r3 item 1). A Window with an empty partitionSpec serializes
+# its whole input through ONE task — acceptable only when the plan
+# PROVES the input bounded: a GlobalLimit below it (orderBy+limit =
+# TakeOrdered), driver-literal leaves (LocalRelation/OneRowRelation),
+# or a grouping-free Aggregate (exactly 1 row). Every queries() entry
+# must satisfy this at the optimized-plan level.
+# ---------------------------------------------------------------------------
+
+_BOUNDED_LEAVES = {"LocalRelation", "OneRowRelation"}
+
+
+def _provably_bounded(node) -> bool:
+    name = node.nodeName()
+    if name == "GlobalLimit" or name in _BOUNDED_LEAVES:
+        return True
+    if name == "Aggregate" and node.groupingExpressions().size() == 0:
+        return True
+    n = node.children().size()
+    if n == 0:
+        return False
+    return all(_provably_bounded(node.children().apply(i)) for i in range(n))
+
+
+def unbounded_partitionless_windows(df) -> list:
+    """All partitionless logical Window nodes in df's optimized plan
+    whose input is not provably bounded. Empty list == scale-safe."""
+    bad = []
+
+    def walk(node):
+        if (node.nodeName() == "Window"
+                and node.partitionSpec().size() == 0
+                and not _provably_bounded(node)):
+            bad.append(node.toString().splitlines()[0][:200])
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return bad
+
+
+def test_no_unbounded_partitionless_window_in_any_query(spark):
+    """Walk EVERY queries() plan at sf0.001: no query may rank/run a
+    window over the full data without a partition key. The three r3
+    offenders (kg_search/kg_search_wup rank, rel_asof_join running
+    last) are rewritten; this pins the whole class shut."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    failures = {}
+    for name, fn in E.queries().items():
+        df = fn(spark, sf)
+        bad = unbounded_partitionless_windows(df)
+        if bad:
+            failures[name] = bad[0]
+    assert not failures, f"partitionless unbounded windows: {failures}"
