@@ -62,11 +62,76 @@ def _sample_key(id_col: str, text_col: str):
                              F.coalesce(F.col(text_col), F.lit(""))))
 
 
+# Above this many strata/domains the samplers switch from a driver dict
+# + create_map literal (fast, but driver memory and a megabyte-scale
+# plan literal at high cardinality) to a broadcast-joined bounds
+# DataFrame that never leaves the cluster (VERDICT r3 item 5). Both
+# mechanisms are bit-identical on the same input (pytest-pinned).
+STRATA_LITERAL_MAX = 10_000
+
+_PRUNE_SPACE = float(2 ** 32)
+
+
+def _prune_bounds_caps(counts: DataFrame, strata_col: str,
+                       prune_factor: float) -> DataFrame:
+    """(strata_col, _n, _cap) -> (strata_col, _bound, _need): the same
+    IEEE math as the literal path, expressed column-wise — space when a
+    stratum already fits prune_factor*cap, else the keep-fraction of
+    the 2^32 md5-prefix key space; need = min(cap, n)."""
+    pf = F.lit(float(prune_factor))
+    n_d = F.col("_n").cast("double")
+    cap_d = F.col("_cap").cast("double")
+    return counts.select(
+        strata_col,
+        F.when(n_d <= pf * cap_d, F.lit(_PRUNE_SPACE))
+        .otherwise(pf * cap_d / n_d * F.lit(_PRUNE_SPACE)).alias("_bound"),
+        F.least(F.col("_cap"), F.col("_n")).cast("long").alias("_need"))
+
+
+def _prune_with_bounds_join(pruned: DataFrame, strata_col: str,
+                            caps: DataFrame,
+                            prune_factor: float) -> DataFrame:
+    """Join-based verify-and-widen pre-prune: no per-stratum driver
+    state. ``pruned`` carries ``_u`` (uniform md5-prefix draw); ``caps``
+    is (strata_col, _n, _cap). The bounds table is |strata| rows —
+    broadcast both in the shortfall check and the final filter; widening
+    re-checkpoints the tiny bounds table so the (vanishingly rare) loop
+    never grows lineage over the corpus."""
+    bounds = _prune_bounds_caps(caps, strata_col, prune_factor)
+    for _ in range(64):
+        short = (pruned.join(F.broadcast(bounds), strata_col)
+                 .groupBy(strata_col, "_need")
+                 .agg(F.sum((F.col("_u") < F.col("_bound")).cast("long"))
+                      .alias("_kept"))
+                 .filter(F.col("_kept") < F.col("_need"))
+                 .select(strata_col).withColumn("_short", F.lit(1)))
+        if short.isEmpty():
+            break
+        bounds = (bounds.join(short, strata_col, "left")
+                  .select(strata_col,
+                          F.when(F.col("_short") == 1,
+                                 F.least(F.lit(_PRUNE_SPACE),
+                                         F.col("_bound") * 4.0))
+                          .otherwise(F.col("_bound")).alias("_bound"),
+                          "_need")
+                  .localCheckpoint(eager=True))
+    else:
+        raise RuntimeError(
+            "sampling pre-prune failed to cover every stratum after 64 "
+            "widening rounds — md5 prefix draws are catastrophically "
+            "non-uniform, refusing to return a silently short sample")
+    return (pruned.join(F.broadcast(bounds.select(strata_col, "_bound")),
+                        strata_col)
+            .filter(F.col("_u") < F.col("_bound"))
+            .drop("_bound"))
+
+
 def stratified_sample(docs: DataFrame, strata_col: str, k: int,
                       id_col: str = "doc_id",
                       text_col: str = "text",
                       prune: bool = True,
-                      prune_factor: float = 3.0) -> DataFrame:
+                      prune_factor: float = 3.0,
+                      bounds_mechanism: str = "auto") -> DataFrame:
     """Deterministic per-stratum sample of exactly min(k, |stratum|)
     rows: rank by md5(id:text) inside each stratum, keep the first k.
     Engine-portable (md5 exists everywhere) and seedless — re-runs and
@@ -92,7 +157,17 @@ def stratified_sample(docs: DataFrame, strata_col: str, k: int,
     uniformity is probabilistic) is widened 4x and re-verified, so the
     result is GUARANTEED hash-identical for prune in {off, on}
     (pytest-pinned, tests/test_curation.py). Cost: one counting scan +
-    one pruned-window scan, vs. the hot-stratum funnel."""
+    one pruned-window scan, vs. the hot-stratum funnel.
+
+    ``bounds_mechanism``: "literal" keeps per-stratum bounds in a driver
+    dict + create_map literal (cheap at domain-scale cardinality);
+    "join" keeps them in a broadcast-joined DataFrame that never leaves
+    the cluster (no driver state, no plan literal — required when the
+    stratum key is high-cardinality, e.g. URL host at web scale);
+    "auto" picks literal up to STRATA_LITERAL_MAX strata, join above.
+    Both produce bit-identical samples (pytest-pinned)."""
+    if bounds_mechanism not in ("auto", "literal", "join"):
+        raise ValueError(f"unknown bounds_mechanism {bounds_mechanism!r}")
     key = _sample_key(id_col, text_col)
     w = Window.partitionBy(strata_col).orderBy(key, F.asc(id_col))
     base = docs
@@ -102,29 +177,39 @@ def stratified_sample(docs: DataFrame, strata_col: str, k: int,
         # per-stratum total; bound = keep-fraction of the 2^32 key space
         counts = (pruned.groupBy(F.col(strata_col).alias("_s"))
                   .agg(F.count(F.lit(1)).alias("_n")))
-        stratum_sizes = dict(counts.toPandas().itertuples(
-            index=False, name=None))  # one row per stratum: tiny
-        space = float(2 ** 32)
-        bound = {
-            s: space if n <= prune_factor * k
-            else prune_factor * k / float(n) * space
-            for s, n in stratum_sizes.items()
-        }
-        need = {s: min(k, int(n)) for s, n in stratum_sizes.items()}
-        while True:
-            bdf = F.create_map(*[x for s, b in bound.items()
-                                 for x in (F.lit(s), F.lit(float(b)))])
-            keep = F.col("_u") < bdf[F.col(strata_col)]
-            got = dict(
-                pruned.groupBy(F.col(strata_col).alias("_s"))
-                .agg(F.sum(keep.cast("long")).alias("_kept"))
-                .toPandas().itertuples(index=False, name=None))
-            short = {s for s, n in need.items() if got.get(s, 0) < n}
-            if not short:
-                break
-            for s in short:  # widen and re-verify (vanishingly rare)
-                bound[s] = min(space, bound[s] * 4.0)
-        base = pruned.filter(keep).drop("_u")
+        mech = bounds_mechanism
+        if mech == "auto":
+            mech = ("literal" if counts.limit(STRATA_LITERAL_MAX + 1)
+                    .count() <= STRATA_LITERAL_MAX else "join")
+        if mech == "join":
+            caps = counts.select(F.col("_s").alias(strata_col), "_n",
+                                 F.lit(k).cast("long").alias("_cap"))
+            base = _prune_with_bounds_join(
+                pruned, strata_col, caps, prune_factor).drop("_u")
+        else:
+            stratum_sizes = dict(counts.toPandas().itertuples(
+                index=False, name=None))  # one row per stratum: tiny
+            space = _PRUNE_SPACE
+            bound = {
+                s: space if n <= prune_factor * k
+                else prune_factor * k / float(n) * space
+                for s, n in stratum_sizes.items()
+            }
+            need = {s: min(k, int(n)) for s, n in stratum_sizes.items()}
+            while True:
+                bdf = F.create_map(*[x for s, b in bound.items()
+                                     for x in (F.lit(s), F.lit(float(b)))])
+                keep = F.col("_u") < bdf[F.col(strata_col)]
+                got = dict(
+                    pruned.groupBy(F.col(strata_col).alias("_s"))
+                    .agg(F.sum(keep.cast("long")).alias("_kept"))
+                    .toPandas().itertuples(index=False, name=None))
+                short = {s for s, n in need.items() if got.get(s, 0) < n}
+                if not short:
+                    break
+                for s in short:  # widen and re-verify (vanishingly rare)
+                    bound[s] = min(space, bound[s] * 4.0)
+            base = pruned.filter(keep).drop("_u")
     return (base.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
             .select(F.col(id_col).alias("doc_id"),
@@ -241,7 +326,8 @@ def mixture_sample(docs: DataFrame, domain_col: str, target: int,
                    weight_scale: int = 1_000_000,
                    id_col: str = "doc_id", text_col: str = "text",
                    prune: bool = True,
-                   prune_factor: float = 3.0) -> DataFrame:
+                   prune_factor: float = 3.0,
+                   bounds_mechanism: str = "auto") -> DataFrame:
     """Temperature-scaled domain-mixture sampling (the alpha=0.5
     smoothing used for multilingual/multi-domain training mixes, e.g.
     mC4/XLM-R): domain d with count c_d receives a quota proportional
@@ -262,25 +348,67 @@ def mixture_sample(docs: DataFrame, domain_col: str, target: int,
     map-side into a tiny driver-side table (one row per domain); the
     per-domain ranking window reuses stratified_sample's map-side
     md5-prefix pre-prune with verify-and-widen, so a hot domain never
-    funnels its full row set through one window partition."""
+    funnels its full row set through one window partition.
+
+    ``bounds_mechanism`` as in stratified_sample: "literal" (driver
+    dict + create_map, domain-scale cardinality), "join" (broadcast
+    bounds/quota DataFrames, no driver state — for high-cardinality
+    domain keys), "auto" switches at STRATA_LITERAL_MAX. Bit-identical
+    samples either way (pytest-pinned). W (the global weight sum) is a
+    one-row collect under both — a scalar, never per-domain state."""
     import math
 
-    counts = dict(
-        docs.groupBy(F.col(domain_col).alias("_d"))
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .toPandas().itertuples(index=False, name=None))
+    if bounds_mechanism not in ("auto", "literal", "join"):
+        raise ValueError(f"unknown bounds_mechanism {bounds_mechanism!r}")
+    counts_df = (docs.groupBy(F.col(domain_col).alias("_d"))
+                 .agg(F.count(F.lit(1)).alias("_n")))
+    mech = bounds_mechanism
+    if mech == "auto":
+        mech = ("literal" if counts_df.limit(STRATA_LITERAL_MAX + 1)
+                .count() <= STRATA_LITERAL_MAX else "join")
+
+    key = _sample_key(id_col, text_col)
+    win = Window.partitionBy(domain_col).orderBy(key, F.asc(id_col))
+
+    if mech == "join":
+        # floor(sqrt(c) * scale) as exact int64 — identical IEEE math to
+        # the literal path (sqrt is correctly rounded on both)
+        weights = counts_df.select(
+            F.col("_d").alias(domain_col), "_n",
+            F.floor(F.sqrt(F.col("_n").cast("double"))
+                    * F.lit(float(weight_scale))).cast("long").alias("_w"))
+        W = weights.agg(F.sum("_w")).collect()[0][0]  # scalar, 1 row
+        # DIV: exact int64 floor-division, matching the literal path's
+        # Python // (double `/` would lose exactness past 2^53)
+        quotas = weights.select(
+            domain_col, "_n",
+            F.expr(f"CAST((CAST({int(target)} AS BIGINT) * _w) "
+                   f"DIV {int(W)} AS BIGINT)").alias("_cap"))
+        base = docs
+        if prune:
+            u = F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint")
+            pruned = docs.withColumn("_u", u)
+            base = _prune_with_bounds_join(
+                pruned, domain_col, quotas, prune_factor).drop("_u")
+        return (base
+                .withColumn("rnk", F.row_number().over(win))
+                .join(F.broadcast(quotas.select(
+                    domain_col, F.col("_cap").alias("quota"))), domain_col)
+                .filter(F.col("rnk") <= F.col("quota"))
+                .select(F.col(domain_col).alias("domain"),
+                        F.col(id_col).alias("doc_id"), "rnk", "quota"))
+
+    counts = dict(counts_df.toPandas().itertuples(index=False, name=None))
     w_d = {d: int(math.floor(math.sqrt(float(c)) * weight_scale))
            for d, c in counts.items()}
     W = sum(w_d.values())
     quota = {d: (target * w) // W for d, w in w_d.items()}
 
-    key = _sample_key(id_col, text_col)
-    win = Window.partitionBy(domain_col).orderBy(key, F.asc(id_col))
     base = docs
     if prune:
         u = F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint")
         pruned = docs.withColumn("_u", u)
-        space = float(2 ** 32)
+        space = _PRUNE_SPACE
         bound = {
             d: space if counts[d] <= prune_factor * quota[d]
             else prune_factor * quota[d] / float(counts[d]) * space

@@ -153,6 +153,65 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8,
             .select("doc_a", "doc_b", "jaccard"))
 
 
+def jaccard_near_dup_pairs(docs: DataFrame, threshold: float,
+                           df_cap: int | None = None,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Token-set Jaccard near-dup pairs via the posting-list self-join,
+    with optional hot-token hygiene (VERDICT r3 item 7): a token in df
+    documents contributes O(df^2) candidate pairs, so one
+    corpus-frequent token is a quadratic hot key. With ``df_cap`` set,
+    tokens with document frequency > df_cap are dropped from CANDIDATE
+    GENERATION ONLY — verification recounts the intersection over ALL
+    tokens of each candidate pair, so every emitted jaccard is exact.
+    The (documented) recall trade: a pair whose shared tokens are ALL
+    above the cap is never considered — the standard stop-shingle
+    prune; at web scale set df_cap around the corpus's hot-key budget
+    (e.g. 10^5), far above any token that discriminates.
+
+    df_cap=None keeps the single-join shape (candidate join == exact
+    intersection count, no second pass)."""
+    d = docs
+    toks = (d.select(F.col(id_col).alias("doc_id"),
+                     F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+            .filter(F.col("tok") != "").distinct())
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    if df_cap is None:
+        inter = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                        & (F.col("a.doc_id") < F.col("b.doc_id")))
+                 .groupBy(F.col("a.doc_id").alias("doc_a"),
+                          F.col("b.doc_id").alias("doc_b"))
+                 .agg(F.count(F.lit(1)).alias("inter")))
+    else:
+        rare = (toks.groupBy("tok")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= df_cap).select("tok"))
+        ct = toks.join(rare, "tok")  # same shuffle key as the self-join
+        ca, cb = ct.alias("a"), ct.alias("b")
+        cand = (ca.join(cb, (F.col("a.tok") == F.col("b.tok"))
+                        & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .select(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b"))
+                .distinct())
+        av = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+        bv = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+        inter = (cand.join(av, "doc_a").join(bv, ["doc_b", "tok"])
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("sz").alias("sz_b"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
 def connected_components(pairs: DataFrame, nodes: DataFrame,
                          max_iter: int = 25) -> DataFrame:
     """Dedup-cluster connected components by iterative min-label

@@ -53,18 +53,60 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, [float(x) for x in feats]
 
 
-def decode_media(media: DataFrame, decode_strict: bool = False) -> DataFrame:
-    """mapInPandas decode/feature-extract. decode_strict=True raises
-    NotImplementedError (no real codec in this container)."""
+def pil_available() -> bool:
+    """True when a real image codec (Pillow) is importable at runtime."""
+    try:
+        import PIL.Image  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _pil_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """REAL decode via Pillow: dimensions + an 8-d feature (RGB channel
+    means, global std, padded). Executor-side import — the worker that
+    runs the batch must have Pillow, which pil_available() gates on the
+    driver (same site-packages in local mode; on a real cluster ship it
+    via --py-files/conda env)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    img.load()
+    w, h = img.size
+    arr = np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
+    feats = [float(x) for x in arr.mean(axis=(0, 1))] + [float(arr.std())]
+    feats += [0.0] * (8 - len(feats))
+    return int(w), int(h), feats[:8]
+
+
+def decode_media(media: DataFrame, decode_strict: bool = False,
+                 decoder: str = "stub") -> DataFrame:
+    """mapInPandas decode/feature-extract.
+
+    ``decoder``: "stub" (default — deterministic fake, oracle-paired),
+    "pil" (real Pillow decode of actual image payloads), or "auto"
+    (pil when importable, stub otherwise). decode_strict=True raises
+    NotImplementedError when no real codec is available, the honest
+    failure mode."""
+    if decoder == "auto":
+        decoder = "pil" if pil_available() else "stub"
+    if decoder not in ("stub", "pil"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    if decoder == "pil" and not pil_available():
+        raise NotImplementedError(
+            "decoder='pil' requested but Pillow is not importable")
+    decode_fn = _pil_decode if decoder == "pil" else _fake_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            if decode_strict:
+            if decode_strict and decode_fn is _fake_decode:
                 raise NotImplementedError(
                     "real media decoding requires PIL/ffmpeg — not in container")
-            decoded = pdf["payload"].map(_fake_decode)
+            decoded = pdf["payload"].map(decode_fn)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["meta"].map(lambda m: m["media_type"]),
@@ -97,11 +139,14 @@ def resize_media(media: DataFrame, max_side: int = 32,
                  strict: bool = False) -> DataFrame:
     """mapInPandas resize: aspect-preserving target dimensions computed
     with EXACT integer math from the (stub-)decoded source dims —
-    out = max(1, dim * max_side // max(w, h)) — plus a deterministic
-    fingerprint standing in for the resized payload. The pixel resample
-    itself sits behind the same stub seam as decode (``strict=True``
-    raises; swap in PIL/libvips in production — the batch shape, schema
-    and partition-preserving flow are the real, tested plumbing).
+    DOWNSCALE-ONLY, the standard max-side semantic: the effective
+    target is min(max_side, max(w, h)), so media already smaller than
+    max_side keeps its dimensions instead of being upscaled; out =
+    max(1, dim * eff // max(w, h)). A deterministic fingerprint stands
+    in for the resized payload. The pixel resample itself sits behind
+    the same stub seam as decode (``strict=True`` raises; swap in
+    PIL/libvips in production — the batch shape, schema and
+    partition-preserving flow are the real, tested plumbing).
 
     Scale: map-only mapInPandas over the media scan, no shuffle."""
 
@@ -117,8 +162,9 @@ def resize_media(media: DataFrame, max_side: int = 32,
             w = decoded.map(lambda d: d[0]).to_numpy()
             h = decoded.map(lambda d: d[1]).to_numpy()
             m = np.maximum(w, h)
-            out_w = np.maximum(1, (w * max_side) // m).astype("int32")
-            out_h = np.maximum(1, (h * max_side) // m).astype("int32")
+            eff = np.minimum(max_side, m)
+            out_w = np.maximum(1, (w * eff) // m).astype("int32")
+            out_h = np.maximum(1, (h * eff) // m).astype("int32")
             fp = [hashlib.md5(f"{i}:{a}:{b}".encode()).hexdigest()
                   for i, a, b in zip(pdf["doc_id"], out_w, out_h)]
             yield pd.DataFrame({

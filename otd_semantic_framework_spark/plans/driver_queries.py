@@ -967,29 +967,24 @@ JACCARD_MAX_DOC = 500  # bounded pair set: the testdata vocabulary is only
 # bucketing prunes candidates instead.
 
 
+JACCARD_DF_CAP = 450  # stop-token prune for candidate generation: the
+# synthetic 31-token vocabulary maxes out near df=415 on the capped doc
+# subset, so 450 is inert HERE (results identical to the uncapped join)
+# while the plan carries the scale-correct shape — candidates from
+# sub-cap tokens only, jaccard verified over ALL tokens. At web scale
+# set the cap to the hot-key budget (e.g. 1e5). Skew bound pinned in
+# tests/test_datapipeline_ops.py.
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-set Jaccard near-dup pairs (SURVEY: n-gram Jaccard dedup).
-    Inverted-index join on shared tokens — never a full cross join; at
-    scale the token join is the standard posting-list self-join with
-    frequent-token pruning."""
+    """Token-set Jaccard near-dup pairs (SURVEY: n-gram Jaccard dedup,
+    operators/dedup.py:jaccard_near_dup_pairs). Inverted-index join on
+    shared sub-cap tokens (hot-token hygiene), exact verify on
+    candidates — never a full cross join."""
+    from ..operators.dedup import jaccard_near_dup_pairs
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < JACCARD_MAX_DOC)
-    toks = (d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
-            .filter(F.col("tok") != "").distinct())
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count(F.lit(1)).alias("inter")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (inter.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("jaccard", F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
-            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-            .select("doc_a", "doc_b", "jaccard"))
+    return jaccard_near_dup_pairs(d, JACCARD_THRESHOLD,
+                                  df_cap=JACCARD_DF_CAP)
 
 
 SQL_DEDUP_JACCARD = f"""
@@ -999,10 +994,21 @@ WITH toks AS (
   WHERE t.tok <> '' AND doc_id < {JACCARD_MAX_DOC}
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+rare AS (
+  SELECT tok FROM toks GROUP BY tok HAVING count(*) <= {JACCARD_DF_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT t.* FROM toks t JOIN rare r ON r.tok = t.tok) a
+  JOIN (SELECT t.* FROM toks t JOIN rare r ON r.tok = t.tok) b
+    ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN toks a ON a.doc_id = c.doc_a
+  JOIN toks b ON b.doc_id = c.doc_b AND b.tok = a.tok
+  GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b,
        round(cast(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
@@ -1969,7 +1975,7 @@ def q_kg_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = q_kg_triples(spark, sf_dir)
     out = _os.path.join(
         _tf.gettempdir(),
-        f"kg_mat_{_os.path.basename(sf_dir.rstrip('/'))}.parquet")
+        f"kg_mat_{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}.parquet")
     (t.withColumn("bucket", F.pmod(F.xxhash64("subj"), F.lit(16)).cast("int"))
      .write.mode("overwrite").partitionBy("bucket").parquet(out))
     spark.catalog.refreshByPath(out)
@@ -2215,7 +2221,7 @@ def q_kg_resume_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import run_pipeline
     run_dir = _os.path.join(
         _tempfile.gettempdir(),
-        f"kg_resume_{_os.path.basename(sf_dir.rstrip('/'))}")
+        f"kg_resume_{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}")
     _shutil.rmtree(run_dir, ignore_errors=True)
     t = derived_transcripts(spark, sf_dir).withColumn(
         "ts", F.lit(None).cast("timestamp"))
@@ -2338,7 +2344,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
-    sfx = _os.path.basename(sf_dir.rstrip("/"))
+    sfx = f"{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}"
     out = _os.path.join(_tempfile.gettempdir(), f"stream_sess_{sfx}.parquet")
     ckpt = _os.path.join(_tempfile.gettempdir(), f"stream_sess_{sfx}_ckpt")
     src = _os.path.join(_tempfile.gettempdir(), f"stream_sess_{sfx}_src")
@@ -3383,7 +3389,7 @@ def q_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil as _shutil
     import tempfile as _tempfile
     from .pipeline import build_triples_fast
-    sfx = _os.path.basename(sf_dir.rstrip("/"))
+    sfx = f"{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}"
     out = _os.path.join(_tempfile.gettempdir(), f"stream_tri_{sfx}.parquet")
     ckpt = _os.path.join(_tempfile.gettempdir(), f"stream_tri_{sfx}_ckpt")
     src = _os.path.join(_tempfile.gettempdir(), f"stream_tri_{sfx}_src")
@@ -3932,7 +3938,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
-    sfx = _os.path.basename(sf_dir.rstrip("/"))
+    # staging keyed by sf AND pid: two concurrent harness runs against
+    # the same sf must not rmtree each other's checkpoint mid-stream
+    sfx = f"{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}"
     out = _os.path.join(_tempfile.gettempdir(), f"stream_dedup_{sfx}.parquet")
     ckpt = _os.path.join(_tempfile.gettempdir(), f"stream_dedup_{sfx}_ckpt")
     src = _os.path.join(_tempfile.gettempdir(), f"stream_dedup_{sfx}_src")
@@ -4130,7 +4138,8 @@ def q_rel_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (dim.eff_to_us.isNull()
                       | (e.ts_us < dim.eff_to_us)))
             .select("event_id", e.user_id.alias("user_id"), "ts_us",
-                    F.col("event_type").alias("type_at_ts"), "version"))
+                    F.col("event_type").alias("type_at_ts"), "version",
+                    "eff_from_us"))
 
 
 SQL_REL_PIT_JOIN = """
@@ -4153,7 +4162,7 @@ dim AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
-       d.event_type AS type_at_ts, d.version
+       d.event_type AS type_at_ts, d.version, d.eff_from_us
 FROM events e
 JOIN dim d ON e.user_id = d.user_id
           AND epoch_us(e.ts) >= d.eff_from_us
@@ -4401,9 +4410,11 @@ dims AS (
 ),
 resized AS (
   SELECT *,
-         CAST(greatest(1, (width * {RESIZE_MAX_SIDE})
+         CAST(greatest(1, (width * least({RESIZE_MAX_SIDE},
+                                         greatest(width, height)))
                           // greatest(width, height)) AS INT) AS out_w,
-         CAST(greatest(1, (height * {RESIZE_MAX_SIDE})
+         CAST(greatest(1, (height * least({RESIZE_MAX_SIDE},
+                                          greatest(width, height)))
                           // greatest(width, height)) AS INT) AS out_h
   FROM dims
 )

@@ -92,7 +92,7 @@ def test_pit_join_exactly_one_version_per_event(spark):
     assert out.count() == n_events
     assert out.select("event_id").distinct().count() == n_events
     # the version valid at an event's ts can never start after it
-    assert out.filter(out.ts_us < 0).count() == 0
+    assert out.filter(out.ts_us < out.eff_from_us).count() == 0
 
 
 def test_triangle_count_k4(spark):

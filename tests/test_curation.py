@@ -167,3 +167,45 @@ def test_keep_best_tie_drops_larger_id(spark):
     pairs = spark.createDataFrame([(7, 9)], "doc_a long, doc_b long")
     got = {r.doc_id: r.status for r in keep_best(docs, pairs).collect()}
     assert got == {7: "keep", 9: "drop_near"}
+
+
+def test_bounds_mechanisms_bit_identical(spark):
+    """VERDICT r3 item 5: the driver-literal and broadcast-join bounds
+    mechanisms must select the IDENTICAL sample — stratified and
+    mixture, pruned both ways."""
+    from otd_semantic_framework_spark.operators.curation import (
+        mixture_sample, stratified_sample)
+    rows = [(i, f"doc text {i % 97}", f"s{i % 23}") for i in range(3000)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    lit_s = sorted(map(tuple, stratified_sample(
+        d, "source", 7, bounds_mechanism="literal").collect()))
+    join_s = sorted(map(tuple, stratified_sample(
+        d, "source", 7, bounds_mechanism="join").collect()))
+    assert lit_s == join_s and len(lit_s) == 23 * 7
+
+    lit_m = sorted(map(tuple, mixture_sample(
+        d, "source", 200, bounds_mechanism="literal").collect()))
+    join_m = sorted(map(tuple, mixture_sample(
+        d, "source", 200, bounds_mechanism="join").collect()))
+    assert lit_m == join_m and len(lit_m) > 0
+
+
+def test_stratified_sample_50k_strata_no_plan_literal(spark):
+    """Above STRATA_LITERAL_MAX strata, auto must take the join path:
+    completes with no create_map literal in the plan and exact
+    per-stratum quotas."""
+    from otd_semantic_framework_spark.operators.curation import (
+        STRATA_LITERAL_MAX, stratified_sample)
+    n_strata = 50_000
+    assert n_strata > STRATA_LITERAL_MAX
+    d = (spark.range(100_000)
+         .select(F.col("id").alias("doc_id"),
+                 F.concat(F.lit("t"), F.col("id")).alias("text"),
+                 F.concat(F.lit("h"), (F.col("id") % n_strata))
+                 .alias("source")))
+    out = stratified_sample(d, "source", 1)
+    assert "map_from" not in out._jdf.queryExecution().optimizedPlan() \
+        .toString().lower()
+    assert out.count() == n_strata
+    assert out.filter(F.col("rk") > 1).count() == 0

@@ -38,6 +38,7 @@ def test_episodes_boundaries_exercised(spark):
     breaks = sum(1 for r in rows
                  if r.jac_prev is not None and r.jac_prev < EPISODE_JACCARD)
     assert breaks > 0, "no topic shifts detected — threshold inert"
+    assert continues > 0, "no episode continuations — threshold inert"
 
 
 def test_ndcg_invariants(spark):
