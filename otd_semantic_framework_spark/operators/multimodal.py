@@ -136,23 +136,55 @@ RESIZED_SCHEMA = ("doc_id long, media_type string, width int, height int, "
 
 
 def resize_media(media: DataFrame, max_side: int = 32,
-                 strict: bool = False) -> DataFrame:
+                 strict: bool = False, decoder: str = "stub") -> DataFrame:
     """mapInPandas resize: aspect-preserving target dimensions computed
-    with EXACT integer math from the (stub-)decoded source dims —
+    with EXACT integer math from the decoded source dims —
     DOWNSCALE-ONLY, the standard max-side semantic: the effective
     target is min(max_side, max(w, h)), so media already smaller than
     max_side keeps its dimensions instead of being upscaled; out =
-    max(1, dim * eff // max(w, h)). A deterministic fingerprint stands
-    in for the resized payload. The pixel resample itself sits behind
-    the same stub seam as decode (``strict=True`` raises; swap in
-    PIL/libvips in production — the batch shape, schema and
-    partition-preserving flow are the real, tested plumbing).
+    max(1, dim * eff // max(w, h)).
+
+    ``decoder`` as in decode_media: "stub" (default — fake dims from
+    md5, fingerprint stands in for the resized payload; oracle-paired),
+    "pil" (REAL Pillow decode + LANCZOS resample of actual image
+    payloads; fingerprint = md5 of the resized RGB pixel bytes), or
+    "auto". ``strict=True`` on the stub raises — the honest no-codec
+    failure mode.
 
     Scale: map-only mapInPandas over the media scan, no shuffle."""
+    if decoder == "auto":
+        decoder = "pil" if pil_available() else "stub"
+    if decoder not in ("stub", "pil"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    if decoder == "pil" and not pil_available():
+        raise NotImplementedError(
+            "decoder='pil' requested but Pillow is not importable")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
+                continue
+            if decoder == "pil":
+                import io
+
+                from PIL import Image
+                recs = []
+                for doc_id, payload, meta in zip(
+                        pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                    img = Image.open(io.BytesIO(payload))
+                    img.load()
+                    w0, h0 = img.size
+                    m0 = max(w0, h0)
+                    eff0 = min(max_side, m0)
+                    ow = max(1, (w0 * eff0) // m0)
+                    oh = max(1, (h0 * eff0) // m0)
+                    resized = img.convert("RGB").resize(
+                        (ow, oh), Image.LANCZOS)
+                    recs.append((doc_id, meta["media_type"], w0, h0, ow, oh,
+                                 hashlib.md5(resized.tobytes()).hexdigest()))
+                yield pd.DataFrame(recs, columns=[
+                    "doc_id", "media_type", "width", "height",
+                    "out_w", "out_h", "resized_fp"])
                 continue
             if strict:
                 raise NotImplementedError(

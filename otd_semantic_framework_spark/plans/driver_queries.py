@@ -398,6 +398,109 @@ SELECT subj_key, rank, search_score FROM (
 """
 
 
+BATCH_SEARCH_QUERIES = [
+    "fast hash join on a big table",
+    "sort merge join for the slow scan",
+    "window agg over key value column",
+]
+
+
+def _batch_query_vectors():
+    """(query_id, concept_id, q_score) for the fixed query batch — a
+    pure function of ontology + query strings, computed once
+    driver-side (|queries| x top-k rows: tiny, broadcastable)."""
+    import pandas as pd
+    scores = driver_scores()
+    gaz = driver_gazetteer()
+    rows = []
+    for qid, qtext in enumerate(BATCH_SEARCH_QUERIES):
+        norm = S.normalize_text(qtext)
+        surfaces = sorted({m[0] for m in S.find_mentions(norm, gaz)})
+        q = (scores[scores.surface.isin(surfaces)]
+             .groupby("concept_id", as_index=False)["cos_sim"].max()
+             .rename(columns={"cos_sim": "q_score"}).round({"q_score": 6}))
+        rows.extend((qid, r.concept_id, float(r.q_score))
+                    for r in q.itertuples(index=False))
+    return pd.DataFrame(rows, columns=["query_id", "concept_id", "q_score"])
+
+
+def q_kg_nt_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF graph-materialize parity (r4): the corpus triple graph
+    rendered as N-Triples lines (sources/rdf.py:format_ntriples — the
+    write twin of the paired Turtle/N-Triples ingest). The reference
+    dumps its rdflib graph the same way [K]; here it's a map-only
+    expression over the triple table, and the oracle replays the IRI
+    percent-encoding + literal escaping character-for-character."""
+    from ..sources.rdf import format_ntriples
+    return format_ntriples(q_kg_triples(spark, sf_dir))
+
+
+def _sql_kg_nt_export() -> str:
+    base = "http://example.org/kg/"
+    return rf"""
+WITH triples AS ({_sql_kg_triples_body()}),
+fmt AS (
+  SELECT concat('<', '{base}', replace(subj, ':', '%3A'), '>') AS s,
+         concat('<', '{base}', replace(pred, ':', '%3A'), '>') AS p,
+         CASE
+           WHEN regexp_matches(obj, '^https?://')
+             THEN concat('<', obj, '>')
+           WHEN regexp_matches(obj, '^[A-Za-z][\w.-]*:')
+             THEN concat('<', '{base}', replace(obj, ':', '%3A'), '>')
+           ELSE concat('"', replace(replace(obj, '\', '\\'), '"', '\"'),
+                       '"')
+         END AS o
+  FROM triples
+)
+SELECT concat_ws(' ', s, p, o, '.') AS line FROM fmt
+"""
+
+
+def q_kg_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17 batch / multi-tenant read path (r4): N queries resolved in
+    ONE pass over the CDS table — the scale shape for a search service
+    draining a query queue. At 10^12 subjects you never rescan per
+    query: every query vector lives in one broadcast (query_id,
+    concept_id, q_score) table, one broadcast join + one
+    (query_id, subj_key) partial agg scores every sharing pair, and the
+    per-query top-10 rank window partitions by query_id (never
+    partitionless — each partition is one query's candidate set)."""
+    qv = _batch_query_vectors()
+    q_df = spark.createDataFrame(
+        qv, "query_id int, concept_id string, q_score double")
+    cds = q_kg_cds(spark, sf_dir)
+    ranked = (
+        cds.join(F.broadcast(q_df), cds.cds_concept == q_df.concept_id)
+        .groupBy("query_id", "subj_key")
+        .agg(F.round(F.sum(F.col("score") * F.col("q_score")), 6)
+             .alias("search_score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("search_score"), F.asc("subj_key"))
+    return (ranked.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "subj_key", "rank", "search_score"))
+
+
+def _sql_kg_batch_search() -> str:
+    qv = values_sql(_batch_query_vectors(), "q")
+    cds = _sql_kg_cds_body()
+    return f"""
+WITH cds AS ({cds}),
+ranked AS (
+  SELECT q.query_id, c.subj_key,
+         round(sum(c.score * q.q_score), 6) AS search_score
+  FROM cds c JOIN {qv} ON q.concept_id = c.cds_concept
+  GROUP BY q.query_id, c.subj_key
+)
+SELECT query_id, subj_key, rank, search_score FROM (
+  SELECT query_id, subj_key, search_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY search_score DESC, subj_key ASC) AS rank
+  FROM ranked
+) WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Manual-tagging ingest/merge, per-configuration graphs, WuP-blended
 # search (VERDICT r1 items 4/5/7) — all exercising the production
@@ -2849,6 +2952,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "kg_degree_dist": q_kg_degree_dist,
         "kg_coverage": q_kg_coverage,
+        "kg_batch_search": q_kg_batch_search,
+        "kg_nt_export": q_kg_nt_export,
     }
 
 
@@ -2965,6 +3070,8 @@ def build_oracle_sql() -> dict[str, str]:
         "multimodal_resize": _sql_multimodal_resize(),
         "kg_degree_dist": _sql_kg_degree_dist(),
         "kg_coverage": _sql_kg_coverage(),
+        "kg_batch_search": _sql_kg_batch_search(),
+        "kg_nt_export": _sql_kg_nt_export(),
     }
 
 

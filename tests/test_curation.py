@@ -209,3 +209,20 @@ def test_stratified_sample_50k_strata_no_plan_literal(spark):
         .toString().lower()
     assert out.count() == n_strata
     assert out.filter(F.col("rk") > 1).count() == 0
+
+
+def test_join_mechanism_tight_bound_widens(spark):
+    """The broadcast-join bounds path must converge through the same
+    verify-and-widen loop as the literal path — an undersized initial
+    bound still yields the exact unpruned sample."""
+    from otd_semantic_framework_spark.operators.curation import (
+        stratified_sample)
+    rows = [(i, f"doc {i}", "only", 6) for i in range(200)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long")
+    on = sorted(map(tuple, stratified_sample(
+        docs, "lang", k=50, prune=True, prune_factor=0.2,
+        bounds_mechanism="join").collect()))
+    off = sorted(map(tuple, stratified_sample(
+        docs, "lang", k=50, prune=False).collect()))
+    assert on == off

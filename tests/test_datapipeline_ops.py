@@ -442,3 +442,36 @@ def test_jaccard_df_cap_bounds_hot_token(spark):
     uncapped = jaccard_near_dup_pairs(d, 0.0, df_cap=None).count()
     assert uncapped > 2000
     assert jaccard_near_dup_pairs(d, 0.0, df_cap=10).count() == 1
+
+
+def test_multimodal_resize_pil_branch_guarded(spark):
+    """resize_media's real-resample branch: exercised when Pillow
+    exists (real PNG downscaled with LANCZOS, fingerprint = md5 of the
+    resized pixels), honest NotImplementedError otherwise."""
+    from otd_semantic_framework_spark.operators.multimodal import (
+        pil_available, resize_media)
+    if pil_available():
+        import io
+
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.new("RGB", (64, 16), color=(0, 128, 255)).save(
+            buf, format="PNG")
+        png = buf.getvalue()
+        media = spark.createDataFrame(
+            [(1, bytearray(png), ("image/png", len(png)))],
+            "doc_id long, payload binary, "
+            "meta struct<media_type:string,n_bytes:int>")
+        row = resize_media(media, max_side=32, decoder="pil").collect()[0]
+        assert (row.width, row.height) == (64, 16)
+        assert (row.out_w, row.out_h) == (32, 8)
+        assert len(row.resized_fp) == 32
+    else:
+        media = spark.createDataFrame(
+            [(1, bytearray(b"x"), ("image/png", 1))],
+            "doc_id long, payload binary, "
+            "meta struct<media_type:string,n_bytes:int>")
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            resize_media(media, decoder="pil")
+        # auto degrades to the stub
+        assert resize_media(media, decoder="auto").count() == 1
