@@ -94,3 +94,61 @@ def skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
         # Spark but rounds in DuckDB — floor is the portable spelling
         F.floor((F.col("n_rows") * 1000000) / F.col("_total"))
         .cast("bigint").alias("share_ppm"))
+
+
+def heavy_hitters(df: DataFrame, col: str, phi_inv: int) -> DataFrame:
+    """EXACT heavy hitters — every value with frequency >= N/phi_inv —
+    in bounded memory: the two-pass Misra-Gries shape.
+
+    Pass 1 (candidates): each partition keeps a Misra-Gries summary of
+    k = 2*phi_inv counters inside mapInPandas — per-batch counting is a
+    vectorized value_counts; the decrement step touches only the O(k)
+    counter dict, never rows. A value with global frequency >= N/phi_inv
+    MUST survive in at least one partition's summary (if it were
+    undercut everywhere, sum over partitions of N_p/k = N/(2*phi_inv)
+    would exceed its true count — contradiction), so the union of
+    per-partition candidates is a guaranteed superset.
+
+    Pass 2 (exact): broadcast the candidate set (<= k per partition),
+    semi-join-prune the scan, exact count, and keep
+    count * phi_inv >= N — pure integer comparison, so the result is
+    EXACT and independent of partitioning even though the candidate set
+    is not.
+
+    Why not just groupBy(col).count()? Over an unbounded key domain
+    (URLs, shingles) at 10^12 rows the full aggregate shuffles every
+    distinct key; this shape shuffles only candidates. ``phi_inv`` is
+    the integer 1/phi (e.g. 25 -> keys holding >= 4% of rows), kept
+    integral so the threshold is an exact cross-multiplication on both
+    engines (no float boundary).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if phi_inv < 1:
+        raise ValueError("phi_inv must be a positive integer")
+    k = 2 * phi_inv
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[col].value_counts().items():  # O(uniq/batch)
+                counters[v] = counters.get(v, 0) + int(c)
+            while len(counters) > k:
+                m = min(counters.values())
+                counters = {key: n - m for key, n in counters.items()
+                            if n > m}
+        if counters:
+            yield pd.DataFrame({col: list(counters)})
+
+    df = df.filter(F.col(col).isNotNull())  # null is never a hitter
+    cands = (df.select(col).mapInPandas(mg, schema=f"{col} string")
+             .distinct())
+    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    return (df.join(F.broadcast(cands), col, "left_semi")
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("freq") * phi_inv >= F.col("_n"))
+            .select(col, "freq"))

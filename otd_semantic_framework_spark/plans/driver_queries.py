@@ -456,6 +456,40 @@ SELECT concat_ws(' ', s, p, o, '.') AS line FROM fmt
 """
 
 
+HH_PHI_INV = 100  # heavy hitter = token holding >= 1% of all tokens:
+# the synthetic vocabulary has 30 tokens near 3.3% and one ('dup') at
+# ~0.1%, so the threshold genuinely separates at every sf. (The MG
+# counter budget 2*phi_inv exceeds this corpus's 31 distinct tokens;
+# the real decrement machinery is exercised by the 502-key pytest.)
+
+
+def q_rel_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bounded-memory heavy hitters over the documents token
+    stream (operators/skew.py:heavy_hitters — per-partition Misra-Gries
+    candidates + exact recount). The RESULT is exact (integer
+    cross-multiplied threshold), so it pairs even though the candidate
+    superset is partitioning-dependent."""
+    from ..operators.skew import heavy_hitters
+    toks = (_docs(spark, sf_dir)
+            .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    return heavy_hitters(toks, "tok", HH_PHI_INV)
+
+
+SQL_REL_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT t.tok
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT tok, count(*) AS freq
+FROM toks, tot
+GROUP BY tok, tot.n
+HAVING count(*) * {HH_PHI_INV} >= tot.n
+"""
+
+
 def q_kg_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P17 batch / multi-tenant read path (r4): N queries resolved in
     ONE pass over the CDS table — the scale shape for a search service
@@ -2954,6 +2988,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coverage": q_kg_coverage,
         "kg_batch_search": q_kg_batch_search,
         "kg_nt_export": q_kg_nt_export,
+        "rel_heavy_hitters": q_rel_heavy_hitters,
     }
 
 
@@ -3072,6 +3107,7 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_coverage": _sql_kg_coverage(),
         "kg_batch_search": _sql_kg_batch_search(),
         "kg_nt_export": _sql_kg_nt_export(),
+        "rel_heavy_hitters": SQL_REL_HEAVY_HITTERS,
     }
 
 

@@ -69,3 +69,23 @@ def test_dcat_tagging_end_to_end(spark, catalog, tmp_path):
     # and CDS propagates dataset tags like conversation tags
     assert res.cds.filter(
         F.col("subj_key") == "conv:dataset:ds-001").count() > 0
+
+
+def test_dcat_dataset_search_end_to_end(spark, catalog, tmp_path):
+    """The reference's PRIMARY user journey, datasets edition: catalog
+    -> autotag -> free-text ontology search returns the matching
+    dataset ranked first (ontosearch's 'find datasets about X' [K])."""
+    from otd_semantic_framework_spark.plans.pipeline import run_pipeline
+    from otd_semantic_framework_spark.plans.search import search
+    from otd_semantic_framework_spark.sources.fixtures import (
+        ontology_pandas)
+    corpus = dcat_to_corpus(catalog)
+    res = run_pipeline(spark, corpus, str(tmp_path / "dcat_search_run"))
+    hits = search("bus timetable for the metro", res.cds,
+                  ontology_pandas(), top_n=5).collect()
+    assert hits, "search returned nothing over the tagged catalog"
+    assert hits[0].rank == 1
+    # ds-001 is the bus-timetable dataset; it must rank top and match
+    # through the bus concept (otd:C100)
+    assert hits[0].subj_key == "conv:dataset:ds-001"
+    assert "otd:C100" in hits[0].matched_concepts

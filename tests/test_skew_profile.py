@@ -32,3 +32,33 @@ def test_skew_profile_partition_invariant(spark):
     a = sorted(map(tuple, skew_profile(df, "k").collect()))
     b = sorted(map(tuple, skew_profile(df.repartition(13), "k").collect()))
     assert a == b
+
+
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    """Misra-Gries candidates + exact recount: result equals the plain
+    groupBy answer and is identical under different partitionings, even
+    with a key domain far larger than the counter budget."""
+    from otd_semantic_framework_spark.operators.skew import heavy_hitters
+    rows = (["hot"] * 400 + ["warm"] * 100
+            + [f"cold{i}" for i in range(500)])  # N=1000, 502 keys
+    df = spark.createDataFrame([(v,) for v in rows], "tok string")
+    got = {(r.tok, r.freq) for r in heavy_hitters(df, "tok", 10).collect()}
+    # threshold N/10 = 100: hot (400) and warm (100, boundary) qualify
+    assert got == {("hot", 400), ("warm", 100)}
+    again = {(r.tok, r.freq)
+             for r in heavy_hitters(df.repartition(13), "tok", 10).collect()}
+    assert again == got
+    # counter budget (2*phi_inv=20) is far below 502 distinct keys, so
+    # the guarantee ran through real decrements, not a degenerate case
+    assert df.select("tok").distinct().count() > 20
+
+
+def test_heavy_hitters_null_and_validation(spark):
+    import pytest
+    from otd_semantic_framework_spark.operators.skew import heavy_hitters
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), ("b",)], "tok string")
+    got = {(r.tok, r.freq) for r in heavy_hitters(df, "tok", 2).collect()}
+    assert got == {("a", 2)}  # null excluded; b (1/3) under threshold
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "tok", 0)
