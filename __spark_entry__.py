@@ -55,6 +55,17 @@ DRIVER_SAMPLE_FIRST_50 = [
 ]
 
 
+# ROUND-5 ROTATION TODO: after the r4 driver record lands, 22 paired
+# queries will still lack one (plus the 2 rows-only by design):
+# kg_mentions_regex, multimodal_{frames,decode,stats}, text_token_counts,
+# text_langid, text_winnow, rel_unpivot, rel_window_analytics,
+# rel_datefns, rel_collect_list, rel_cube, curation_deciles, sim_recall,
+# curation_weighted, kg_tool_latency, curation_shards, kg_conv_rollup,
+# kg_degree_dist, kg_batch_search, kg_nt_export, rel_heavy_hitters.
+# Rotate them into slots 10-31 of DRIVER_SAMPLE_FIRST_50 next round
+# (keep the core nine), back-filling with r4-green keys.
+
+
 def _rotate(d: dict) -> dict:
     head = {k: d[k] for k in DRIVER_SAMPLE_FIRST_50 if k in d}
     return {**head, **{k: v for k, v in d.items() if k not in head}}
