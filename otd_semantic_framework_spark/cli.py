@@ -8,10 +8,13 @@ evaluate subcommands via argparse; SURVEY.md §3.1].
     python -m otd_semantic_framework_spark tag       --run-dir RUN --tags M.parquet
     python -m otd_semantic_framework_spark evaluate  --run-dir RUN --golden G.parquet
     python -m otd_semantic_framework_spark gen       --convs 1000 --out T.parquet
+    python -m otd_semantic_framework_spark serve     --run-dir RUN --port 8080
 
 ``tag`` is the batch form of the reference's `dataset_tagger` lifecycle
 (curated manual tags merged into the run's CDS); ``search --taxonomic``
-enables the reference's lexical+taxonomic query blend (P17, r2).
+enables the reference's lexical+taxonomic query blend (P17, r2);
+``serve`` (r4) is the reference's web front door — HTTP search plus
+interactive tagging — as a stdlib HTTP server (serve.py).
 
 Each subcommand is a thin shell over the plans/* modules; Spark session
 config comes from --master (or spark-submit).
@@ -125,6 +128,13 @@ def cmd_tag(args) -> None:
     spark.stop()
 
 
+def cmd_serve(args) -> None:
+    """The reference's web front doors (ontosearch HTTP search +
+    dataset_tagger tagging) as one stdlib HTTP server; blocks."""
+    from .serve import serve
+    serve(_spark(args), args.run_dir, args.host, args.port)
+
+
 def cmd_evaluate(args) -> None:
     """The reference's evaluation lifecycle: P/R vs a golden triple set."""
     from .operators.evaluate import precision_recall
@@ -168,6 +178,11 @@ def main(argv: list[str] | None = None) -> None:
     t.add_argument("--tags", required=True,
                    help="parquet of curated (subj_key, concept_id, weight)")
     t.set_defaults(fn=cmd_tag)
+
+    v = sub.add_parser("serve");    v.add_argument("--run-dir", required=True)
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8080)
+    v.set_defaults(fn=cmd_serve)
 
     e = sub.add_parser("evaluate"); e.add_argument("--run-dir", required=True)
     e.add_argument("--golden", required=True); e.set_defaults(fn=cmd_evaluate)
