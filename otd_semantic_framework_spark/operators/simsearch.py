@@ -366,3 +366,57 @@ def quantized_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
     w = Window.partitionBy(q_id).orderBy(F.desc("qdot"), F.asc(c_id))
     return (sim.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k).select(q_id, c_id, "qdot", "rk"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-vector late interaction (round 4) — the ColBERT-style retrieval
+# shape: a document is T token vectors, not one pooled vector, and
+# relevance is sum-over-query-tokens of max-over-doc-tokens dot product
+# (MaxSim). Re-expressed Spark-first: token vectors are int8-quantized
+# slices, the scoring expression is pure JVM higher-order functions
+# (aggregate / transform / zip_with) over a broadcast candidate side, so
+# every score is an exact integer — deterministic ranking on any engine
+# and any parallelism, hash-checkable against DuckDB.
+# ---------------------------------------------------------------------------
+
+def token_slices(vecs: DataFrame, n_tokens: int,
+                 vec_col: str = "qvec") -> DataFrame:
+    """Split an int-quantized vector into ``n_tokens`` equal contiguous
+    sub-vectors ("token vectors"), kept as one array<array<int>> column
+    ``toks`` — map-only, no explode, so downstream MaxSim never shuffles
+    to reassemble a document."""
+    width = F.size(F.col(vec_col)) / n_tokens
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+        lambda t: F.slice(F.col(vec_col),
+                          (t * width + 1).cast("int"), width.cast("int")))
+    return vecs.withColumn("toks", toks).drop(vec_col)
+
+
+def maxsim_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
+                q_id: str = "qid", c_id: str = "cid") -> DataFrame:
+    """Late-interaction top-k: score(q, c) = sum over query tokens qt of
+    max over candidate tokens ct of dot(qt, ct), all integer math.
+
+    Both inputs carry (id, toks array<array<int>>). The candidate side
+    is broadcast (this is the re-rank stage of a retrieval stack — at
+    100 TB the first stage is the LSH/IVF candidate generator in this
+    module, and MaxSim re-ranks the per-query shortlist, so the
+    broadcast side stays small by construction). The whole score is one
+    nested higher-order-function expression — JVM codegen, no Python.
+    Output (qid, cid, maxsim bigint, rk)."""
+    qt = F.col("q_toks")
+    ct = F.col("c_toks")
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    score = F.aggregate(
+        qt, F.lit(0).cast("long"),
+        lambda acc, q_tok: acc + F.array_max(
+            F.transform(ct, lambda c_tok: dot(q_tok, c_tok))))
+    q = queries.select(F.col(q_id), F.col("toks").alias("q_toks"))
+    c = candidates.select(F.col(c_id), F.col("toks").alias("c_toks"))
+    sim = q.crossJoin(F.broadcast(c)).withColumn("maxsim", score)
+    w = Window.partitionBy(q_id).orderBy(F.desc("maxsim"), F.asc(c_id))
+    return (sim.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k).select(q_id, c_id, "maxsim", "rk"))

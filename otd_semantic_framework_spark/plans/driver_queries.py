@@ -2646,6 +2646,57 @@ def q_sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_topk(q, c, k=SIM_TOP_K)
 
 
+MAXSIM_TOKENS = 4          # 64-dim vectors -> 4 token slices of width 16
+
+
+def q_sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector late-interaction top-k (operators/simsearch.py
+    token_slices + maxsim_topk): each int8-quantized vector is split
+    into MAXSIM_TOKENS contiguous token slices and relevance is the
+    ColBERT-style MaxSim — sum over query tokens of max over candidate
+    tokens of the integer dot product. The whole score is one nested
+    JVM higher-order-function expression over a broadcast candidate
+    shortlist (the re-rank stage of a retrieval stack), so ranking is
+    exact-integer deterministic on any engine."""
+    from ..operators.simsearch import quantize_embeddings, token_slices
+    from ..operators.simsearch import maxsim_topk
+    qz = token_slices(quantize_embeddings(_tbl(spark, sf_dir, "embeddings")),
+                      n_tokens=MAXSIM_TOKENS)
+    q = (qz.filter(F.col("vec_id") < N_QUERY_VECS)
+         .select(F.col("vec_id").alias("qid"), "toks"))
+    c = (qz.filter(F.col("vec_id") >= N_QUERY_VECS)
+         .select(F.col("vec_id").alias("cid"), "toks"))
+    return maxsim_topk(q, c, k=SIM_TOP_K)
+
+
+SQL_SIM_MAXSIM_TOPK_TMPL = """
+WITH q8 AS (
+  SELECT vec_id,
+         CASE WHEN ma = 0 THEN list_transform(d, x -> 0)
+              ELSE list_transform(d, x -> CAST(round(x * 127.0 / ma, 0) AS INT))
+         END AS qvec
+  FROM (SELECT vec_id, d,
+               list_max(list_transform(d, x -> abs(x))) AS ma
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d
+              FROM embeddings))),
+sim AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         CAST(list_sum(list_transform(range(0, {t}), t ->
+           list_max(list_transform(range(0, {t}), s ->
+             list_dot_product(
+               CAST(list_slice(q.qvec, t*{w} + 1, (t+1)*{w}) AS DOUBLE[]),
+               CAST(list_slice(c.qvec, s*{w} + 1, (s+1)*{w}) AS DOUBLE[]))))))
+              AS BIGINT) AS maxsim
+  FROM q8 q, q8 c
+  WHERE q.vec_id < {n_query} AND c.vec_id >= {n_query})
+SELECT qid, cid, maxsim, rk FROM (
+  SELECT qid, cid, maxsim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY maxsim DESC, cid ASC) AS rk
+  FROM sim) WHERE rk <= {k}
+"""
+
+
 SQL_SIM_QUANTIZED_TOPK_TMPL = """
 WITH q8 AS (
   SELECT vec_id,
@@ -2915,6 +2966,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_dcat_ingest": q_kg_dcat_ingest,
         "text_redact": q_text_redact,
         "sim_quantized_topk": q_sim_quantized_topk,
+        "sim_maxsim_topk": q_sim_maxsim_topk,
         "curation_pack": q_curation_pack,
         "text_contamination": q_text_contamination,
         "text_repetition": q_text_repetition,
@@ -3033,6 +3085,9 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_dcat_ingest": _sql_kg_dcat_ingest(),
         "text_redact": _sql_text_redact(),
         "sim_quantized_topk": SQL_SIM_QUANTIZED_TOPK_TMPL.format(
+            n_query=N_QUERY_VECS, k=SIM_TOP_K),
+        "sim_maxsim_topk": SQL_SIM_MAXSIM_TOPK_TMPL.format(
+            t=MAXSIM_TOKENS, w=64 // MAXSIM_TOKENS,
             n_query=N_QUERY_VECS, k=SIM_TOP_K),
         "curation_pack": SQL_CURATION_PACK,
         "text_contamination": SQL_TEXT_CONTAMINATION,

@@ -76,3 +76,56 @@ def test_nt_export_literal_escaping(spark):
         '"he said \\"hi\\" \\\\ bye" .')
     for li in lines:
         assert _NT_LINE.match(li), li
+
+
+# ---------------------------------------------------------------------------
+# Multi-vector late interaction (MaxSim)
+# ---------------------------------------------------------------------------
+
+def test_token_slices_reassemble(spark):
+    """Concatenating the token slices reproduces the original vector —
+    the split is lossless and ordered, so MaxSim sees every dimension
+    exactly once."""
+    from otd_semantic_framework_spark.operators.simsearch import (
+        quantize_embeddings, token_slices)
+    e = spark.read.parquet(SF + "/embeddings.parquet").limit(50)
+    qz = quantize_embeddings(e)
+    sliced = token_slices(qz, n_tokens=4)
+    bad = (sliced.join(quantize_embeddings(e), "vec_id")
+           .filter(F.flatten("toks") != F.col("qvec")).count())
+    assert bad == 0
+
+
+def test_maxsim_matches_numpy_bruteforce(spark):
+    """MaxSim scores are exact integers: the JVM HOF expression must
+    equal a numpy sum-of-max-of-dots replay bit for bit."""
+    import numpy as np
+    from otd_semantic_framework_spark.operators.simsearch import (
+        maxsim_topk, quantize_embeddings, token_slices)
+    e = spark.read.parquet(SF + "/embeddings.parquet").limit(40)
+    qz = token_slices(quantize_embeddings(e), n_tokens=4)
+    q = (qz.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("qid"), "toks"))
+    c = (qz.filter(F.col("vec_id") >= 3)
+         .select(F.col("vec_id").alias("cid"), "toks"))
+    got = {(r.qid, r.cid): r.maxsim
+           for r in maxsim_topk(q, c, k=1000).collect()}
+    toks = {r.vec_id: np.array(r.toks, dtype=np.int64)
+            for r in qz.collect()}
+    for (qid, cid), score in got.items():
+        dots = toks[qid] @ toks[cid].T          # (Tq, Tc) token dots
+        assert score == int(dots.max(axis=1).sum()), (qid, cid)
+
+
+def test_maxsim_plan_is_jvm_only(spark):
+    """The scoring expression is higher-order functions, not Python:
+    the physical plan must contain no Python evaluation node and must
+    broadcast the candidate side."""
+    from otd_semantic_framework_spark.plans.driver_queries import (
+        q_sim_maxsim_topk)
+    plan = (q_sim_maxsim_topk(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
