@@ -105,3 +105,59 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
         .agg(F.round(F.max("score"), S.SCORE_DECIMALS).alias("score"))
         .select("subj", "pred", "obj", "conv_id", "turn_idx", "score")
     )
+
+
+def ancestor_expansion(onto: DataFrame,
+                       decay: float = S.INFER_DECAY) -> DataFrame:
+    """Strict-ancestor table from an ontology_concepts frame
+    (``concept_id``, ``depth``, ``path`` root→self — the shape built by
+    sources/rdf.py:skos_concepts and sources/fixtures.py).
+
+    Output (concept_id, anc_id, decay): one row per (concept, strict
+    ancestor), ``decay = INFER_DECAY ** levels_up`` rounded to
+    SCORE_DECIMALS so the factor is a stable 6-dp decimal on every
+    engine. Pure posexplode over the already-materialized path — no
+    iterative closure is recomputed here, and the result is ontology-
+    sized (|V| × depth ≤ a few thousand rows), always broadcastable."""
+    return (
+        onto.select(
+            "concept_id", "depth",
+            F.posexplode("path").alias("anc_pos", "anc_id"))
+        .filter(F.col("anc_id") != F.col("concept_id"))
+        .select(
+            "concept_id", "anc_id",
+            F.round(
+                F.pow(F.lit(float(decay)),
+                      (F.col("depth") - F.col("anc_pos") - 1).cast("double")),
+                S.SCORE_DECIMALS).alias("decay"))
+    )
+
+
+def infer_broader_triples(triples: DataFrame, onto: DataFrame,
+                          decay: float = S.INFER_DECAY) -> DataFrame:
+    """P12b — SKOS-subsumption materialization: for every asserted
+    ``mentions`` triple (turn → concept) emit
+    (turn, ``mentions_broader``, ancestor) for each STRICT ancestor on
+    the concept's root→self path (the transitive closure of
+    ``skos:broader``, which the reference's rdflib graph answers via
+    ``transitive_objects`` at query time [K] — materialized here so the
+    output graph is closed under subsumption without per-query
+    traversal).
+
+    Score: ``round(max(score * decay**levels_up), SCORE_DECIMALS)`` over
+    all contributing descendants — a deeper mention contributes less to
+    its far ancestors. Scale shape: the ancestor table is ontology-sized
+    and BROADCAST, so inference is map-side; the only shuffle is the
+    final (subj, anc) max-dedup, which partial-aggregates map-side like
+    dedup_triples."""
+    anc = ancestor_expansion(onto, decay)
+    m = triples.filter(F.col("pred") == "mentions")
+    return (
+        m.join(F.broadcast(anc), m.obj == anc.concept_id, "inner")
+        .groupBy("subj", "conv_id", "turn_idx",
+                 F.col("anc_id").alias("obj"))
+        .agg(F.round(F.max(F.col("score") * F.col("decay")),
+                     S.SCORE_DECIMALS).alias("score"))
+        .select("subj", F.lit("mentions_broader").alias("pred"), "obj",
+                "conv_id", "turn_idx", "score")
+    )

@@ -83,6 +83,23 @@ def driver_wup() -> pd.DataFrame:
 
 
 @lru_cache(maxsize=1)
+def driver_ancestors() -> pd.DataFrame:
+    """(concept_id, anc_id, decay) — strict ancestors from each driver
+    concept's root→self path, decay = INFER_DECAY**levels_up rounded to
+    SCORE_DECIMALS via round_half_away (the SQL ROUND both engines
+    apply). The Python twin of operators/triples.py:ancestor_expansion,
+    inlined as VALUES in the kg_inferred_triples oracle."""
+    rows = []
+    for c in driver_concepts():
+        for pos, anc in enumerate(c.path[:-1]):
+            levels_up = len(c.path) - 1 - pos
+            rows.append((c.concept_id, anc,
+                         float(S.round_half_away(S.INFER_DECAY ** levels_up,
+                                                 S.SCORE_DECIMALS))))
+    return pd.DataFrame(rows, columns=["concept_id", "anc_id", "decay"])
+
+
+@lru_cache(maxsize=1)
 def driver_manual_tags() -> pd.DataFrame:
     """Deterministic curated manual-tag table (conv_id, concept_id,
     weight) for the kg_manual_* queries — the reference's second

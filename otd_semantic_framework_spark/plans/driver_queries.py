@@ -282,6 +282,44 @@ FROM alltr GROUP BY subj, pred, obj
 """
 
 
+def q_kg_inferred_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12b SKOS-subsumption inference over the derived corpus: the
+    production operator (operators/triples.py:infer_broader_triples)
+    run on the canonical mention triples against the driver ontology —
+    every asserted turn→concept edge also asserts the concept's strict
+    ancestors at decay**levels_up. The ancestor expansion comes from
+    the ontology frame's materialized root→self path (posexplode), and
+    the oracle replays the same expansion as a Python-computed VALUES
+    table joined in DuckDB."""
+    import pandas as pd
+
+    from ..operators.triples import infer_broader_triples, mention_triples
+    cs = driver_concepts()
+    onto = spark.createDataFrame(pd.DataFrame({
+        "concept_id": [c.concept_id for c in cs],
+        "depth": [c.depth for c in cs],
+        "path": [list(c.path) for c in cs],
+    }), "concept_id string, depth int, path array<string>")
+    canon = q_kg_canonical(spark, sf_dir)
+    inferred = infer_broader_triples(mention_triples(canon), onto)
+    return inferred.select("subj", "pred", "obj", "score")
+
+
+def _sql_kg_inferred_triples() -> str:
+    from .driver_ontology import driver_ancestors
+    canon = _sql_kg_canonical_body(
+        "SELECT conv_id, turn_idx, surface, concept_id, link_score FROM best WHERE rn = 1")
+    av = values_sql(driver_ancestors(), "a")
+    return f"""
+WITH canon AS ({canon})
+SELECT 'turn:' || conv_id || ':' || cast(turn_idx AS STRING) AS subj,
+       'mentions_broader' AS pred, a.anc_id AS obj,
+       round(max(link_score * a.decay), 6) AS score
+FROM canon JOIN {av} ON a.concept_id = canon.concept_id
+GROUP BY subj, pred, obj
+"""
+
+
 def q_kg_cds(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = q_kg_canonical(spark, sf_dir)
     tags = (canon.groupBy("conv_id", "concept_id")
@@ -2959,6 +2997,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_config_search": q_kg_config_search,
         "kg_search_wup": q_kg_search_wup,
         "kg_two_hop": q_kg_two_hop,
+        "kg_inferred_triples": q_kg_inferred_triples,
         "text_langid_eval": q_text_langid_eval,
         "kg_ontology_ingest": q_kg_ontology_ingest,
         "kg_resume_manifest": q_kg_resume_manifest,
@@ -3078,6 +3117,7 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_config_search": _sql_kg_config_search(),
         "kg_search_wup": _sql_kg_search_wup(),
         "kg_two_hop": _sql_kg_two_hop(),
+        "kg_inferred_triples": _sql_kg_inferred_triples(),
         "text_langid_eval": _sql_text_langid_eval(),
         "kg_ontology_ingest": _sql_kg_ontology_ingest(),
         "kg_resume_manifest": _sql_kg_resume_manifest(),

@@ -39,6 +39,7 @@ CDS_THRESHOLD = 0.8  # CDS propagation threshold [K], FIXTURES.md B4
 TOP_K = 5            # candidate concepts kept per mention (SURVEY.md P7)
 MAX_NGRAM = 2        # mention n-gram length (SURVEY.md P4)
 SCORE_DECIMALS = 6   # all emitted float scores rounded for oracle stability
+INFER_DECAY = 0.8    # per-level score decay for SKOS-broader inference (P12b)
 
 # ---------------------------------------------------------------------------
 # Vocabulary — 200 words; the first portion doubles as ontology label stock

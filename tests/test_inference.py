@@ -1,0 +1,103 @@
+"""P12b SKOS-subsumption inference (operators/triples.py:
+infer_broader_triples) — semantics beyond the DuckDB pairing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from otd_semantic_framework_spark.operators.triples import (
+    ancestor_expansion, infer_broader_triples)
+from otd_semantic_framework_spark.plans.driver_ontology import driver_concepts
+from otd_semantic_framework_spark.plans.driver_queries import (
+    q_kg_inferred_triples)
+
+SF = "/root/testdata/sf0.001"
+
+_ONTO_SCHEMA = "concept_id string, depth int, path array<string>"
+
+
+def _tiny_onto(spark):
+    return spark.createDataFrame([
+        ("o:root", 1, ["o:root"]),
+        ("o:branch", 2, ["o:root", "o:branch"]),
+        ("o:leaf", 3, ["o:root", "o:branch", "o:leaf"]),
+    ], _ONTO_SCHEMA)
+
+
+def _mention(spark, concept_id, score=1.0):
+    return spark.createDataFrame(
+        [("turn:c-0:0", "mentions", concept_id, "c-0", 0, score)],
+        "subj string, pred string, obj string, conv_id string, "
+        "turn_idx int, score double")
+
+
+def test_leaf_mention_infers_both_ancestors_with_decay(spark):
+    out = infer_broader_triples(_mention(spark, "o:leaf"), _tiny_onto(spark))
+    rows = {r.obj: r for r in out.collect()}
+    assert set(rows) == {"o:branch", "o:root"}
+    assert rows["o:branch"].score == 0.8     # one level up
+    assert rows["o:root"].score == 0.64      # two levels up
+    assert all(r.pred == "mentions_broader" for r in rows.values())
+    assert all(r.subj == "turn:c-0:0" for r in rows.values())
+
+
+def test_root_mention_infers_nothing(spark):
+    out = infer_broader_triples(_mention(spark, "o:root"), _tiny_onto(spark))
+    assert out.count() == 0
+
+
+def test_max_wins_when_leaf_and_branch_both_mentioned(spark):
+    """branch asserted at 0.9 (root gets 0.9*0.8=0.72) and leaf at 1.0
+    (root gets 1.0*0.64=0.64) → root inferred once at max 0.72."""
+    m = _mention(spark, "o:leaf", 1.0).unionByName(
+        _mention(spark, "o:branch", 0.9))
+    out = infer_broader_triples(m, _tiny_onto(spark))
+    rows = {r.obj: r.score for r in out.collect()}
+    assert rows["o:root"] == 0.72
+    assert rows["o:branch"] == 0.8  # from the leaf mention only
+    assert out.groupBy("subj", "obj").count().filter("count > 1").count() == 0
+
+
+def test_non_mention_preds_ignored(spark):
+    m = _mention(spark, "o:leaf").withColumn("pred", F.lit("uses_tool"))
+    assert infer_broader_triples(m, _tiny_onto(spark)).count() == 0
+
+
+def test_ancestor_expansion_is_strict_and_broadcastable(spark):
+    import pandas as pd
+    cs = driver_concepts()
+    onto = spark.createDataFrame(pd.DataFrame({
+        "concept_id": [c.concept_id for c in cs],
+        "depth": [c.depth for c in cs],
+        "path": [list(c.path) for c in cs],
+    }), _ONTO_SCHEMA)
+    anc = ancestor_expansion(onto).collect()
+    by_concept = {}
+    for r in anc:
+        assert r.anc_id != r.concept_id  # strict
+        by_concept.setdefault(r.concept_id, []).append(r)
+    paths = {c.concept_id: c.path for c in cs}
+    for cid, rows in by_concept.items():
+        assert {r.anc_id for r in rows} == set(paths[cid][:-1])
+    # root has no ancestors
+    assert "dq:R" not in by_concept
+
+
+def test_driver_query_inference_is_broadcast_no_extra_shuffle(spark):
+    """The inference join must be broadcast (ontology-sized side) —
+    'Exchange hashpartitioning' on the mention side for the JOIN itself
+    would shuffle 10^12 rows against a 100-row table."""
+    plan = q_kg_inferred_triples(spark, SF)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_inferred_objects_are_real_ancestors_on_corpus(spark):
+    paths = {c.concept_id: set(c.path[:-1]) for c in driver_concepts()}
+    out = q_kg_inferred_triples(spark, SF)
+    for r in out.select("obj").distinct().collect():
+        # every inferred object is SOME concept's strict ancestor
+        assert any(r.obj in p for p in paths.values())
+    # scores are valid decayed link scores
+    bad = out.filter((F.col("score") <= 0) | (F.col("score") > 0.8)).count()
+    assert bad == 0
