@@ -2579,6 +2579,51 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (streaming/joins.py):
+    signup events joined to purchase events of the same user within
+    1 hour, both streams watermarked 2 hours. The events table is
+    staged as 4 contiguous time-range files replayed oldest-first
+    (stage_time_ordered), so nothing is ever behind the watermark and
+    the drained append-mode result equals the batch interval join the
+    DuckDB oracle runs — while join state is genuinely created in one
+    micro-batch and matched in later ones."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..streaming.joins import run_interval_join, stage_time_ordered
+    sfx = f"{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}"
+    base = _os.path.join(_tempfile.gettempdir(), f"stream_join_{sfx}")
+    out, ckpt, src = base + "_out", base + "_ckpt", base + "_src"
+    for d in (out, ckpt, src):
+        _shutil.rmtree(d, ignore_errors=True)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage_time_ordered(events, src, "ts", n_files=4)
+    res = run_interval_join(
+        spark, src, events.schema,
+        left_filter="event_type = 'signup'",
+        right_filter="event_type = 'purchase'",
+        key="user_id", out=out, ckpt=ckpt,
+        window="1 hour", delay="2 hours")
+    return res.select(
+        F.col("l_user_id").alias("user_id"),
+        F.unix_micros(F.col("l_ts").cast("timestamp")).alias("signup_ts_us"),
+        F.unix_micros(F.col("r_ts").cast("timestamp")).alias("purchase_ts_us"),
+        F.round("value", 6).alias("purchase_value"))
+
+
+SQL_STREAM_JOIN = """
+SELECT a.user_id,
+       epoch_us(a.ts) AS signup_ts_us,
+       epoch_us(b.ts) AS purchase_ts_us,
+       round(b.value, 6) AS purchase_value
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+"""
+
+
 # ---------------------------------------------------------------------------
 # File-based DCAT catalog ingest (VERDICT r2 "What's missing #2" — the
 # reference's CKAN dataset/ module at the file level). The DuckDB
@@ -3002,6 +3047,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ontology_ingest": q_kg_ontology_ingest,
         "kg_resume_manifest": q_kg_resume_manifest,
         "stream_sessionize": q_stream_sessionize,
+        "stream_join": q_stream_join,
         "kg_dcat_ingest": q_kg_dcat_ingest,
         "text_redact": q_text_redact,
         "sim_quantized_topk": q_sim_quantized_topk,
@@ -3122,6 +3168,7 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_ontology_ingest": _sql_kg_ontology_ingest(),
         "kg_resume_manifest": _sql_kg_resume_manifest(),
         "stream_sessionize": SQL_STREAM_SESSIONIZE,
+        "stream_join": SQL_STREAM_JOIN,
         "kg_dcat_ingest": _sql_kg_dcat_ingest(),
         "text_redact": _sql_text_redact(),
         "sim_quantized_topk": SQL_SIM_QUANTIZED_TOPK_TMPL.format(
