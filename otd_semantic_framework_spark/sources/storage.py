@@ -182,3 +182,127 @@ class Storage:
         shutil.rmtree(backup)
         spark.catalog.refreshByPath(final)
         return sum(1 for f in os.listdir(final) if f.endswith(".parquet"))
+
+    # -- snapshot versioning (Iceberg time-travel parity) -----------------
+
+    def _snap_path(self, name: str, version: int) -> str:
+        return os.path.join(self.root, f"{name}__v{version:06d}.parquet")
+
+    def _snap_log(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}__snapshots.jsonl")
+
+    def _snap_ptr(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}__current")
+
+    def current_version(self, name: str) -> int | None:
+        try:
+            with open(self._snap_ptr(name)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def snapshots(self, name: str) -> list[dict]:
+        """Snapshot log, oldest first: {version, operation, rows}."""
+        import json
+        try:
+            with open(self._snap_log(name)) as f:
+                return [json.loads(line) for line in f if line.strip()]
+        except FileNotFoundError:
+            return []
+
+    def commit_snapshot(self, spark: SparkSession, name: str, df: DataFrame,
+                        operation: str = "append") -> int:
+        """Write ``df`` as a NEW immutable version directory and advance
+        the current pointer atomically (tmp + os.replace). Readers that
+        resolved an older version keep reading it — the parquet-branch
+        analog of an Iceberg snapshot commit (in iceberg mode the
+        engine's own snapshot is the commit; we just append).
+
+        Unlike merge_triples' backup-rename swap, no existing directory
+        is ever touched, so there is no read-during-swap constraint."""
+        if self.mode == "iceberg":
+            df.writeTo(f"{self.catalog}.db.{name}").append()
+            return -1  # engine-assigned snapshot id, not tracked here
+        import json
+        v = (self.current_version(name) or 0) + 1
+        df.write.mode("overwrite").parquet(self._snap_path(name, v))
+        n = spark.read.parquet(self._snap_path(name, v)).count()
+        with open(self._snap_log(name), "a") as f:
+            f.write(json.dumps(
+                {"version": v, "operation": operation, "rows": n}) + "\n")
+        tmp = self._snap_ptr(name) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._snap_ptr(name))  # atomic pointer advance
+        return v
+
+    def read_snapshot(self, spark: SparkSession, name: str,
+                      version: int | None = None) -> DataFrame:
+        """Time travel: read the given version (default: current). On
+        Iceberg this is ``VERSION AS OF``; on parquet each version is
+        its own immutable directory."""
+        if self.mode == "iceberg":
+            if version is None:
+                return self.read_table(spark, name)
+            return spark.sql(
+                f"SELECT * FROM {self.catalog}.db.{name} "
+                f"VERSION AS OF {version}")
+        v = version if version is not None else self.current_version(name)
+        if v is None:
+            raise FileNotFoundError(f"no snapshots for table {name!r}")
+        p = self._snap_path(name, v)
+        if not os.path.isdir(p):
+            raise FileNotFoundError(
+                f"snapshot v{v} of {name!r} does not exist "
+                f"(expired or never committed)")
+        return spark.read.parquet(p)
+
+    def merge_snapshot(self, spark: SparkSession, name: str,
+                       new_triples: DataFrame) -> DataFrame:
+        """merge_triples under snapshot isolation: the merged result is
+        committed as a NEW version; every prior version stays readable
+        (no backup-rename swap, no read-during-merge constraint). Same
+        P13 set semantics — merge_snapshot(current, batch) content ≡
+        merge_triples on the same batches (pytest-pinned)."""
+        from ..operators.triples import dedup_triples
+        new_triples = dedup_triples(new_triples)
+        if self.mode == "iceberg":
+            return self.merge_triples(spark, name, new_triples)
+        if self.current_version(name) is None:
+            self.commit_snapshot(spark, name, new_triples, "create")
+        else:
+            merged = dedup_triples(
+                self.read_snapshot(spark, name).unionByName(new_triples))
+            self.commit_snapshot(spark, name, merged, "merge")
+        return self.read_snapshot(spark, name)
+
+    def expire_snapshots(self, spark: SparkSession, name: str,
+                         keep_last: int = 2) -> int:
+        """Iceberg's expire_snapshots maintenance op: drop all but the
+        newest ``keep_last`` version directories (never the current one)
+        and rewrite the log. Returns how many were expired."""
+        if self.mode == "iceberg":
+            spark.sql(
+                f"CALL {self.catalog}.system.expire_snapshots("
+                f"table => 'db.{name}', retain_last => {keep_last})")
+            return -1
+        import json
+        import shutil
+        snaps = self.snapshots(name)
+        cur = self.current_version(name)
+        keep = {s["version"] for s in snaps[-max(1, keep_last):]}
+        if cur is not None:
+            keep.add(cur)
+        expired = 0
+        kept_rows = []
+        for s in snaps:
+            if s["version"] in keep:
+                kept_rows.append(s)
+                continue
+            shutil.rmtree(self._snap_path(name, s["version"]),
+                          ignore_errors=True)
+            expired += 1
+        with open(self._snap_log(name), "w") as f:
+            for s in kept_rows:
+                f.write(json.dumps(s) + "\n")
+        return expired
