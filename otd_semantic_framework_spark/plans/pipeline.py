@@ -193,10 +193,19 @@ def run_pipeline(
     stop_after: str | None = None,
     fused_linking: bool = False,
     manual_tags: DataFrame | None = None,
+    infer_broader: bool = False,
 ) -> PipelineResult:
     """Execute the full pipeline with checkpoints under ``run_dir``.
 
     ``stop_after`` kills the run after the named stage (resume tests).
+
+    ``infer_broader=True`` adds a checkpointed P12b stage that
+    materializes the SKOS-subsumption closure
+    (operators/triples.py:infer_broader_triples): the returned triple
+    graph also carries ``mentions_broader`` edges to every strict
+    ancestor of each mentioned concept. CDS still propagates from the
+    ASSERTED triples only — CDS is itself a taxonomic propagation, and
+    feeding it inferred edges would double-count the hierarchy.
 
     ``manual_tags`` is an optional curated (subj_key, concept_id,
     tag_score) table (P19, operators/manual.py — validate it with
@@ -274,6 +283,15 @@ def run_pipeline(
     if stop_after == "triples":
         return PipelineResult(triples, None, run.metrics)
 
+    out_triples = triples
+    if infer_broader:
+        from ..operators.triples import infer_broader_triples
+        inferred = run.stage("inferred_triples", cfg_fp,
+                             lambda: infer_broader_triples(triples, ontology_df))
+        out_triples = triples.unionByName(inferred)
+        if stop_after == "inferred_triples":
+            return PipelineResult(out_triples, None, run.metrics)
+
     # The fingerprint must encode the manual tags' CONTENT, not just
     # their presence: unlike cfg_fp's pinned constants they are external
     # mutable data — a re-run of the same run_dir with an edited manual
@@ -292,4 +310,4 @@ def run_pipeline(
         triples, concept_sim, manual_tags=manual_tags),
         lineage_key="subj_key")
 
-    return PipelineResult(triples, cds, run.metrics)
+    return PipelineResult(out_triples, cds, run.metrics)

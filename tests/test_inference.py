@@ -101,3 +101,27 @@ def test_inferred_objects_are_real_ancestors_on_corpus(spark):
     # scores are valid decayed link scores
     bad = out.filter((F.col("score") <= 0) | (F.col("score") > 0.8)).count()
     assert bad == 0
+
+
+def test_pipeline_infer_broader_stage(spark, tmp_path):
+    """run_pipeline(infer_broader=True): output graph carries the
+    mentions_broader closure of its own asserted mentions; CDS is
+    computed from asserted triples only; the stage checkpoints and a
+    second run resumes it."""
+    from otd_semantic_framework_spark.plans.pipeline import run_pipeline
+    from otd_semantic_framework_spark.sources.fixtures import (
+        ontology_spark, transcripts_spark_df)
+    t = transcripts_spark_df(spark, 20)
+    run_dir = str(tmp_path / "run")
+    res = run_pipeline(spark, t, run_dir, infer_broader=True)
+    asserted = res.triples.filter(F.col("pred") == "mentions")
+    inferred = res.triples.filter(F.col("pred") == "mentions_broader")
+    assert inferred.count() > 0
+    expected = infer_broader_triples(asserted, ontology_spark(spark))
+    key = lambda r: (r.subj, r.obj, r.score)
+    assert sorted(map(key, inferred.collect())) == \
+        sorted(map(key, expected.collect()))
+    assert "inferred_triples" in res.metrics
+    res2 = run_pipeline(spark, t, run_dir, infer_broader=True)
+    assert res2.metrics["inferred_triples"]["resumed"] is True
+    assert res2.triples.count() == res.triples.count()
