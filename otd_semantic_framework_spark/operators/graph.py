@@ -312,3 +312,78 @@ def negative_samples(triples: DataFrame, n_neg: int = 2) -> DataFrame:
             .select("subj", F.col("obj").alias("obj_pos"), "neg_idx",
                     F.when(F.col("c0") == F.col("obj"), F.col("c1"))
                     .otherwise(F.col("c0")).alias("obj_neg")))
+
+
+def construct_triples(triples: DataFrame,
+                      patterns: list[tuple[str, str, str]],
+                      template: tuple[str, str, str]) -> DataFrame:
+    """SPARQL CONSTRUCT: match a basic graph pattern, then materialize
+    one NEW triple per binding from ``template`` (elements are
+    constants or ``?var`` bound by the pattern) — rdflib's
+    ``CONSTRUCT WHERE`` [K] as bgp_match + projection + set-semantics
+    distinct. The derived edges land in the same (subj, pred, obj)
+    shape, so they can be merged back into the graph with
+    Storage.merge_triples / merge_snapshot."""
+    bind = bgp_match(triples, patterns)
+    cols = []
+    for name, term in zip(("subj", "pred", "obj"), template):
+        if term.startswith("?"):
+            var = term[1:]
+            if var not in bind.columns:
+                raise ValueError(
+                    f"template var ?{var} is not bound by the pattern")
+            cols.append(F.col(var).alias(name))
+        else:
+            cols.append(F.lit(term).alias(name))
+    return bind.select(*cols).distinct()
+
+
+def validate_graph(triples: DataFrame, concepts: DataFrame) -> DataFrame:
+    """SHACL-lite shape validation of the constructed KG — the QA gate
+    a 10^12-triple graph needs before it is served. Output: one row per
+    constraint, (constraint, violations). Constraints:
+
+    - ``mentions_obj_in_ontology``: every mentions object is a known
+      concept id (broadcast anti-join against the ontology —
+      ontology-sized, map-side);
+    - ``mentions_score_in_unit_range``: 0 < score <= 1;
+    - ``uses_tool_obj_prefixed``: uses_tool objects carry ``tool:``;
+    - ``replies_to_target_exists``: referential integrity — every
+      replies_to object is some existing turn subject (anti-join of
+      reply targets against distinct subjects; both sides shrink
+      before the shuffle);
+    - ``no_self_reply``: replies_to is irreflexive;
+    - ``subj_wellformed``: subjects parse as ``turn:<conv>:<idx>``.
+
+    Scalar constraints fold into ONE conditional-aggregation pass over
+    the triple table; only the two membership checks join."""
+    scalar = triples.agg(
+        F.sum(F.when((F.col("pred") == "mentions")
+                     & ((F.col("score") <= 0) | (F.col("score") > 1)), 1)
+              .otherwise(0)).alias("mentions_score_in_unit_range"),
+        F.sum(F.when((F.col("pred") == "uses_tool")
+                     & ~F.col("obj").startswith("tool:"), 1)
+              .otherwise(0)).alias("uses_tool_obj_prefixed"),
+        F.sum(F.when((F.col("pred") == "replies_to")
+                     & (F.col("obj") == F.col("subj")), 1)
+              .otherwise(0)).alias("no_self_reply"),
+        F.sum(F.when(~F.col("subj").rlike("^turn:.+:[0-9]+$"), 1)
+              .otherwise(0)).alias("subj_wellformed"),
+    )
+    unpivoted = scalar.unpivot([], scalar.columns, "constraint",
+                               "violations")
+    m = triples.filter(F.col("pred") == "mentions")
+    bad_concept = (m.join(F.broadcast(concepts.select("concept_id")),
+                          m.obj == F.col("concept_id"), "left_anti")
+                   .agg(F.count(F.lit(1)).alias("violations"))
+                   .select(F.lit("mentions_obj_in_ontology")
+                           .alias("constraint"), "violations"))
+    subjects = triples.select("subj").distinct()
+    dangling = (triples.filter(F.col("pred") == "replies_to")
+                .select(F.col("obj").alias("target")).distinct()
+                .join(subjects, F.col("target") == F.col("subj"),
+                      "left_anti")
+                .agg(F.count(F.lit(1)).alias("violations"))
+                .select(F.lit("replies_to_target_exists")
+                        .alias("constraint"), "violations"))
+    return unpivoted.unionByName(bad_concept).unionByName(dangling)

@@ -3043,6 +3043,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_search_wup": q_kg_search_wup,
         "kg_two_hop": q_kg_two_hop,
         "kg_inferred_triples": q_kg_inferred_triples,
+        "kg_construct_query": q_kg_construct_query,
+        "kg_validate": q_kg_validate,
         "text_langid_eval": q_text_langid_eval,
         "kg_ontology_ingest": q_kg_ontology_ingest,
         "kg_resume_manifest": q_kg_resume_manifest,
@@ -3164,6 +3166,8 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_search_wup": _sql_kg_search_wup(),
         "kg_two_hop": _sql_kg_two_hop(),
         "kg_inferred_triples": _sql_kg_inferred_triples(),
+        "kg_construct_query": _sql_kg_construct_query(),
+        "kg_validate": _sql_kg_validate(),
         "text_langid_eval": _sql_text_langid_eval(),
         "kg_ontology_ingest": _sql_kg_ontology_ingest(),
         "kg_resume_manifest": _sql_kg_resume_manifest(),
@@ -3728,6 +3732,116 @@ JOIN triples p1 ON p1.subj = p0.subj AND p1.pred = 'uses_tool'
 JOIN triples p2 ON p2.subj = p0.subj AND p2.pred = 'replies_to'
 JOIN triples p3 ON p3.subj = p2.obj AND p3.pred = 'mentions'
 WHERE p0.pred = 'mentions' AND p0.obj = '{BGP_CONCEPT}'
+"""
+
+
+def q_kg_construct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT (operators/graph.py construct_triples): derive
+    a NEW edge type from a BGP match — a turn `continues_topic` c when
+    it mentions the same concept c as the turn it replies to. The
+    constructed rows are (subj, pred, obj) and merge back into the
+    graph via the storage layer. Oracle: the same conjunctive join +
+    DISTINCT projection."""
+    from ..operators.graph import construct_triples
+    return construct_triples(
+        q_kg_triples(spark, sf_dir),
+        [("?t", "mentions", "?c"),
+         ("?t", "replies_to", "?u"),
+         ("?u", "mentions", "?c")],
+        ("?t", "continues_topic", "?c"))
+
+
+def _sql_kg_construct_query() -> str:
+    return f"""
+WITH triples AS ({_sql_kg_triples_body()})
+SELECT DISTINCT p0.subj AS subj, 'continues_topic' AS pred, p0.obj AS obj
+FROM triples p0
+JOIN triples p1 ON p1.subj = p0.subj AND p1.pred = 'replies_to'
+JOIN triples p2 ON p2.subj = p1.obj AND p2.pred = 'mentions'
+                AND p2.obj = p0.obj
+WHERE p0.pred = 'mentions'
+"""
+
+
+#: deterministic corrupt rows injected by kg_validate on BOTH engines so
+#: every constraint class demonstrably fires (the derived corpus itself
+#: only dangles replies_to targets of triple-less opening turns)
+VALIDATE_BAD_ROWS = [
+    ("turn:c-0000:0", "mentions", "bogus:nope", "c-0000", 0, 1.5),
+    ("badsubj", "uses_tool", "hammer", "c-0000", 0, 1.0),
+    ("turn:c-0001:1", "replies_to", "turn:c-0001:1", "c-0001", 1, 1.0),
+]
+
+
+def q_kg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite KG shape validation (operators/graph.py
+    validate_graph) over the derived graph plus three injected corrupt
+    rows: per-constraint violation counts. The un-corrupted corpus
+    already yields a natural nonzero `replies_to_target_exists` count —
+    opening turns that emit no triples are replied to but absent as
+    subjects."""
+    from ..operators.graph import validate_graph
+    import pandas as pd
+    bad = spark.createDataFrame(
+        pd.DataFrame(VALIDATE_BAD_ROWS, columns=[
+            "subj", "pred", "obj", "conv_id", "turn_idx", "score"]),
+        "subj string, pred string, obj string, conv_id string, "
+        "turn_idx int, score double")
+    g = (q_kg_triples(spark, sf_dir)
+         .withColumn("conv_id", F.lit("x")).withColumn("turn_idx", F.lit(0))
+         .unionByName(bad))
+    cs = driver_concepts()
+    concepts = spark.createDataFrame(
+        pd.DataFrame({"concept_id": [c.concept_id for c in cs]}))
+    return validate_graph(g, concepts)
+
+
+def _sql_kg_validate() -> str:
+    import pandas as pd
+    bad = " UNION ALL ".join(
+        f"SELECT '{s}' AS subj, '{p}' AS pred, '{o}' AS obj, "
+        f"{float(sc)} AS score"
+        for s, p, o, _c, _t, sc in VALIDATE_BAD_ROWS)
+    cv = values_sql(
+        pd.DataFrame({"concept_id":
+                      [c.concept_id for c in driver_concepts()]}), "c")
+    return f"""
+WITH triples0 AS ({_sql_kg_triples_body()}),
+triples AS (SELECT subj, pred, obj, score FROM triples0
+            UNION ALL {bad}),
+scalar AS (
+  SELECT * FROM (
+    SELECT
+      sum(CASE WHEN pred = 'mentions' AND (score <= 0 OR score > 1)
+               THEN 1 ELSE 0 END) AS mentions_score_in_unit_range,
+      sum(CASE WHEN pred = 'uses_tool' AND NOT starts_with(obj, 'tool:')
+               THEN 1 ELSE 0 END) AS uses_tool_obj_prefixed,
+      sum(CASE WHEN pred = 'replies_to' AND obj = subj
+               THEN 1 ELSE 0 END) AS no_self_reply,
+      sum(CASE WHEN NOT regexp_matches(subj, '^turn:.+:[0-9]+$')
+               THEN 1 ELSE 0 END) AS subj_wellformed
+    FROM triples)
+  UNPIVOT (violations FOR "constraint" IN (
+      mentions_score_in_unit_range, uses_tool_obj_prefixed,
+      no_self_reply, subj_wellformed))
+),
+bad_concept AS (
+  SELECT 'mentions_obj_in_ontology' AS "constraint",
+         count(*) AS violations
+  FROM triples m
+  WHERE m.pred = 'mentions'
+    AND NOT EXISTS (SELECT 1 FROM {cv} WHERE c.concept_id = m.obj)
+),
+dangling AS (
+  SELECT 'replies_to_target_exists' AS "constraint",
+         count(DISTINCT r.obj) AS violations
+  FROM triples r
+  WHERE r.pred = 'replies_to'
+    AND NOT EXISTS (SELECT 1 FROM triples s WHERE s.subj = r.obj)
+)
+SELECT "constraint", CAST(violations AS BIGINT) AS violations FROM scalar
+UNION ALL SELECT "constraint", CAST(violations AS BIGINT) AS violations FROM bad_concept
+UNION ALL SELECT "constraint", CAST(violations AS BIGINT) AS violations FROM dangling
 """
 
 
