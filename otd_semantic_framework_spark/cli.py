@@ -58,6 +58,7 @@ def cmd_autotag(args) -> None:
     transcripts = spark.read.parquet(args.input)
     res = run_pipeline(spark, transcripts, args.run_dir, run_id=args.run_id,
                        fused_linking=args.fused,
+                       infer_broader=args.infer_broader,
                        ontology_pdf=_ontology_pdf(spark, args))
     print(json.dumps({"triples": res.triples.count(),
                       "cds_rows": res.cds.count(),
@@ -135,6 +136,29 @@ def cmd_serve(args) -> None:
     serve(_spark(args), args.run_dir, args.host, args.port)
 
 
+def cmd_validate(args) -> None:
+    """SHACL-lite shape validation of a materialized run's triple graph
+    (operators/graph.py validate_graph): per-constraint violation
+    counts; exits nonzero if any constraint fires."""
+    import sys
+
+    from .operators.graph import validate_graph
+    from .sources.fixtures import ontology_pandas
+    from .sources.storage import Storage
+    spark = _spark(args)
+    triples = Storage(args.run_dir).read_table(spark, "triples")
+    onto = _ontology_pdf(spark, args)
+    if onto is None:
+        onto = ontology_pandas()
+    concepts = spark.createDataFrame(onto[["concept_id"]])
+    report = {r["constraint"]: r["violations"]
+              for r in validate_graph(triples, concepts).collect()}
+    print(json.dumps(report))
+    spark.stop()
+    if any(v > 0 for v in report.values()):
+        sys.exit(2)
+
+
 def cmd_evaluate(args) -> None:
     """The reference's evaluation lifecycle: P/R vs a golden triple set."""
     from .operators.evaluate import precision_recall
@@ -161,6 +185,7 @@ def main(argv: list[str] | None = None) -> None:
     a.add_argument("--fused", action="store_true",
                    help="coarse checkpoints via the broadcast canonical "
                         "table (the high-throughput 10^12-turn configuration)")
+    a.add_argument("--infer-broader", action="store_true")
     a.set_defaults(fn=cmd_autotag)
 
     m = sub.add_parser("matrix");   m.add_argument("--run-dir", required=True)
@@ -183,6 +208,10 @@ def main(argv: list[str] | None = None) -> None:
     v.add_argument("--host", default="127.0.0.1")
     v.add_argument("--port", type=int, default=8080)
     v.set_defaults(fn=cmd_serve)
+
+    va = sub.add_parser("validate"); va.add_argument("--run-dir", required=True)
+    va.add_argument("--ontology")
+    va.set_defaults(fn=cmd_validate)
 
     e = sub.add_parser("evaluate"); e.add_argument("--run-dir", required=True)
     e.add_argument("--golden", required=True); e.set_defaults(fn=cmd_evaluate)

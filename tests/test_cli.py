@@ -74,3 +74,34 @@ def test_cli_turtle_ontology(tmp_path):
     # transport fixture labels (bus, timetable, ...) appear in the
     # generated transport corpus, so tagging must produce triples
     assert out["triples"] > 0 and out["cds_rows"] > 0
+
+
+def test_cli_infer_broader_and_validate(tmp_path):
+    """autotag --infer-broader adds the P12b stage; `validate` reports
+    per-constraint violation counts on the materialized graph and sets
+    the exit code from them (nonzero only when a constraint fires)."""
+    corpus = str(tmp_path / "t.parquet")
+    run_dir = str(tmp_path / "run")
+    _run("gen", "--convs", "20", "--out", corpus)
+    plain = _run("autotag", "--input", corpus,
+                 "--run-dir", str(tmp_path / "plain"))
+    inf = _run("autotag", "--input", corpus, "--run-dir", run_dir,
+               "--infer-broader")
+    assert "inferred_triples" in inf["metrics"]
+    assert inf["triples"] > plain["triples"]
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "otd_semantic_framework_spark",
+         "--master", "local[4]", "validate", "--run-dir", run_dir],
+        capture_output=True, text=True, cwd=ROOT, timeout=280)
+    assert proc.returncode in (0, 2), proc.stderr[-1500:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    # the pipeline only emits canonical concepts / prefixed tools /
+    # well-formed subjects; only referential dangling can fire (opening
+    # turns that emit no triples are replied to but absent as subjects)
+    assert report["mentions_obj_in_ontology"] == 0
+    assert report["mentions_score_in_unit_range"] == 0
+    assert report["uses_tool_obj_prefixed"] == 0
+    assert report["no_self_reply"] == 0
+    assert report["subj_wellformed"] == 0
+    assert (proc.returncode == 2) == (report["replies_to_target_exists"] > 0)
