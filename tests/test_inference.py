@@ -125,3 +125,24 @@ def test_pipeline_infer_broader_stage(spark, tmp_path):
     res2 = run_pipeline(spark, t, run_dir, infer_broader=True)
     assert res2.metrics["inferred_triples"]["resumed"] is True
     assert res2.triples.count() == res.triples.count()
+
+
+def test_inference_is_incremental_under_snapshot_merges(spark, tmp_path):
+    """P12b is per-row monotone (each inferred edge depends on ONE
+    asserted edge + the static ontology), so incremental maintenance is
+    exact: inferring each batch and merging == inferring the merged
+    graph. This is the IVM shape at 10^12 turns — never re-derive the
+    closure of the whole corpus."""
+    from otd_semantic_framework_spark.sources.storage import Storage
+    onto = _tiny_onto(spark)
+    b1 = _mention(spark, "o:leaf", 0.6)
+    b2 = _mention(spark, "o:branch", 0.9).unionByName(
+        _mention(spark, "o:leaf", 1.0))
+    inc = Storage(str(tmp_path / "inc"))
+    for b in (b1, b2):
+        inc.merge_snapshot(spark, "inferred", infer_broader_triples(b, onto))
+    incremental = inc.read_snapshot(spark, "inferred")
+    full = infer_broader_triples(b1.unionByName(b2), onto)
+    key = lambda r: (r.subj, r.pred, r.obj, r.score)
+    assert sorted(map(key, incremental.collect())) == \
+        sorted(map(key, full.collect()))
