@@ -237,7 +237,18 @@ def run_pipeline(
     ]
     gaz = S.build_gazetteer(concepts)
     run = CheckpointedRun(spark, run_dir, run_id)
-    cfg_fp = (len(ontology_pdf), S.COS_THRESHOLD, S.LINK_ALPHA, S.TOP_K)
+    # The fingerprint must digest the ontology's CONTENT, not just its
+    # size (same discipline as the manual-tags digest below): an edited
+    # taxonomy with an unchanged concept count — relabeled concept,
+    # re-parented subtree — must NOT resume checkpoints computed under
+    # the old one. Order-free over the identity-bearing fields.
+    onto_digest = S.stable_hash(
+        "onto", *sorted(f"{c.concept_id}\x00{c.pref_label}\x00"
+                        f"{c.parent_id}\x00{'/'.join(c.path)}\x00"
+                        f"{'+'.join(sorted(c.alt_labels))}"
+                        for c in concepts))
+    cfg_fp = (len(ontology_pdf), f"onto:{onto_digest:x}",
+              S.COS_THRESHOLD, S.LINK_ALPHA, S.TOP_K)
 
     ontology_df = spark.createDataFrame(ontology_pdf, schema=ONTOLOGY_CONCEPTS)
     concept_sim = run.stage(

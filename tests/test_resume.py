@@ -187,3 +187,22 @@ def test_cluster_by_yields_disjoint_file_ranges(spark, tiny_df, tmp_path):
     want = sorted((r.subj, r.pred, r.obj) for r in
                   build_triples_fast(spark, tiny_df).collect())
     assert got == want
+
+
+def test_edited_ontology_invalidates_checkpoints(spark, tiny_df, tmp_path):
+    """An edited taxonomy with the SAME concept count must not resume
+    checkpoints computed under the old one (the fingerprint digests
+    ontology content, not size)."""
+    from otd_semantic_framework_spark.sources.fixtures import ontology_pandas
+    run_dir = str(tmp_path / "run")
+    onto = ontology_pandas()
+    run_pipeline(spark, tiny_df, run_dir, ontology_pdf=onto)
+    # relabel one concept: same row count, different semantics
+    edited = onto.copy(deep=True)
+    edited.loc[edited.index[-1], "pref_label"] = "renamed concept label"
+    res = run_pipeline(spark, tiny_df, run_dir, ontology_pdf=edited)
+    assert all(not m.get("resumed", False) for m in res.metrics.values()), \
+        res.metrics
+    # and an UNCHANGED ontology still resumes everything
+    res2 = run_pipeline(spark, tiny_df, run_dir, ontology_pdf=edited)
+    assert all(m.get("resumed", False) for m in res2.metrics.values())
