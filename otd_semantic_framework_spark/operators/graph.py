@@ -338,7 +338,8 @@ def construct_triples(triples: DataFrame,
     return bind.select(*cols).distinct()
 
 
-def validate_graph(triples: DataFrame, concepts: DataFrame) -> DataFrame:
+def validate_graph(triples: DataFrame, concepts: DataFrame,
+                   ancestors: DataFrame | None = None) -> DataFrame:
     """SHACL-lite shape validation of the constructed KG — the QA gate
     a 10^12-triple graph needs before it is served. Output: one row per
     constraint, (constraint, violations). Constraints:
@@ -353,10 +354,16 @@ def validate_graph(triples: DataFrame, concepts: DataFrame) -> DataFrame:
       reply targets against distinct subjects; both sides shrink
       before the shuffle);
     - ``no_self_reply``: replies_to is irreflexive;
-    - ``subj_wellformed``: subjects parse as ``turn:<conv>:<idx>``.
+    - ``subj_wellformed``: subjects parse as ``turn:<conv>:<idx>``;
+    - ``broader_edge_justified`` (only when ``ancestors`` is given —
+      the (concept_id, anc_id) expansion from
+      triples.ancestor_expansion): inference soundness — every
+      ``mentions_broader`` edge (t, anc) must be derivable from some
+      ASSERTED mention (t, c) with anc on c's path. Catches a broken
+      or stale inference deploy.
 
     Scalar constraints fold into ONE conditional-aggregation pass over
-    the triple table; only the two membership checks join."""
+    the triple table; only the membership/justification checks join."""
     scalar = triples.agg(
         F.sum(F.when((F.col("pred") == "mentions")
                      & ((F.col("score") <= 0) | (F.col("score") > 1)), 1)
@@ -386,4 +393,19 @@ def validate_graph(triples: DataFrame, concepts: DataFrame) -> DataFrame:
                 .agg(F.count(F.lit(1)).alias("violations"))
                 .select(F.lit("replies_to_target_exists")
                         .alias("constraint"), "violations"))
-    return unpivoted.unionByName(bad_concept).unionByName(dangling)
+    out = unpivoted.unionByName(bad_concept).unionByName(dangling)
+    if ancestors is not None:
+        justified = (m.join(F.broadcast(ancestors
+                                        .select("concept_id", "anc_id")),
+                            m.obj == F.col("concept_id"), "inner")
+                     .select("subj", F.col("anc_id").alias("jobj"))
+                     .distinct())
+        mb = triples.filter(F.col("pred") == "mentions_broader")
+        unjustified = (mb.join(justified,
+                               (mb.subj == justified.subj)
+                               & (mb.obj == F.col("jobj")), "left_anti")
+                       .agg(F.count(F.lit(1)).alias("violations"))
+                       .select(F.lit("broader_edge_justified")
+                               .alias("constraint"), "violations"))
+        out = out.unionByName(unjustified)
+    return out

@@ -3770,6 +3770,12 @@ VALIDATE_BAD_ROWS = [
     ("turn:c-0000:0", "mentions", "bogus:nope", "c-0000", 0, 1.5),
     ("badsubj", "uses_tool", "hammer", "c-0000", 0, 1.0),
     ("turn:c-0001:1", "replies_to", "turn:c-0001:1", "c-0001", 1, 1.0),
+    # inference-soundness pair: a JUSTIFIED broader edge (dq:L00's path
+    # runs through dq:B1) plus an UNJUSTIFIED one (no asserted mention
+    # for that subject at all)
+    ("turn:c-9999:0", "mentions", "dq:L00", "c-9999", 0, 0.9),
+    ("turn:c-9999:0", "mentions_broader", "dq:B1", "c-9999", 0, 0.72),
+    ("turn:c-9998:0", "mentions_broader", "dq:B0", "c-9998", 0, 0.8),
 ]
 
 
@@ -3793,7 +3799,10 @@ def q_kg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cs = driver_concepts()
     concepts = spark.createDataFrame(
         pd.DataFrame({"concept_id": [c.concept_id for c in cs]}))
-    return validate_graph(g, concepts)
+    from .driver_ontology import driver_ancestors
+    ancestors = spark.createDataFrame(
+        driver_ancestors()[["concept_id", "anc_id"]])
+    return validate_graph(g, concepts, ancestors=ancestors)
 
 
 def _sql_kg_validate() -> str:
@@ -3805,6 +3814,8 @@ def _sql_kg_validate() -> str:
     cv = values_sql(
         pd.DataFrame({"concept_id":
                       [c.concept_id for c in driver_concepts()]}), "c")
+    from .driver_ontology import driver_ancestors
+    av = values_sql(driver_ancestors()[["concept_id", "anc_id"]], "a")
     return f"""
 WITH triples0 AS ({_sql_kg_triples_body()}),
 triples AS (SELECT subj, pred, obj, score FROM triples0
@@ -3838,10 +3849,23 @@ dangling AS (
   FROM triples r
   WHERE r.pred = 'replies_to'
     AND NOT EXISTS (SELECT 1 FROM triples s WHERE s.subj = r.obj)
+),
+justified AS (
+  SELECT DISTINCT m.subj, a.anc_id FROM triples m
+  JOIN {av} ON a.concept_id = m.obj
+  WHERE m.pred = 'mentions'
+),
+unjustified AS (
+  SELECT 'broader_edge_justified' AS "constraint", count(*) AS violations
+  FROM triples b
+  WHERE b.pred = 'mentions_broader'
+    AND NOT EXISTS (SELECT 1 FROM justified j
+                    WHERE j.subj = b.subj AND j.anc_id = b.obj)
 )
 SELECT "constraint", CAST(violations AS BIGINT) AS violations FROM scalar
 UNION ALL SELECT "constraint", CAST(violations AS BIGINT) AS violations FROM bad_concept
 UNION ALL SELECT "constraint", CAST(violations AS BIGINT) AS violations FROM dangling
+UNION ALL SELECT "constraint", CAST(violations AS BIGINT) AS violations FROM unjustified
 """
 
 

@@ -97,3 +97,26 @@ def test_validate_membership_join_is_broadcast(spark):
     plan = validate_graph(g, concepts)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_validate_inference_soundness(spark):
+    """broader_edge_justified: a mentions_broader edge is a violation
+    unless SOME asserted mention of the same subject reaches that
+    ancestor through the expansion table."""
+    g = _g(spark, [
+        _t("turn:c:0", "mentions", "o:leaf", 0.9),
+        _t("turn:c:0", "mentions_broader", "o:branch", 0.72),  # justified
+        _t("turn:c:1", "mentions_broader", "o:branch", 0.8),   # no mention
+        _t("turn:c:0", "mentions_broader", "o:other", 0.5),    # wrong anc
+    ])
+    concepts = spark.createDataFrame(
+        [("o:leaf",), ("o:branch",), ("o:other",)], "concept_id string")
+    anc = spark.createDataFrame(
+        [("o:leaf", "o:branch"), ("o:leaf", "o:root")],
+        "concept_id string, anc_id string")
+    v = {r.constraint: r.violations
+         for r in validate_graph(g, concepts, ancestors=anc).collect()}
+    assert v["broader_edge_justified"] == 2
+    # without the expansion table the constraint row is absent
+    v2 = {r.constraint for r in validate_graph(g, concepts).collect()}
+    assert "broader_edge_justified" not in v2
