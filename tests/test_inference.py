@@ -146,3 +146,31 @@ def test_inference_is_incremental_under_snapshot_merges(spark, tmp_path):
     key = lambda r: (r.subj, r.pred, r.obj, r.score)
     assert sorted(map(key, incremental.collect())) == \
         sorted(map(key, full.collect()))
+
+
+def test_inference_is_monotone_in_the_mention_set(spark):
+    """Growing the asserted mention set can only GROW the inferred edge
+    set, and per-(subj, obj) inferred scores are non-decreasing — the
+    property that makes per-batch incremental maintenance sound."""
+    import pandas as pd
+    cs = [c for c in driver_concepts() if len(c.path) > 1]
+    rows = [(f"turn:c-{i % 7}:{i}", "mentions", cs[(i * 5) % len(cs)]
+             .concept_id, f"c-{i % 7}", i, round(0.3 + (i % 6) * 0.1, 6))
+            for i in range(60)]
+    schema = ("subj string, pred string, obj string, conv_id string, "
+              "turn_idx int, score double")
+    m_small = spark.createDataFrame(rows[:30], schema)
+    m_big = spark.createDataFrame(rows, schema)
+    onto = spark.createDataFrame(pd.DataFrame({
+        "concept_id": [c.concept_id for c in driver_concepts()],
+        "depth": [c.depth for c in driver_concepts()],
+        "path": [list(c.path) for c in driver_concepts()],
+    }), "concept_id string, depth int, path array<string>")
+    small = {(r.subj, r.obj): r.score
+             for r in infer_broader_triples(m_small, onto).collect()}
+    big = {(r.subj, r.obj): r.score
+           for r in infer_broader_triples(m_big, onto).collect()}
+    assert small  # non-vacuous
+    assert set(small) <= set(big)
+    for k, v in small.items():
+        assert big[k] >= v
