@@ -174,3 +174,42 @@ def test_inference_is_monotone_in_the_mention_set(spark):
     assert set(small) <= set(big)
     for k, v in small.items():
         assert big[k] >= v
+
+
+def test_streaming_incremental_inference_equals_batch(spark, tmp_path):
+    """Streaming growth path for the CLOSURE: conversation-atomic
+    micro-batches each extract triples AND infer their broader edges,
+    appending both. Because every turn lives in exactly one batch and
+    inference is per-row, the drained append equals batch
+    extract+infer row-for-row — no re-dedup, nothing recomputed."""
+    from otd_semantic_framework_spark.plans.pipeline import (
+        build_triples_fast)
+    from otd_semantic_framework_spark.sources.fixtures import (
+        ontology_spark, transcripts_spark_df)
+    t = transcripts_spark_df(spark, 30).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    onto = ontology_spark(spark)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t.repartition(3, "conv_id").write.parquet(src)
+    stream = (spark.readStream.schema(t.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    def _extract(batch_df, _batch_id):
+        tri = build_triples_fast(spark, batch_df)
+        tri.unionByName(infer_broader_triples(tri, onto)) \
+           .write.mode("append").parquet(out)
+
+    q = (stream.writeStream.outputMode("append").foreachBatch(_extract)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    q.awaitTermination()
+    spark.catalog.refreshByPath(out)
+    streamed = spark.read.parquet(out)
+    batch_tri = build_triples_fast(spark, t)
+    expected = batch_tri.unionByName(infer_broader_triples(batch_tri, onto))
+    key = lambda r: (r.subj, r.pred, r.obj, r.score)
+    assert sorted(map(key, streamed.collect())) == \
+        sorted(map(key, expected.collect()))
+    assert streamed.filter(F.col("pred") == "mentions_broader").count() > 0
