@@ -83,10 +83,18 @@ def run_interval_join(spark: SparkSession, src: str, schema,
                       left_filter: str, right_filter: str, key: str,
                       out: str, ckpt: str, window: str = "1 hour",
                       delay: str = "2 hours",
-                      max_files_per_trigger: int = 1) -> DataFrame:
+                      max_files_per_trigger: int = 1,
+                      state_partitions: int | None = 8) -> DataFrame:
     """File-source wiring of the interval join: two readStream scans of
     the same staged directory, one filtered to each side. Returns the
-    drained result (empty-but-typed if the join produced no rows)."""
+    drained result (empty-but-typed if the join produced no rows).
+
+    ``state_partitions`` caps spark.sql.shuffle.partitions FOR THIS
+    DRAIN (restored after): the state store allocates one store per
+    shuffle partition per stateful operator per micro-batch, so a
+    batch-tuned 96-partition setting turns a small drain into
+    thousands of near-empty state tasks + checkpoint files. On a real
+    cluster size this to the stateful load, not the batch default."""
     def _stream():
         return (spark.readStream.schema(schema)
                 .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -101,7 +109,14 @@ def run_interval_join(spark: SparkSession, src: str, schema,
                      "value"))
     joined = interval_join_streams(left, right, key, "l_ts", "r_ts",
                                    window=window, delay=delay)
-    drain_stream(joined, out, ckpt)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(state_partitions))
+        drain_stream(joined, out, ckpt)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.catalog.refreshByPath(out)
     if not os.path.isdir(out) or not any(
             f.endswith(".parquet") for f in os.listdir(out)):
