@@ -293,17 +293,27 @@ def unbounded_partitionless_windows(df) -> list:
 
 
 def test_no_unbounded_partitionless_window_in_any_query(spark):
-    """Walk EVERY queries() plan at sf0.001: no query may rank/run a
-    window over the full data without a partition key. The three r3
-    offenders (kg_search/kg_search_wup rank, rel_asof_join running
-    last) are rewritten; this pins the whole class shut."""
+    """Walk EVERY queries() plan at sf0.001 — ONE walk, two repo-wide
+    scale gates. (1) No query may rank/run a window over the full data
+    without a partition key (the three r3 offenders are rewritten;
+    this pins the class shut). (2) No CartesianProduct anywhere — the
+    non-broadcast cross that shuffles both sides at scale.
+    BroadcastNestedLoopJoin is NOT blanket-banned: scalar subqueries
+    (1-row broadcasts inside the derived-corpus CTE) and the
+    deliberately broadcast-bounded ANN exact paths are legitimate; the
+    targeted tests above pin the joins that must be equi/hash."""
     import __spark_entry__ as E
 
     sf = "/root/testdata/sf0.001"
     failures = {}
+    cross_failures = {}
     for name, fn in E.queries().items():
         df = fn(spark, sf)
         bad = unbounded_partitionless_windows(df)
         if bad:
             failures[name] = bad[0]
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            cross_failures[name] = "CartesianProduct"
     assert not failures, f"partitionless unbounded windows: {failures}"
+    assert not cross_failures, f"cross-join shapes: {cross_failures}"
