@@ -436,6 +436,54 @@ SELECT subj_key, rank, search_score FROM (
 """
 
 
+def _branch_map_pdf():
+    """(concept_id, branch) — each concept's depth-2 ancestor (itself if
+    it IS a branch); the root maps to nothing. Shared by the Spark
+    broadcast side and the DuckDB VALUES replay."""
+    import pandas as pd
+    return pd.DataFrame(
+        [(c.concept_id, c.path[1]) for c in driver_concepts()
+         if len(c.path) >= 2],
+        columns=["concept_id", "branch"])
+
+
+def q_kg_branch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taxonomy OLAP rollup: conversation tag mass aggregated to the
+    ontology's depth-2 branches through the (concept → branch) ancestor
+    mapping — 'which subsystem does the corpus talk about'. Broadcast
+    ontology-sized map join, then one hash agg; tag mass in exact ppm
+    integers so distributed partial-agg merge order cannot flip the
+    hash."""
+    canon = q_kg_canonical(spark, sf_dir)
+    tags = (canon.groupBy("conv_id", "concept_id")
+            .agg(F.max("link_score").alias("tag")))
+    bmap = spark.createDataFrame(_branch_map_pdf())
+    return (tags.join(F.broadcast(bmap), "concept_id", "inner")
+            .groupBy("branch")
+            .agg(F.countDistinct("conv_id").alias("n_convs"),
+                 F.sum(F.round(F.col("tag") * 1_000_000, 0).cast("bigint"))
+                 .alias("tag_mass_ppm")))
+
+
+def _sql_kg_branch_rollup() -> str:
+    canon = _sql_kg_canonical_body(
+        "SELECT conv_id, turn_idx, surface, concept_id, link_score FROM best WHERE rn = 1")
+    bv = values_sql(_branch_map_pdf(), "b")
+    return f"""
+WITH canon AS ({canon}),
+tags AS (
+  SELECT conv_id, concept_id, max(link_score) AS tag
+  FROM canon GROUP BY conv_id, concept_id
+)
+SELECT b.branch,
+       count(DISTINCT t.conv_id) AS n_convs,
+       CAST(sum(CAST(round(t.tag * 1000000, 0) AS BIGINT)) AS BIGINT)
+         AS tag_mass_ppm
+FROM tags t JOIN {bv} ON b.concept_id = t.concept_id
+GROUP BY b.branch
+"""
+
+
 def q_kg_search_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subsumption-based retrieval through the MATERIALIZED closure —
     the payoff of kg_inferred_triples: a query concept matches every
@@ -3119,6 +3167,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_inferred_triples": q_kg_inferred_triples,
         "kg_construct_query": q_kg_construct_query,
         "kg_search_closure": q_kg_search_closure,
+        "kg_branch_rollup": q_kg_branch_rollup,
         "kg_validate": q_kg_validate,
         "text_langid_eval": q_text_langid_eval,
         "kg_ontology_ingest": q_kg_ontology_ingest,
@@ -3243,6 +3292,7 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_inferred_triples": _sql_kg_inferred_triples(),
         "kg_construct_query": _sql_kg_construct_query(),
         "kg_search_closure": _sql_kg_search_closure(),
+        "kg_branch_rollup": _sql_kg_branch_rollup(),
         "kg_validate": _sql_kg_validate(),
         "text_langid_eval": _sql_text_langid_eval(),
         "kg_ontology_ingest": _sql_kg_ontology_ingest(),

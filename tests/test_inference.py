@@ -229,3 +229,22 @@ def test_search_closure_rank_window_is_bounded_and_results_sane(spark):
     scores = [r.search_score for r in sorted(rows, key=lambda r: r.rank)]
     assert scores == sorted(scores, reverse=True)
     assert all(r.subj_key.startswith("conv:") for r in rows)
+
+
+def test_branch_rollup_conserves_tag_mass(spark):
+    """Every (conv, concept) tag except root-level ones maps to exactly
+    one branch, so per-branch ppm masses must sum to the total tag mass
+    and n_convs is bounded by the corpus conv count."""
+    from otd_semantic_framework_spark.plans.driver_queries import (
+        N_CONVS, _branch_map_pdf, q_kg_branch_rollup, q_kg_canonical)
+    rolled = q_kg_branch_rollup(spark, SF).collect()
+    assert 0 < len(rolled) <= 8
+    canon = q_kg_canonical(spark, SF)
+    tags = (canon.groupBy("conv_id", "concept_id")
+            .agg(F.max("link_score").alias("tag")))
+    mapped = set(_branch_map_pdf().concept_id)
+    total = (tags.filter(F.col("concept_id").isin(mapped))
+             .select(F.sum(F.round(F.col("tag") * 1_000_000, 0)
+                           .cast("bigint")).alias("s")).first().s)
+    assert sum(r.tag_mass_ppm for r in rolled) == total
+    assert all(0 < r.n_convs <= N_CONVS for r in rolled)
