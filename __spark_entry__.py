@@ -63,7 +63,7 @@ DRIVER_SAMPLE_FIRST_50 = [
 # curation_weighted, kg_tool_latency, curation_shards, kg_conv_rollup,
 # kg_degree_dist, kg_batch_search, kg_nt_export, rel_heavy_hitters,
 # sim_maxsim_topk, kg_inferred_triples, stream_join, kg_construct_query,
-# kg_validate, kg_search_closure, kg_branch_rollup.
+# kg_validate, kg_search_closure, kg_branch_rollup, kg_ontology_diff.
 # Rotate them into slots 10-31 of DRIVER_SAMPLE_FIRST_50 next round
 # (keep the core nine), back-filling with r4-green keys.
 

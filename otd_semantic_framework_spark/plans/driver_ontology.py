@@ -122,6 +122,8 @@ def driver_manual_tags() -> pd.DataFrame:
 
 
 def _sql_lit(v) -> str:
+    if v is None or (isinstance(v, float) and v != v):
+        return "NULL"
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, float):

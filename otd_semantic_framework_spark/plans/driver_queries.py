@@ -436,6 +436,67 @@ SELECT subj_key, rank, search_score FROM (
 """
 
 
+def _onto_versions_pdf():
+    """Two deterministic ontology versions for the diff pairing: v2
+    removes the last leaf, adds one, relabels dq:L00 and re-parents
+    dq:L01 — every diff status class fires."""
+    import pandas as pd
+    base = [(c.concept_id, c.pref_label, c.parent_id)
+            for c in driver_concepts()]
+    cols = ["concept_id", "pref_label", "parent_id"]
+    v1 = pd.DataFrame(base, columns=cols)
+    rows = [r for r in base if r[0] != "dq:L32"]
+    v2 = []
+    for cid, label, parent in rows:
+        if cid == "dq:L00":
+            label = "hash join v2"
+        if cid == "dq:L01":
+            parent = "dq:B3"
+        v2.append((cid, label, parent))
+    v2.append(("dq:L99", "vector scan", "dq:B2"))
+    return v1, pd.DataFrame(v2, columns=cols)
+
+
+def q_kg_ontology_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taxonomy evolution diff (sources/rdf.py ontology_diff) between
+    two deterministic ontology versions — the ops companion of the
+    pipeline's ontology content fingerprint (the fingerprint says a
+    checkpoint is stale; the diff says why). Corpus-independent like
+    kg_ontology_ingest."""
+    from ..sources.rdf import ontology_diff
+    v1, v2 = _onto_versions_pdf()
+    return ontology_diff(spark.createDataFrame(v1),
+                         spark.createDataFrame(v2))
+
+
+def _sql_kg_ontology_diff() -> str:
+    v1, v2 = _onto_versions_pdf()
+    ov = values_sql(v1, "o")
+    nv = values_sql(v2, "n")
+    return f"""
+SELECT coalesce(o.concept_id, n.concept_id) AS concept_id,
+       CASE WHEN o.concept_id IS NULL THEN 'added'
+            WHEN n.concept_id IS NULL THEN 'removed'
+            WHEN o.pref_label <> n.pref_label
+                 AND o.parent_id IS DISTINCT FROM n.parent_id
+              THEN 'relabeled+moved'
+            WHEN o.pref_label <> n.pref_label THEN 'relabeled'
+            WHEN o.parent_id IS DISTINCT FROM n.parent_id THEN 'moved'
+       END AS status,
+       o.pref_label AS old_label, n.pref_label AS new_label,
+       o.parent_id AS old_parent, n.parent_id AS new_parent
+FROM {ov} FULL OUTER JOIN {nv} ON o.concept_id = n.concept_id
+WHERE CASE WHEN o.concept_id IS NULL THEN 'added'
+           WHEN n.concept_id IS NULL THEN 'removed'
+           WHEN o.pref_label <> n.pref_label
+                AND o.parent_id IS DISTINCT FROM n.parent_id
+             THEN 'relabeled+moved'
+           WHEN o.pref_label <> n.pref_label THEN 'relabeled'
+           WHEN o.parent_id IS DISTINCT FROM n.parent_id THEN 'moved'
+      END IS NOT NULL
+"""
+
+
 def _branch_map_pdf():
     """(concept_id, branch) — each concept's depth-2 ancestor (itself if
     it IS a branch); the root maps to nothing. Shared by the Spark
@@ -3168,6 +3229,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_construct_query": q_kg_construct_query,
         "kg_search_closure": q_kg_search_closure,
         "kg_branch_rollup": q_kg_branch_rollup,
+        "kg_ontology_diff": q_kg_ontology_diff,
         "kg_validate": q_kg_validate,
         "text_langid_eval": q_text_langid_eval,
         "kg_ontology_ingest": q_kg_ontology_ingest,
@@ -3293,6 +3355,7 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_construct_query": _sql_kg_construct_query(),
         "kg_search_closure": _sql_kg_search_closure(),
         "kg_branch_rollup": _sql_kg_branch_rollup(),
+        "kg_ontology_diff": _sql_kg_ontology_diff(),
         "kg_validate": _sql_kg_validate(),
         "text_langid_eval": _sql_text_langid_eval(),
         "kg_ontology_ingest": _sql_kg_ontology_ingest(),

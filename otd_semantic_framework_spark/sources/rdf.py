@@ -268,3 +268,32 @@ def write_ntriples(triples: DataFrame, path: str,
     its rdflib graph the same way [K]; here it's a parallel map-only
     text write (one shard per task at scale)."""
     format_ntriples(triples, base).write.mode("overwrite").text(path)
+
+
+def ontology_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Taxonomy evolution diff between two ontology_concepts frames:
+    one row per concept whose identity-bearing fields changed —
+    ``added`` / ``removed`` / ``relabeled`` / ``moved`` (re-parented) /
+    ``relabeled+moved``. The ops tool behind the pipeline's
+    content-fingerprint invalidation (plans/pipeline.py): the
+    fingerprint tells you a checkpoint is stale, the diff tells you
+    WHY. Full outer join on concept_id; ontologies are small, so
+    Catalyst broadcasts whichever side it likes."""
+    o = old.select(F.col("concept_id"),
+                   F.col("pref_label").alias("old_label"),
+                   F.col("parent_id").alias("old_parent"))
+    n = new.select(F.col("concept_id"),
+                   F.col("pref_label").alias("new_label"),
+                   F.col("parent_id").alias("new_parent"))
+    j = o.join(n, "concept_id", "full_outer")
+    relabeled = (F.col("old_label") != F.col("new_label"))
+    moved = ~(F.col("old_parent").eqNullSafe(F.col("new_parent")))
+    status = (F.when(F.col("old_label").isNull(), "added")
+              .when(F.col("new_label").isNull(), "removed")
+              .when(relabeled & moved, "relabeled+moved")
+              .when(relabeled, "relabeled")
+              .when(moved, "moved"))
+    return (j.withColumn("status", status)
+            .filter(F.col("status").isNotNull())
+            .select("concept_id", "status", "old_label", "new_label",
+                    "old_parent", "new_parent"))

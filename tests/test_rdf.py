@@ -148,3 +148,23 @@ def test_ntriples_export_roundtrip(spark, tmp_path):
     assert (f"{base}turn%3Aconv-0002%3A0", f"{base}note",
             'plain "quoted" text', True) in rows
     assert len(rows) == 3
+
+
+def test_ontology_diff_statuses(spark):
+    from otd_semantic_framework_spark.sources.rdf import ontology_diff
+    cols = "concept_id string, pref_label string, parent_id string"
+    v1 = spark.createDataFrame([
+        ("o:r", "root", None), ("o:a", "alpha", "o:r"),
+        ("o:b", "beta", "o:r"), ("o:c", "gamma", "o:a"),
+        ("o:d", "delta", "o:a")], cols)
+    v2 = spark.createDataFrame([
+        ("o:r", "root", None), ("o:a", "alpha prime", "o:r"),
+        ("o:c", "gamma", "o:b"), ("o:d", "delta two", "o:b"),
+        ("o:e", "epsilon", "o:b")], cols)
+    d = {r.concept_id: r.status for r in ontology_diff(v1, v2).collect()}
+    assert d == {"o:a": "relabeled", "o:b": "removed", "o:c": "moved",
+                 "o:d": "relabeled+moved", "o:e": "added"}
+    # unchanged concepts (o:r, null-parent root included) emit nothing
+    assert "o:r" not in d
+    # self-diff is empty
+    assert ontology_diff(v1, v1).count() == 0
