@@ -115,3 +115,30 @@ def test_empty_join_returns_typed_empty(spark, tmp_path):
     assert out.count() == 0
     assert set(out.columns) == {"l_user_id", "l_ts", "r_user_id", "r_ts",
                                 "value"}
+
+
+def test_redrain_with_same_checkpoint_is_exactly_once(spark, tmp_path):
+    """Draining again against the same checkpoint re-processes nothing:
+    the sink output is unchanged (exactly-once under availableNow +
+    checkpointLocation), and new files appended AFTER the first drain
+    are picked up exactly once."""
+    rows = [
+        _ev(0, 0, 5, 1, "signup"),
+        _ev(1, 0, 30, 1, "purchase", 7.0),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    stage_time_ordered(df, str(tmp_path / "src"), "ts", n_files=2)
+    run = _run(spark, tmp_path)
+    first = sorted((r.l_user_id, r.value) for r in run().collect())
+    assert first == [(1, 7.0)]
+    second = sorted((r.l_user_id, r.value) for r in run().collect())
+    assert second == first  # no reprocessing, no duplicates
+    # append a new file: only IT is processed on the next drain
+    extra = spark.createDataFrame([
+        _ev(2, 1, 0, 2, "signup"),
+        _ev(3, 1, 20, 2, "purchase", 4.0),
+    ], _SCHEMA)
+    extra.coalesce(1).sortWithinPartitions("ts") \
+         .write.mode("append").parquet(str(tmp_path / "src"))
+    third = sorted((r.l_user_id, r.value) for r in run().collect())
+    assert third == [(1, 7.0), (2, 4.0)]
