@@ -481,3 +481,42 @@ def incremental_near_dup(new_docs: DataFrame, old_docs: DataFrame,
                     .alias("best_jaccard"),
                     (F.coalesce(F.col("best_jaccard"), F.lit(0.0))
                      >= threshold).cast("int").alias("is_dup")))
+
+
+def semantic_fingerprint_dedup(tags: DataFrame,
+                               id_cols: tuple = ("conv_id", "turn_idx"),
+                               concept_col: str = "concept_id") -> DataFrame:
+    """Ontology-aware dedup: cluster units (turns) by WHAT they talk
+    about rather than their surface text — the exact set of linked
+    concepts is the unit's semantic fingerprint, and units with
+    identical fingerprints are semantic duplicates even when their
+    wording differs (the complement of ``exact_dedup``'s md5-of-text
+    identity).
+
+    Input is the mention/tag table (one row per unit×concept, dups
+    tolerated); output is one row per fingerprint cluster: the sorted
+    comma-joined concept set, its size, the number of member units,
+    and the lexicographically-first member as the keeper
+    (deterministic representative, same convention as exact_dedup).
+
+    Scale shape: two keyed hash aggs — groupBy(unit) collect_set
+    (map-side partial on the unit key) then groupBy(fingerprint) — and
+    nothing else: no joins, no windows, output linear in the number of
+    distinct fingerprints. The fingerprint string is bounded by the
+    ontology's branch width (concept sets per turn are small), not by
+    corpus size, so the second shuffle key stays short at any sf.
+    """
+    unit_key = F.concat_ws(
+        ":", *[F.col(c).cast("string") for c in id_cols])
+    per_unit = (tags
+                .groupBy(*id_cols)
+                .agg(F.sort_array(F.collect_set(concept_col))
+                     .alias("concept_set"))
+                .select(unit_key.alias("unit"),
+                        F.concat_ws(",", "concept_set").alias("fingerprint"),
+                        F.size("concept_set").alias("set_size")))
+    return (per_unit
+            .groupBy("fingerprint")
+            .agg(F.max("set_size").cast("long").alias("set_size"),
+                 F.count(F.lit(1)).alias("n_units"),
+                 F.min("unit").alias("keeper")))

@@ -409,3 +409,46 @@ def validate_graph(triples: DataFrame, concepts: DataFrame,
                                .alias("constraint"), "violations"))
         out = out.unionByName(unjustified)
     return out
+
+
+def clustering_coefficient(edges: DataFrame,
+                           src: str = "src", dst: str = "dst") -> DataFrame:
+    """Local clustering coefficient per vertex over an undirected simple
+    graph given as (src, dst) pairs (any orientation, duplicates
+    tolerated): cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the fraction of
+    a vertex's neighbor pairs that are themselves connected — the
+    standard local-density read on the concept co-occurrence graph
+    (which concepts sit in tight co-mention cliques vs hub-and-spoke
+    stars).
+
+    EXACT-INTEGER: cc is emitted in ppm via BIGINT ``2·tri·1e6 DIV
+    deg·(deg−1)`` — merge-order-independent and bit-identical across
+    engines, like every other fixed-point metric in this module.
+
+    Scale shape: triangle enumeration reuses
+    ``agentstats.triangle_count`` (ordered 3-way equi-join, never a
+    cross product); degrees are one map-side-partial hash agg over the
+    canonicalized edge list traversed in both directions; the final
+    combine is a broadcast-or-shuffle hash join on the vertex id. Zero
+    driver-side data movement. Vertices of degree 1 appear with
+    cc_ppm = 0 (undefined denominator pinned to 0 on both engines).
+    """
+    from .agentstats import triangle_count
+    e = (edges
+         .select(F.least(F.col(src), F.col(dst)).alias("a"),
+                 F.greatest(F.col(src), F.col(dst)).alias("b"))
+         .filter(F.col("a") < F.col("b"))
+         .distinct())
+    deg = (e.select(F.col("a").alias("node"))
+           .unionAll(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    tri = triangle_count(e, src="a", dst="b")
+    return (deg.join(tri, deg.node == tri.concept_id, "left")
+            .select(F.col("node").alias("concept_id"),
+                    "degree",
+                    F.coalesce("n_triangles", F.lit(0).cast("long"))
+                    .alias("n_triangles"),
+                    F.when(F.col("degree") >= 2,
+                           F.expr(f"2 * coalesce(n_triangles, 0)"
+                                  f" * {PPM} DIV (degree * (degree - 1))"))
+                    .otherwise(F.lit(0)).cast("long").alias("cc_ppm")))

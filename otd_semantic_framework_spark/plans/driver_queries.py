@@ -3314,6 +3314,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_batch_search": q_kg_batch_search,
         "kg_nt_export": q_kg_nt_export,
         "rel_heavy_hitters": q_rel_heavy_hitters,
+        "kg_clustering": q_kg_clustering,
+        "dedup_semantic": q_dedup_semantic,
+        "rel_funnel": q_rel_funnel,
+        "kg_concept_drift": q_kg_concept_drift,
     }
 
 
@@ -3443,6 +3447,10 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_batch_search": _sql_kg_batch_search(),
         "kg_nt_export": _sql_kg_nt_export(),
         "rel_heavy_hitters": SQL_REL_HEAVY_HITTERS,
+        "kg_clustering": SQL_KG_CLUSTERING,
+        "dedup_semantic": SQL_DEDUP_SEMANTIC,
+        "rel_funnel": SQL_REL_FUNNEL,
+        "kg_concept_drift": SQL_KG_CONCEPT_DRIFT,
     }
 
 
@@ -5105,4 +5113,211 @@ SELECT o.depth, count(*) AS n_concepts,
                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_untagged
 FROM {onto} LEFT JOIN tagged t ON o.concept_id = t.concept_id
 GROUP BY o.depth
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-4 continuation: graph density, semantic dedup, funnel analytics,
+# concept drift.
+# ---------------------------------------------------------------------------
+
+def _comention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concept co-occurrence edges (pairs tagged in the same turn) —
+    shared by q_kg_triangles-style graph analytics."""
+    tags = (_mentions_df(spark, sf_dir)
+            .select("conv_id", "turn_idx", "concept_id").distinct())
+    a = tags.alias("ta")
+    b = tags.alias("tb")
+    return (a.join(b, (F.col("ta.conv_id") == F.col("tb.conv_id"))
+                   & (F.col("ta.turn_idx") == F.col("tb.turn_idx"))
+                   & (F.col("ta.concept_id") < F.col("tb.concept_id")))
+            .select(F.col("ta.concept_id").alias("src"),
+                    F.col("tb.concept_id").alias("dst")))
+
+
+def q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per concept over the co-mention
+    graph (operators/graph.py:clustering_coefficient) — exact-integer
+    ppm; which concepts sit in tight co-mention cliques vs stars."""
+    from ..operators.graph import clustering_coefficient
+    return clustering_coefficient(_comention_edges(spark, sf_dir))
+
+
+SQL_KG_CLUSTERING = f"""
+WITH {_MENTIONS_CTE},
+tags AS (SELECT DISTINCT conv_id, turn_idx, concept_id FROM mentions),
+edges AS (
+  SELECT DISTINCT a.concept_id AS a, b.concept_id AS b
+  FROM tags a JOIN tags b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND a.concept_id < b.concept_id
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+  ) GROUP BY node
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tric AS (
+  SELECT v, count(*) AS n_tri FROM (
+    SELECT a AS v FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY v
+)
+SELECT d.node AS concept_id, d.degree,
+       CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN d.degree >= 2
+                 THEN (2 * coalesce(t.n_tri, 0) * 1000000)
+                      // (d.degree * (d.degree - 1))
+                 ELSE 0 END AS BIGINT) AS cc_ppm
+FROM deg d LEFT JOIN tric t ON t.v = d.node
+"""
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology-aware semantic dedup: cluster turns by their exact
+    linked-concept set (operators/dedup.py:semantic_fingerprint_dedup)
+    — duplicates by WHAT is discussed, not by surface text."""
+    from ..operators.dedup import semantic_fingerprint_dedup
+    tags = (_mentions_df(spark, sf_dir)
+            .select("conv_id", "turn_idx", "concept_id").distinct())
+    return semantic_fingerprint_dedup(tags)
+
+
+SQL_DEDUP_SEMANTIC = f"""
+WITH {_MENTIONS_CTE},
+tags AS (SELECT DISTINCT conv_id, turn_idx, concept_id FROM mentions),
+per_unit AS (
+  SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS unit,
+         string_agg(concept_id, ',' ORDER BY concept_id) AS fingerprint,
+         count(*) AS set_size
+  FROM tags GROUP BY conv_id, turn_idx
+)
+SELECT fingerprint,
+       CAST(max(set_size) AS BIGINT) AS set_size,
+       count(*) AS n_units,
+       min(unit) AS keeper
+FROM per_unit GROUP BY fingerprint
+"""
+
+
+def q_rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the events stream: earliest view,
+    first click strictly after it, first purchase strictly after that —
+    per-step user counts + exact-integer conversion ratios. All steps
+    are keyed equi-joins + hash aggs on user_id (map-side partial);
+    the final combine is a grouping-free Aggregate (exactly one row),
+    so no window and nothing partitionless touches unbounded data."""
+    e = _tbl(spark, sf_dir, "events")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (e.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("t1"))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") > F.col("t2"))
+         .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    funnel = (v.join(c.select("user_id", "t2"), "user_id", "left")
+              .join(p.select("user_id", "t3"), "user_id", "left")
+              .agg(F.count("t1").alias("n_view"),
+                   F.count("t2").alias("n_click"),
+                   F.count("t3").alias("n_purchase")))
+    return funnel.select(
+        "n_view", "n_click", "n_purchase",
+        F.expr("CASE WHEN n_view > 0 THEN (n_click * 1000000) DIV n_view"
+               " ELSE 0 END").cast("long").alias("click_conv_ppm"),
+        F.expr("CASE WHEN n_click > 0 THEN (n_purchase * 1000000) DIV"
+               " n_click ELSE 0 END").cast("long").alias("purchase_conv_ppm"),
+        F.expr("CASE WHEN n_view > 0 THEN (n_purchase * 1000000) DIV n_view"
+               " ELSE 0 END").cast("long").alias("overall_conv_ppm"))
+
+
+SQL_REL_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+),
+j AS (
+  SELECT v.user_id, v.t1, c.t2, p.t3
+  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+),
+agg AS (
+  SELECT count(t1) AS n_view, count(t2) AS n_click,
+         count(t3) AS n_purchase
+  FROM j
+)
+SELECT n_view, n_click, n_purchase,
+       CAST(CASE WHEN n_view > 0 THEN (n_click * 1000000) // n_view
+                 ELSE 0 END AS BIGINT) AS click_conv_ppm,
+       CAST(CASE WHEN n_click > 0 THEN (n_purchase * 1000000) // n_click
+                 ELSE 0 END AS BIGINT) AS purchase_conv_ppm,
+       CAST(CASE WHEN n_view > 0 THEN (n_purchase * 1000000) // n_view
+                 ELSE 0 END AS BIGINT) AS overall_conv_ppm
+FROM agg
+"""
+
+
+def q_kg_concept_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concept-share drift across conversation stages: mention share of
+    each concept per turn-depth bucket (stage = turn_idx DIV 4, capped
+    at 11) in exact ppm, with the delta vs the concept's previous stage
+    — the data-side topic-drift twin of kg_ontology_diff's schema-side
+    evolution. Window is partitioned by concept_id (bounded stages per
+    concept), never partitionless."""
+    m = _mentions_df(spark, sf_dir)
+    st = m.select("concept_id",
+                  F.expr("least(turn_idx DIV 4, 11)").cast("int")
+                  .alias("stage"))
+    per = st.groupBy("concept_id", "stage").agg(
+        F.count(F.lit(1)).alias("n"))
+    tot = st.groupBy("stage").agg(F.count(F.lit(1)).alias("t"))
+    sh = (per.join(tot, "stage")
+          .select("concept_id", "stage",
+                  F.expr("(n * 1000000) DIV t").cast("long")
+                  .alias("share_ppm")))
+    w = Window.partitionBy("concept_id").orderBy("stage")
+    prev = F.lag("share_ppm").over(w)
+    return sh.select(
+        "concept_id", "stage", "share_ppm",
+        prev.alias("prev_share_ppm"),
+        F.abs(F.col("share_ppm") - prev).alias("drift_ppm"))
+
+
+SQL_KG_CONCEPT_DRIFT = f"""
+WITH {_MENTIONS_CTE},
+st AS (
+  SELECT concept_id,
+         CAST(least(turn_idx // 4, 11) AS INTEGER) AS stage
+  FROM mentions
+),
+per AS (SELECT concept_id, stage, count(*) AS n FROM st GROUP BY 1, 2),
+tot AS (SELECT stage, count(*) AS t FROM st GROUP BY 1),
+sh AS (
+  SELECT p.concept_id, p.stage,
+         CAST((p.n * 1000000) // t.t AS BIGINT) AS share_ppm
+  FROM per p JOIN tot t USING (stage)
+)
+SELECT concept_id, stage, share_ppm,
+       lag(share_ppm) OVER w AS prev_share_ppm,
+       abs(share_ppm - lag(share_ppm) OVER w) AS drift_ppm
+FROM sh
+WINDOW w AS (PARTITION BY concept_id ORDER BY stage)
 """

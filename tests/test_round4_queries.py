@@ -129,3 +129,131 @@ def test_maxsim_plan_is_jvm_only(spark):
     assert "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# round-4 continuation: clustering coefficient, semantic dedup, funnel,
+# concept drift — invariants beyond the DuckDB pairing.
+# ---------------------------------------------------------------------------
+
+def test_clustering_coefficient_bounds_and_triangle_consistency(spark):
+    """cc is a ratio: 0 <= cc_ppm <= 1e6; degree-1 vertices pin to 0;
+    a vertex with triangles must have degree >= 2; and the triangle
+    column must agree with q_kg_triangles on every shared vertex."""
+    from otd_semantic_framework_spark.plans.driver_queries import (
+        q_kg_clustering, q_kg_triangles)
+    cc = {r.concept_id: r for r in q_kg_clustering(spark, SF).collect()}
+    assert cc, "empty clustering output"
+    for r in cc.values():
+        assert 0 <= r.cc_ppm <= 1_000_000, r
+        if r.degree < 2:
+            assert r.cc_ppm == 0 and r.n_triangles == 0
+        if r.n_triangles > 0:
+            assert r.degree >= 2
+            expect = (2 * r.n_triangles * 1_000_000) // (
+                r.degree * (r.degree - 1))
+            assert r.cc_ppm == expect
+    tri = {r.concept_id: r.n_triangles
+           for r in q_kg_triangles(spark, SF).collect()}
+    for v, n in tri.items():
+        assert cc[v].n_triangles == n
+    # the corpus must exercise both branches: some closed triangles and
+    # some open (cc strictly between 0 and 1e6 somewhere, or a 0 AND a
+    # nonzero cc) — otherwise the metric is inert on this fixture
+    vals = {r.cc_ppm for r in cc.values()}
+    assert any(v > 0 for v in vals) and any(v < 1_000_000 for v in vals)
+
+
+def test_clustering_complete_graph_is_all_ones(spark):
+    """K4 has cc = 1 for every vertex (3 triangles each, degree 3)."""
+    from otd_semantic_framework_spark.operators.graph import (
+        clustering_coefficient)
+    edges = spark.createDataFrame(
+        [(a, b) for a in "abcd" for b in "abcd" if a < b],
+        "src string, dst string")
+    out = {r.concept_id: r for r in clustering_coefficient(edges).collect()}
+    assert set(out) == set("abcd")
+    for r in out.values():
+        assert (r.degree, r.n_triangles, r.cc_ppm) == (3, 3, 1_000_000)
+
+
+def test_semantic_dedup_partitions_the_tagged_turns(spark):
+    """Cluster sizes sum to the number of tagged turns; keepers are
+    member units; every member of a cluster shares the exact concept
+    set (spot-check the largest cluster)."""
+    from otd_semantic_framework_spark.plans.driver_queries import (
+        _mentions_df, q_dedup_semantic)
+    tags = (_mentions_df(spark, SF)
+            .select("conv_id", "turn_idx", "concept_id").distinct())
+    n_units = tags.select("conv_id", "turn_idx").distinct().count()
+    clusters = q_dedup_semantic(spark, SF).collect()
+    assert sum(r.n_units for r in clusters) == n_units
+    big = max(clusters, key=lambda r: r.n_units)
+    member_sets = (
+        tags.groupBy("conv_id", "turn_idx")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_set("concept_id")))
+             .alias("fp"))
+        .filter(F.col("fp") == big.fingerprint))
+    assert member_sets.count() == big.n_units
+    assert big.set_size == len(big.fingerprint.split(","))
+
+
+def test_funnel_is_ordered_and_monotone(spark):
+    """Counts must be monotone non-increasing down the funnel, and the
+    strict-ordering semantics must bind: a user whose only purchase
+    precedes their first click must NOT count as a purchase
+    conversion (checked on a hand-built corpus)."""
+    from otd_semantic_framework_spark.plans.driver_queries import (
+        q_rel_funnel)
+    row = q_rel_funnel(spark, SF).collect()[0]
+    assert row.n_view >= row.n_click >= row.n_purchase
+    assert row.n_view > 0 and row.n_click > 0, "fixture funnel inert"
+    assert row.click_conv_ppm == (row.n_click * 1_000_000) // row.n_view
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, user, typ, minutes):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, typ, 0.0, "{}")
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    # user 1: view -> click -> purchase (converts)
+    # user 2: purchase BEFORE click (must not convert); view -> click ok
+    rows = [ev(1, 1, "view", 0), ev(2, 1, "click", 5),
+            ev(3, 1, "purchase", 9),
+            ev(4, 2, "view", 0), ev(5, 2, "purchase", 3),
+            ev(6, 2, "click", 6)]
+    events = spark.createDataFrame(rows, schema)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        events.write.parquet(os.path.join(d, "events.parquet"))
+        out = q_rel_funnel(spark, d).collect()[0]
+    assert (out.n_view, out.n_click, out.n_purchase) == (2, 2, 1)
+    assert out.purchase_conv_ppm == 500_000
+    assert out.overall_conv_ppm == 500_000
+
+
+def test_concept_drift_shares_sum_and_lag_alignment(spark):
+    """Within every stage the concept shares must sum to ~1e6 ppm
+    (floor division loses < n_concepts ppm), and prev_share_ppm must
+    equal the same concept's share at its previous observed stage."""
+    from otd_semantic_framework_spark.plans.driver_queries import (
+        q_kg_concept_drift)
+    rows = q_kg_concept_drift(spark, SF).collect()
+    assert rows
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r.stage, []).append(r)
+    assert len(by_stage) >= 2, "fixture has a single stage — drift inert"
+    for stage, rs in by_stage.items():
+        tot = sum(r.share_ppm for r in rs)
+        assert 1_000_000 - len(rs) <= tot <= 1_000_000, (stage, tot)
+    share = {(r.concept_id, r.stage): r.share_ppm for r in rows}
+    for r in rows:
+        prior = [s for (c, s) in share if c == r.concept_id
+                 and s < r.stage]
+        if prior:
+            assert r.prev_share_ppm == share[(r.concept_id, max(prior))]
+            assert r.drift_ppm == abs(r.share_ppm - r.prev_share_ppm)
+        else:
+            assert r.prev_share_ppm is None and r.drift_ppm is None
