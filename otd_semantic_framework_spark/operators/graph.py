@@ -16,7 +16,7 @@ order-dependent, an integer sum is not).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: fixed-point scale: ranks/lifts are parts-per-million integers
@@ -452,3 +452,120 @@ def clustering_coefficient(edges: DataFrame,
                            F.expr(f"2 * coalesce(n_triangles, 0)"
                                   f" * {PPM} DIV (degree * (degree - 1))"))
                     .otherwise(F.lit(0)).cast("long").alias("cc_ppm")))
+
+
+def concept_jaccard(tags: DataFrame,
+                    unit_cols: tuple = ("conv_id", "turn_idx"),
+                    concept_col: str = "concept_id",
+                    min_cooc: int = 1) -> DataFrame:
+    """Concept-concept relatedness by co-occurrence Jaccard: for every
+    pair of concepts that appear together in at least ``min_cooc``
+    units (turns), |units(a) ∩ units(b)| / |units(a) ∪ units(b)| — the
+    posting-list similarity behind "related concepts" panels and
+    ontology-enrichment suggestions (which taxonomy nodes the corpus
+    treats as near-synonyms even when the tree keeps them apart).
+
+    EXACT-INTEGER: jaccard_ppm = ``n_ab·1e6 DIV (n_a + n_b − n_ab)``,
+    BIGINT end to end.
+
+    Scale shape: the candidate pairs come from a posting-list
+    self-join keyed on the unit id (fanout bounded by the per-unit
+    tag-set width squared, never corpus²), followed by one hash agg on
+    the pair; the per-concept unit counts are a second hash agg whose
+    output is ontology-sized, so both count joins broadcast. No
+    windows, no cross products, nothing partitionless.
+    """
+    unit = F.concat_ws(
+        ":", *[F.col(c).cast("string") for c in unit_cols])
+    t = (tags.select(unit.alias("unit"),
+                     F.col(concept_col).alias("concept_id"))
+         .distinct())
+    per_concept = t.groupBy("concept_id").agg(
+        F.count(F.lit(1)).alias("n_units"))
+    a, b = t.alias("a"), t.alias("b")
+    pairs = (a.join(b, (F.col("a.unit") == F.col("b.unit"))
+                    & (F.col("a.concept_id") < F.col("b.concept_id")))
+             .groupBy(F.col("a.concept_id").alias("concept_a"),
+                      F.col("b.concept_id").alias("concept_b"))
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .filter(F.col("n_ab") >= min_cooc))
+    ca = F.broadcast(per_concept.select(
+        F.col("concept_id").alias("concept_a"),
+        F.col("n_units").alias("n_a")))
+    cb = F.broadcast(per_concept.select(
+        F.col("concept_id").alias("concept_b"),
+        F.col("n_units").alias("n_b")))
+    return (pairs.join(ca, "concept_a").join(cb, "concept_b")
+            .select("concept_a", "concept_b", "n_a", "n_b", "n_ab",
+                    F.expr(f"n_ab * {PPM} DIV (n_a + n_b - n_ab)")
+                    .cast("long").alias("jaccard_ppm")))
+
+
+def resnik_mics(tags: DataFrame, ancestors: DataFrame,
+                unit_cols: tuple = ("conv_id", "turn_idx"),
+                concept_col: str = "concept_id") -> DataFrame:
+    """Resnik-style semantic similarity over the taxonomy with
+    corpus-derived information content: for every co-occurring concept
+    pair, the Most Informative Common Subsumer (MICS) — the shared
+    ancestor-or-self with the SMALLEST corpus tag mass, i.e. highest
+    information content IC(c) = −log p(c). The log is monotone in the
+    mass, so the operator emits the mass itself and ``p_mics_ppm`` in
+    exact fixed point instead of a float log — rank-equivalent to
+    Resnik similarity (lower p_mics_ppm = more similar) and
+    bit-identical across engines, following this module's
+    integer-math convention.
+
+    ``ancestors`` is the strict-ancestor closure (concept_id, anc_id);
+    self-rows are added internally so every pair has at least the
+    pair's own nodes' shared subsumers up to the root. Corpus mass of
+    a subsumer = number of tag events (unit × concept) whose concept
+    is a descendant-or-self — computed by one broadcast join of the
+    tag stream against the ontology-sized closure plus one hash agg.
+    Pair domain = concepts co-tagged in a unit (posting-list
+    self-join, same shape as concept_jaccard). MICS selection is a
+    row_number window PARTITIONED BY the pair — per-pair subsumer
+    count is bounded by tree depth², never by corpus size. Tie-break:
+    (mass ASC, anc_id ASC), fully deterministic.
+    """
+    closure = (ancestors.select("concept_id", "anc_id")
+               .unionByName(
+                   ancestors.select("concept_id")
+                   .unionByName(ancestors.select(
+                       F.col("anc_id").alias("concept_id")))
+                   .distinct()
+                   .select("concept_id",
+                           F.col("concept_id").alias("anc_id")))
+               .distinct())
+    unit = F.concat_ws(
+        ":", *[F.col(c).cast("string") for c in unit_cols])
+    t = (tags.select(unit.alias("unit"),
+                     F.col(concept_col).alias("concept_id"))
+         .distinct())
+    # total tag mass as a lazy 1-row aggregate broadcast into the final
+    # projection — no eager driver action, the whole operator stays one
+    # job graph.
+    total = t.agg(F.count(F.lit(1)).alias("total_mass"))
+    mass = (t.join(F.broadcast(closure), "concept_id")
+            .groupBy("anc_id").agg(F.count(F.lit(1)).alias("mass")))
+    a, b = t.alias("a"), t.alias("b")
+    pairs = (a.join(b, (F.col("a.unit") == F.col("b.unit"))
+                    & (F.col("a.concept_id") < F.col("b.concept_id")))
+             .select(F.col("a.concept_id").alias("concept_a"),
+                     F.col("b.concept_id").alias("concept_b"))
+             .distinct())
+    clo_a = F.broadcast(closure.select(
+        F.col("concept_id").alias("concept_a"), "anc_id"))
+    clo_b = F.broadcast(closure.select(
+        F.col("concept_id").alias("concept_b"), "anc_id"))
+    common = (pairs.join(clo_a, "concept_a").join(clo_b, ["concept_b", "anc_id"])
+              .join(F.broadcast(mass), "anc_id"))
+    w = Window.partitionBy("concept_a", "concept_b").orderBy(
+        F.col("mass").asc(), F.col("anc_id").asc())
+    return (common.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .crossJoin(F.broadcast(total))
+            .select("concept_a", "concept_b",
+                    F.col("anc_id").alias("mics_id"),
+                    F.col("mass").alias("mics_mass"),
+                    F.expr(f"mass * {PPM} DIV total_mass")
+                    .cast("long").alias("p_mics_ppm")))

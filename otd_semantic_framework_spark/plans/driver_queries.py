@@ -27,8 +27,9 @@ from .. import semantics as S
 from ..operators.linking import canonicalize
 from ..operators.wup import concept_similarity
 from ..schemas import CONCEPT_SIMILARITY
-from .driver_ontology import (driver_concepts, driver_gazetteer,
-                              driver_scores, driver_wup, values_sql)
+from .driver_ontology import (driver_ancestors, driver_concepts,
+                              driver_gazetteer, driver_scores, driver_wup,
+                              values_sql)
 
 # ---------------------------------------------------------------------------
 # Derived transcripts (portable across Spark SQL and DuckDB)
@@ -3318,6 +3319,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "rel_funnel": q_rel_funnel,
         "kg_concept_drift": q_kg_concept_drift,
+        "kg_related": q_kg_related,
+        "kg_resnik": q_kg_resnik,
     }
 
 
@@ -3451,6 +3454,8 @@ def build_oracle_sql() -> dict[str, str]:
         "dedup_semantic": SQL_DEDUP_SEMANTIC,
         "rel_funnel": SQL_REL_FUNNEL,
         "kg_concept_drift": SQL_KG_CONCEPT_DRIFT,
+        "kg_related": SQL_KG_RELATED,
+        "kg_resnik": _sql_kg_resnik(),
     }
 
 
@@ -5320,4 +5325,99 @@ SELECT concept_id, stage, share_ppm,
        abs(share_ppm - lag(share_ppm) OVER w) AS drift_ppm
 FROM sh
 WINDOW w AS (PARTITION BY concept_id ORDER BY stage)
+"""
+
+
+def q_kg_related(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-concept mining: co-occurrence Jaccard over turn posting
+    lists (operators/graph.py:concept_jaccard) — which taxonomy nodes
+    the corpus treats as near-synonyms, exact-integer ppm."""
+    from ..operators.graph import concept_jaccard
+    tags = (_mentions_df(spark, sf_dir)
+            .select("conv_id", "turn_idx", "concept_id").distinct())
+    return concept_jaccard(tags)
+
+
+SQL_KG_RELATED = f"""
+WITH {_MENTIONS_CTE},
+tags AS (
+  SELECT DISTINCT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS unit,
+         concept_id
+  FROM mentions
+),
+per_concept AS (
+  SELECT concept_id, count(*) AS n_units FROM tags GROUP BY concept_id
+),
+pairs AS (
+  SELECT a.concept_id AS concept_a, b.concept_id AS concept_b,
+         count(*) AS n_ab
+  FROM tags a JOIN tags b
+    ON a.unit = b.unit AND a.concept_id < b.concept_id
+  GROUP BY 1, 2
+)
+SELECT p.concept_a, p.concept_b,
+       ca.n_units AS n_a, cb.n_units AS n_b, p.n_ab,
+       CAST(p.n_ab * 1000000 // (ca.n_units + cb.n_units - p.n_ab)
+            AS BIGINT) AS jaccard_ppm
+FROM pairs p
+JOIN per_concept ca ON ca.concept_id = p.concept_a
+JOIN per_concept cb ON cb.concept_id = p.concept_b
+"""
+
+
+def q_kg_resnik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resnik-style Most-Informative-Common-Subsumer similarity for
+    co-tagged concept pairs (operators/graph.py:resnik_mics):
+    corpus-derived information content in exact fixed point — the
+    classic taxonomy similarity family (Resnik/Lin) re-expressed
+    rank-equivalently without float logs."""
+    from ..operators.graph import resnik_mics
+    from .driver_ontology import driver_ancestors
+    tags = (_mentions_df(spark, sf_dir)
+            .select("conv_id", "turn_idx", "concept_id").distinct())
+    anc = spark.createDataFrame(driver_ancestors()[["concept_id", "anc_id"]])
+    return resnik_mics(tags, anc)
+
+
+def _sql_kg_resnik() -> str:
+    av = values_sql(driver_ancestors()[["concept_id", "anc_id"]], "a")
+    return f"""
+WITH {_MENTIONS_CTE},
+anc AS (SELECT concept_id, anc_id FROM {av}),
+closure AS (
+  SELECT concept_id, anc_id FROM anc
+  UNION
+  SELECT x, x FROM (
+    SELECT concept_id AS x FROM anc UNION SELECT anc_id FROM anc
+  )
+),
+tags AS (
+  SELECT DISTINCT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS unit,
+         concept_id
+  FROM mentions
+),
+total AS (SELECT count(*) AS total_mass FROM tags),
+mass AS (
+  SELECT c.anc_id, count(*) AS mass
+  FROM tags t JOIN closure c USING (concept_id)
+  GROUP BY c.anc_id
+),
+pairs AS (
+  SELECT DISTINCT a.concept_id AS concept_a, b.concept_id AS concept_b
+  FROM tags a JOIN tags b
+    ON a.unit = b.unit AND a.concept_id < b.concept_id
+),
+common AS (
+  SELECT p.concept_a, p.concept_b, ca.anc_id, m.mass,
+         row_number() OVER (PARTITION BY p.concept_a, p.concept_b
+                            ORDER BY m.mass ASC, ca.anc_id ASC) AS rn
+  FROM pairs p
+  JOIN closure ca ON ca.concept_id = p.concept_a
+  JOIN closure cb ON cb.concept_id = p.concept_b
+                 AND cb.anc_id = ca.anc_id
+  JOIN mass m ON m.anc_id = ca.anc_id
+)
+SELECT concept_a, concept_b, anc_id AS mics_id, mass AS mics_mass,
+       CAST(mass * 1000000 // total_mass AS BIGINT) AS p_mics_ppm
+FROM common, total WHERE rn = 1
 """

@@ -257,3 +257,101 @@ def test_concept_drift_shares_sum_and_lag_alignment(spark):
             assert r.drift_ppm == abs(r.share_ppm - r.prev_share_ppm)
         else:
             assert r.prev_share_ppm is None and r.drift_ppm is None
+
+
+def test_concept_jaccard_hand_corpus(spark):
+    """3 units: {a,b}, {a,b}, {a} -> n_a=3, n_b=2, n_ab=2,
+    jaccard = 2/3 -> 666666 ppm (floor)."""
+    from otd_semantic_framework_spark.operators.graph import concept_jaccard
+    tags = spark.createDataFrame(
+        [("c1", 0, "a"), ("c1", 0, "b"),
+         ("c1", 1, "a"), ("c1", 1, "b"),
+         ("c2", 0, "a")],
+        "conv_id string, turn_idx int, concept_id string")
+    rows = concept_jaccard(tags).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.concept_a, r.concept_b, r.n_a, r.n_b, r.n_ab) == (
+        "a", "b", 3, 2, 2)
+    assert r.jaccard_ppm == 666_666
+
+
+def test_kg_related_counts_and_bounds(spark):
+    """Pair intersection counts bounded by per-concept counts; the
+    per-concept counts agree with a direct aggregation; jaccard in
+    (0, 1e6]."""
+    from otd_semantic_framework_spark.plans.driver_queries import (
+        _mentions_df, q_kg_related)
+    tags = (_mentions_df(spark, SF)
+            .select("conv_id", "turn_idx", "concept_id").distinct())
+    direct = {r.concept_id: r.n for r in
+              tags.groupBy("concept_id").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    rows = q_kg_related(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.concept_a < r.concept_b
+        assert direct[r.concept_a] == r.n_a
+        assert direct[r.concept_b] == r.n_b
+        assert 1 <= r.n_ab <= min(r.n_a, r.n_b)
+        assert 0 < r.jaccard_ppm <= 1_000_000
+        assert r.jaccard_ppm == (r.n_ab * 1_000_000) // (
+            r.n_a + r.n_b - r.n_ab)
+
+
+def test_kg_resnik_brute_force_replay(spark):
+    """Full pure-Python replay of the MICS selection on the fixture:
+    for every emitted pair the mics must be the min-mass (tie: min id)
+    common ancestor-or-self, with the exact mass and ppm."""
+    from otd_semantic_framework_spark.plans.driver_queries import (
+        _mentions_df, q_kg_resnik)
+    from otd_semantic_framework_spark.plans.driver_ontology import (
+        driver_concepts)
+    path = {c.concept_id: set(c.path) for c in driver_concepts()}
+    tags = [(f"{r.conv_id}:{r.turn_idx}", r.concept_id)
+            for r in (_mentions_df(spark, SF)
+                      .select("conv_id", "turn_idx", "concept_id")
+                      .distinct().collect())]
+    total = len(tags)
+    mass = {}
+    for _u, c in tags:
+        for anc in path[c]:
+            mass[anc] = mass.get(anc, 0) + 1
+    by_unit = {}
+    for u, c in tags:
+        by_unit.setdefault(u, set()).add(c)
+    expect_pairs = set()
+    for cs in by_unit.values():
+        ss = sorted(cs)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1:]:
+                expect_pairs.add((a, b))
+    rows = q_kg_resnik(spark, SF).collect()
+    assert {(r.concept_a, r.concept_b) for r in rows} == expect_pairs
+    for r in rows:
+        common = path[r.concept_a] & path[r.concept_b]
+        assert r.mics_id in common
+        best = min(common, key=lambda x: (mass[x], x))
+        assert (r.mics_id, r.mics_mass) == (best, mass[best])
+        assert r.p_mics_ppm == (mass[best] * 1_000_000) // total
+
+
+def test_resnik_sibling_pairs_more_similar_than_cross_branch(spark):
+    """Semantic sanity: two leaves under the same branch must have a
+    MICS at least as informative (<= mass) as a cross-branch pair's
+    (whose only common subsumer is the root)."""
+    from otd_semantic_framework_spark.plans.driver_queries import q_kg_resnik
+    from otd_semantic_framework_spark.plans.driver_ontology import (
+        driver_concepts)
+    parent = {c.concept_id: c.parent_id for c in driver_concepts()}
+    rows = q_kg_resnik(spark, SF).collect()
+    same, cross = [], []
+    for r in rows:
+        pa, pb = parent.get(r.concept_a), parent.get(r.concept_b)
+        if pa is not None and pa == pb:
+            same.append(r)
+        elif r.mics_id == "dq:R":
+            cross.append(r)
+    assert same and cross, "fixture must exercise both pair classes"
+    assert min(c.mics_mass for c in cross) >= max(
+        s.mics_mass for s in same if s.mics_id != "dq:R")
