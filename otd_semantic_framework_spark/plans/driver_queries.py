@@ -3321,6 +3321,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_concept_drift": q_kg_concept_drift,
         "kg_related": q_kg_related,
         "kg_resnik": q_kg_resnik,
+        "rel_window_dist": q_rel_window_dist,
+        "rel_funnel_latency": q_rel_funnel_latency,
+        "rel_retention": q_rel_retention,
     }
 
 
@@ -3456,6 +3459,9 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_concept_drift": SQL_KG_CONCEPT_DRIFT,
         "kg_related": SQL_KG_RELATED,
         "kg_resnik": _sql_kg_resnik(),
+        "rel_window_dist": SQL_REL_WINDOW_DIST,
+        "rel_funnel_latency": SQL_REL_FUNNEL_LATENCY,
+        "rel_retention": SQL_REL_RETENTION,
     }
 
 
@@ -5420,4 +5426,166 @@ common AS (
 SELECT concept_a, concept_b, anc_id AS mics_id, mass AS mics_mass,
        CAST(mass * 1000000 // total_mass AS BIGINT) AS p_mics_ppm
 FROM common, total WHERE rn = 1
+"""
+
+
+def q_rel_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window distribution functions per nation: rank, quartile
+    (ntile), and exact-integer percent-rank / cume-dist in ppm over
+    customers ordered by balance. The ordering key is made total with
+    the custkey tiebreak, so pct/cume reduce to pure rank arithmetic —
+    identical BIGINT math on both engines, no float window funcs. All
+    windows are PARTITIONED BY nation (bounded per key)."""
+    c = _tbl(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    wn = Window.partitionBy("c_nationkey")
+    return (c.select("c_custkey", "c_nationkey", "c_acctbal")
+            .withColumn("rnk", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(wn))
+            .withColumn("quartile", F.ntile(4).over(w))
+            .select("c_custkey", "c_nationkey", "c_acctbal",
+                    F.col("rnk").cast("long").alias("rnk"),
+                    F.col("quartile").cast("long").alias("quartile"),
+                    F.expr("CASE WHEN n > 1 THEN (rnk - 1) * 1000000"
+                           " DIV (n - 1) ELSE 0 END").cast("long")
+                    .alias("pct_rank_ppm"),
+                    F.expr("rnk * 1000000 DIV n").cast("long")
+                    .alias("cume_ppm")))
+
+
+SQL_REL_WINDOW_DIST = """
+WITH r AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         row_number() OVER w AS rnk,
+         count(*) OVER (PARTITION BY c_nationkey) AS n,
+         ntile(4) OVER w AS quartile
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey ASC)
+)
+SELECT c_custkey, c_nationkey, c_acctbal,
+       CAST(rnk AS BIGINT) AS rnk,
+       CAST(quartile AS BIGINT) AS quartile,
+       CAST(CASE WHEN n > 1 THEN (rnk - 1) * 1000000 // (n - 1)
+                 ELSE 0 END AS BIGINT) AS pct_rank_ppm,
+       CAST(rnk * 1000000 // n AS BIGINT) AS cume_ppm
+FROM r
+"""
+
+
+def q_rel_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert histogram for the view->click->purchase funnel:
+    per-user end-to-end latency in 10-minute bands (capped at 48),
+    band counts, and the cumulative converted share in exact ppm. The
+    cumulative window is partitionless BUT runs after orderBy+limit
+    over the band table (<= 49 rows by construction) — the
+    GlobalLimit proves the input bounded, same shape the repo-wide
+    plan gate requires."""
+    e = _tbl(spark, sf_dir, "events")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (e.filter(F.col("event_type") == "click")
+         .join(v, "user_id").filter(F.col("ts") > F.col("t1"))
+         .groupBy("user_id").agg(F.min("ts").alias("t2"),
+                                 F.first("t1").alias("t1")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id").filter(F.col("ts") > F.col("t2"))
+         .groupBy("user_id").agg(F.min("ts").alias("t3"),
+                                 F.first("t1").alias("t1")))
+    lat = p.select(
+        (F.unix_timestamp("t3") - F.unix_timestamp("t1")).alias("secs"))
+    bands = (lat.select(F.least(F.expr("secs DIV 600"), F.lit(48))
+                        .cast("int").alias("band"))
+             .groupBy("band").agg(F.count(F.lit(1)).alias("n_users"))
+             .orderBy("band").limit(49))
+    wcum = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    total = bands.agg(F.sum("n_users").alias("total"))
+    return (bands
+            .withColumn("cum_users", F.sum("n_users").over(wcum))
+            .crossJoin(F.broadcast(total))
+            .select("band", "n_users",
+                    F.col("cum_users").cast("long").alias("cum_users"),
+                    F.expr("cum_users * 1000000 DIV total").cast("long")
+                    .alias("cum_share_ppm")))
+
+
+SQL_REL_FUNNEL_LATENCY = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2, any_value(v.t1) AS t1
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3, any_value(c.t1) AS t1
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+),
+bands AS (
+  SELECT least(CAST(epoch(t3) - epoch(t1) AS BIGINT) // 600, 48) AS band,
+         count(*) AS n_users
+  FROM p GROUP BY 1
+),
+tot AS (SELECT sum(n_users) AS total FROM bands)
+SELECT CAST(band AS INTEGER) AS band, n_users,
+       CAST(sum(n_users) OVER (ORDER BY band
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
+       CAST(sum(n_users) OVER (ORDER BY band ROWS UNBOUNDED PRECEDING)
+            * 1000000 // total AS BIGINT) AS cum_share_ppm
+FROM bands, tot
+"""
+
+
+def q_rel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    retained share at each week offset in exact ppm — the standard
+    cohort triangle. Two hash aggs + one broadcast-able join on the
+    cohort key; window-free, shuffle keys are (user) then
+    (cohort_week, offset)."""
+    e = _tbl(spark, sf_dir, "events")
+    wk = (F.floor(F.unix_timestamp("ts") / (7 * 86400))).cast("long")
+    act = (e.select("user_id", wk.alias("week")).distinct())
+    first = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    ret = (act.join(first, "user_id")
+           .groupBy("cohort_week",
+                    (F.col("week") - F.col("cohort_week"))
+                    .cast("int").alias("week_offset"))
+           .agg(F.count(F.lit(1)).alias("n_active")))
+    return (ret.join(F.broadcast(sizes), "cohort_week")
+            .select("cohort_week", "week_offset", "n_active",
+                    "cohort_size",
+                    F.expr("n_active * 1000000 DIV cohort_size")
+                    .cast("long").alias("retained_ppm")))
+
+
+SQL_REL_RETENTION = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+  FROM events
+),
+first AS (
+  SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM first GROUP BY 1
+),
+ret AS (
+  SELECT f.cohort_week,
+         CAST(a.week - f.cohort_week AS INTEGER) AS week_offset,
+         count(*) AS n_active
+  FROM act a JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT r.cohort_week, r.week_offset, r.n_active, s.cohort_size,
+       CAST(r.n_active * 1000000 // s.cohort_size AS BIGINT)
+         AS retained_ppm
+FROM ret r JOIN sizes s USING (cohort_week)
 """

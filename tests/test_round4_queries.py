@@ -355,3 +355,72 @@ def test_resnik_sibling_pairs_more_similar_than_cross_branch(spark):
     assert same and cross, "fixture must exercise both pair classes"
     assert min(c.mics_mass for c in cross) >= max(
         s.mics_mass for s in same if s.mics_id != "dq:R")
+
+
+def test_window_dist_invariants(spark):
+    """Per-nation: rnk is 1..n dense over unique custkeys; quartiles
+    are 1..4 and non-decreasing along rnk; pct/cume ppm are exact rank
+    arithmetic and monotone."""
+    from otd_semantic_framework_spark.plans.driver_queries import (
+        q_rel_window_dist)
+    rows = q_rel_window_dist(spark, SF).collect()
+    assert rows
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r.c_nationkey, []).append(r)
+    for nk, rs in by_nation.items():
+        rs.sort(key=lambda r: r.rnk)
+        n = len(rs)
+        assert [r.rnk for r in rs] == list(range(1, n + 1))
+        assert all(1 <= r.quartile <= 4 for r in rs)
+        assert all(a.quartile <= b.quartile
+                   for a, b in zip(rs, rs[1:]))
+        assert all(a.c_acctbal >= b.c_acctbal or
+                   (a.c_acctbal == b.c_acctbal and
+                    a.c_custkey < b.c_custkey)
+                   for a, b in zip(rs, rs[1:]))
+        for r in rs:
+            assert r.cume_ppm == r.rnk * 1_000_000 // n
+            expect = 0 if n == 1 else (r.rnk - 1) * 1_000_000 // (n - 1)
+            assert r.pct_rank_ppm == expect
+
+
+def test_funnel_latency_histogram_consistency(spark):
+    """Band counts sum to the funnel's purchase count; cum_users is a
+    strictly increasing prefix sum ending at the total; the last
+    cum_share_ppm is exactly 1e6."""
+    from otd_semantic_framework_spark.plans.driver_queries import (
+        q_rel_funnel, q_rel_funnel_latency)
+    n_purchase = q_rel_funnel(spark, SF).collect()[0].n_purchase
+    rows = sorted(q_rel_funnel_latency(spark, SF).collect(),
+                  key=lambda r: r.band)
+    assert rows, "fixture funnel produced no purchases"
+    assert sum(r.n_users for r in rows) == n_purchase
+    cum = 0
+    for r in rows:
+        assert 0 <= r.band <= 48
+        cum += r.n_users
+        assert r.cum_users == cum
+        assert r.cum_share_ppm == cum * 1_000_000 // n_purchase
+    assert rows[-1].cum_share_ppm == 1_000_000
+
+
+def test_retention_cohort_triangle(spark):
+    """offset-0 row of every cohort has n_active == cohort_size
+    (everyone is active in their first week) => retained_ppm == 1e6;
+    n_active never exceeds cohort_size; cohort sizes sum to the
+    number of distinct users."""
+    from otd_semantic_framework_spark.plans.driver_queries import (
+        _tbl, q_rel_retention)
+    rows = q_rel_retention(spark, SF).collect()
+    assert rows
+    n_users = (_tbl(spark, SF, "events")
+               .select("user_id").distinct().count())
+    zero = [r for r in rows if r.week_offset == 0]
+    assert sum(r.cohort_size for r in zero) == n_users
+    for r in rows:
+        assert r.week_offset >= 0
+        assert 1 <= r.n_active <= r.cohort_size
+        assert r.retained_ppm == r.n_active * 1_000_000 // r.cohort_size
+        if r.week_offset == 0:
+            assert r.retained_ppm == 1_000_000
