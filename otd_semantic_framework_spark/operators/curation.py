@@ -712,3 +712,60 @@ def interleave_domains(docs: DataFrame, domain_col: str,
             .select("doc_id", "domain", "shard", "pos_in_domain",
                     (F.col("_off") + F.col("local_pos")).cast("long")
                     .alias("global_pos")))
+
+
+def dsir_importance(docs: DataFrame, target_col: str,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    n_buckets: int = 256) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023
+    [K]) re-expressed in this repo's engine-portable fixed point:
+    score each raw document by how much its hashed-unigram profile
+    looks like the TARGET distribution (rows where ``target_col`` is
+    truthy) relative to the RAW distribution (all rows). Classic DSIR
+    weights are Σ log p_t(f)/p_r(f); the log is monotone per feature,
+    so this operator emits the add-one-smoothed probability ratio per
+    feature in ppm and the document score as the exact-integer MEAN
+    token ratio — rank-equivalent for selection thresholds at uniform
+    document length and bit-identical across engines (the repo's
+    no-float-logs convention, same trade recorded for resnik_mics).
+
+    Two corpus passes, exactly like reference DSIR: (1) token stream →
+    one hash agg keyed on the md5 feature bucket (output bounded by
+    ``n_buckets``), (2) token stream re-scored against the
+    broadcast-joined ratio table → one hash agg keyed on the doc.
+    Totals fold in as lazy 1-row aggregates; no driver actions, no
+    windows. BIGINT fixed point is exact below ~9e18 — beyond ~1e9
+    tokens per bucket swap the ppm literals to DECIMAL(38,0), same
+    plan shape.
+    """
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                            r"\s+"),
+                    lambda t: t != "")
+    stream = (docs.select(F.col(id_col).alias("doc_id"),
+                          F.col(target_col).cast("int").alias("is_target"),
+                          F.explode(toks).alias("tok"))
+              .select("doc_id", "is_target",
+                      (F.conv(F.substring(F.md5("tok"), 1, 2), 16, 10)
+                       .cast("int") % n_buckets).alias("bucket")))
+    counts = (stream.groupBy("bucket")
+              .agg(F.count(F.lit(1)).alias("raw_cnt"),
+                   F.sum("is_target").alias("tgt_cnt")))
+    totals = (counts.agg(F.sum("raw_cnt").alias("raw_total"),
+                         F.sum("tgt_cnt").alias("tgt_total")))
+    ratios = (counts.crossJoin(F.broadcast(totals))
+              .select("bucket",
+                      F.expr(f"((tgt_cnt + 1) * 1000000"
+                             f" DIV (raw_cnt + 1))"
+                             f" * (raw_total + {n_buckets})"
+                             f" DIV (tgt_total + {n_buckets})")
+                      .cast("long").alias("ratio_ppm")))
+    return (stream.join(F.broadcast(ratios), "bucket")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.max("is_target").alias("is_target"),
+                 F.sum("ratio_ppm").alias("sum_ratio_ppm"))
+            .select("doc_id",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("is_target").cast("int").alias("is_target"),
+                    F.expr("sum_ratio_ppm DIV n_tokens").cast("long")
+                    .alias("dsir_score_ppm")))

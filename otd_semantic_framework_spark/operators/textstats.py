@@ -277,3 +277,48 @@ def hashed_quality_classifier(docs: DataFrame, id_col: str = "doc_id",
         logit.alias("quality_logit"),
         prob.alias("quality_prob"),
         (prob >= 0.5).cast("int").alias("keep"))
+
+
+def lexical_diversity(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-document lexical-diversity profile: token count, type count
+    (distinct tokens), hapax count (tokens occurring exactly once in
+    the doc), and the exact-integer type-token and hapax ratios in ppm
+    — the classic vocabulary-richness quality signals (low TTR flags
+    boilerplate/repetition; high hapax share flags OCR noise and
+    gibberish).
+
+    Scale shape: explode → one hash agg keyed on (doc, token) — the
+    map-side partial absorbs within-partition repeats of the same
+    token, which is exactly where repetitive documents concentrate —
+    then one hash agg keyed on the doc. Docs with no tokens surface
+    with zero counts via a left join back to the id spine (ontology of
+    outputs = input docs, always). No windows, no UDFs.
+    """
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                            r"\s+"),
+                    lambda t: t != "")
+    per_tok = (docs.select(F.col(id_col).alias("doc_id"),
+                           F.explode(toks).alias("tok"))
+               .groupBy("doc_id", "tok")
+               .agg(F.count(F.lit(1)).alias("n")))
+    per_doc = (per_tok.groupBy("doc_id")
+               .agg(F.sum("n").alias("n_tokens"),
+                    F.count(F.lit(1)).alias("n_types"),
+                    F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+                    .alias("n_hapax")))
+    spine = docs.select(F.col(id_col).alias("doc_id"))
+    return (spine.join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                    .alias("n_tokens"),
+                    F.coalesce("n_types", F.lit(0)).cast("long")
+                    .alias("n_types"),
+                    F.coalesce("n_hapax", F.lit(0)).cast("long")
+                    .alias("n_hapax"),
+                    F.expr("CASE WHEN n_tokens > 0 THEN"
+                           " n_types * 1000000 DIV n_tokens"
+                           " ELSE 0 END").cast("long").alias("ttr_ppm"),
+                    F.expr("CASE WHEN n_tokens > 0 THEN"
+                           " n_hapax * 1000000 DIV n_tokens"
+                           " ELSE 0 END").cast("long").alias("hapax_ppm")))

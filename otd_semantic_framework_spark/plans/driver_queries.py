@@ -3324,6 +3324,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_window_dist": q_rel_window_dist,
         "rel_funnel_latency": q_rel_funnel_latency,
         "rel_retention": q_rel_retention,
+        "curation_dsir": q_curation_dsir,
+        "text_ttr": q_text_ttr,
     }
 
 
@@ -3462,6 +3464,8 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_window_dist": SQL_REL_WINDOW_DIST,
         "rel_funnel_latency": SQL_REL_FUNNEL_LATENCY,
         "rel_retention": SQL_REL_RETENTION,
+        "curation_dsir": SQL_CURATION_DSIR,
+        "text_ttr": SQL_TEXT_TTR,
     }
 
 
@@ -5588,4 +5592,87 @@ SELECT r.cohort_week, r.week_offset, r.n_active, s.cohort_size,
        CAST(r.n_active * 1000000 // s.cohort_size AS BIGINT)
          AS retained_ppm
 FROM ret r JOIN sizes s USING (cohort_week)
+"""
+
+
+def q_curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights against the English slice as the
+    target distribution (operators/curation.py:dsir_importance) —
+    fixed-point likelihood-ratio scoring of every raw document."""
+    from ..operators.curation import dsir_importance
+    d = _docs(spark, sf_dir).withColumn(
+        "is_en", (F.col("lang") == "en").cast("int"))
+    return dsir_importance(d, "is_en")
+
+
+SQL_CURATION_DSIR = """
+WITH tokd AS (
+  SELECT doc_id, CAST(lang = 'en' AS INTEGER) AS is_target,
+         unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                               '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+stream AS (
+  SELECT doc_id, is_target,
+         (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1 AS bucket
+  FROM tokd
+),
+counts AS (
+  SELECT bucket, count(*) AS raw_cnt, sum(is_target) AS tgt_cnt
+  FROM stream GROUP BY 1
+),
+totals AS (
+  SELECT sum(raw_cnt) AS raw_total, sum(tgt_cnt) AS tgt_total FROM counts
+),
+ratios AS (
+  SELECT bucket,
+         CAST(((tgt_cnt + 1) * 1000000 // (raw_cnt + 1))
+              * (raw_total + 256) // (tgt_total + 256) AS BIGINT)
+           AS ratio_ppm
+  FROM counts, totals
+)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(max(s.is_target) AS INTEGER) AS is_target,
+       CAST(sum(r.ratio_ppm) // count(*) AS BIGINT) AS dsir_score_ppm
+FROM stream s JOIN ratios r USING (bucket)
+GROUP BY s.doc_id
+"""
+
+
+def q_text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document
+    (operators/textstats.py:lexical_diversity): type-token and hapax
+    ratios in exact ppm."""
+    from ..operators.textstats import lexical_diversity
+    return lexical_diversity(_docs(spark, sf_dir))
+
+
+SQL_TEXT_TTR = """
+WITH per_tok AS (
+  SELECT doc_id, tok, count(*) AS n FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                 '\\s+'),
+                              t -> t <> '')) AS tok
+    FROM documents)
+  GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, sum(n) AS n_tokens, count(*) AS n_types,
+         sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_hapax
+  FROM per_tok GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_types, 0) AS BIGINT) AS n_types,
+       CAST(coalesce(p.n_hapax, 0) AS BIGINT) AS n_hapax,
+       CAST(CASE WHEN coalesce(p.n_tokens, 0) > 0
+                 THEN p.n_types * 1000000 // p.n_tokens
+                 ELSE 0 END AS BIGINT) AS ttr_ppm,
+       CAST(CASE WHEN coalesce(p.n_tokens, 0) > 0
+                 THEN p.n_hapax * 1000000 // p.n_tokens
+                 ELSE 0 END AS BIGINT) AS hapax_ppm
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """

@@ -424,3 +424,64 @@ def test_retention_cohort_triangle(spark):
         assert r.retained_ppm == r.n_active * 1_000_000 // r.cohort_size
         if r.week_offset == 0:
             assert r.retained_ppm == 1_000_000
+
+
+def test_dsir_separates_target_like_documents(spark):
+    """Hand corpus: target docs say 'alpha beta', raw-only docs say
+    'gamma delta'. A held-out doc with target vocabulary must outscore
+    one with raw-only vocabulary, and per-feature smoothing keeps every
+    score strictly positive."""
+    from otd_semantic_framework_spark.operators.curation import (
+        dsir_importance)
+    rows = ([(i, "alpha beta alpha beta", 1) for i in range(10)]
+            + [(100 + i, "gamma delta gamma delta", 0) for i in range(10)]
+            + [(200, "alpha beta", 0), (201, "gamma delta", 0)])
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, is_tgt int")
+    out = {r.doc_id: r for r in dsir_importance(docs, "is_tgt").collect()}
+    assert len(out) == 22
+    assert all(r.dsir_score_ppm > 0 for r in out.values())
+    assert out[200].dsir_score_ppm > out[201].dsir_score_ppm
+    # members of the target slice score like the held-out target twin
+    assert out[0].dsir_score_ppm == out[200].dsir_score_ppm
+
+
+def test_dsir_fixture_target_mean_exceeds_raw_mean(spark):
+    """On the driver fixture with lang='en' as target, the mean score
+    of target docs must exceed the mean of non-target docs — the
+    importance weights must actually tilt toward the target."""
+    from otd_semantic_framework_spark.plans.driver_queries import (
+        q_curation_dsir)
+    rows = q_curation_dsir(spark, SF).collect()
+    tgt = [r.dsir_score_ppm for r in rows if r.is_target]
+    raw = [r.dsir_score_ppm for r in rows if not r.is_target]
+    assert tgt and raw, "fixture must contain both slices"
+    assert sum(tgt) / len(tgt) > sum(raw) / len(raw)
+
+
+def test_lexical_diversity_hand_and_fixture(spark):
+    """All-unique doc -> ttr = hapax = 1e6; constant doc of n tokens ->
+    ttr = 1e6/n floor, hapax = 0; empty doc survives with zeros. On the
+    fixture: bounds and exact ratio arithmetic for every row."""
+    from otd_semantic_framework_spark.operators.textstats import (
+        lexical_diversity)
+    from otd_semantic_framework_spark.plans.driver_queries import q_text_ttr
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x x x x x"), (3, ""), (4, None),
+         (5, "w w y")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in lexical_diversity(docs).collect()}
+    assert (out[1].n_tokens, out[1].n_types, out[1].n_hapax) == (4, 4, 4)
+    assert out[1].ttr_ppm == out[1].hapax_ppm == 1_000_000
+    assert (out[2].n_types, out[2].n_hapax) == (1, 0)
+    assert out[2].ttr_ppm == 200_000 and out[2].hapax_ppm == 0
+    for d in (3, 4):
+        assert (out[d].n_tokens, out[d].ttr_ppm) == (0, 0)
+    assert (out[5].n_tokens, out[5].n_types, out[5].n_hapax) == (3, 2, 1)
+    fix = q_text_ttr(spark, SF).collect()
+    assert len(fix) == 500
+    for r in fix:
+        assert 0 <= r.n_hapax <= r.n_types <= max(r.n_tokens, 1)
+        if r.n_tokens:
+            assert r.ttr_ppm == r.n_types * 1_000_000 // r.n_tokens
+            assert r.hapax_ppm == r.n_hapax * 1_000_000 // r.n_tokens
