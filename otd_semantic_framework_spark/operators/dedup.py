@@ -520,3 +520,78 @@ def semantic_fingerprint_dedup(tags: DataFrame,
             .agg(F.max("set_size").cast("long").alias("set_size"),
                  F.count(F.lit(1)).alias("n_units"),
                  F.min("unit").alias("keeper")))
+
+
+def boilerplate_segments(docs: DataFrame, seg_words: int = 8,
+                         df_cap: int = 20, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """CCNet-style duplicated-segment (boilerplate) removal: split each
+    document into consecutive ``seg_words``-token segments, count in how
+    many DISTINCT documents each segment string occurs corpus-wide, and
+    drop from every document the segments that appear in more than
+    ``df_cap`` documents — headers, footers, navigation chrome, cookie
+    banners: the text that repeats across pages verbatim. (CCNet does
+    this per line; transcripts have no newlines, so the fixed-width
+    token segment is the line proxy.) [K: CCNet, Wenzek et al. 2020 —
+    dedup by duplicated paragraphs/lines before LM filtering.]
+
+    Output: one row per input document (id spine preserved) with the
+    segment count, dropped-segment count, the cleaned text (kept
+    segments re-joined in original order), and its length.
+
+    Scale shape: tokenize + segment with JVM array functions (zero
+    Python); ONE hash agg keyed on the segment string computes document
+    frequency with a map-side partial (distinct (seg, doc) first, so
+    repeats inside one doc don't inflate df); the boilerplate set is
+    ``df > df_cap`` — by construction small (boilerplate is few distinct
+    strings in many docs) — and is BROADCAST left-anti-joined against
+    the segment stream, so the big table never shuffles on the segment
+    key twice. Reassembly is one groupBy(doc) with array_sort over
+    (pos, seg) structs. No windows.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "")
+    segs = (docs
+            .select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+            .select("doc_id",
+                    F.expr(
+                        f"transform(sequence(0, greatest(size(toks) - 1, 0)"
+                        f" DIV {seg_words}),"
+                        f" i -> struct(i AS pos, concat_ws(' ',"
+                        f" slice(toks, i * {seg_words} + 1, {seg_words}))"
+                        f" AS seg))").alias("seglist"),
+                    F.size("toks").alias("n_toks"))
+            .select("doc_id", F.explode_outer(
+                F.when(F.col("n_toks") > 0, F.col("seglist"))
+                .otherwise(F.expr("array()"))).alias("s"))
+            .select("doc_id", F.col("s.pos").alias("pos"),
+                    F.col("s.seg").alias("seg")))
+    hot = (segs.where(F.col("seg").isNotNull())
+           .select("seg", "doc_id").distinct()
+           .groupBy("seg").agg(F.count(F.lit(1)).alias("df"))
+           .where(F.col("df") > df_cap)
+           .select("seg"))
+    kept = segs.where(F.col("seg").isNotNull()).join(
+        F.broadcast(hot), "seg", "left_anti")
+    per_doc = (kept.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.concat_ws(" ", F.expr(
+                        "transform(array_sort(collect_list("
+                        "struct(pos, seg))), x -> x.seg)"))
+                    .alias("clean_text")))
+    totals = (segs.where(F.col("seg").isNotNull())
+              .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs")))
+    spine = docs.select(F.col(id_col).alias("doc_id"))
+    return (spine
+            .join(totals, "doc_id", "left")
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_segs", F.lit(0)).cast("long")
+                    .alias("n_segs"),
+                    (F.coalesce("n_segs", F.lit(0))
+                     - F.coalesce("n_kept", F.lit(0))).cast("long")
+                    .alias("n_dropped"),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.length(F.coalesce("clean_text", F.lit("")))
+                    .cast("long").alias("clean_chars")))

@@ -569,3 +569,51 @@ def resnik_mics(tags: DataFrame, ancestors: DataFrame,
                     F.col("mass").alias("mics_mass"),
                     F.expr(f"mass * {PPM} DIV total_mass")
                     .cast("long").alias("p_mics_ppm")))
+
+
+def kcore_peel(triples: DataFrame, k: int = 2, rounds: int = 6) -> DataFrame:
+    """Bounded-round k-core decomposition of the KG by synchronous
+    peeling: treat the triple table as an undirected graph, and each
+    round delete every node whose degree within the surviving subgraph
+    is below ``k``; after ``rounds`` rounds, return the survivors with
+    their within-core degree. The k-core is the standard density
+    skeleton (a maximal subgraph where every node keeps ≥ k neighbors)
+    — the KG-health read that separates the connected conceptual core
+    from pendant turns and one-off tool calls.
+
+    Synchronous peeling is deterministic and monotone (the alive set
+    only shrinks), so a bounded unrolling is exact as soon as two
+    consecutive rounds agree — pytest pins fixpoint-within-``rounds``
+    on the test corpora, and the DuckDB oracle replays the identical
+    unrolled rounds, so the pairing never depends on convergence.
+
+    Scale shape per round: the undirected adjacency (built once,
+    persisted) is filtered to surviving endpoints with two keyed
+    hash joins against the alive set, then one map-side-partial count
+    per node — all shuffles keyed on node ids, no windows, no
+    broadcast of anything that grows with the graph. The alive set is
+    localCheckpoint()ed every round to keep lineage flat. On a real
+    cluster, bucket the adjacency by src so the per-round join is
+    co-partitioned and shuffle-free.
+    """
+    und = kg_edges(triples)
+    adj = (und.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+           .unionByName(
+               und.select(F.col("obj").alias("src"),
+                          F.col("subj").alias("dst")))
+           .distinct()
+           .persist())
+    alive = adj.select(F.col("src").alias("node")).distinct()
+    deg = None
+    for _ in range(rounds):
+        alive_edges = (adj
+                       .join(alive.withColumnRenamed("node", "src"), "src")
+                       .join(alive.withColumnRenamed("node", "dst"), "dst"))
+        deg = (alive_edges.groupBy("src")
+               .agg(F.count(F.lit(1)).alias("deg")))
+        alive = (deg.where(F.col("deg") >= k)
+                 .select(F.col("src").alias("node"))
+                 .localCheckpoint(eager=False))
+    return (deg.where(F.col("deg") >= k)
+            .select(F.col("src").alias("node"),
+                    F.col("deg").cast("long").alias("core_deg")))

@@ -3326,6 +3326,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_retention": q_rel_retention,
         "curation_dsir": q_curation_dsir,
         "text_ttr": q_text_ttr,
+        "text_boilerplate": q_text_boilerplate,
+        "kg_kcore": q_kg_kcore,
+        "text_vocab": q_text_vocab,
+        "text_source_overlap": q_text_source_overlap,
     }
 
 
@@ -3466,6 +3470,10 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_retention": SQL_REL_RETENTION,
         "curation_dsir": SQL_CURATION_DSIR,
         "text_ttr": SQL_TEXT_TTR,
+        "text_boilerplate": SQL_TEXT_BOILERPLATE,
+        "kg_kcore": _sql_kg_kcore(),
+        "text_vocab": SQL_TEXT_VOCAB,
+        "text_source_overlap": SQL_TEXT_SOURCE_OVERLAP,
     }
 
 
@@ -5675,4 +5683,233 @@ SELECT d.doc_id,
                  THEN p.n_hapax * 1000000 // p.n_tokens
                  ELSE 0 END AS BIGINT) AS hapax_ppm
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Late-r4 wave 2: boilerplate removal, k-core, vocabulary build,
+# cross-source overlap.
+# ---------------------------------------------------------------------------
+
+BOILER_SEG_WORDS = 3
+BOILER_DF_CAP = 5
+
+
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style duplicated-segment (boilerplate) removal
+    (operators/dedup.py:boilerplate_segments) — drop from every document
+    the fixed-width token segments that occur verbatim in more than
+    df_cap distinct documents. The hot-segment set is small by
+    construction and broadcast anti-joined, so the corpus shuffles on
+    the segment key exactly once (the df agg)."""
+    from ..operators.dedup import boilerplate_segments
+    return boilerplate_segments(_docs(spark, sf_dir),
+                                seg_words=BOILER_SEG_WORDS,
+                                df_cap=BOILER_DF_CAP)
+
+
+SQL_TEXT_BOILERPLATE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, r.i AS pos,
+         list_aggregate(tk[r.i * {BOILER_SEG_WORDS} + 1 :
+                           r.i * {BOILER_SEG_WORDS} + {BOILER_SEG_WORDS}],
+                        'string_agg', ' ') AS seg
+  FROM toks, lateral unnest(
+    range(0, greatest(len(tk) - 1, 0) // {BOILER_SEG_WORDS} + 1)) AS r(i)
+  WHERE len(tk) > 0
+),
+hot AS (
+  SELECT seg FROM (SELECT DISTINCT doc_id, seg FROM segs)
+  GROUP BY seg HAVING count(*) > {BOILER_DF_CAP}
+),
+kept AS (
+  SELECT s.doc_id,
+         count(*) AS n_kept,
+         coalesce(string_agg(s.seg, ' ' ORDER BY s.pos), '') AS clean_text
+  FROM segs s ANTI JOIN hot h ON s.seg = h.seg
+  GROUP BY s.doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(t.n_segs, 0) AS BIGINT) AS n_segs,
+       CAST(coalesce(t.n_segs, 0) - coalesce(k.n_kept, 0) AS BIGINT)
+         AS n_dropped,
+       coalesce(k.clean_text, '') AS clean_text,
+       CAST(length(coalesce(k.clean_text, '')) AS BIGINT) AS clean_chars
+FROM documents d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN kept k USING (doc_id)
+"""
+
+
+KCORE_K = 20
+KCORE_ROUNDS = 6
+
+
+def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core decomposition of the KG
+    (operators/graph.py:kcore_peel) — the density skeleton separating
+    the connected conceptual core from pendant turns. Six synchronous
+    peeling rounds, fixpoint-within-rounds pytest-pinned on every test
+    corpus; the oracle replays the identical unrolled rounds so the
+    pairing is exact whether or not peeling has converged."""
+    from ..operators.graph import kcore_peel
+    return kcore_peel(q_kg_triples(spark, sf_dir),
+                      k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _sql_kg_kcore() -> str:
+    rounds, prev = [], "a0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""d{i} AS (
+  SELECT e.src, count(*) AS deg
+  FROM adj e JOIN {prev} s ON e.src = s.node JOIN {prev} t ON e.dst = t.node
+  GROUP BY e.src),
+a{i} AS (SELECT src AS node FROM d{i} WHERE deg >= {KCORE_K})""")
+        prev = f"a{i}"
+    return f"""
+WITH triples AS ({_sql_kg_triples_body()}),
+und AS (SELECT DISTINCT subj, obj FROM triples),
+adj AS (SELECT subj AS src, obj AS dst FROM und
+        UNION SELECT obj, subj FROM und),
+a0 AS (SELECT DISTINCT src AS node FROM adj),
+{', '.join(rounds)}
+SELECT src AS node, CAST(deg AS BIGINT) AS core_deg
+FROM d{KCORE_ROUNDS} WHERE deg >= {KCORE_K}
+"""
+
+
+VOCAB_TOP = 200
+
+
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: the top-200 tokens by frequency with
+    rank and CUMULATIVE corpus-coverage share in exact ppm — the first
+    artifact of any tokenizer/vocab pipeline (what fraction of the
+    token stream the top-k vocabulary explains). One map-side-partial
+    hash agg over the exploded token stream; the global order is
+    orderBy+limit (TakeOrdered, parallel), and the running sum ranks
+    AFTER the GlobalLimit, so the partitionless window only ever sees
+    the 200-row result — the bounded-input shape the repo plan gate
+    requires. Corpus total is a lazy one-row aggregate, broadcast by
+    construction."""
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                            r"\s+"),
+                    lambda t: t != "")
+    counts = (_docs(spark, sf_dir)
+              .select(F.explode(toks).alias("tok"))
+              .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(VOCAB_TOP)
+    total = counts.agg(F.sum("n").alias("total_toks"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok")) \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (top.crossJoin(F.broadcast(total))
+            .withColumn("cum_n", F.sum("n").over(w))
+            .select("tok", F.col("n").cast("long").alias("n"),
+                    F.row_number().over(
+                        Window.orderBy(F.desc("n"), F.asc("tok")))
+                    .cast("long").alias("rank"),
+                    F.expr("cum_n * 1000000L DIV total_toks")
+                    .cast("long").alias("cum_share_ppm")))
+
+
+SQL_TEXT_VOCAB = f"""
+WITH counts AS (
+  SELECT tok, count(*) AS n FROM (
+    SELECT unnest(list_filter(
+             string_split_regex(lower(coalesce(text, '')), '\\s+'),
+             t -> t <> '')) AS tok
+    FROM documents)
+  GROUP BY tok
+),
+total AS (SELECT sum(n) AS total_toks FROM counts),
+top AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT {VOCAB_TOP})
+SELECT tok, CAST(n AS BIGINT) AS n,
+       CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rank,
+       CAST(sum(n) OVER (ORDER BY n DESC, tok
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            * 1000000 // t.total_toks AS BIGINT) AS cum_share_ppm
+FROM top, total t
+"""
+
+
+OVERLAP_SHINGLE = 3
+
+
+def q_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: pairwise token-shingle
+    Jaccard between every pair of corpus sources — the audit that
+    catches one crawl slice being a mirror of another before both are
+    upsampled into a training mix. Scale shape: the corpus collapses to
+    DISTINCT (source, shingle) FIRST (one map-side-partial agg), so the
+    shingle posting list is bounded by the number of SOURCES (tens),
+    never by document count — the self-join fan-out per shingle is at
+    most C(n_sources, 2) and the pair agg key space is n_sources²."""
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                            r"\s+"),
+                    lambda t: t != "")
+    sh = (_docs(spark, sf_dir)
+          .select("source", toks.alias("tk"))
+          .where(F.size("tk") >= OVERLAP_SHINGLE)
+          .select("source", F.explode(F.expr(
+              f"transform(sequence(1, size(tk) - {OVERLAP_SHINGLE} + 1),"
+              f" i -> concat_ws(' ', slice(tk, i, {OVERLAP_SHINGLE})))"))
+              .alias("shingle"))
+          .distinct())
+    per_src = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    common = (a.join(b, "shingle")
+              .where(F.col("source_a") < F.col("source_b"))
+              .groupBy("source_a", "source_b")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    pa = per_src.select(F.col("source").alias("source_a"),
+                        F.col("n_sh").alias("n_a"))
+    pb = per_src.select(F.col("source").alias("source_b"),
+                        F.col("n_sh").alias("n_b"))
+    return (common.join(F.broadcast(pa), "source_a")
+            .join(F.broadcast(pb), "source_b")
+            .select("source_a", "source_b",
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    F.col("n_common").cast("long").alias("n_common"),
+                    F.expr("n_common * 1000000L DIV"
+                           " (n_a + n_b - n_common)")
+                    .cast("long").alias("jaccard_ppm")))
+
+
+SQL_TEXT_SOURCE_OVERLAP = f"""
+WITH sh AS (
+  SELECT DISTINCT source,
+         list_aggregate(tk[i : i + {OVERLAP_SHINGLE} - 1],
+                        'string_agg', ' ') AS shingle
+  FROM (SELECT source,
+               list_filter(string_split_regex(lower(coalesce(text, '')),
+                                              '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents),
+       lateral unnest(range(1, len(tk) - {OVERLAP_SHINGLE} + 2)) AS r(i)
+  WHERE len(tk) >= {OVERLAP_SHINGLE}
+),
+per_src AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+common AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT c.source_a, c.source_b,
+       CAST(pa.n_sh AS BIGINT) AS n_a,
+       CAST(pb.n_sh AS BIGINT) AS n_b,
+       CAST(c.n_common AS BIGINT) AS n_common,
+       CAST(c.n_common * 1000000 // (pa.n_sh + pb.n_sh - c.n_common)
+            AS BIGINT) AS jaccard_ppm
+FROM common c
+JOIN per_src pa ON pa.source = c.source_a
+JOIN per_src pb ON pb.source = c.source_b
 """

@@ -1,0 +1,118 @@
+"""Late-r4 wave-2 operators: CCNet-style boilerplate-segment removal,
+bounded-round k-core peeling, vocabulary build with cumulative
+coverage, and the cross-source shingle-overlap matrix.
+
+All four are oracle-paired in the driver registry; these tests pin the
+semantic invariants the hash comparison alone can't state (both
+branches exercised, fixpoint reached, monotonicity, bounds).
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+class TestBoilerplate:
+    def test_both_branches_and_reassembly(self, spark):
+        from otd_semantic_framework_spark.operators.dedup import (
+            boilerplate_segments)
+        from otd_semantic_framework_spark.plans.driver_queries import (
+            BOILER_DF_CAP, BOILER_SEG_WORDS)
+        docs = _docs(spark)
+        out = boilerplate_segments(docs, seg_words=BOILER_SEG_WORDS,
+                                   df_cap=BOILER_DF_CAP).cache()
+        # id spine preserved
+        assert out.count() == docs.count()
+        dropped = out.where(F.col("n_dropped") > 0).count()
+        intact = out.where(F.col("n_dropped") == 0).count()
+        assert dropped > 0, "drop branch never fired"
+        assert intact > 0, "keep branch never fired"
+        # an untouched doc's cleaned text is exactly its normalized
+        # token stream (lowercase, single-space re-join)
+        joined = out.join(docs, "doc_id").where(F.col("n_dropped") == 0)
+        mismatch = joined.where(
+            F.col("clean_text") != F.concat_ws(
+                " ", F.filter(F.split(F.lower(F.coalesce("text", F.lit(""))),
+                                      r"\s+"),
+                              lambda t: t != ""))).count()
+        assert mismatch == 0
+        # a doc that lost segments got strictly shorter
+        bad = out.join(docs, "doc_id").where(
+            (F.col("n_dropped") > 0)
+            & (F.col("clean_chars") >= F.col("n_chars"))).count()
+        assert bad == 0
+        out.unpersist()
+
+    def test_hot_set_is_broadcast(self, spark):
+        """The boilerplate (df > cap) set must join as the broadcast
+        side — the corpus-sized segment stream never shuffles for the
+        anti join."""
+        from otd_semantic_framework_spark.operators.dedup import (
+            boilerplate_segments)
+        plan = boilerplate_segments(_docs(spark))._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+class TestKCore:
+    def test_fixpoint_and_degree_floor(self, spark):
+        from otd_semantic_framework_spark.operators.graph import kcore_peel
+        from otd_semantic_framework_spark.plans.driver_queries import (
+            KCORE_K, KCORE_ROUNDS, q_kg_triples)
+        tr = q_kg_triples(spark, SF).cache()
+        at_r = kcore_peel(tr, k=KCORE_K, rounds=KCORE_ROUNDS).cache()
+        one_more = kcore_peel(tr, k=KCORE_K, rounds=KCORE_ROUNDS + 1)
+        # peeling reached fixpoint within the unrolled budget, so the
+        # bounded answer IS the k-core, not an approximation
+        assert at_r.exceptAll(one_more).count() == 0
+        assert one_more.exceptAll(at_r).count() == 0
+        # every survivor keeps >= k neighbors inside the core
+        assert at_r.where(F.col("core_deg") < KCORE_K).count() == 0
+        # peeling actually removed something, over more than one round
+        first = kcore_peel(tr, k=KCORE_K, rounds=1)
+        n_nodes = (tr.select(F.col("subj").alias("n"))
+                   .union(tr.select("obj")).distinct().count())
+        assert first.count() < n_nodes, "round 1 peeled nothing"
+        assert at_r.count() < first.count(), "no multi-round cascade"
+        at_r.unpersist()
+        tr.unpersist()
+
+
+class TestVocab:
+    def test_rank_and_cumulative_share(self, spark):
+        from otd_semantic_framework_spark.plans.driver_queries import (
+            q_text_vocab)
+        rows = q_text_vocab(spark, SF).orderBy("rank").collect()
+        assert rows, "empty vocabulary"
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        counts = [r.n for r in rows]
+        assert counts == sorted(counts, reverse=True)
+        shares = [r.cum_share_ppm for r in rows]
+        assert shares == sorted(shares), "cumulative share not monotone"
+        assert shares[-1] <= 1_000_000
+        # this corpus's whole vocabulary fits in the top-200, so the
+        # final cumulative share must be exactly 100% (floor division
+        # reaches 1e6 only when cum == total)
+        assert shares[-1] == 1_000_000
+
+
+class TestSourceOverlap:
+    def test_pair_bounds(self, spark):
+        from otd_semantic_framework_spark.plans.driver_queries import (
+            q_text_source_overlap)
+        out = q_text_source_overlap(spark, SF).cache()
+        assert out.where(F.col("source_a") >= F.col("source_b")).count() == 0
+        assert out.where(
+            (F.col("jaccard_ppm") < 0)
+            | (F.col("jaccard_ppm") > 1_000_000)).count() == 0
+        assert out.where(
+            F.col("n_common") > F.least("n_a", "n_b")).count() == 0
+        # sf corpus sources share the same tiny vocabulary: overlap must
+        # be non-trivial somewhere (the audit has signal, not all-zero)
+        assert out.where(F.col("jaccard_ppm") > 0).count() > 0
+        out.unpersist()
