@@ -5774,11 +5774,11 @@ def _sql_kg_kcore() -> str:
 a{i} AS (SELECT src AS node FROM d{i} WHERE deg >= {KCORE_K})""")
         prev = f"a{i}"
     return f"""
-WITH triples AS ({_sql_kg_triples_body()}),
-und AS (SELECT DISTINCT subj, obj FROM triples),
-adj AS (SELECT subj AS src, obj AS dst FROM und
+WITH triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+und AS MATERIALIZED (SELECT DISTINCT subj, obj FROM triples),
+adj AS MATERIALIZED (SELECT subj AS src, obj AS dst FROM und
         UNION SELECT obj, subj FROM und),
-a0 AS (SELECT DISTINCT src AS node FROM adj),
+a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM adj),
 {', '.join(rounds)}
 SELECT src AS node, CAST(deg AS BIGINT) AS core_deg
 FROM d{KCORE_ROUNDS} WHERE deg >= {KCORE_K}
