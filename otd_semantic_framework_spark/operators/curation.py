@@ -769,3 +769,84 @@ def dsir_importance(docs: DataFrame, target_col: str,
                     F.col("is_target").cast("int").alias("is_target"),
                     F.expr("sum_ratio_ppm DIV n_tokens").cast("long")
                     .alias("dsir_score_ppm")))
+
+
+def filter_attrition(docs: DataFrame, min_tokens: int = 20,
+                     allowed_lang: str = "en",
+                     max_tok_share_ppm: int = 150_000,
+                     min_ttr_ppm: int = 500_000) -> DataFrame:
+    """Sequential quality-filter funnel with per-rule attrition
+    accounting — the RefinedWeb/Dolma-style report every curation run
+    publishes: for each rule, how many documents entered it, how many
+    it dropped, how many survived, and the drop rate in exact ppm.
+    Rules run in a fixed order (a document is charged to the FIRST rule
+    it fails, matching how sequential filter pipelines actually
+    attribute attrition): (1) minimum token count, (2) language gate on
+    the ``lang`` column, (3) repetition gate — no single token may
+    exceed ``max_tok_share_ppm`` of the document, (4) lexical-diversity
+    gate — type-token ratio at least ``min_ttr_ppm``. A final
+    ``survived`` row closes the funnel.
+
+    Scale shape: ALL per-document signals come from one (doc, token)
+    hash agg + one doc-keyed agg (the same two-agg spine as
+    ``lexical_diversity``); the funnel itself is ONE grouping-free
+    Aggregate (five conditional counts in a single reduction to one
+    row) exploded into the five report rows map-side — no windows, no
+    joins after the signal pass, output constant-size regardless of
+    corpus size.
+    """
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                            r"\s+"),
+                    lambda t: t != "")
+    per_tok = (docs.select("doc_id", F.explode_outer(toks).alias("tok"))
+               .groupBy("doc_id", "tok")
+               .agg(F.count(F.lit(1)).alias("n")))
+    sig = (docs.select("doc_id", "lang")
+           .join(per_tok.groupBy("doc_id")
+                 .agg(F.sum(F.when(F.col("tok").isNotNull(), F.col("n"))
+                            .otherwise(0)).alias("n_toks"),
+                      F.count(F.when(F.col("tok").isNotNull(), 1))
+                      .alias("n_types"),
+                      F.max(F.when(F.col("tok").isNotNull(), F.col("n"))
+                            .otherwise(0)).alias("max_n")),
+                 "doc_id")
+           .select("lang",
+                   F.coalesce("n_toks", F.lit(0)).alias("n_toks"),
+                   F.coalesce("n_types", F.lit(0)).alias("n_types"),
+                   F.coalesce("max_n", F.lit(0)).alias("max_n")))
+    p1 = F.col("n_toks") >= min_tokens
+    p2 = F.col("lang") == allowed_lang
+    p3 = F.expr(f"max_n * 1000000L DIV n_toks") <= max_tok_share_ppm
+    p4 = F.expr(f"n_types * 1000000L DIV n_toks") >= min_ttr_ppm
+    one = F.lit(1)
+    agg = sig.agg(
+        F.count(one).alias("n0"),
+        F.sum(F.when(~p1, 1).otherwise(0)).alias("d1"),
+        F.sum(F.when(p1 & ~p2, 1).otherwise(0)).alias("d2"),
+        F.sum(F.when(p1 & p2 & ~p3, 1).otherwise(0)).alias("d3"),
+        F.sum(F.when(p1 & p2 & p3 & ~p4, 1).otherwise(0)).alias("d4"))
+    rows = agg.select(F.explode(F.expr("""array(
+        struct(1L AS stage, 'min_tokens' AS rule,
+               n0 AS n_in, coalesce(d1, 0L) AS n_dropped),
+        struct(2L AS stage, 'language' AS rule,
+               n0 - coalesce(d1, 0L) AS n_in,
+               coalesce(d2, 0L) AS n_dropped),
+        struct(3L AS stage, 'repetition' AS rule,
+               n0 - coalesce(d1, 0L) - coalesce(d2, 0L) AS n_in,
+               coalesce(d3, 0L) AS n_dropped),
+        struct(4L AS stage, 'diversity' AS rule,
+               n0 - coalesce(d1, 0L) - coalesce(d2, 0L)
+                  - coalesce(d3, 0L) AS n_in,
+               coalesce(d4, 0L) AS n_dropped),
+        struct(5L AS stage, 'survived' AS rule,
+               n0 - coalesce(d1, 0L) - coalesce(d2, 0L)
+                  - coalesce(d3, 0L) - coalesce(d4, 0L) AS n_in,
+               0L AS n_dropped))""")).alias("r"))
+    return rows.select(
+        F.col("r.stage").cast("long").alias("stage"),
+        F.col("r.rule").alias("rule"),
+        F.col("r.n_in").cast("long").alias("n_in"),
+        F.col("r.n_dropped").cast("long").alias("n_dropped"),
+        (F.col("r.n_in") - F.col("r.n_dropped")).cast("long").alias("n_out"),
+        F.expr("CASE WHEN r.n_in > 0 THEN r.n_dropped * 1000000L DIV r.n_in"
+               " ELSE 0 END").cast("long").alias("drop_ppm"))

@@ -3330,6 +3330,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": q_kg_kcore,
         "text_vocab": q_text_vocab,
         "text_source_overlap": q_text_source_overlap,
+        "curation_attrition": q_curation_attrition,
     }
 
 
@@ -3474,6 +3475,7 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_kcore": _sql_kg_kcore(),
         "text_vocab": SQL_TEXT_VOCAB,
         "text_source_overlap": SQL_TEXT_SOURCE_OVERLAP,
+        "curation_attrition": SQL_CURATION_ATTRITION,
     }
 
 
@@ -5912,4 +5914,80 @@ SELECT c.source_a, c.source_b,
 FROM common c
 JOIN per_src pa ON pa.source = c.source_a
 JOIN per_src pb ON pb.source = c.source_b
+"""
+
+
+ATTRITION_MIN_TOKENS = 20
+ATTRITION_LANG = "en"
+ATTRITION_MAX_TOK_SHARE_PPM = 150_000
+ATTRITION_MIN_TTR_PPM = 500_000
+
+
+def q_curation_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential quality-filter funnel with per-rule attrition
+    accounting (operators/curation.py:filter_attrition) — the
+    RefinedWeb/Dolma-style drop report: min-tokens, language,
+    repetition, diversity, each document charged to the FIRST rule it
+    fails. One signal pass + one grouping-free Aggregate; constant-size
+    output."""
+    from ..operators.curation import filter_attrition
+    return filter_attrition(_docs(spark, sf_dir),
+                            min_tokens=ATTRITION_MIN_TOKENS,
+                            allowed_lang=ATTRITION_LANG,
+                            max_tok_share_ppm=ATTRITION_MAX_TOK_SHARE_PPM,
+                            min_ttr_ppm=ATTRITION_MIN_TTR_PPM)
+
+
+SQL_CURATION_ATTRITION = f"""
+WITH per_tok AS (
+  SELECT doc_id, tok, count(*) AS n FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+             string_split_regex(lower(coalesce(text, '')), '\\s+'),
+             t -> t <> '')) AS tok
+    FROM documents)
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT d.lang,
+         coalesce(sum(p.n), 0) AS n_toks,
+         coalesce(count(p.tok), 0) AS n_types,
+         coalesce(max(p.n), 0) AS max_n
+  FROM documents d LEFT JOIN per_tok p USING (doc_id)
+  GROUP BY d.doc_id, d.lang
+),
+flags AS (
+  SELECT n_toks >= {ATTRITION_MIN_TOKENS} AS p1,
+         lang = '{ATTRITION_LANG}' AS p2,
+         CASE WHEN n_toks > 0 THEN max_n * 1000000 // n_toks
+              ELSE NULL END <= {ATTRITION_MAX_TOK_SHARE_PPM} AS p3,
+         CASE WHEN n_toks > 0 THEN n_types * 1000000 // n_toks
+              ELSE NULL END >= {ATTRITION_MIN_TTR_PPM} AS p4
+  FROM sig
+),
+agg AS (
+  SELECT count(*) AS n0,
+         coalesce(sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END), 0) AS d1,
+         coalesce(sum(CASE WHEN p1 AND NOT p2 THEN 1 ELSE 0 END), 0) AS d2,
+         coalesce(sum(CASE WHEN p1 AND p2 AND NOT p3 THEN 1 ELSE 0 END),
+                  0) AS d3,
+         coalesce(sum(CASE WHEN p1 AND p2 AND p3 AND NOT p4
+                           THEN 1 ELSE 0 END), 0) AS d4
+  FROM flags
+),
+rows_ AS (
+  SELECT 1 AS stage, 'min_tokens' AS rule, n0 AS n_in, d1 AS n_dropped
+    FROM agg
+  UNION ALL SELECT 2, 'language', n0 - d1, d2 FROM agg
+  UNION ALL SELECT 3, 'repetition', n0 - d1 - d2, d3 FROM agg
+  UNION ALL SELECT 4, 'diversity', n0 - d1 - d2 - d3, d4 FROM agg
+  UNION ALL SELECT 5, 'survived', n0 - d1 - d2 - d3 - d4, 0 FROM agg
+)
+SELECT CAST(stage AS BIGINT) AS stage, rule,
+       CAST(n_in AS BIGINT) AS n_in,
+       CAST(n_dropped AS BIGINT) AS n_dropped,
+       CAST(n_in - n_dropped AS BIGINT) AS n_out,
+       CAST(CASE WHEN n_in > 0 THEN n_dropped * 1000000 // n_in
+                 ELSE 0 END AS BIGINT) AS drop_ppm
+FROM rows_
 """

@@ -116,3 +116,35 @@ class TestSourceOverlap:
         # be non-trivial somewhere (the audit has signal, not all-zero)
         assert out.where(F.col("jaccard_ppm") > 0).count() > 0
         out.unpersist()
+
+
+class TestAttrition:
+    def test_funnel_conservation_and_all_rules_fire(self, spark):
+        from otd_semantic_framework_spark.plans.driver_queries import (
+            q_curation_attrition)
+        rows = {r.stage: r for r in
+                q_curation_attrition(spark, SF).collect()}
+        assert set(rows) == {1, 2, 3, 4, 5}
+        docs = _docs(spark).count()
+        assert rows[1].n_in == docs
+        # funnel conservation: each stage's survivors feed the next
+        for s in (1, 2, 3, 4):
+            assert rows[s].n_out == rows[s].n_in - rows[s].n_dropped
+            assert rows[s + 1].n_in == rows[s].n_out
+        # every rule drops at least one doc on this corpus, and some
+        # documents survive the whole funnel — all five branches real
+        for s in (1, 2, 3, 4):
+            assert rows[s].n_dropped > 0, f"rule {s} never fired"
+        assert rows[5].n_in > 0 and rows[5].n_dropped == 0
+        # a document is charged to exactly one rule
+        assert (sum(rows[s].n_dropped for s in (1, 2, 3, 4))
+                + rows[5].n_in) == docs
+
+    def test_single_pass_shape(self, spark):
+        """The funnel is one grouping-free Aggregate over the signal
+        pass — no joins after the signals, no windows anywhere."""
+        from otd_semantic_framework_spark.plans.driver_queries import (
+            q_curation_attrition)
+        plan = (q_curation_attrition(spark, SF)
+                ._jdf.queryExecution().optimizedPlan().toString())
+        assert "Window" not in plan
