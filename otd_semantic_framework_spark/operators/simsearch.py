@@ -420,3 +420,65 @@ def maxsim_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
     w = Window.partitionBy(q_id).orderBy(F.desc("maxsim"), F.asc(c_id))
     return (sim.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k).select(q_id, c_id, "maxsim", "rk"))
+
+
+def kmeans_lloyd_exact(vecs: DataFrame, k: int = 8, iters: int = 2,
+                       id_col: str = "vec_id",
+                       vec_col: str = "qvec") -> DataFrame:
+    """Deterministic distributed k-means: ``iters`` synchronous Lloyd
+    updates over int-quantized vectors in EXACT integer arithmetic,
+    then a final assignment — the coarse-quantizer training step an IVF
+    index needs, expressed so the result is bit-identical on any engine
+    and any partitioning (unlike the flagged MLlib path,
+    ``ivf_centroids_kmeans``, which is seed-stable but
+    partitioning-sensitive). Seeds are the ``k`` smallest ids (
+    deterministic); distances are integer squared-L2; centroid updates
+    are the elementwise integer mean computed as
+    ``(sum + 127*n) DIV n - 127`` — the +127 shift keeps the numerator
+    non-negative so floor-vs-truncate division semantics can never
+    diverge between engines; ties in assignment break to the smaller
+    centroid id via a single min(struct(dist, cid)) aggregate.
+
+    Scale shape per round: centroids are k tiny rows — broadcast
+    crossJoin (k-fan-out map, no shuffle of the big side beyond the
+    argmin agg keyed on the vector id); the update is one
+    (cluster, dim) hash agg over the posexploded assignment (k*dim
+    output rows) + a k-row rebuild. Empty clusters keep their previous
+    centroid (left-join coalesce), so k never silently shrinks.
+    Everything is JVM built-ins — zip_with/aggregate for the distance,
+    posexplode for the update; no Python in the plan.
+    """
+    seeds = vecs.select(id_col, vec_col).orderBy(id_col).limit(k)
+    cents = seeds.select(
+        F.row_number().over(Window.orderBy(id_col)).alias("cid"),
+        F.col(vec_col).alias("cvec"))
+
+    def assign(cs: DataFrame) -> DataFrame:
+        return (vecs.select(id_col, vec_col)
+                .crossJoin(F.broadcast(cs))
+                .withColumn("sq", F.expr(
+                    f"aggregate(zip_with({vec_col}, cvec,"
+                    " (a, b) -> CAST(a - b AS BIGINT) * (a - b)),"
+                    " 0L, (acc, x) -> acc + x)"))
+                .groupBy(id_col)
+                .agg(F.min(F.struct("sq", "cid")).alias("m"))
+                .select(F.col(id_col),
+                        F.col("m.cid").alias("cluster"),
+                        F.col("m.sq").alias("sq_dist")))
+
+    for _ in range(iters):
+        a = assign(cents)
+        sums = (a.join(vecs.select(id_col, vec_col), id_col)
+                .select("cluster", F.posexplode(vec_col))
+                .groupBy("cluster", "pos")
+                .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n")))
+        new = (sums.select("cluster", "pos",
+                           F.expr("(s + 127L * n) DIV n - 127L")
+                           .cast("int").alias("v"))
+               .groupBy("cluster")
+               .agg(F.expr("transform(array_sort(collect_list("
+                           "struct(pos, v))), x -> x.v)").alias("nvec")))
+        cents = (cents.join(new.withColumnRenamed("cluster", "cid"),
+                            "cid", "left")
+                 .select("cid", F.coalesce("nvec", "cvec").alias("cvec")))
+    return assign(cents)

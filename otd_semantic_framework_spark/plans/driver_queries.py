@@ -3331,6 +3331,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab": q_text_vocab,
         "text_source_overlap": q_text_source_overlap,
         "curation_attrition": q_curation_attrition,
+        "sim_kmeans": q_sim_kmeans,
     }
 
 
@@ -3476,6 +3477,7 @@ def build_oracle_sql() -> dict[str, str]:
         "text_vocab": SQL_TEXT_VOCAB,
         "text_source_overlap": SQL_TEXT_SOURCE_OVERLAP,
         "curation_attrition": SQL_CURATION_ATTRITION,
+        "sim_kmeans": _sql_sim_kmeans(),
     }
 
 
@@ -5990,4 +5992,70 @@ SELECT CAST(stage AS BIGINT) AS stage, rule,
        CAST(CASE WHEN n_in > 0 THEN n_dropped * 1000000 // n_in
                  ELSE 0 END AS BIGINT) AS drop_ppm
 FROM rows_
+"""
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_DIM = 64
+
+
+def q_sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-integer Lloyd k-means over the quantized
+    embedding table (operators/simsearch.py:kmeans_lloyd_exact) — the
+    IVF coarse-quantizer training step as pure DataFrame algebra,
+    bit-identical on any engine/partitioning. Two synchronous updates
+    + final assignment; the oracle replays the identical unrolled
+    rounds."""
+    from ..operators.simsearch import kmeans_lloyd_exact, \
+        quantize_embeddings
+    qz = quantize_embeddings(_tbl(spark, sf_dir, "embeddings"))
+    return kmeans_lloyd_exact(qz, k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+def _sql_sim_kmeans() -> str:
+    k, dim = KMEANS_K, KMEANS_DIM
+    dist = (f"CAST(list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> CAST(v.qvec[i] - c.cvec[i] AS BIGINT)"
+            f" * (v.qvec[i] - c.cvec[i]))) AS BIGINT)")
+    rounds = []
+    prev = "c0"
+    for i in range(1, KMEANS_ITERS + 1):
+        rounds.append(f"""a{i} AS MATERIALIZED (
+  SELECT v.vec_id, c.cid AS cluster, {dist} AS sq
+  FROM q8 v, {prev} c
+  QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                             ORDER BY sq, c.cid) = 1),
+sums{i} AS (
+  SELECT a.cluster, r.i AS pos, sum(v.qvec[r.i]) AS s, count(*) AS n
+  FROM a{i} a JOIN q8 v USING (vec_id),
+       lateral unnest(range(1, {dim + 1})) AS r(i)
+  GROUP BY 1, 2),
+newc{i} AS (
+  SELECT cluster AS cid,
+         list(CAST((s + 127 * n) // n - 127 AS INT) ORDER BY pos) AS cvec
+  FROM sums{i} GROUP BY cluster),
+c{i} AS MATERIALIZED (
+  SELECT c.cid, coalesce(n.cvec, c.cvec) AS cvec
+  FROM {prev} c LEFT JOIN newc{i} n USING (cid))""")
+        prev = f"c{i}"
+    return f"""
+WITH q8 AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN ma = 0 THEN list_transform(d, x -> 0)
+              ELSE list_transform(d, x -> CAST(round(x * 127.0 / ma, 0)
+                                               AS INT))
+         END AS qvec
+  FROM (SELECT vec_id, d,
+               list_max(list_transform(d, x -> abs(x))) AS ma
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d
+              FROM embeddings))),
+c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, qvec AS cvec
+  FROM (SELECT vec_id, qvec FROM q8 ORDER BY vec_id LIMIT {k})),
+{', '.join(rounds)}
+SELECT v.vec_id, c.cid AS cluster, {dist} AS sq_dist
+FROM q8 v, {prev} c
+QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY sq_dist, c.cid) = 1
 """

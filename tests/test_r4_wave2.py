@@ -148,3 +148,33 @@ class TestAttrition:
         plan = (q_curation_attrition(spark, SF)
                 ._jdf.queryExecution().optimizedPlan().toString())
         assert "Window" not in plan
+
+
+class TestKMeansExact:
+    def test_partitioning_invariance_and_improvement(self, spark):
+        from otd_semantic_framework_spark.operators.simsearch import (
+            kmeans_lloyd_exact, quantize_embeddings)
+        from otd_semantic_framework_spark.plans.driver_queries import (
+            KMEANS_ITERS, KMEANS_K)
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        qz = quantize_embeddings(e)
+        out = kmeans_lloyd_exact(qz, k=KMEANS_K, iters=KMEANS_ITERS).cache()
+        # one cluster per vector, ids in [1, k]
+        assert out.count() == e.count()
+        assert out.where((F.col("cluster") < 1)
+                         | (F.col("cluster") > KMEANS_K)).count() == 0
+        # bit-identical under a different partitioning — the property
+        # the flagged MLlib path does NOT have
+        re = kmeans_lloyd_exact(qz.repartition(13), k=KMEANS_K,
+                                iters=KMEANS_ITERS)
+        assert out.exceptAll(re).count() == 0
+        assert re.exceptAll(out).count() == 0
+        # Lloyd updates improved (or held) total distortion vs assigning
+        # straight to the seed centroids
+        seed_only = kmeans_lloyd_exact(qz, k=KMEANS_K, iters=0)
+        d0 = seed_only.agg(F.sum("sq_dist")).first()[0]
+        d2 = out.agg(F.sum("sq_dist")).first()[0]
+        assert d2 <= d0
+        # clustering is non-trivial: more than one cluster in use
+        assert out.select("cluster").distinct().count() > 1
+        out.unpersist()
