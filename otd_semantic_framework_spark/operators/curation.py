@@ -850,3 +850,52 @@ def filter_attrition(docs: DataFrame, min_tokens: int = 20,
         (F.col("r.n_in") - F.col("r.n_dropped")).cast("long").alias("n_out"),
         F.expr("CASE WHEN r.n_in > 0 THEN r.n_dropped * 1000000L DIV r.n_in"
                " ELSE 0 END").cast("long").alias("drop_ppm"))
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 32,
+                    stride: int = 24, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Fixed-width token chunking with overlap — the embedding/RAG prep
+    step: every document becomes ceil-strided windows of
+    ``chunk_tokens`` tokens starting every ``stride`` tokens (so
+    consecutive chunks overlap by ``chunk_tokens - stride``), each with
+    a deterministic chunk index, its token span, and the chunk text.
+    The final window is kept even when short (the tail must not be
+    silently dropped), and a document shorter than one chunk yields
+    exactly one chunk. Empty documents yield no chunks (join back to
+    the id spine downstream if presence matters).
+
+    Scale shape: pure map — tokenize + windowed slice with JVM array
+    higher-order functions, one explode; no shuffle at all. Output size
+    is input tokens × (chunk/stride) overlap factor, linear and
+    partition-local; at 100 TB this is the canonical embarrassingly
+    parallel stage.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                            r"\s+"),
+                    lambda t: t != "")
+    n_chunks = F.expr(
+        f"CASE WHEN size(tk) = 0 THEN 0"
+        f" WHEN size(tk) <= {chunk_tokens} THEN 1"
+        f" ELSE (size(tk) - {chunk_tokens} + {stride} - 1)"
+        f" DIV {stride} + 1 END")
+    return (docs
+            .select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
+            .select("doc_id", "tk", n_chunks.alias("nc"))
+            .select("doc_id", F.size("tk").alias("n_toks"),
+                    F.explode(F.expr(
+                        f"transform(sequence(0, nc - 1), c -> struct("
+                        f" c AS chunk_idx,"
+                        f" c * {stride} + 1 AS tok_from,"
+                        f" least(c * {stride} + {chunk_tokens}, size(tk))"
+                        f"   AS tok_to,"
+                        f" concat_ws(' ', slice(tk, c * {stride} + 1,"
+                        f"                      {chunk_tokens})) AS chunk"
+                        f"))")).alias("c"))
+            .select("doc_id",
+                    F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+                    F.col("c.tok_from").cast("long").alias("tok_from"),
+                    F.col("c.tok_to").cast("long").alias("tok_to"),
+                    F.col("c.chunk").alias("chunk")))

@@ -3332,6 +3332,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_source_overlap": q_text_source_overlap,
         "curation_attrition": q_curation_attrition,
         "sim_kmeans": q_sim_kmeans,
+        "curation_chunks": q_curation_chunks,
     }
 
 
@@ -3478,6 +3479,7 @@ def build_oracle_sql() -> dict[str, str]:
         "text_source_overlap": SQL_TEXT_SOURCE_OVERLAP,
         "curation_attrition": SQL_CURATION_ATTRITION,
         "sim_kmeans": _sql_sim_kmeans(),
+        "curation_chunks": SQL_CURATION_CHUNKS,
     }
 
 
@@ -6058,4 +6060,43 @@ SELECT v.vec_id, c.cid AS cluster, {dist} AS sq_dist
 FROM q8 v, {prev} c
 QUALIFY row_number() OVER (PARTITION BY v.vec_id
                            ORDER BY sq_dist, c.cid) = 1
+"""
+
+
+CHUNK_TOKENS = 16
+CHUNK_STRIDE = 12
+
+
+def q_curation_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking for embedding/RAG prep
+    (operators/curation.py:chunk_documents) — 16-token chunks every 12
+    tokens, short tail kept. Pure map: JVM array HOFs + one explode, no
+    shuffle anywhere in the plan."""
+    from ..operators.curation import chunk_documents
+    return chunk_documents(_docs(spark, sf_dir),
+                           chunk_tokens=CHUNK_TOKENS, stride=CHUNK_STRIDE)
+
+
+SQL_CURATION_CHUNKS = f"""
+WITH base AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         CASE WHEN len(tk) = 0 THEN 0
+              WHEN len(tk) <= {CHUNK_TOKENS} THEN 1
+              ELSE (len(tk) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                   // {CHUNK_STRIDE} + 1 END AS nc
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(coalesce(text, '')),
+                                              '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents)
+)
+SELECT doc_id,
+       CAST(r.c AS BIGINT) AS chunk_idx,
+       CAST(r.c * {CHUNK_STRIDE} + 1 AS BIGINT) AS tok_from,
+       CAST(least(r.c * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n) AS BIGINT)
+         AS tok_to,
+       list_aggregate(tk[r.c * {CHUNK_STRIDE} + 1 :
+                         r.c * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+                      'string_agg', ' ') AS chunk
+FROM base, lateral unnest(range(0, nc)) AS r(c)
 """

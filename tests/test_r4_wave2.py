@@ -178,3 +178,44 @@ class TestKMeansExact:
         # clustering is non-trivial: more than one cluster in use
         assert out.select("cluster").distinct().count() > 1
         out.unpersist()
+
+
+class TestChunks:
+    def test_coverage_overlap_and_tail(self, spark):
+        from otd_semantic_framework_spark.plans.driver_queries import (
+            CHUNK_STRIDE, CHUNK_TOKENS, q_curation_chunks)
+        out = q_curation_chunks(spark, SF).cache()
+        # stride/width invariants: chunk c covers [c*stride+1,
+        # min(c*stride+width, n)] and spans are never empty
+        bad = out.where(
+            (F.col("tok_from") != F.col("chunk_idx") * CHUNK_STRIDE + 1)
+            | (F.col("tok_to") < F.col("tok_from"))
+            | (F.col("tok_to") - F.col("tok_from") + 1 > CHUNK_TOKENS)
+        ).count()
+        assert bad == 0
+        # the chunk text has exactly (tok_to - tok_from + 1) tokens
+        assert out.where(
+            F.size(F.split("chunk", r"\s+"))
+            != F.col("tok_to") - F.col("tok_from") + 1).count() == 0
+        # full coverage: consecutive chunks leave no gap (next chunk
+        # starts within the previous one's span + 1)
+        per_doc = (out.groupBy("doc_id")
+                   .agg(F.max("chunk_idx").alias("mx"),
+                        F.count(F.lit(1)).alias("nc")))
+        assert per_doc.where(F.col("nc") != F.col("mx") + 1).count() == 0
+        assert CHUNK_STRIDE < CHUNK_TOKENS  # overlap actually configured
+        # both shapes exist on this corpus: single-chunk short docs and
+        # multi-chunk docs with a short tail
+        assert per_doc.where(F.col("nc") == 1).count() > 0
+        tails = out.join(per_doc, "doc_id").where(
+            (F.col("chunk_idx") == F.col("mx")) & (F.col("mx") > 0)
+            & (F.col("tok_to") - F.col("tok_from") + 1 < CHUNK_TOKENS))
+        assert tails.count() > 0
+        out.unpersist()
+
+    def test_map_only_plan(self, spark):
+        from otd_semantic_framework_spark.plans.driver_queries import (
+            q_curation_chunks)
+        plan = (q_curation_chunks(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan, "chunking must not shuffle"
