@@ -210,3 +210,45 @@ def resize_media(media: DataFrame, max_side: int = 32,
             })
 
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    """Perceptual-hash fingerprints of media payloads, chunked for the
+    hamming band join: 64 deterministic "pixels" per payload (with the
+    stub decoder: bytes 0-7 of md5(payload || k) for k = 1..8 — swap
+    for a real 8x8 grayscale downsample behind the same seam), bit i =
+    pixel_i strictly above the pixel mean (compared exactly as
+    pixel*64 > sum so no float mean can diverge between engines), the
+    64 bits packed little-endian into four unsigned 16-bit chunks
+    c0..c3 — the SAME chunked shape ``dedup.simhash_near_pairs_chunks``
+    consumes, so media near-dup reuses the pigeonhole candidate join
+    (any pair within hamming 16·(4-1)/4 shares at least one equal
+    chunk; looser thresholds still verify exactly on candidates).
+
+    Scale shape: one Arrow-batched mapInPandas map — no shuffle; the
+    pair generation downstream is the bucketed equi-join, never
+    all-pairs.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {"doc_id": pdf["doc_id"]}
+            chunks = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                px = np.frombuffer(
+                    b"".join(hashlib.md5(raw + bytes([k])).digest()[:8]
+                             for k in range(1, 9)),
+                    dtype=np.uint8).astype(np.int64)
+                bits = (px * 64 > int(px.sum())).astype(np.int64)
+                cs = [int((bits[i * 16:(i + 1) * 16]
+                           << np.arange(16)).sum()) for i in range(4)]
+                chunks.append(cs)
+            arr = np.array(chunks, dtype=np.int32).reshape(len(chunks), 4)
+            for i in range(4):
+                out[f"c{i}"] = arr[:, i]
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run, schema="doc_id long, c0 int, c1 int, c2 int, c3 int")

@@ -3333,6 +3333,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_attrition": q_curation_attrition,
         "sim_kmeans": q_sim_kmeans,
         "curation_chunks": q_curation_chunks,
+        "multimodal_phash": q_multimodal_phash,
     }
 
 
@@ -3480,6 +3481,7 @@ def build_oracle_sql() -> dict[str, str]:
         "curation_attrition": SQL_CURATION_ATTRITION,
         "sim_kmeans": _sql_sim_kmeans(),
         "curation_chunks": SQL_CURATION_CHUNKS,
+        "multimodal_phash": _sql_multimodal_phash(),
     }
 
 
@@ -6099,4 +6101,79 @@ SELECT doc_id,
                          r.c * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
                       'string_agg', ' ') AS chunk
 FROM base, lateral unnest(range(0, nc)) AS r(c)
+"""
+
+
+PHASH_MAX_HAMMING = 24
+
+
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over media payloads
+    (operators/multimodal.py:phash_media +
+    operators/dedup.py:simhash_near_pairs_chunks): 64-bit pHash from
+    the deterministic stub decode, pigeonhole candidate join on equal
+    16-bit chunks, exact hamming verify on candidates only. With a real
+    codec the pixels become an 8x8 grayscale downsample behind the same
+    seam; the join shape is unchanged. The demo threshold (24) is set
+    where the synthetic corpus has signal — the stub's pixels are
+    hash-noise, so truly-near payloads only exist as exact duplicates
+    (hamming 0, present at sf0.1)."""
+    from ..operators.dedup import simhash_near_pairs_chunks
+    from ..operators.multimodal import attach_fake_media, phash_media
+    chunks = phash_media(attach_fake_media(_docs(spark, sf_dir)))
+    return simhash_near_pairs_chunks(chunks,
+                                     max_hamming=PHASH_MAX_HAMMING)
+
+
+def _sql_multimodal_phash() -> str:
+    # pixel p (0..63) = byte p%8 of md5(text || chr(p//8 + 1)); byte b
+    # is hex digits 2b, 2b+1. Decode each digit via instr like the
+    # portable simhash oracle.
+    px_cols = []
+    for k in range(1, 9):
+        px_cols.append(f"md5(coalesce(text, '') || chr({k})) AS h{k}")
+    px_exprs = []
+    for p in range(64):
+        h = f"h{p // 8 + 1}"
+        j = (p % 8) * 2
+        px_exprs.append(
+            f"((instr('0123456789abcdef', substring({h}, {j + 1}, 1)) - 1)"
+            f" * 16 +"
+            f" instr('0123456789abcdef', substring({h}, {j + 2}, 1)) - 1)"
+            f" AS p{p}")
+    total = " + ".join(f"p{p}" for p in range(64))
+    chunk_exprs = []
+    for i in range(4):
+        terms = " + ".join(
+            f"CASE WHEN p{i * 16 + j} * 64 > total"
+            f" THEN {1 << j} ELSE 0 END" for j in range(16))
+        chunk_exprs.append(f"CAST({terms} AS INT) AS c{i}")
+    return f"""
+WITH hx AS MATERIALIZED (
+  SELECT doc_id, {', '.join(px_cols)} FROM documents),
+px AS MATERIALIZED (
+  SELECT doc_id, {', '.join(px_exprs)} FROM hx),
+tot AS (SELECT *, {total} AS total FROM px),
+ch AS MATERIALIZED (
+  SELECT doc_id, {', '.join(chunk_exprs)} FROM tot),
+bands AS (
+  SELECT doc_id, c0, c1, c2, c3, r.i AS chunk_idx,
+         CASE r.i WHEN 0 THEN c0 WHEN 1 THEN c1
+                  WHEN 2 THEN c2 ELSE c3 END AS chunk
+  FROM ch, lateral unnest(range(0, 4)) AS r(i)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.c0 AS a0, a.c1 AS a1, a.c2 AS a2, a.c3 AS a3,
+         b.c0 AS b0, b.c1 AS b1, b.c2 AS b2, b.c3 AS b3
+  FROM bands a JOIN bands b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+   AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+            + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) AS INT)
+         AS hamming
+FROM pairs
+WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+      + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3))
+      <= {PHASH_MAX_HAMMING}
 """

@@ -219,3 +219,38 @@ class TestChunks:
         plan = (q_curation_chunks(spark, SF)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan, "chunking must not shuffle"
+
+
+class TestPhash:
+    def test_identical_payloads_collide_and_chunks_bounded(self, spark):
+        from otd_semantic_framework_spark.operators.dedup import (
+            simhash_near_pairs_chunks)
+        from otd_semantic_framework_spark.operators.multimodal import (
+            phash_media)
+        rows = [(1, bytearray(b"same payload")),
+                (2, bytearray(b"same payload")),
+                (3, bytearray(b"a completely different thing"))]
+        media = spark.createDataFrame(rows, "doc_id long, payload binary")
+        ch = phash_media(media).cache()
+        assert ch.count() == 3
+        for i in range(4):
+            assert ch.where((F.col(f"c{i}") < 0)
+                            | (F.col(f"c{i}") > 65535)).count() == 0
+        pairs = {(r.doc_a, r.doc_b, r.hamming)
+                 for r in simhash_near_pairs_chunks(ch, max_hamming=8)
+                 .collect()}
+        # identical payloads -> identical pHash -> hamming 0; the
+        # unrelated payload must not sneak under a tight threshold
+        assert (1, 2, 0) in pairs
+        assert all(p[:2] == (1, 2) for p in pairs)
+        ch.unpersist()
+
+    def test_query_no_all_pairs(self, spark):
+        """Candidate generation must be the chunk equi-join, never a
+        cartesian product over the media table."""
+        from otd_semantic_framework_spark.plans.driver_queries import (
+            q_multimodal_phash)
+        plan = (q_multimodal_phash(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
