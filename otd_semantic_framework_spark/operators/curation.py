@@ -816,8 +816,13 @@ def filter_attrition(docs: DataFrame, min_tokens: int = 20,
                    F.coalesce("max_n", F.lit(0)).alias("max_n")))
     p1 = F.col("n_toks") >= min_tokens
     p2 = F.col("lang") == allowed_lang
-    p3 = F.expr(f"max_n * 1000000L DIV n_toks") <= max_tok_share_ppm
-    p4 = F.expr(f"n_types * 1000000L DIV n_toks") >= min_ttr_ppm
+    # the n_toks > 0 guard matters even though zero-token docs always
+    # fail p1: under ANSI mode an unguarded DIV raises DIVIDE_BY_ZERO
+    # eagerly instead of yielding NULL for three-valued logic to absorb
+    p3 = F.expr("CASE WHEN n_toks > 0 THEN max_n * 1000000L DIV n_toks"
+                " END") <= max_tok_share_ppm
+    p4 = F.expr("CASE WHEN n_toks > 0 THEN n_types * 1000000L DIV n_toks"
+                " END") >= min_ttr_ppm
     one = F.lit(1)
     agg = sig.agg(
         F.count(one).alias("n0"),
@@ -885,15 +890,21 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 32,
             .select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
             .select("doc_id", "tk", n_chunks.alias("nc"))
             .select("doc_id", F.size("tk").alias("n_toks"),
+                    # sequence(0, -1) would yield [0, -1] (Spark infers
+                    # step -1 when start > stop), so nc = 0 must
+                    # short-circuit to an empty array
                     F.explode(F.expr(
-                        f"transform(sequence(0, nc - 1), c -> struct("
+                        f"CASE WHEN nc = 0 THEN"
+                        f" CAST(array() AS array<struct<chunk_idx: int,"
+                        f" tok_from: int, tok_to: int, chunk: string>>)"
+                        f" ELSE transform(sequence(0, nc - 1), c -> struct("
                         f" c AS chunk_idx,"
                         f" c * {stride} + 1 AS tok_from,"
                         f" least(c * {stride} + {chunk_tokens}, size(tk))"
                         f"   AS tok_to,"
                         f" concat_ws(' ', slice(tk, c * {stride} + 1,"
                         f"                      {chunk_tokens})) AS chunk"
-                        f"))")).alias("c"))
+                        f")) END")).alias("c"))
             .select("doc_id",
                     F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
                     F.col("c.tok_from").cast("long").alias("tok_from"),

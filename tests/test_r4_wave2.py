@@ -254,3 +254,77 @@ class TestPhash:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestWave2Properties:
+    """Cross-operator invariants on a constructed corpus (hypothesis
+    over Spark jobs is prohibitively slow; a deterministic adversarial
+    corpus pins the same properties)."""
+
+    def _corpus(self, spark):
+        rows = [
+            (100, "alpha beta gamma delta " * 10, "en", "s0", 0),
+            (101, "alpha beta gamma delta " * 10, "en", "s1", 0),  # dup
+            (102, "x", "en", "s0", 0),                 # single token
+            (103, "", "en", "s0", 0),                  # empty
+            (104, None, "en", "s0", 0),                # NULL text
+            (105, "uno dos tres cuatro cinco seis", "es", "s1", 0),
+            (106, " ".join(f"w{i}" for i in range(100)), "en", "s0", 0),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+                  " n_chars int")
+
+    def test_chunking_reconstructs_every_token(self, spark):
+        """Stride-concatenation of chunk prefixes reproduces the doc:
+        tokens [c*stride+1, next start) of each chunk, plus the final
+        chunk's tail, exactly rebuild the token stream."""
+        from otd_semantic_framework_spark.operators.curation import (
+            chunk_documents)
+        out = chunk_documents(self._corpus(spark), chunk_tokens=8,
+                              stride=5)
+        per_doc = {}
+        for r in out.collect():
+            per_doc.setdefault(r.doc_id, []).append(r)
+        docs = {r.doc_id: r.text for r in self._corpus(spark).collect()}
+        for doc_id, chunks in per_doc.items():
+            chunks.sort(key=lambda r: r.chunk_idx)
+            toks = []
+            for i, r in enumerate(chunks):
+                ct = r.chunk.split(" ")
+                take = 5 if i < len(chunks) - 1 else len(ct)
+                toks.extend(ct[:take])
+            expect = [t for t in (docs[doc_id] or "").lower().split()
+                      if t]
+            assert toks == expect, f"doc {doc_id} not reconstructed"
+        # empty/NULL docs yield no chunks
+        assert 103 not in per_doc and 104 not in per_doc
+
+    def test_boilerplate_caps(self, spark):
+        """df_cap above the corpus size is the identity (nothing can
+        exceed it); df_cap=0 drops every non-empty segment."""
+        from otd_semantic_framework_spark.operators.dedup import (
+            boilerplate_segments)
+        corpus = self._corpus(spark)
+        keep_all = boilerplate_segments(corpus, seg_words=3, df_cap=10**9)
+        assert keep_all.where(F.col("n_dropped") > 0).count() == 0
+        drop_all = boilerplate_segments(corpus, seg_words=3, df_cap=0)
+        assert drop_all.where(
+            (F.col("n_segs") > 0)
+            & (F.col("n_dropped") != F.col("n_segs"))).count() == 0
+        assert drop_all.where(F.col("clean_text") != "").count() == 0
+
+    def test_attrition_rule_order_is_first_fail(self, spark):
+        """A doc failing BOTH language and diversity is charged to
+        language (the earlier rule), never double-counted."""
+        from otd_semantic_framework_spark.operators.curation import (
+            filter_attrition)
+        # 105 fails language; 100/101 fail diversity (4 types / 40
+        # tokens); 102/103/104 fail min_tokens; 106 survives
+        rows = {r.rule: r for r in filter_attrition(
+            self._corpus(spark), min_tokens=5, allowed_lang="en",
+            max_tok_share_ppm=500_000, min_ttr_ppm=300_000).collect()}
+        assert rows["min_tokens"].n_dropped == 3
+        assert rows["language"].n_dropped == 1
+        assert rows["diversity"].n_dropped == 2
+        assert rows["survived"].n_in == 1
