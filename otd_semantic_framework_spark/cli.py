@@ -9,6 +9,7 @@ evaluate subcommands via argparse; SURVEY.md §3.1].
     python -m otd_semantic_framework_spark evaluate  --run-dir RUN --golden G.parquet
     python -m otd_semantic_framework_spark gen       --convs 1000 --out T.parquet
     python -m otd_semantic_framework_spark serve     --run-dir RUN --port 8080
+    python -m otd_semantic_framework_spark curate    --input D.parquet [--clean-out C.parquet]
 
 ``tag`` is the batch form of the reference's `dataset_tagger` lifecycle
 (curated manual tags merged into the run's CDS); ``search --taxonomic``
@@ -170,6 +171,29 @@ def cmd_evaluate(args) -> None:
     spark.stop()
 
 
+def cmd_curate(args) -> None:
+    """Training-data curation pass over a documents parquet: print the
+    sequential filter-attrition funnel (per-rule drop report) and, with
+    --clean-out, write the boilerplate-cleaned corpus. The two
+    operators this fronts are oracle-paired (curation_attrition,
+    text_boilerplate)."""
+    from .operators.curation import filter_attrition
+    from .operators.dedup import boilerplate_segments
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    funnel = [r.asDict() for r in
+              filter_attrition(docs, min_tokens=args.min_tokens,
+                               allowed_lang=args.lang)
+              .orderBy("stage").collect()]
+    print(json.dumps({"attrition": funnel}))
+    if args.clean_out:
+        (boilerplate_segments(docs, seg_words=args.seg_words,
+                              df_cap=args.df_cap)
+         .write.mode("overwrite").parquet(args.clean_out))
+        print(json.dumps({"cleaned": args.clean_out}))
+    spark.stop()
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="otd_semantic_framework_spark")
     ap.add_argument("--master", default=None)
@@ -215,6 +239,14 @@ def main(argv: list[str] | None = None) -> None:
 
     e = sub.add_parser("evaluate"); e.add_argument("--run-dir", required=True)
     e.add_argument("--golden", required=True); e.set_defaults(fn=cmd_evaluate)
+
+    c = sub.add_parser("curate");   c.add_argument("--input", required=True)
+    c.add_argument("--clean-out")
+    c.add_argument("--min-tokens", type=int, default=20)
+    c.add_argument("--lang", default="en")
+    c.add_argument("--seg-words", type=int, default=8)
+    c.add_argument("--df-cap", type=int, default=20)
+    c.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)
     args.fn(args)

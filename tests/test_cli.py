@@ -105,3 +105,30 @@ def test_cli_infer_broader_and_validate(tmp_path):
     assert report["no_self_reply"] == 0
     assert report["subj_wellformed"] == 0
     assert (proc.returncode == 2) == (report["replies_to_target_exists"] > 0)
+
+
+def test_cli_curate(tmp_path):
+    """curate: attrition funnel on a documents parquet + cleaned corpus
+    out — the training-data front door over the paired
+    curation_attrition / text_boilerplate operators."""
+    proc = subprocess.run(
+        [sys.executable, "-m", "otd_semantic_framework_spark",
+         "--master", "local[4]", "curate",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--clean-out", str(tmp_path / "clean.parquet"),
+         "--seg-words", "3", "--df-cap", "5"],
+        capture_output=True, text=True, cwd=ROOT, timeout=280)
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    lines = [json.loads(x) for x in proc.stdout.strip().splitlines()
+             if x.startswith("{")]
+    funnel = next(x for x in lines if "attrition" in x)["attrition"]
+    assert [r["rule"] for r in funnel] == [
+        "min_tokens", "language", "repetition", "diversity", "survived"]
+    assert funnel[0]["n_in"] == 500
+    assert all(r["n_out"] == r["n_in"] - r["n_dropped"] for r in funnel)
+    cleaned = next(x for x in lines if "cleaned" in x)["cleaned"]
+    import pyarrow.parquet as pq
+    t = pq.read_table(cleaned)
+    assert t.num_rows == 500
+    assert {"doc_id", "n_segs", "n_dropped", "clean_text",
+            "clean_chars"} <= set(t.column_names)
