@@ -830,6 +830,37 @@ def filter_attrition(docs: DataFrame, min_tokens: int = 20,
         F.sum(F.when(p1 & ~p2, 1).otherwise(0)).alias("d2"),
         F.sum(F.when(p1 & p2 & ~p3, 1).otherwise(0)).alias("d3"),
         F.sum(F.when(p1 & p2 & p3 & ~p4, 1).otherwise(0)).alias("d4"))
+    return attrition_report(agg)
+
+
+def attrition_counts(docs: DataFrame, min_tokens: int = 20,
+                     allowed_lang: str = "en",
+                     max_tok_share_ppm: int = 150_000,
+                     min_ttr_ppm: int = 500_000) -> DataFrame:
+    """The additive core of ``filter_attrition``: one row of
+    (n0, d1..d4) first-fail counts. Per-document first-fail attribution
+    is batch-local (it depends only on the document itself), so counts
+    over disjoint corpus slices SUM exactly to the whole-corpus counts
+    — the property the streaming monitor relies on."""
+    report = filter_attrition(docs, min_tokens=min_tokens,
+                              allowed_lang=allowed_lang,
+                              max_tok_share_ppm=max_tok_share_ppm,
+                              min_ttr_ppm=min_ttr_ppm)
+    # invert the report back to counts: stage 1 n_in = n0, each rule's
+    # n_dropped = d_i (cheap 5-row pivot; keeps one source of truth for
+    # the gate math instead of duplicating the predicate spine)
+    return report.agg(
+        F.max(F.when(F.col("stage") == 1, F.col("n_in"))).alias("n0"),
+        F.max(F.when(F.col("stage") == 1, F.col("n_dropped"))).alias("d1"),
+        F.max(F.when(F.col("stage") == 2, F.col("n_dropped"))).alias("d2"),
+        F.max(F.when(F.col("stage") == 3, F.col("n_dropped"))).alias("d3"),
+        F.max(F.when(F.col("stage") == 4, F.col("n_dropped"))).alias("d4"))
+
+
+def attrition_report(agg: DataFrame) -> DataFrame:
+    """Explode a one-row (n0, d1..d4) counts frame into the five-row
+    funnel report (shared by the batch operator and the streaming
+    monitor's drained sum)."""
     rows = agg.select(F.explode(F.expr("""array(
         struct(1L AS stage, 'min_tokens' AS rule,
                n0 AS n_in, coalesce(d1, 0L) AS n_dropped),

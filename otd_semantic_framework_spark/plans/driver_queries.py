@@ -3334,6 +3334,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_kmeans": q_sim_kmeans,
         "curation_chunks": q_curation_chunks,
         "multimodal_phash": q_multimodal_phash,
+        "stream_attrition": q_stream_attrition,
     }
 
 
@@ -3482,6 +3483,7 @@ def build_oracle_sql() -> dict[str, str]:
         "sim_kmeans": _sql_sim_kmeans(),
         "curation_chunks": SQL_CURATION_CHUNKS,
         "multimodal_phash": _sql_multimodal_phash(),
+        "stream_attrition": SQL_CURATION_ATTRITION,
     }
 
 
@@ -6177,3 +6179,50 @@ WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
       + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3))
       <= {PHASH_MAX_HAMMING}
 """
+
+
+def q_stream_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming curation-quality monitor: the filter-attrition funnel
+    maintained incrementally over a document file-stream (4 forced
+    micro-batches). Each foreachBatch computes the batch's first-fail
+    counts (operators/curation.py:attrition_counts — per-document
+    attribution is batch-local, so partial counts are exactly additive)
+    and appends the one-row delta to a sink; the drained deltas sum to
+    the whole-corpus counts and feed the same report builder as the
+    batch operator — so streaming ≡ batch is not just pinned in pytest,
+    it is what the oracle pairing itself verifies (same SQL as
+    curation_attrition)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    from ..operators.curation import (attrition_counts, attrition_report)
+    sfx = f"{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}"
+    out = _os.path.join(_tempfile.gettempdir(),
+                        f"stream_attr_{sfx}.parquet")
+    ckpt = _os.path.join(_tempfile.gettempdir(), f"stream_attr_{sfx}_ckpt")
+    src = _os.path.join(_tempfile.gettempdir(), f"stream_attr_{sfx}_src")
+    for d in (out, ckpt, src):
+        _shutil.rmtree(d, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    docs.repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src))
+
+    def _write(batch_df: DataFrame, _batch_id: int) -> None:
+        (attrition_counts(batch_df,
+                          min_tokens=ATTRITION_MIN_TOKENS,
+                          allowed_lang=ATTRITION_LANG,
+                          max_tok_share_ppm=ATTRITION_MAX_TOK_SHARE_PPM,
+                          min_ttr_ppm=ATTRITION_MIN_TTR_PPM)
+         .write.mode("append").parquet(out))
+
+    q = (stream.writeStream.outputMode("append").foreachBatch(_write)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    q.awaitTermination()
+    spark.catalog.refreshByPath(out)
+    deltas = spark.read.parquet(out)
+    total = deltas.agg(*[F.sum(c).alias(c)
+                         for c in ("n0", "d1", "d2", "d3", "d4")])
+    return attrition_report(total)

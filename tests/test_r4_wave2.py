@@ -328,3 +328,22 @@ class TestWave2Properties:
         assert rows["language"].n_dropped == 1
         assert rows["diversity"].n_dropped == 2
         assert rows["survived"].n_in == 1
+
+
+class TestStreamAttrition:
+    def test_micro_batch_deltas_sum_to_batch_funnel(self, spark):
+        """The streamed funnel equals the one-shot batch funnel row for
+        row — and the stream really ran as multiple micro-batches (the
+        additivity claim is vacuous on a single batch)."""
+        from otd_semantic_framework_spark.plans.driver_queries import (
+            q_curation_attrition, q_stream_attrition)
+        import os, tempfile
+        streamed = q_stream_attrition(spark, SF)
+        batch = q_curation_attrition(spark, SF)
+        assert streamed.exceptAll(batch).count() == 0
+        assert batch.exceptAll(streamed).count() == 0
+        sfx = f"{os.path.basename(SF)}_{os.getpid()}"
+        sink = os.path.join(tempfile.gettempdir(),
+                            f"stream_attr_{sfx}.parquet")
+        deltas = spark.read.parquet(sink)
+        assert deltas.count() >= 2, "stream collapsed to one batch"
