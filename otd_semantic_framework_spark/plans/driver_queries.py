@@ -3335,6 +3335,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_chunks": q_curation_chunks,
         "multimodal_phash": q_multimodal_phash,
         "stream_attrition": q_stream_attrition,
+        "stream_upsert": q_stream_upsert,
     }
 
 
@@ -3484,6 +3485,7 @@ def build_oracle_sql() -> dict[str, str]:
         "curation_chunks": SQL_CURATION_CHUNKS,
         "multimodal_phash": _sql_multimodal_phash(),
         "stream_attrition": SQL_CURATION_ATTRITION,
+        "stream_upsert": SQL_STREAM_UPSERT,
     }
 
 
@@ -6226,3 +6228,62 @@ def q_stream_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = deltas.agg(*[F.sum(c).alias(c)
                          for c in ("n0", "d1", "d2", "d3", "d4")])
     return attrition_report(total)
+
+
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert: four update batches (batch b carries a new
+    version ver=b of every document with doc_id % 4 >= b) drain through
+    foreachBatch into the storage adapter's generic last-writer-wins
+    MERGE (sources/storage.py:upsert_latest — real MERGE INTO on
+    Iceberg, union + per-key argmax + crash-safe staged swap on
+    parquet). The winner is decided by the version COLUMN, not arrival
+    order, so the drained table is deterministic whatever order the
+    files trigger in: doc residue r saw versions 0..r, hence its final
+    row is ver = doc_id % 4. The oracle states exactly that closed
+    form — pairing pins MERGE semantics end-to-end through a real
+    stream."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    from ..sources.storage import Storage
+    sfx = f"{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}"
+    root = _os.path.join(_tempfile.gettempdir(), f"stream_ups_{sfx}")
+    ckpt = _os.path.join(root, "ckpt")
+    src = _os.path.join(root, "src")
+    tbl = _os.path.join(root, "tables")
+    _shutil.rmtree(root, ignore_errors=True)
+    _os.makedirs(src)
+    _os.makedirs(tbl)
+    docs = _docs(spark, sf_dir)
+    for b in range(4):
+        batch = (docs.where(F.col("doc_id") % 4 >= b)
+                 .select("doc_id", F.lit(b).cast("long").alias("ver"),
+                         (F.col("n_chars") + b).cast("long").alias("val")))
+        stage = _os.path.join(root, f"stage_{b}")
+        batch.coalesce(1).write.parquet(stage)
+        part = next(f for f in _os.listdir(stage)
+                    if f.endswith(".parquet"))
+        _os.rename(_os.path.join(stage, part),
+                   _os.path.join(src, f"b{b}.parquet"))
+    schema = "doc_id long, ver long, val long"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    st = Storage(tbl)
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        st.upsert_latest(spark, "docs_current", batch_df,
+                         key_cols=["doc_id"], ver_col="ver")
+
+    q = (stream.writeStream.outputMode("update").foreachBatch(_merge)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    q.awaitTermination()
+    return st.read_table(spark, "docs_current")
+
+
+SQL_STREAM_UPSERT = """
+SELECT doc_id,
+       CAST(doc_id % 4 AS BIGINT) AS ver,
+       CAST(n_chars + doc_id % 4 AS BIGINT) AS val
+FROM documents
+"""

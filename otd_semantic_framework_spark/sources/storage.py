@@ -21,6 +21,7 @@ import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -129,6 +130,65 @@ class Storage:
         shutil.rmtree(backup)
         # Spark's shared file-status cache still lists the pre-swap
         # files for this path; refresh before anyone re-reads it
+        spark.catalog.refreshByPath(final)
+        return self.read_table(spark, name)
+
+    def upsert_latest(self, spark: SparkSession, name: str,
+                      updates: DataFrame, key_cols: list[str],
+                      ver_col: str) -> DataFrame:
+        """Generic CDC last-writer-wins MERGE: one row per key survives
+        — the one with the highest ``ver_col`` across the existing
+        table and the update batch (ties break deterministically by the
+        full row via a single min/max-struct aggregate, so duplicate
+        versions cannot make the result depend on arrival order). On
+        Iceberg this is the real statement
+
+            MERGE INTO cat.db.{name} t USING updates u ON <keys>
+            WHEN MATCHED AND u.{ver} > t.{ver} THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+
+        served by the key-bucketed layout without a full target
+        shuffle; on parquet it is union + per-key argmax + the same
+        crash-safe staged swap ``merge_triples`` uses. Scale shape:
+        ONE hash agg keyed on the upsert key (map-side partial — the
+        update batch is usually a sliver of the table, and AQE keeps
+        the union's partitioning sane); no windows, no driver state.
+        """
+        data_cols = [c for c in updates.columns
+                     if c not in key_cols and c != ver_col]
+        if self.mode == "iceberg":
+            updates.createOrReplaceTempView("_upsert_updates")
+            on = " AND ".join(f"t.{k} = u.{k}" for k in key_cols)
+            sets = ", ".join(f"{c} = u.{c}"
+                             for c in data_cols + [ver_col])
+            spark.sql(f"""
+                MERGE INTO {self.catalog}.db.{name} t
+                USING _upsert_updates u ON {on}
+                WHEN MATCHED AND u.{ver_col} > t.{ver_col}
+                  THEN UPDATE SET {sets}
+                WHEN NOT MATCHED THEN INSERT *
+            """)
+            return self.read_table(spark, name)
+        base = (self.read_table(spark, name).unionByName(updates)
+                if self.exists(spark, name) else updates)
+        winner = F.max(F.struct(ver_col, *data_cols)).alias("_w")
+        merged = (base.groupBy(*key_cols).agg(winner)
+                  .select(*key_cols,
+                          *[F.col(f"_w.{c}").alias(c)
+                            for c in [ver_col] + data_cols]))
+        if not self.exists(spark, name):
+            self.write_table(merged, name)
+            return self.read_table(spark, name)
+        staging = f"{name}__staging"
+        self.write_table(merged, staging)
+        final = self._path(name)
+        backup = self._path(f"{name}__backup")
+        import shutil
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+        os.rename(final, backup)
+        os.rename(self._path(staging), final)
+        shutil.rmtree(backup)
         spark.catalog.refreshByPath(final)
         return self.read_table(spark, name)
 

@@ -347,3 +347,30 @@ class TestStreamAttrition:
                             f"stream_attr_{sfx}.parquet")
         deltas = spark.read.parquet(sink)
         assert deltas.count() >= 2, "stream collapsed to one batch"
+
+
+class TestStreamUpsert:
+    def test_merge_is_order_independent_and_idempotent(self, spark, tmp_path):
+        """upsert_latest decides by the version column: applying the
+        same batches in reverse order, or re-applying a batch, yields
+        the identical table."""
+        from otd_semantic_framework_spark.sources.storage import Storage
+        rows = [(1, 0, "a0"), (2, 0, "b0"), (3, 0, "c0")]
+        upd1 = [(1, 1, "a1"), (2, 1, "b1")]
+        upd2 = [(1, 2, "a2")]
+        schema = "k long, ver long, payload string"
+
+        def build(order, root):
+            st = Storage(str(root))
+            for batch in order:
+                st.upsert_latest(spark, "t",
+                                 spark.createDataFrame(batch, schema),
+                                 key_cols=["k"], ver_col="ver")
+            return {(r.k, r.ver, r.payload)
+                    for r in st.read_table(spark, "t").collect()}
+
+        fwd = build([rows, upd1, upd2], tmp_path / "fwd")
+        rev = build([upd2, upd1, rows], tmp_path / "rev")
+        dup = build([rows, upd1, upd2, upd1], tmp_path / "dup")
+        expect = {(1, 2, "a2"), (2, 1, "b1"), (3, 0, "c0")}
+        assert fwd == rev == dup == expect
