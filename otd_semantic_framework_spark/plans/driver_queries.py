@@ -3336,6 +3336,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_phash": q_multimodal_phash,
         "stream_attrition": q_stream_attrition,
         "stream_upsert": q_stream_upsert,
+        "text_zipf": q_text_zipf,
+        "rel_kanon": q_rel_kanon,
     }
 
 
@@ -3486,6 +3488,8 @@ def build_oracle_sql() -> dict[str, str]:
         "multimodal_phash": _sql_multimodal_phash(),
         "stream_attrition": SQL_CURATION_ATTRITION,
         "stream_upsert": SQL_STREAM_UPSERT,
+        "text_zipf": SQL_TEXT_ZIPF,
+        "rel_kanon": SQL_REL_KANON,
     }
 
 
@@ -6286,4 +6290,90 @@ SELECT doc_id,
        CAST(doc_id % 4 AS BIGINT) AS ver,
        CAST(n_chars + doc_id % 4 AS BIGINT) AS val
 FROM documents
+"""
+
+
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: regression
+    of ln(count) on ln(rank) for the top-200 tokens — the corpus-health
+    statistic (natural language sits near slope -1; synthetic or
+    templated corpora flatten). Slope/intercept/R² via the textbook
+    regr_* aggregates both engines implement; floats carry the repo's
+    round(x, 6) + 0.0 convention. The rank window runs AFTER
+    orderBy+limit (GlobalLimit-bounded input), and the fit itself is
+    one grouping-free Aggregate."""
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                            r"\s+"),
+                    lambda t: t != "")
+    counts = (_docs(spark, sf_dir)
+              .select(F.explode(toks).alias("tok"))
+              .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    top = (counts.orderBy(F.desc("n"), F.asc("tok")).limit(VOCAB_TOP)
+           .withColumn("rank", F.row_number().over(
+               Window.orderBy(F.desc("n"), F.asc("tok")))))
+    return top.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        (F.round(F.expr("regr_slope(ln(n), ln(rank))"), 6)
+         + 0.0).alias("zipf_slope"),
+        (F.round(F.expr("regr_intercept(ln(n), ln(rank))"), 6)
+         + 0.0).alias("zipf_intercept"),
+        (F.round(F.expr("regr_r2(ln(n), ln(rank))"), 6)
+         + 0.0).alias("zipf_r2"))
+
+
+SQL_TEXT_ZIPF = f"""
+WITH counts AS (
+  SELECT tok, count(*) AS n FROM (
+    SELECT unnest(list_filter(
+             string_split_regex(lower(coalesce(text, '')), '\\s+'),
+             t -> t <> '')) AS tok
+    FROM documents)
+  GROUP BY tok
+),
+top AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+  FROM (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT {VOCAB_TOP})
+)
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       round(regr_slope(ln(n), ln(rank)), 6) + 0.0 AS zipf_slope,
+       round(regr_intercept(ln(n), ln(rank)), 6) + 0.0 AS zipf_intercept,
+       round(regr_r2(ln(n), ln(rank)), 6) + 0.0 AS zipf_r2
+FROM top
+"""
+
+
+KANON_K = 5
+
+
+def q_rel_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (lang, source) quasi-identifier pair:
+    group sizes, at-risk flag (n < k), and the share of DOCUMENTS whose
+    equivalence class is below k in exact ppm — the governance read
+    that must precede any per-group release of a corpus. Two hash aggs
+    (group sizes, then the one-row risk rollup exploded back as a
+    constant-size summary join); no windows."""
+    g = (_docs(spark, sf_dir)
+         .groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n")))
+    tot = g.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(F.when(F.col("n") < KANON_K, F.col("n")).otherwise(0))
+        .alias("n_risky"))
+    return (g.crossJoin(F.broadcast(tot))
+            .select("lang", "source", F.col("n").cast("long").alias("n"),
+                    (F.col("n") < KANON_K).alias("is_risky"),
+                    F.expr("n_risky * 1000000L DIV n_docs")
+                    .cast("long").alias("risky_share_ppm")))
+
+
+SQL_REL_KANON = f"""
+WITH g AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+tot AS (
+  SELECT sum(n) AS n_docs,
+         sum(CASE WHEN n < {KANON_K} THEN n ELSE 0 END) AS n_risky
+  FROM g)
+SELECT g.lang, g.source, CAST(g.n AS BIGINT) AS n,
+       g.n < {KANON_K} AS is_risky,
+       CAST(t.n_risky * 1000000 // t.n_docs AS BIGINT) AS risky_share_ppm
+FROM g, tot t
 """

@@ -374,3 +374,30 @@ class TestStreamUpsert:
         dup = build([rows, upd1, upd2, upd1], tmp_path / "dup")
         expect = {(1, 2, "a2"), (2, 1, "b1"), (3, 0, "c0")}
         assert fwd == rev == dup == expect
+
+
+class TestZipfAndKAnon:
+    def test_zipf_fit_shape(self, spark):
+        from otd_semantic_framework_spark.plans.driver_queries import (
+            q_text_zipf)
+        r = q_text_zipf(spark, SF).first()
+        assert r.n_points > 2
+        # frequencies are non-increasing in rank, so the fitted slope
+        # cannot be positive, and R^2 is a valid share
+        assert r.zipf_slope <= 0.0
+        assert 0.0 <= r.zipf_r2 <= 1.0
+
+    def test_kanon_accounting(self, spark):
+        from otd_semantic_framework_spark.plans.driver_queries import (
+            KANON_K, q_rel_kanon)
+        out = q_rel_kanon(spark, SF).cache()
+        docs = _docs(spark).count()
+        assert out.agg(F.sum("n")).first()[0] == docs
+        assert out.where(
+            F.col("is_risky") != (F.col("n") < KANON_K)).count() == 0
+        risky_docs = (out.where("is_risky").agg(F.sum("n")).first()[0]
+                      or 0)
+        share = out.select("risky_share_ppm").distinct().collect()
+        assert len(share) == 1
+        assert share[0][0] == risky_docs * 1_000_000 // docs
+        out.unpersist()
