@@ -55,17 +55,23 @@ DRIVER_SAMPLE_FIRST_50 = [
 ]
 
 
-# ROUND-5 ROTATION TODO: after the r4 driver record lands, 22 paired
-# queries will still lack one (plus the 2 rows-only by design):
-# kg_mentions_regex, multimodal_{frames,decode,stats}, text_token_counts,
-# text_langid, text_winnow, rel_unpivot, rel_window_analytics,
-# rel_datefns, rel_collect_list, rel_cube, curation_deciles, sim_recall,
-# curation_weighted, kg_tool_latency, curation_shards, kg_conv_rollup,
-# kg_degree_dist, kg_batch_search, kg_nt_export, rel_heavy_hitters,
-# sim_maxsim_topk, kg_inferred_triples, stream_join, kg_construct_query,
-# kg_validate, kg_search_closure, kg_branch_rollup, kg_ontology_diff.
-# Rotate them into slots 10-31 of DRIVER_SAMPLE_FIRST_50 next round
-# (keep the core nine), back-filling with r4-green keys.
+# ROUND-5 ROTATION TODO: after the r4 driver record lands, 53 paired
+# queries will still lack one (plus the 2 rows-only by design) — the
+# pre-rotation backlog plus the r4 wave-2 additions:
+# kg_mentions_regex, multimodal_{frames,decode,stats,phash},
+# text_{token_counts,langid,winnow,ttr,boilerplate,vocab,
+# source_overlap,zipf}, rel_{unpivot,window_analytics,datefns,
+# collect_list,cube,heavy_hitters,funnel,funnel_latency,retention,
+# window_dist,kanon}, curation_{deciles,weighted,shards,dsir,attrition,
+# chunks}, sim_{recall,maxsim_topk,kmeans}, kg_{tool_latency,
+# conv_rollup,degree_dist,batch_search,nt_export,inferred_triples,
+# construct_query,validate,search_closure,branch_rollup,ontology_diff,
+# clustering,concept_drift,related,resnik,kcore}, dedup_semantic,
+# stream_{join,attrition,upsert}.
+# Rotate 41 of them into slots 10-50 of DRIVER_SAMPLE_FIRST_50 next
+# round (keep the core nine; prefer the r4 wave-2 additions and
+# anything with cross-query composition), and the remainder the round
+# after. The strict local checker still gates every pair each round.
 
 
 def _rotate(d: dict) -> dict:
