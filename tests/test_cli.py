@@ -13,7 +13,7 @@ def _run(*args):
     proc = subprocess.run(
         [sys.executable, "-m", "otd_semantic_framework_spark",
          "--master", "local[4]", *args],
-        capture_output=True, text=True, cwd=ROOT, timeout=280)
+        capture_output=True, text=True, cwd=ROOT, timeout=560)
     assert proc.returncode == 0, proc.stderr[-1500:]
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
@@ -93,7 +93,7 @@ def test_cli_infer_broader_and_validate(tmp_path):
     proc = subprocess.run(
         [sys.executable, "-m", "otd_semantic_framework_spark",
          "--master", "local[4]", "validate", "--run-dir", run_dir],
-        capture_output=True, text=True, cwd=ROOT, timeout=280)
+        capture_output=True, text=True, cwd=ROOT, timeout=560)
     assert proc.returncode in (0, 2), proc.stderr[-1500:]
     report = json.loads(proc.stdout.strip().splitlines()[-1])
     # the pipeline only emits canonical concepts / prefixed tools /
@@ -117,7 +117,7 @@ def test_cli_curate(tmp_path):
          "--input", "/root/testdata/sf0.001/documents.parquet",
          "--clean-out", str(tmp_path / "clean.parquet"),
          "--seg-words", "3", "--df-cap", "5"],
-        capture_output=True, text=True, cwd=ROOT, timeout=280)
+        capture_output=True, text=True, cwd=ROOT, timeout=560)
     assert proc.returncode == 0, proc.stderr[-1500:]
     lines = [json.loads(x) for x in proc.stdout.strip().splitlines()
              if x.startswith("{")]
