@@ -617,3 +617,126 @@ def kcore_peel(triples: DataFrame, k: int = 2, rounds: int = 6) -> DataFrame:
     return (deg.where(F.col("deg") >= k)
             .select(F.col("src").alias("node"),
                     F.col("deg").cast("long").alias("core_deg")))
+
+
+def lin_jc(tags: DataFrame, ancestors: DataFrame,
+           unit_cols: tuple = ("conv_id", "turn_idx"),
+           concept_col: str = "concept_id") -> DataFrame:
+    """Lin similarity and Jiang–Conrath distance for co-tagged concept
+    pairs — the two IC-normalized members of the Resnik family the
+    ontology-similarity literature pairs with Wu-Palmer [K]. Where
+    ``resnik_mics`` stays rank-equivalent in exact integers, these two
+    genuinely need the log: lin = 2·IC(mics) / (IC(a) + IC(b)) and
+    jc_dist = IC(a) + IC(b) − 2·IC(mics), with IC(x) = ln(total_mass)
+    − ln(mass_x) over the same descendant-or-self corpus masses. Floats
+    follow the repo's cross-engine convention (one ln per mass, then
+    elementwise arithmetic, round(x, 6) + 0.0 — the tfidf/bm25-accepted
+    ulp class).
+
+    Plan shape = ``resnik_mics`` (posting-list pair self-join, ontology
+    -sized broadcast closure, per-pair bounded window) plus two extra
+    BROADCAST joins of the ontology-sized mass table onto the pair
+    endpoints — nothing new shuffles. ``lin_sim`` is NULL when
+    IC(a) + IC(b) = 0 (both endpoints carry the whole corpus mass, so
+    similarity is undefined); jc_dist is always defined.
+    """
+    mics = resnik_mics(tags, ancestors, unit_cols, concept_col)
+    closure = (ancestors.select("concept_id", "anc_id")
+               .unionByName(
+                   ancestors.select("concept_id")
+                   .unionByName(ancestors.select(
+                       F.col("anc_id").alias("concept_id")))
+                   .distinct()
+                   .select("concept_id",
+                           F.col("concept_id").alias("anc_id")))
+               .distinct())
+    unit = F.concat_ws(
+        ":", *[F.col(c).cast("string") for c in unit_cols])
+    t = (tags.select(unit.alias("unit"),
+                     F.col(concept_col).alias("concept_id"))
+         .distinct())
+    total = t.agg(F.count(F.lit(1)).alias("total_mass"))
+    mass = (t.join(F.broadcast(closure), "concept_id")
+            .groupBy("anc_id").agg(F.count(F.lit(1)).alias("mass")))
+    mass_a = F.broadcast(mass.select(F.col("anc_id").alias("concept_a"),
+                                     F.col("mass").alias("mass_a")))
+    mass_b = F.broadcast(mass.select(F.col("anc_id").alias("concept_b"),
+                                     F.col("mass").alias("mass_b")))
+    ic = (mics.join(mass_a, "concept_a").join(mass_b, "concept_b")
+          .crossJoin(F.broadcast(total))
+          .withColumn("ic_a", F.log(F.col("total_mass"))
+                      - F.log(F.col("mass_a")))
+          .withColumn("ic_b", F.log(F.col("total_mass"))
+                      - F.log(F.col("mass_b")))
+          .withColumn("ic_m", F.log(F.col("total_mass"))
+                      - F.log(F.col("mics_mass"))))
+    return ic.select(
+        "concept_a", "concept_b", "mics_id",
+        F.when(F.col("ic_a") + F.col("ic_b") > 0,
+               F.round(2 * F.col("ic_m") / (F.col("ic_a") + F.col("ic_b")),
+                       6) + 0.0).alias("lin_sim"),
+        (F.round(F.col("ic_a") + F.col("ic_b") - 2 * F.col("ic_m"), 6)
+         + 0.0).alias("jc_dist"))
+
+
+def hits_exact(triples: DataFrame, iterations: int = 2) -> DataFrame:
+    """HITS hubs/authorities over the KG edge table — ``iterations``
+    synchronous rounds of the Kleinberg mutual-reinforcement update,
+    L1-normalized each half-step so scores stay in ppm fixed point.
+    In the heterogeneous KG the split is semantically real: turns are
+    the only nodes with out-edges (hubs — conversational loci that
+    point at many concepts/tools), while concepts/tools/parent turns
+    collect in-links (authorities).
+
+    Arithmetic is pure BIGINT (this module's convention): hubs start at
+    1_000_000; each round auth_raw(n) = Σ hub over in-edges, then
+    auth(n) = auth_raw · PPM DIV Σ auth_raw, and symmetrically for
+    hubs — integer sums are merge-order-independent, so the distributed
+    aggregation is bit-exact against DuckDB's unrolled replay.
+    Headroom: auth_raw · PPM ≤ PPM² · max_in_degree, so 10⁶-degree hubs
+    fit in int64; past that, aggregate as DECIMAL(38,0).
+
+    Scale shape per round: two shuffle-hash joins edges⋈scores on the
+    node key + two hash aggs + one scalar-sum broadcast each — no
+    windows, nothing driver-side. ``edges``/``nodes`` are computed once
+    and persisted; at cluster scale bucket the edge table by subj/obj
+    so the per-round joins co-partition.
+    """
+    # localCheckpoint (eager), not persist: each half-step references
+    # edges + nodes + the previous half's frame, so with lazy lineage
+    # the logical plan re-embeds the full upstream pipeline tree
+    # exponentially in the iteration count — the DRIVER dies
+    # stringifying the plan long before an executor runs it.
+    # Checkpointing cuts the lineage at every round boundary, keeping
+    # every plan O(1); on a real cluster swap in reliable
+    # checkpoint() so a lost executor can rebuild the round state.
+    edges = kg_edges(triples).localCheckpoint(eager=True)
+    nodes = (edges.select(F.col("subj").alias("node"))
+             .unionByName(edges.select(F.col("obj").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    hub = nodes.withColumn("score", F.lit(PPM).cast("long"))
+    auth = None
+
+    def _half(scores: DataFrame, src: str, dst: str) -> DataFrame:
+        # raw feeds BOTH the scalar total and the normalization join;
+        # checkpointing the node-sized intermediate computes it once.
+        raw = (edges.join(scores, edges[src] == scores["node"])
+               .select(F.col(dst).alias("node"), "score")
+               .groupBy("node").agg(F.sum("score").alias("raw"))
+               .localCheckpoint(eager=True))
+        tot = raw.agg(F.sum("raw").alias("tot"))
+        return (nodes.join(raw, "node", "left")
+                .crossJoin(F.broadcast(tot))
+                .select("node",
+                        F.expr(f"coalesce(raw, 0L) * {PPM} DIV tot")
+                        .cast("long").alias("score"))
+                .localCheckpoint(eager=True))
+
+    for _ in range(iterations):
+        auth = _half(hub, "subj", "obj")
+        hub = _half(auth, "obj", "subj")
+    return (nodes
+            .join(auth.withColumnRenamed("score", "auth_ppm"), "node")
+            .join(hub.withColumnRenamed("score", "hub_ppm"), "node")
+            .select("node", F.col("auth_ppm").cast("long").alias("auth_ppm"),
+                    F.col("hub_ppm").cast("long").alias("hub_ppm")))

@@ -3338,6 +3338,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert": q_stream_upsert,
         "text_zipf": q_text_zipf,
         "rel_kanon": q_rel_kanon,
+        "kg_lin_jc": q_kg_lin_jc,
+        "kg_hits": q_kg_hits,
+        "dedup_bloom": q_dedup_bloom,
+        "kg_ask": q_kg_ask,
+        "curation_split": q_curation_split,
+        "stream_topk": q_stream_topk,
     }
 
 
@@ -3490,6 +3496,12 @@ def build_oracle_sql() -> dict[str, str]:
         "stream_upsert": SQL_STREAM_UPSERT,
         "text_zipf": SQL_TEXT_ZIPF,
         "rel_kanon": SQL_REL_KANON,
+        "kg_lin_jc": _sql_kg_lin_jc(),
+        "kg_hits": _sql_kg_hits(),
+        "dedup_bloom": _sql_dedup_bloom(),
+        "kg_ask": _sql_kg_ask(),
+        "curation_split": _sql_curation_split(),
+        "stream_topk": SQL_STREAM_TOPK,
     }
 
 
@@ -6376,4 +6388,384 @@ SELECT g.lang, g.source, CAST(g.n AS BIGINT) AS n,
        g.n < {KANON_K} AS is_risky,
        CAST(t.n_risky * 1000000 // t.n_docs AS BIGINT) AS risky_share_ppm
 FROM g, tot t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 3: IC-similarity family completion, HITS, Bloom decontamination,
+# SPARQL ASK, hash split audit, streaming windowed top-k.
+# ---------------------------------------------------------------------------
+
+
+def q_kg_lin_jc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin similarity + Jiang-Conrath distance for co-tagged concept
+    pairs (operators/graph.py:lin_jc) — completes the taxonomy
+    similarity family next to Wu-Palmer (kg_wup_matrix) and Resnik
+    (kg_resnik), the trio the ontology-retrieval literature evaluates
+    together [K]. Same corpus-IC masses as kg_resnik; the ln/division
+    float math follows the repo's round(x, 6) + 0.0 convention."""
+    from ..operators.graph import lin_jc
+    from .driver_ontology import driver_ancestors
+    tags = (_mentions_df(spark, sf_dir)
+            .select("conv_id", "turn_idx", "concept_id").distinct())
+    anc = spark.createDataFrame(driver_ancestors()[["concept_id", "anc_id"]])
+    return lin_jc(tags, anc)
+
+
+def _sql_kg_lin_jc() -> str:
+    av = values_sql(driver_ancestors()[["concept_id", "anc_id"]], "a")
+    ic_a = "(ln(t.total_mass) - ln(ma.mass))"
+    ic_b = "(ln(t.total_mass) - ln(mb.mass))"
+    ic_m = "(ln(t.total_mass) - ln(m.mics_mass))"
+    return f"""
+WITH {_MENTIONS_CTE},
+anc AS (SELECT concept_id, anc_id FROM {av}),
+closure AS (
+  SELECT concept_id, anc_id FROM anc
+  UNION
+  SELECT x, x FROM (
+    SELECT concept_id AS x FROM anc UNION SELECT anc_id FROM anc
+  )
+),
+tags AS (
+  SELECT DISTINCT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS unit,
+         concept_id
+  FROM mentions
+),
+total AS (SELECT count(*) AS total_mass FROM tags),
+mass AS (
+  SELECT c.anc_id, count(*) AS mass
+  FROM tags t JOIN closure c USING (concept_id)
+  GROUP BY c.anc_id
+),
+pairs AS (
+  SELECT DISTINCT a.concept_id AS concept_a, b.concept_id AS concept_b
+  FROM tags a JOIN tags b
+    ON a.unit = b.unit AND a.concept_id < b.concept_id
+),
+common AS (
+  SELECT p.concept_a, p.concept_b, ca.anc_id, m.mass,
+         row_number() OVER (PARTITION BY p.concept_a, p.concept_b
+                            ORDER BY m.mass ASC, ca.anc_id ASC) AS rn
+  FROM pairs p
+  JOIN closure ca ON ca.concept_id = p.concept_a
+  JOIN closure cb ON cb.concept_id = p.concept_b
+                 AND cb.anc_id = ca.anc_id
+  JOIN mass m ON m.anc_id = ca.anc_id
+),
+mics AS (
+  SELECT concept_a, concept_b, anc_id AS mics_id, mass AS mics_mass
+  FROM common WHERE rn = 1
+)
+SELECT m.concept_a, m.concept_b, m.mics_id,
+       CASE WHEN ({ic_a} + {ic_b}) > 0
+            THEN round(2 * {ic_m} / ({ic_a} + {ic_b}), 6) + 0.0 END
+         AS lin_sim,
+       round(({ic_a} + {ic_b}) - 2 * {ic_m}, 6) + 0.0 AS jc_dist
+FROM mics m
+JOIN mass ma ON ma.anc_id = m.concept_a
+JOIN mass mb ON mb.anc_id = m.concept_b
+CROSS JOIN total t
+"""
+
+
+HITS_ITERS = 2
+
+
+def q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the full heterogeneous KG
+    (operators/graph.py:hits_exact) — the second classic link-analysis
+    read next to kg_pagerank, with a semantically real hub/authority
+    split (turns point, concepts/tools collect). Pure BIGINT ppm with
+    L1 renormalization each half-step, so the distributed sums are
+    bit-exact against DuckDB's unrolled replay of the same rounds."""
+    from ..operators.graph import hits_exact
+    return hits_exact(q_kg_triples(spark, sf_dir), iterations=HITS_ITERS)
+
+
+def _sql_kg_hits() -> str:
+    steps, prev_hub = [], "h0"
+    prev_auth = None
+    for i in range(1, HITS_ITERS + 1):
+        steps.append(f"""a{i}_raw AS MATERIALIZED (
+  SELECT e.obj AS node, CAST(sum(h.score) AS BIGINT) AS raw
+  FROM edges e JOIN {prev_hub} h ON h.node = e.subj GROUP BY e.obj),
+a{i} AS MATERIALIZED (
+  SELECT n.node, CAST(coalesce(r.raw, 0) * 1000000 // t.tot AS BIGINT)
+           AS score
+  FROM nodes n LEFT JOIN a{i}_raw r ON r.node = n.node
+  CROSS JOIN (SELECT sum(raw) AS tot FROM a{i}_raw) t),
+h{i}_raw AS MATERIALIZED (
+  SELECT e.subj AS node, CAST(sum(a.score) AS BIGINT) AS raw
+  FROM edges e JOIN a{i} a ON a.node = e.obj GROUP BY e.subj),
+h{i} AS MATERIALIZED (
+  SELECT n.node, CAST(coalesce(r.raw, 0) * 1000000 // t.tot AS BIGINT)
+           AS score
+  FROM nodes n LEFT JOIN h{i}_raw r ON r.node = n.node
+  CROSS JOIN (SELECT sum(raw) AS tot FROM h{i}_raw) t)""")
+        prev_hub, prev_auth = f"h{i}", f"a{i}"
+    return f"""
+WITH triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+edges AS MATERIALIZED (SELECT DISTINCT subj, obj FROM triples),
+nodes AS MATERIALIZED (SELECT subj AS node FROM edges UNION SELECT obj FROM edges),
+h0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes),
+{', '.join(steps)}
+SELECT n.node, a.score AS auth_ppm, h.score AS hub_ppm
+FROM nodes n JOIN {prev_auth} a ON a.node = n.node
+             JOIN {prev_hub} h ON h.node = n.node
+"""
+
+
+BLOOM_N = 6
+
+
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/sketch.py): the probe
+    subset's 6-gram set folds into a fixed 65536-bit filter (the scale
+    path when the membership set outgrows an exact broadcast), the
+    corpus probes it map-side, and the exact audit columns pin the
+    sketch's false-positive behavior as deterministic — both engines
+    rebuild the identical bit set digit-by-digit from md5."""
+    from ..operators.sketch import bloom_decontaminate
+    d = _docs(spark, sf_dir)
+    probes = d.filter(F.col("doc_id") % CONTAM_PROBE_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % CONTAM_PROBE_MOD != 0)
+    return bloom_decontaminate(corpus, probes, n=BLOOM_N)
+
+
+def _sql_dedup_bloom() -> str:
+    def pos(h: str) -> str:
+        return " + ".join(
+            f"(strpos('0123456789abcdef', substr({h}, {p + 1}, 1)) - 1)"
+            f" * {16 ** (3 - p)}" for p in range(4))
+
+    salted = pos("md5(gram || ':' || CAST(i AS VARCHAR))")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '),
+                     t -> t <> '') AS tk
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(tk[i:i + {BLOOM_N} - 1], ' ')) AS gram
+  FROM (SELECT doc_id, tk,
+               unnest(range(1, greatest(len(tk) - {BLOOM_N} + 2, 1))) AS i
+        FROM toks)),
+pg AS (SELECT DISTINCT gram FROM grams
+       WHERE doc_id % {CONTAM_PROBE_MOD} = 0),
+bits AS (
+  SELECT DISTINCT {salted} AS pos
+  FROM pg CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
+cg AS (SELECT doc_id, gram FROM grams
+       WHERE doc_id % {CONTAM_PROBE_MOD} <> 0),
+cpos AS (
+  SELECT doc_id, gram, {salted} AS pos
+  FROM cg CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
+bhit AS (
+  SELECT doc_id, gram FROM cpos JOIN bits USING (pos)
+  GROUP BY doc_id, gram HAVING count(*) = 3),
+bloom AS (SELECT doc_id, count(*) AS n_bloom_hits FROM bhit
+          GROUP BY doc_id),
+tru AS (SELECT doc_id, count(*) AS n_true_hits FROM cg JOIN pg USING (gram)
+        GROUP BY doc_id),
+perdoc AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(b.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
+       CAST(coalesce(t.n_true_hits, 0) AS BIGINT) AS n_true_hits,
+       CAST(coalesce(b.n_bloom_hits, 0) - coalesce(t.n_true_hits, 0)
+            AS BIGINT) AS n_false_pos,
+       coalesce(b.n_bloom_hits, 0) > 0 AS is_flagged
+FROM (SELECT DISTINCT doc_id FROM documents
+      WHERE doc_id % {CONTAM_PROBE_MOD} <> 0) d
+LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+LEFT JOIN bloom b ON b.doc_id = d.doc_id
+LEFT JOIN tru t ON t.doc_id = d.doc_id
+"""
+
+
+ASK_CONCEPT = "dq:L27"
+ASK_TOOL = "tool:tool3"
+ASK_MISSING = "dq:NO_SUCH_CONCEPT"
+
+
+def q_kg_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK battery over the constructed KG — boolean existence
+    for four fixed patterns (simple triple, bound-object triple, a
+    conjunctive two-pattern BGP sharing ?turn, and a guaranteed-false
+    probe), completing the SPARQL verb surface next to SELECT
+    (kg_bgp_query) and CONSTRUCT (kg_construct_query). Each ASK is one
+    aggregate over a pushed-down predicate filter — no result
+    materialization, which is the point of ASK at scale."""
+    t = q_kg_triples(spark, sf_dir)
+    a1 = t.agg((F.sum(F.when(F.col("pred") == "mentions", 1)
+                      .otherwise(0)) > 0).alias("answer")) \
+        .select(F.lit("any_mention").alias("ask_id"), "answer")
+    a2 = t.agg((F.sum(F.when((F.col("pred") == "uses_tool")
+                             & (F.col("obj") == ASK_TOOL), 1)
+                      .otherwise(0)) > 0).alias("answer")) \
+        .select(F.lit("uses_tool3").alias("ask_id"), "answer")
+    m = (t.filter((F.col("pred") == "mentions")
+                  & (F.col("obj") == ASK_CONCEPT))
+         .select(F.col("subj").alias("turn")))
+    r = (t.filter(F.col("pred") == "replies_to")
+         .select(F.col("subj").alias("turn")))
+    a3 = (m.join(r, "turn", "left_semi")
+          .agg((F.count(F.lit(1)) > 0).alias("answer"))
+          .select(F.lit("mention_and_reply").alias("ask_id"), "answer"))
+    a4 = t.agg((F.sum(F.when(F.col("obj") == ASK_MISSING, 1)
+                      .otherwise(0)) > 0).alias("answer")) \
+        .select(F.lit("missing_concept").alias("ask_id"), "answer")
+    return a1.unionByName(a2).unionByName(a3).unionByName(a4)
+
+
+def _sql_kg_ask() -> str:
+    return f"""
+WITH triples AS ({_sql_kg_triples_body()})
+SELECT 'any_mention' AS ask_id,
+       EXISTS (SELECT 1 FROM triples WHERE pred = 'mentions') AS answer
+UNION ALL
+SELECT 'uses_tool3',
+       EXISTS (SELECT 1 FROM triples
+               WHERE pred = 'uses_tool' AND obj = '{ASK_TOOL}')
+UNION ALL
+SELECT 'mention_and_reply',
+       EXISTS (SELECT 1 FROM triples m JOIN triples r
+                 ON r.subj = m.subj AND r.pred = 'replies_to'
+               WHERE m.pred = 'mentions' AND m.obj = '{ASK_CONCEPT}')
+UNION ALL
+SELECT 'missing_concept',
+       EXISTS (SELECT 1 FROM triples WHERE obj = '{ASK_MISSING}')
+"""
+
+
+SPLIT_TRAIN_MAX = 204  # of 256 two-hex-digit buckets → ~80 %
+SPLIT_VAL_MAX = 230    # next ~10 %; rest is test
+
+
+def q_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split audit: assignment by the
+    first two md5 hex digits of doc_id (stable under corpus growth —
+    a doc never changes split when new data arrives, the property that
+    makes hash splits the standard at pipeline scale), with per
+    (split, source) counts, the split's corpus share in exact ppm, and
+    a leakage audit — documents whose exact text hash appears in MORE
+    THAN ONE split (the cross-split dup leak a random split silently
+    ships). Two hash aggs + one broadcast-sized leak join."""
+    d = _docs(spark, sf_dir)
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                1, 2), 16, 10).cast("long")
+    split = (F.when(bucket < SPLIT_TRAIN_MAX, "train")
+             .when(bucket < SPLIT_VAL_MAX, "val")
+             .otherwise("test"))
+    t = d.select(F.col("doc_id"), F.col("source"), split.alias("split"),
+                 F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h"))
+    leaky = (t.groupBy("h")
+             .agg(F.count_distinct("split").alias("n_splits"))
+             .filter(F.col("n_splits") > 1).select("h"))
+    flagged = t.join(F.broadcast(leaky), "h", "left_semi") \
+        .select("doc_id").withColumn("is_leaky", F.lit(1))
+    g = (t.join(flagged, "doc_id", "left")
+         .groupBy("split", "source")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum(F.coalesce("is_leaky", F.lit(0))).alias("n_leaky_docs")))
+    tot = g.agg(F.sum("n_docs").alias("n_total"))
+    w_split = g.groupBy("split").agg(F.sum("n_docs").alias("n_split"))
+    return (g.join(w_split, "split").crossJoin(F.broadcast(tot))
+            .select("split", "source",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("n_leaky_docs").cast("long").alias("n_leaky_docs"),
+                    F.col("n_split").cast("long").alias("n_split"),
+                    F.expr("n_split * 1000000L DIV n_total")
+                    .cast("long").alias("split_share_ppm")))
+
+
+def _sql_curation_split() -> str:
+    bucket = ("(strpos('0123456789abcdef',"
+              " substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+              " + strpos('0123456789abcdef',"
+              " substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1")
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN ({bucket}) < {SPLIT_TRAIN_MAX} THEN 'train'
+              WHEN ({bucket}) < {SPLIT_VAL_MAX} THEN 'val'
+              ELSE 'test' END AS split,
+         md5(coalesce(text, '')) AS h
+  FROM documents),
+leaky AS (
+  SELECT h FROM (SELECT h, count(DISTINCT split) AS c FROM t GROUP BY h)
+  WHERE c > 1),
+g AS (
+  SELECT split, source, count(*) AS n_docs,
+         sum(CASE WHEN h IN (SELECT h FROM leaky) THEN 1 ELSE 0 END)
+           AS n_leaky_docs
+  FROM t GROUP BY split, source),
+ws AS (SELECT split, sum(n_docs) AS n_split FROM g GROUP BY split),
+tot AS (SELECT sum(n_docs) AS n_total FROM g)
+SELECT g.split, g.source, CAST(g.n_docs AS BIGINT) AS n_docs,
+       CAST(g.n_leaky_docs AS BIGINT) AS n_leaky_docs,
+       CAST(ws.n_split AS BIGINT) AS n_split,
+       CAST(ws.n_split * 1000000 // t.n_total AS BIGINT)
+         AS split_share_ppm
+FROM g JOIN ws ON ws.split = g.split CROSS JOIN tot t
+"""
+
+
+STREAM_TOPK_K = 3
+
+
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed top-k: hourly tumbling-window event-type
+    counts maintained by a REAL stateful streaming aggregation (4
+    forced micro-batches, complete-mode drain — window state genuinely
+    merges across triggers), then the bounded per-window rank runs on
+    the drained result. The oracle replays the batch equivalent, so
+    the pairing pins streaming-window ≡ batch-groupBy semantics."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    sfx = f"{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}"
+    out = _os.path.join(_tempfile.gettempdir(), f"stream_topk_{sfx}.parquet")
+    ckpt = _os.path.join(_tempfile.gettempdir(), f"stream_topk_{sfx}_ckpt")
+    src = _os.path.join(_tempfile.gettempdir(), f"stream_topk_{sfx}_src")
+    for d in (out, ckpt, src):
+        _shutil.rmtree(d, ignore_errors=True)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src))
+    counts = (stream
+              .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+
+    def _write(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out)
+
+    q = (counts.writeStream.outputMode("complete").foreachBatch(_write)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    q.awaitTermination()
+    spark.catalog.refreshByPath(out)
+    drained = spark.read.parquet(out).select(
+        F.unix_micros(F.col("w.start").cast("timestamp")).alias("win_us"),
+        "event_type", F.col("n").cast("long").alias("n"))
+    w = Window.partitionBy("win_us").orderBy(F.desc("n"), F.asc("event_type"))
+    return (drained.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= STREAM_TOPK_K))
+
+
+SQL_STREAM_TOPK = f"""
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS w, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT epoch_us(w) AS win_us, event_type, CAST(n AS BIGINT) AS n,
+         CAST(row_number() OVER (PARTITION BY w
+                                 ORDER BY n DESC, event_type) AS BIGINT)
+           AS rnk
+  FROM c)
+SELECT win_us, event_type, n, rnk FROM r WHERE rnk <= {STREAM_TOPK_K}
 """
