@@ -55,9 +55,9 @@ DRIVER_SAMPLE_FIRST_50 = [
 ]
 
 
-# ROUND-5 ROTATION TODO: after the r4 driver record lands, 59 paired
+# ROUND-5 ROTATION TODO: after the r4 driver record lands, 65 paired
 # queries will still lack one (plus the 2 rows-only by design) — the
-# pre-rotation backlog plus the r4 wave-2/wave-3 additions:
+# pre-rotation backlog plus the r4 wave-2/3/4 additions:
 # kg_mentions_regex, multimodal_{frames,decode,stats,phash},
 # text_{token_counts,langid,winnow,ttr,boilerplate,vocab,
 # source_overlap,zipf}, rel_{unpivot,window_analytics,datefns,
@@ -66,9 +66,10 @@ DRIVER_SAMPLE_FIRST_50 = [
 # chunks}, sim_{recall,maxsim_topk,kmeans}, kg_{tool_latency,
 # conv_rollup,degree_dist,batch_search,nt_export,inferred_triples,
 # construct_query,validate,search_closure,branch_rollup,ontology_diff,
-# clustering,concept_drift,related,resnik,kcore,lin_jc,hits,ask},
-# dedup_{semantic,bloom}, curation_split,
-# stream_{join,attrition,upsert,topk}.
+# clustering,concept_drift,related,resnik,kcore,lin_jc,hits,ask,bfs,
+# community}, dedup_{semantic,bloom,edit}, curation_split,
+# text_readability, rel_islands,
+# stream_{join,attrition,upsert,topk,late_audit}.
 # Rotate 41 of them into slots 10-50 of DRIVER_SAMPLE_FIRST_50 next
 # round (keep the core nine; prefer the r4 wave-2 additions and
 # anything with cross-query composition), and the remainder the round

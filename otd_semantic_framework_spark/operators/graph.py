@@ -740,3 +740,86 @@ def hits_exact(triples: DataFrame, iterations: int = 2) -> DataFrame:
             .join(hub.withColumnRenamed("score", "hub_ppm"), "node")
             .select("node", F.col("auth_ppm").cast("long").alias("auth_ppm"),
                     F.col("hub_ppm").cast("long").alias("hub_ppm")))
+
+
+def undirected_edges(triples: DataFrame) -> DataFrame:
+    """Symmetrized KG edge set (src, dst) — each directed subj→obj
+    edge plus its reverse, distinct. The traversal primitives below
+    (BFS, label propagation) read connectivity, not direction."""
+    e = kg_edges(triples)
+    return (e.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .unionByName(
+                e.select(F.col("obj").alias("src"),
+                         F.col("subj").alias("dst")))
+            .distinct())
+
+
+def bfs_depths(triples: DataFrame, seeds: DataFrame,
+               max_hops: int = 3) -> DataFrame:
+    """Bounded multi-source BFS over the undirected KG: minimum hop
+    distance from any seed node, capped at ``max_hops``. ``seeds`` is
+    a one-column (node) DataFrame; seeds themselves report depth 0
+    whether or not they touch an edge.
+
+    Level-synchronous frontier expansion: each hop is one equi-join
+    frontier⋈edges + a distinct + an anti-join against the visited
+    set — no windows, no driver-side data. Because expansion is
+    breadth-first and the anti-join blocks re-discovery, the FIRST
+    depth a node is found at IS its minimum distance; DuckDB's
+    recursive-CTE oracle re-derives the same thing as min(depth) over
+    a depth-bounded recursion. Eager localCheckpoint per level cuts
+    the iterative lineage (same driver-OOM class hits_exact
+    documents). One take(1) action per hop for early exit — bounded
+    by max_hops, the connected_components convergence-probe
+    convention. At cluster scale bucket the edge table by src so the
+    per-hop join co-partitions.
+    """
+    edges = undirected_edges(triples).localCheckpoint(eager=True)
+    visited = (seeds.select("node").distinct()
+               .withColumn("depth", F.lit(0).cast("long"))
+               .localCheckpoint(eager=True))
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (edges.join(frontier.withColumnRenamed("node", "src"), "src")
+               .select(F.col("dst").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("depth", F.lit(hop).cast("long"))
+               .localCheckpoint(eager=True))
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited
+
+
+def label_propagation(triples: DataFrame, rounds: int = 2) -> DataFrame:
+    """Synchronous label-propagation community detection over the
+    undirected KG: every node starts labeled with its own id; each
+    round relabels every node with the most frequent label among its
+    neighbors (ties broken by lexicographically smallest label;
+    isolated nodes keep their current label). Deterministic by
+    construction — count argmax + total tie order — so the bounded
+    unrolled rounds are exactly replayable by the DuckDB oracle.
+
+    Per round: one edges⋈labels equi-join, one (node, lab) hash agg,
+    one per-node bounded window (partitioned by node — neighbor-label
+    cardinality per node is bounded by degree), one left join back to
+    the node spine. Eager localCheckpoint cuts per-round lineage.
+    """
+    edges = undirected_edges(triples).localCheckpoint(eager=True)
+    nodes = (edges.select(F.col("src").alias("node")).distinct()
+             .localCheckpoint(eager=True))
+    labels = nodes.withColumn("lab", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(rounds):
+        nbr = (edges.join(labels.withColumnRenamed("node", "src"), "src")
+               .groupBy(F.col("dst").alias("node"), "lab")
+               .agg(F.count(F.lit(1)).alias("c")))
+        top = (nbr.withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") == 1)
+               .select("node", F.col("lab").alias("new_lab")))
+        labels = (labels.join(top, "node", "left")
+                  .select("node",
+                          F.coalesce("new_lab", "lab").alias("lab"))
+                  .localCheckpoint(eager=True))
+    return labels.select("node", F.col("lab").alias("community"))

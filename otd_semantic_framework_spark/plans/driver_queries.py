@@ -3344,6 +3344,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ask": q_kg_ask,
         "curation_split": q_curation_split,
         "stream_topk": q_stream_topk,
+        "text_readability": q_text_readability,
+        "rel_islands": q_rel_islands,
+        "dedup_edit": q_dedup_edit,
+        "kg_bfs": q_kg_bfs,
+        "kg_community": q_kg_community,
+        "stream_late_audit": q_stream_late_audit,
     }
 
 
@@ -3502,6 +3508,12 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_ask": _sql_kg_ask(),
         "curation_split": _sql_curation_split(),
         "stream_topk": SQL_STREAM_TOPK,
+        "text_readability": SQL_TEXT_READABILITY,
+        "rel_islands": SQL_REL_ISLANDS,
+        "dedup_edit": _sql_dedup_edit(),
+        "kg_bfs": _sql_kg_bfs(),
+        "kg_community": _sql_kg_community(),
+        "stream_late_audit": _sql_stream_late_audit(),
     }
 
 
@@ -6768,4 +6780,372 @@ r AS (
            AS rnk
   FROM c)
 SELECT win_us, event_type, n, rnk FROM r WHERE rnk <= {STREAM_TOPK_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 4: readability scoring, activity-streak islands, edit-distance
+# near-dup, bounded BFS reachability, label-propagation communities.
+# ---------------------------------------------------------------------------
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease readability per document — the classic
+    corpus quality signal next to text_quality's ratio battery.
+    Sentences = runs of [.!?], words = the repo's space-token
+    convention, syllables approximated as vowel-letter groups
+    ([aeiouy]+ in the lowered text — a group can never span a space,
+    so the whole-text count equals the per-word sum without an
+    explode). Entirely map-side JVM regex: zero shuffles, the shape a
+    100 TB quality scan needs. Floats follow round(x, 6) + 0.0."""
+    d = _docs(spark, sf_dir)
+    low = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    words = F.size(F.filter(F.split(low, " "), lambda t: t != ""))
+    sents = F.greatest(F.regexp_count(low, F.lit(r"[.!?]+")), F.lit(1))
+    syll = F.regexp_count(low, F.lit(r"[aeiouy]+"))
+    flesch = (F.lit(206.835)
+              - 1.015 * words / sents
+              - 84.6 * syll / F.greatest(words, F.lit(1)))
+    return d.select(
+        "doc_id", "lang",
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sents"),
+        syll.cast("long").alias("n_syll"),
+        (F.round(flesch, 6) + 0.0).alias("flesch"),
+    )
+
+
+SQL_TEXT_READABILITY = """
+WITH t AS (
+  SELECT doc_id, lang, lower(coalesce(text, '')) AS low FROM documents),
+m AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(low, ' '), x -> x <> '')) AS n_words,
+         greatest(len(regexp_extract_all(low, '[.!?]+')), 1) AS n_sents,
+         len(regexp_extract_all(low, '[aeiouy]+')) AS n_syll
+  FROM t)
+SELECT doc_id, lang,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sents AS BIGINT) AS n_sents,
+       CAST(n_syll AS BIGINT) AS n_syll,
+       round(206.835 - 1.015 * n_words / n_sents
+             - 84.6 * n_syll / greatest(n_words, 1), 6) + 0.0 AS flesch
+FROM m
+"""
+
+
+STREAK_MAX_EVENTS = None  # full events table; islands keyed per user
+
+
+def q_rel_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user runs of consecutive ACTIVE DAYS (the
+    retention streak read). The classic date-minus-row_number trick —
+    distinct (user, day), rank days within user, group by the
+    island anchor day_sub(day, rn); every window is PARTITIONED BY
+    user_id so the shape scales with users, never serializing one
+    task. Output: per-user streak count, longest/total days, and the
+    longest streak's start day (epoch days, exact integers)."""
+    e = _tbl(spark, sf_dir, "events")
+    days = (e.select("user_id", F.to_date("ts").alias("day")).distinct())
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = (days.withColumn("rn", F.row_number().over(w))
+           .withColumn("anchor", F.date_sub(F.col("day"), F.col("rn")))
+           .groupBy("user_id", "anchor")
+           .agg(F.count(F.lit(1)).alias("len"),
+                F.min("day").alias("start")))
+    best = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), F.asc("start"))
+    return (isl.withColumn("rk", F.row_number().over(best))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_streaks"),
+                 F.max("len").cast("long").alias("longest_streak"),
+                 F.sum("len").cast("long").alias("total_active_days"),
+                 F.max(F.when(F.col("rk") == 1,
+                              F.datediff(F.col("start"),
+                                         F.lit("1970-01-01"))))
+                 .cast("long").alias("longest_start_epoch_day")))
+
+
+SQL_REL_ISLANDS = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+isl AS (
+  SELECT user_id, anch, count(*) AS len, min(day) AS start
+  FROM (SELECT user_id, day,
+               day - CAST(row_number() OVER (PARTITION BY user_id
+                                             ORDER BY day) AS INTEGER)
+                 AS anch
+        FROM days)
+  GROUP BY user_id, anch),
+rk AS (
+  SELECT user_id, len, start,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, start ASC) AS rk
+  FROM isl)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(sum(len) AS BIGINT) AS total_active_days,
+       CAST(max(CASE WHEN rk = 1
+                     THEN date_diff('day', DATE '1970-01-01', start) END)
+            AS BIGINT) AS longest_start_epoch_day
+FROM rk GROUP BY user_id
+"""
+
+
+EDIT_PREFIX_TOKS = 4     # block key: md5 of the first 4 tokens
+EDIT_BLOCK_CAP = 64      # drop hot blocks (candidate recall tradeoff)
+EDIT_VERIFY_CHARS = 120  # Levenshtein window — bounds per-pair cost
+EDIT_MAX_DIST = 20
+
+
+def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup: record-linkage prefix blocking (md5 of
+    the first 4 tokens) generates candidates, exact Levenshtein over a
+    bounded 120-char window verifies — O(block²) only inside blocks,
+    with hot blocks (> EDIT_BLOCK_CAP docs, e.g. a boilerplate
+    preamble shared corpus-wide) dropped from candidate generation
+    the same way dedup_jaccard df-caps hot shingles. The 120-char
+    verify window caps the O(n·m) DP per pair; both engines run the
+    identical character-level Levenshtein, so the pairing pins the
+    distance itself."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                    lambda t: t != "")
+    t = d.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(toks, 1, EDIT_PREFIX_TOKS), " "))
+        .alias("blk"),
+        F.substring(F.coalesce(F.col("text"), F.lit("")),
+                    1, EDIT_VERIFY_CHARS).alias("head"))
+    sizes = t.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
+    cold = t.join(F.broadcast(sizes.filter(F.col("n") <= EDIT_BLOCK_CAP)
+                              .select("blk")), "blk")
+    a = cold.select(F.col("blk"), F.col("doc_id").alias("doc_a"),
+                    F.col("head").alias("head_a"))
+    b = cold.select(F.col("blk"), F.col("doc_id").alias("doc_b"),
+                    F.col("head").alias("head_b"))
+    return (a.join(b, "blk")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("lev", F.levenshtein("head_a", "head_b"))
+            .filter(F.col("lev") <= EDIT_MAX_DIST)
+            .select("doc_a", "doc_b", F.col("lev").cast("long").alias("lev"))
+            )
+
+
+def _sql_dedup_edit() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         md5(array_to_string(list_filter(
+             string_split(coalesce(text, ''), ' '),
+             x -> x <> '')[1:{EDIT_PREFIX_TOKS}], ' ')) AS blk,
+         substr(coalesce(text, ''), 1, {EDIT_VERIFY_CHARS}) AS head
+  FROM documents),
+cold AS (
+  SELECT t.* FROM t
+  JOIN (SELECT blk FROM t GROUP BY blk
+        HAVING count(*) <= {EDIT_BLOCK_CAP}) c USING (blk))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.head, b.head) AS BIGINT) AS lev
+FROM cold a JOIN cold b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= {EDIT_MAX_DIST}
+"""
+
+
+BFS_SEEDS = ("dq:L27", "tool:tool3")
+BFS_MAX_HOPS = 3
+
+
+def q_kg_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS reachability over the undirected KG
+    (operators/graph.py:bfs_depths): minimum hop distance from the
+    seed set {concept dq:L27, tool:tool3}, capped at 3 hops — the
+    neighborhood-expansion read behind "what conversations sit near
+    these capabilities". Spark explores level-by-level (anti-join
+    blocks re-discovery, so first-found depth IS min depth); the
+    oracle re-derives it as min(depth) over a depth-bounded recursive
+    CTE — two genuinely different algorithms, one answer."""
+    from ..operators.graph import bfs_depths
+    seeds = spark.createDataFrame([(s,) for s in BFS_SEEDS], "node string")
+    return bfs_depths(q_kg_triples(spark, sf_dir), seeds,
+                      max_hops=BFS_MAX_HOPS)
+
+
+def _sql_kg_bfs() -> str:
+    seed_rows = ", ".join(f"('{s}')" for s in BFS_SEEDS)
+    return f"""
+WITH RECURSIVE triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+e AS MATERIALIZED (
+  SELECT subj AS src, obj AS dst FROM (SELECT DISTINCT subj, obj FROM triples)
+  UNION
+  SELECT obj, subj FROM (SELECT DISTINCT subj, obj FROM triples)),
+r(node, depth) AS (
+  SELECT node, 0 FROM (VALUES {seed_rows}) s(node)
+  UNION
+  SELECT e.dst, r.depth + 1
+  FROM r JOIN e ON e.src = r.node
+  WHERE r.depth < {BFS_MAX_HOPS}
+)
+SELECT node, CAST(min(depth) AS BIGINT) AS depth FROM r GROUP BY node
+"""
+
+
+LP_ROUNDS = 2
+
+
+def q_kg_community(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection over the undirected KG
+    (operators/graph.py:label_propagation): 2 synchronous rounds,
+    neighbor-majority relabeling with min-label tie-break — fully
+    deterministic, so the DuckDB oracle replays the unrolled rounds
+    exactly. Communities in the heterogeneous graph read as
+    conversation-topic basins (turns pulled toward the concepts they
+    mention)."""
+    from ..operators.graph import label_propagation
+    return label_propagation(q_kg_triples(spark, sf_dir),
+                             rounds=LP_ROUNDS)
+
+
+def _sql_kg_community() -> str:
+    steps = []
+    for i in range(1, LP_ROUNDS + 1):
+        steps.append(f"""n{i} AS MATERIALIZED (
+  SELECT e.dst AS node, l.lab, count(*) AS c
+  FROM e JOIN l{i - 1} l ON l.node = e.src GROUP BY e.dst, l.lab),
+p{i} AS MATERIALIZED (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, lab ASC) AS rk
+    FROM n{i}) WHERE rk = 1),
+l{i} AS MATERIALIZED (
+  SELECT l.node, coalesce(p.lab, l.lab) AS lab
+  FROM l{i - 1} l LEFT JOIN p{i} p ON p.node = l.node)""")
+    return f"""
+WITH triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+e AS MATERIALIZED (
+  SELECT subj AS src, obj AS dst FROM (SELECT DISTINCT subj, obj FROM triples)
+  UNION
+  SELECT obj, subj FROM (SELECT DISTINCT subj, obj FROM triples)),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+l0 AS MATERIALIZED (SELECT node, node AS lab FROM nodes),
+{', '.join(steps)}
+SELECT node, lab AS community FROM l{LP_ROUNDS}
+"""
+
+
+STREAM_LATE_DELAY_MIN = 37   # odd delay: watermarks never tie a window end
+STREAM_LATE_BATCHES = 4
+
+
+def q_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting — the one streaming semantic no
+    other pairing pins: WHICH rows a watermarked append-mode window
+    aggregation loses, and why. Events are staged into 4 files
+    (batch = event_id % 4, mtimes ordered so the file source replays
+    them deterministically) and run through a REAL append-mode 1-hour
+    window count with a 37-minute watermark; the drained output is
+    joined against the batch ground truth per (window, event_type):
+    total rows, rows the stream emitted, rows lost to lateness, and
+    whether the window finalized at all.
+
+    The oracle replays Spark's empirically-pinned two-watermark
+    protocol exactly: eviction watermark of batch k = cummax event
+    time over batches < k minus the delay (windows whose end <= it
+    emit at the first such k, including a trailing empty batch the
+    availableNow trigger always runs); the LATE-EVENT filter lags one
+    batch (wm_late(k) = wm_evict(k-1)), so every row arriving at or
+    before its window's emission batch is counted and every row after
+    it is dropped — which makes the emitted count exactly "rows in
+    batches <= emission batch". The 37-minute delay keeps watermarks
+    off hour boundaries, so no <=-vs-< tie is ever exercised."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    sfx = f"{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}"
+    base = _os.path.join(_tempfile.gettempdir(), f"stream_late_{sfx}")
+    _shutil.rmtree(base, ignore_errors=True)
+    src, ckpt, out = (f"{base}/src", f"{base}/ckpt", f"{base}/out")
+    _os.makedirs(src)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for k in range(STREAM_LATE_BATCHES):
+        stage = f"{base}/stage{k}"
+        (events.filter(F.col("event_id") % STREAM_LATE_BATCHES == k)
+         .coalesce(1).write.parquet(stage))
+        part = next(f for f in _os.listdir(stage)
+                    if f.endswith(".parquet"))
+        _os.rename(_os.path.join(stage, part), f"{src}/f{k}.parquet")
+        _shutil.rmtree(stage)
+        _os.utime(f"{src}/f{k}.parquet",
+                  (1_700_000_000 + 10 * k,) * 2)
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              # parquet reads the column as TIMESTAMP_NTZ; watermarks
+              # require an instant-typed event time
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    agg = (stream.withWatermark("ts", f"{STREAM_LATE_DELAY_MIN} minutes")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+
+    def _write(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (agg.writeStream.outputMode("append").foreachBatch(_write)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    q.awaitTermination()
+    spark.catalog.refreshByPath(out)
+    emitted = (spark.read.parquet(out)
+               .select(F.unix_micros(F.col("w.start").cast("timestamp"))
+                       .alias("win_us"),
+                       "event_type",
+                       F.col("n").cast("long").alias("n_emitted")))
+    totals = (events
+              .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n_total"))
+              .select(F.unix_micros(F.col("w.start").cast("timestamp"))
+                      .alias("win_us"),
+                      "event_type",
+                      F.col("n_total").cast("long").alias("n_total")))
+    return (totals.join(emitted, ["win_us", "event_type"], "left")
+            .select("win_us", "event_type", "n_total",
+                    F.coalesce("n_emitted", F.lit(0)).cast("long")
+                    .alias("n_emitted"),
+                    (F.col("n_total") - F.coalesce("n_emitted", F.lit(0)))
+                    .cast("long").alias("n_lost"),
+                    F.col("n_emitted").isNotNull().alias("was_emitted")))
+
+
+def _sql_stream_late_audit() -> str:
+    nb = STREAM_LATE_BATCHES
+    return f"""
+WITH e AS (
+  SELECT event_id % {nb} AS b, date_trunc('hour', ts) AS w,
+         event_type, ts
+  FROM events),
+mx AS (SELECT b, max(ts) AS met FROM e GROUP BY b),
+cm AS (SELECT b, max(met) OVER (ORDER BY b
+                                ROWS UNBOUNDED PRECEDING) AS cmax
+       FROM mx),
+wm AS (
+  SELECT t.k,
+         (SELECT cmax FROM cm WHERE b = t.k - 1)
+           - INTERVAL {STREAM_LATE_DELAY_MIN} MINUTE AS wm_evict
+  FROM (SELECT unnest(range(1, {nb} + 1)) AS k) t),
+emit AS (
+  SELECT w, min(k) AS ek
+  FROM (SELECT DISTINCT w FROM e) wins JOIN wm
+    ON wins.w + INTERVAL 1 HOUR <= wm.wm_evict
+  GROUP BY w),
+tot AS (SELECT w, event_type, count(*) AS n_total FROM e GROUP BY 1, 2),
+em AS (
+  SELECT e.w, e.event_type, count(*) AS n_emitted
+  FROM e JOIN emit USING (w) WHERE e.b <= emit.ek GROUP BY 1, 2)
+SELECT epoch_us(t.w) AS win_us, t.event_type,
+       CAST(t.n_total AS BIGINT) AS n_total,
+       CAST(coalesce(em.n_emitted, 0) AS BIGINT) AS n_emitted,
+       CAST(t.n_total - coalesce(em.n_emitted, 0) AS BIGINT) AS n_lost,
+       em.n_emitted IS NOT NULL AS was_emitted
+FROM tot t LEFT JOIN em ON em.w = t.w AND em.event_type = t.event_type
 """
