@@ -3350,6 +3350,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": q_kg_bfs,
         "kg_community": q_kg_community,
         "stream_late_audit": q_stream_late_audit,
+        "rel_ks_drift": q_rel_ks_drift,
+        "text_keyphrase": q_text_keyphrase,
     }
 
 
@@ -3514,6 +3516,8 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_bfs": _sql_kg_bfs(),
         "kg_community": _sql_kg_community(),
         "stream_late_audit": _sql_stream_late_audit(),
+        "rel_ks_drift": _sql_rel_ks_drift(),
+        "text_keyphrase": _sql_text_keyphrase(),
     }
 
 
@@ -7148,4 +7152,215 @@ SELECT epoch_us(t.w) AS win_us, t.event_type,
        CAST(t.n_total - coalesce(em.n_emitted, 0) AS BIGINT) AS n_lost,
        em.n_emitted IS NOT NULL AS was_emitted
 FROM tot t LEFT JOIN em ON em.w = t.w AND em.event_type = t.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 5: distribution-drift KS statistic, RAKE-lite keyphrase extraction.
+# ---------------------------------------------------------------------------
+
+
+KS_BINS = 256
+_PY_STOPWORDS = ["a", "the", "of", "and", "to", "in", "is"]
+
+
+def q_rel_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the value
+    distributions of every event-type pair — the data-drift gate a
+    training pipeline runs before trusting a new slice. Exact KS needs
+    a global ordered scan (one partition at 10^12 rows), so this is
+    the scale-correct binned variant: values map into 256 fixed
+    min-max bins, per-(type, bin) counts aggregate map-side, the
+     256-row-per-type cumulative window is PARTITIONED BY type, and
+    D = max |cdf_a − cdf_b| in exact ppm over an equi-join of the two
+    bounded cdf tables. Bin edges use one double multiply + divide in
+    the same order on both engines, so IEEE bit-parity holds."""
+    e = _tbl(spark, sf_dir, "events")
+    rng = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = (e.crossJoin(F.broadcast(rng))
+              .select("event_type",
+                      F.least(F.lit(KS_BINS - 1),
+                              F.floor((F.col("value") - F.col("lo"))
+                                      * KS_BINS
+                                      / (F.col("hi") - F.col("lo"))))
+                      .cast("long").alias("bin")))
+    cnt = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("c"))
+    w = (Window.partitionBy("event_type").orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = Window.partitionBy("event_type")
+    cdf = cnt.select("event_type", "bin",
+                     F.sum("c").over(w).alias("cum"),
+                     F.sum("c").over(tot).alias("n"))
+    # bins with no rows for a type are absent from its cdf table; the
+    # step function must still carry the previous cumulative value, so
+    # densify against the full (type, bin) grid and forward-fill with
+    # a max-over-prefix (cum is nondecreasing).
+    types = cdf.select("event_type", "n").distinct()
+    grid = types.crossJoin(
+        spark.range(KS_BINS).select(F.col("id").alias("bin")))
+    dense = (grid.join(cdf.select("event_type", "bin", "cum"),
+                       ["event_type", "bin"], "left")
+             .select("event_type", "bin", "n",
+                     F.max("cum").over(w).alias("cum")))
+    a = dense.select(F.col("event_type").alias("type_a"), "bin",
+                     F.col("cum").alias("cum_a"), F.col("n").alias("n_a"))
+    b = dense.select(F.col("event_type").alias("type_b"), "bin",
+                     F.col("cum").alias("cum_b"), F.col("n").alias("n_b"))
+    return (a.join(b, "bin")
+            .filter(F.col("type_a") < F.col("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(F.max(F.abs(F.expr("coalesce(cum_a, 0L) * 1000000 DIV n_a")
+                             - F.expr("coalesce(cum_b, 0L) * 1000000"
+                                      " DIV n_b")))
+                 .cast("long").alias("ks_d_ppm"),
+                 F.max("n_a").cast("long").alias("n_a"),
+                 F.max("n_b").cast("long").alias("n_b")))
+
+
+def _sql_rel_ks_drift() -> str:
+    return f"""
+WITH rng AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+binned AS (
+  SELECT event_type,
+         least({KS_BINS} - 1,
+               CAST(floor((value - r.lo) * {KS_BINS} / (r.hi - r.lo))
+                    AS BIGINT)) AS bin
+  FROM events, rng r),
+cnt AS (SELECT event_type, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+cdf AS (
+  SELECT event_type, bin,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM cnt),
+types AS (SELECT DISTINCT event_type, n FROM cdf),
+grid AS (SELECT t.event_type, t.n, g.bin
+         FROM types t CROSS JOIN
+              (SELECT unnest(range(0, {KS_BINS})) AS bin) g),
+dense AS (
+  SELECT g.event_type, g.bin, g.n,
+         max(c.cum) OVER (PARTITION BY g.event_type ORDER BY g.bin
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM grid g LEFT JOIN cdf c
+    ON c.event_type = g.event_type AND c.bin = g.bin)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(max(abs(coalesce(a.cum, 0) * 1000000 // a.n
+                    - coalesce(b.cum, 0) * 1000000 // b.n)) AS BIGINT)
+         AS ks_d_ppm,
+       CAST(max(a.n) AS BIGINT) AS n_a,
+       CAST(max(b.n) AS BIGINT) AS n_b
+FROM dense a JOIN dense b ON a.bin = b.bin
+WHERE a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+KEYPHRASE_TOP = 50
+
+
+def q_text_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE-lite keyphrase extraction — candidate phrases are maximal
+    stopword-free token runs; each word scores degree/frequency
+    (degree = Σ length of phrases containing it) and a phrase scores
+    the sum of its words, in exact ppm integers so distributed
+    aggregation is merge-order-free. The KG-construction adjunct:
+    phrase candidates feed concept discovery when the ontology is
+    still being built.
+
+    Shape: one doc-partitioned window assigns phrase groups (stop
+    count before each position), two hash aggs build the corpus word
+    table, the per-phrase re-join is token-keyed, and the final top-50
+    is orderBy+limit (GlobalLimit) — rank only after the cut."""
+    d = _docs(spark, sf_dir)
+    tok = (d.select(
+        "doc_id",
+        F.posexplode(F.filter(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+            lambda t: t != "")).alias("pos", "raw"))
+        .select("doc_id", "pos",
+                F.regexp_replace("raw", r"[.!?,;:]", "").alias("tok")))
+    stop = (F.col("tok").isin(*_PY_STOPWORDS)) | (F.col("tok") == "")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grp = (tok.withColumn("is_stop", stop.cast("int"))
+           .withColumn("grp", F.sum("is_stop").over(wdoc))
+           .filter(~stop))
+    phrases = (grp.groupBy("doc_id", "grp")
+               .agg(F.array_join(F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("pos", "tok"))),
+                        lambda s: s.getField("tok")), " ").alias("phrase"),
+                    F.count(F.lit(1)).alias("plen")))
+    words = (phrases.select("plen",
+                            F.explode(F.split("phrase", " ")).alias("tok"))
+             .groupBy("tok")
+             .agg(F.sum("plen").alias("degree"),
+                  F.count(F.lit(1)).alias("freq"))
+             .withColumn("wscore_ppm",
+                         F.expr("degree * 1000000 DIV freq")))
+    ptext = (phrases.groupBy("phrase")
+             .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                  F.max("plen").alias("n_words")))
+    scored = (ptext.select("phrase", "n_occurrences", "n_words",
+                           F.explode(F.split("phrase", " ")).alias("tok"))
+              .join(words.select("tok", "wscore_ppm"), "tok")
+              .groupBy("phrase")
+              .agg(F.max("n_occurrences").cast("long")
+                   .alias("n_occurrences"),
+                   F.max("n_words").cast("long").alias("n_words"),
+                   F.sum("wscore_ppm").cast("long").alias("score_ppm")))
+    top = scored.orderBy(F.desc("score_ppm"), F.asc("phrase")) \
+        .limit(KEYPHRASE_TOP)
+    wr = Window.orderBy(F.desc("score_ppm"), F.asc("phrase"))
+    return top.withColumn("rnk", F.row_number().over(wr).cast("long"))
+
+
+def _sql_text_keyphrase() -> str:
+    stop_sql = "(" + ", ".join(f"'{w}'" for w in _PY_STOPWORDS) + ")"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, u.pos,
+         regexp_replace(tk[u.pos], '[.!?,;:]', '', 'g') AS tok
+  FROM (SELECT doc_id,
+               list_filter(string_split(lower(coalesce(text, '')), ' '),
+                           x -> x <> '') AS tk
+        FROM documents),
+       unnest(range(1, len(tk) + 1)) AS u(pos)),
+grp AS (
+  SELECT doc_id, pos, tok,
+         sum(CASE WHEN tok IN {stop_sql} OR tok = '' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS g,
+         (tok IN {stop_sql} OR tok = '') AS is_stop
+  FROM tok),
+phrases AS (
+  SELECT doc_id, g,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         count(*) AS plen
+  FROM grp WHERE NOT is_stop GROUP BY doc_id, g),
+words AS (
+  SELECT w.tok, CAST(sum(p.plen) AS BIGINT) * 1000000
+           // count(*) AS wscore_ppm
+  FROM phrases p, unnest(string_split(p.phrase, ' ')) AS w(tok)
+  GROUP BY w.tok),
+ptext AS (
+  SELECT phrase, count(*) AS n_occurrences, max(plen) AS n_words
+  FROM phrases GROUP BY phrase),
+scored AS (
+  SELECT p.phrase,
+         max(p.n_occurrences) AS n_occurrences,
+         max(p.n_words) AS n_words,
+         sum(w.wscore_ppm) AS score_ppm
+  FROM ptext p, unnest(string_split(p.phrase, ' ')) AS t(tok)
+  JOIN words w ON w.tok = t.tok
+  GROUP BY p.phrase)
+SELECT phrase,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(score_ppm AS BIGINT) AS score_ppm,
+       CAST(row_number() OVER (ORDER BY score_ppm DESC, phrase ASC)
+            AS BIGINT) AS rnk
+FROM scored
+ORDER BY score_ppm DESC, phrase ASC LIMIT {KEYPHRASE_TOP}
 """
