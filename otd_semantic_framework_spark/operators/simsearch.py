@@ -424,7 +424,8 @@ def maxsim_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
 
 def kmeans_lloyd_exact(vecs: DataFrame, k: int = 8, iters: int = 2,
                        id_col: str = "vec_id",
-                       vec_col: str = "qvec") -> DataFrame:
+                       vec_col: str = "qvec",
+                       with_centroids: bool = False):
     """Deterministic distributed k-means: ``iters`` synchronous Lloyd
     updates over int-quantized vectors in EXACT integer arithmetic,
     then a final assignment — the coarse-quantizer training step an IVF
@@ -481,4 +482,44 @@ def kmeans_lloyd_exact(vecs: DataFrame, k: int = 8, iters: int = 2,
         cents = (cents.join(new.withColumnRenamed("cluster", "cid"),
                             "cid", "left")
                  .select("cid", F.coalesce("nvec", "cvec").alias("cvec")))
+    if with_centroids:
+        return assign(cents), cents
     return assign(cents)
+
+
+def silhouette_simplified(vecs: DataFrame, k: int = 8, iters: int = 2,
+                          id_col: str = "vec_id",
+                          vec_col: str = "qvec") -> DataFrame:
+    """Simplified silhouette over the exact-integer Lloyd clustering:
+    per point, a = squared distance to its own centroid, b = minimum
+    squared distance to any OTHER centroid, s = (b − a) / max(a, b)
+    (0 when both are 0). The "simplified" variant replaces the
+    textbook all-pairs mean distances — O(n²) per cluster, impossible
+    at corpus scale — with distances to the k centroids: O(n·k),
+    broadcast crossJoin, no shuffle of the big side beyond the
+    per-point argmin/min aggs. a/b stay exact BIGINT (merge-order
+    free); only the final ratio is a double, under the repo's
+    round(x, 6) + 0.0 cross-engine convention (plain /, not integer
+    DIV — Spark truncates negative integer division where DuckDB
+    floors, so the signed ratio must never touch integer division).
+    """
+    assign_df, cents = kmeans_lloyd_exact(vecs, k, iters, id_col, vec_col,
+                                          with_centroids=True)
+    alld = (vecs.select(id_col, vec_col)
+            .crossJoin(F.broadcast(cents))
+            .withColumn("sq", F.expr(
+                f"aggregate(zip_with({vec_col}, cvec,"
+                " (a, b) -> CAST(a - b AS BIGINT) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)")))
+    b = (alld.join(assign_df.select(id_col, "cluster"), id_col)
+         .filter(F.col("cid") != F.col("cluster"))
+         .groupBy(id_col).agg(F.min("sq").alias("b_sq")))
+    return (assign_df
+            .join(b, id_col)
+            .select(F.col(id_col),
+                    F.col("cluster").cast("long").alias("cluster"),
+                    F.col("sq_dist").cast("long").alias("a_sq"),
+                    F.col("b_sq").cast("long").alias("b_sq"),
+                    (F.round((F.col("b_sq") - F.col("sq_dist"))
+                             / F.greatest("sq_dist", "b_sq", F.lit(1)),
+                             6) + 0.0).alias("s")))

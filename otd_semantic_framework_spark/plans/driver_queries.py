@@ -3352,6 +3352,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_late_audit": q_stream_late_audit,
         "rel_ks_drift": q_rel_ks_drift,
         "text_keyphrase": q_text_keyphrase,
+        "rel_benford": q_rel_benford,
+        "stream_stateful_counts": q_stream_stateful_counts,
+        "sim_silhouette": q_sim_silhouette,
     }
 
 
@@ -3518,6 +3521,9 @@ def build_oracle_sql() -> dict[str, str]:
         "stream_late_audit": _sql_stream_late_audit(),
         "rel_ks_drift": _sql_rel_ks_drift(),
         "text_keyphrase": _sql_text_keyphrase(),
+        "rel_benford": _sql_rel_benford(),
+        "stream_stateful_counts": _sql_stream_stateful_counts(),
+        "sim_silhouette": _sql_sim_silhouette(),
     }
 
 
@@ -6053,11 +6059,21 @@ def q_sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd_exact(qz, k=KMEANS_K, iters=KMEANS_ITERS)
 
 
-def _sql_sim_kmeans() -> str:
-    k, dim = KMEANS_K, KMEANS_DIM
-    dist = (f"CAST(list_sum(list_transform(range(1, {dim + 1}),"
+def _sql_kmeans_dist() -> str:
+    """Integer squared-L2 between q8 row alias ``v`` and centroid
+    alias ``c`` — shared by the kmeans and silhouette oracles."""
+    return (f"CAST(list_sum(list_transform(range(1, {KMEANS_DIM + 1}),"
             f" i -> CAST(v.qvec[i] - c.cvec[i] AS BIGINT)"
             f" * (v.qvec[i] - c.cvec[i]))) AS BIGINT)")
+
+
+def _sql_kmeans_ctes() -> tuple[str, str]:
+    """The unrolled-Lloyd CTE block (quantize → seed → KMEANS_ITERS
+    synchronous updates). Returns (with_body, final_centroid_cte) so
+    both the kmeans and silhouette oracles replay the identical
+    training."""
+    k, dim = KMEANS_K, KMEANS_DIM
+    dist = _sql_kmeans_dist()
     rounds = []
     prev = "c0"
     for i in range(1, KMEANS_ITERS + 1):
@@ -6079,8 +6095,7 @@ c{i} AS MATERIALIZED (
   SELECT c.cid, coalesce(n.cvec, c.cvec) AS cvec
   FROM {prev} c LEFT JOIN newc{i} n USING (cid))""")
         prev = f"c{i}"
-    return f"""
-WITH q8 AS MATERIALIZED (
+    body = f"""q8 AS MATERIALIZED (
   SELECT vec_id,
          CASE WHEN ma = 0 THEN list_transform(d, x -> 0)
               ELSE list_transform(d, x -> CAST(round(x * 127.0 / ma, 0)
@@ -6093,7 +6108,15 @@ WITH q8 AS MATERIALIZED (
 c0 AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY vec_id) AS cid, qvec AS cvec
   FROM (SELECT vec_id, qvec FROM q8 ORDER BY vec_id LIMIT {k})),
-{', '.join(rounds)}
+{', '.join(rounds)}"""
+    return body, prev
+
+
+def _sql_sim_kmeans() -> str:
+    body, prev = _sql_kmeans_ctes()
+    dist = _sql_kmeans_dist()
+    return f"""
+WITH {body}
 SELECT v.vec_id, c.cid AS cluster, {dist} AS sq_dist
 FROM q8 v, {prev} c
 QUALIFY row_number() OVER (PARTITION BY v.vec_id
@@ -7363,4 +7386,214 @@ SELECT phrase,
             AS BIGINT) AS rnk
 FROM scored
 ORDER BY score_ppm DESC, phrase ASC LIMIT {KEYPHRASE_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 6: Benford first-digit audit, applyInPandasWithState pairing,
+# simplified silhouette.
+# ---------------------------------------------------------------------------
+
+
+import math as _math
+
+#: Benford expected share of first significant digit d, in exact ppm —
+#: computed ONCE here and inlined into both engines as the same integer
+#: literal, so no cross-engine transcendental is ever compared.
+BENFORD_PPM = {d: round(_math.log10(1 + 1 / d) * 1_000_000)
+               for d in range(1, 10)}
+
+
+def q_rel_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit per event type — the
+    fraud/data-generation forensics read: observed digit shares in
+    exact ppm against the Benford expectation (inlined as shared
+    integer literals), with the absolute deviation. First digit =
+    value / 10^floor(log10(value)) — both engines run the identical
+    IEEE double ops in the same order. One hash agg + a per-type
+    window over ≤9 rows; map-everything-else."""
+    e = _tbl(spark, sf_dir, "events").filter(F.col("value") > 0)
+    digit = F.floor(F.col("value")
+                    / F.pow(F.lit(10.0),
+                            F.floor(F.log10("value")))).cast("long")
+    cnt = (e.select("event_type", digit.alias("digit"))
+           .groupBy("event_type", "digit")
+           .agg(F.count(F.lit(1)).alias("n")))
+    tot = Window.partitionBy("event_type")
+    bexp = F.create_map(*[x for d, p in BENFORD_PPM.items()
+                          for x in (F.lit(d), F.lit(p))])
+    return (cnt.select("event_type", "digit",
+                       F.col("n").cast("long").alias("n"),
+                       F.expr("n * 1000000 DIV sum(n) OVER"
+                              " (PARTITION BY event_type)")
+                       .cast("long").alias("share_ppm"),
+                       bexp[F.col("digit")].cast("long")
+                       .alias("benford_ppm"))
+            .withColumn("abs_dev_ppm",
+                        F.abs(F.col("share_ppm")
+                              - F.col("benford_ppm")).cast("long")))
+
+
+def _sql_rel_benford() -> str:
+    cases = " ".join(f"WHEN {d} THEN {p}"
+                     for d, p in BENFORD_PPM.items())
+    return f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(value / pow(10.0, floor(log10(value)))) AS BIGINT)
+           AS digit
+  FROM events WHERE value > 0),
+cnt AS (SELECT event_type, digit, count(*) AS n FROM e GROUP BY 1, 2)
+SELECT event_type, digit, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // sum(n) OVER (PARTITION BY event_type)
+            AS BIGINT) AS share_ppm,
+       CAST(CASE digit {cases} END AS BIGINT) AS benford_ppm,
+       CAST(abs(n * 1000000 // sum(n) OVER (PARTITION BY event_type)
+                - CASE digit {cases} END) AS BIGINT) AS abs_dev_ppm
+FROM cnt
+"""
+
+
+STATEFUL_BATCHES = 4
+
+
+def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState driver pairing — the arbitrary-stateful
+    streaming API's only oracle-checked query (running_conv_stats
+    covers it in pytest; this pins it cross-engine). Per-user state
+    (cumulative event count, cumulative integer cents) carried across
+    4 deterministic micro-batches (batch = event_id % 4, mtime-ordered
+    files); every batch APPENDS the updated running totals plus that
+    batch's row count, so the drained table is the full state
+    trajectory, not just the final value. The oracle replays each
+    (user, batch) prefix sum in SQL; integer cents make the
+    distributed sums merge-order-free. A 3650-day watermark delay
+    keeps the late-row filter permanently inert (its two-watermark
+    lag is stream_late_audit's subject, not this one's)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    sfx = f"{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}"
+    base = _os.path.join(_tempfile.gettempdir(), f"stream_state_{sfx}")
+    _shutil.rmtree(base, ignore_errors=True)
+    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+    _os.makedirs(src)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for k in range(STATEFUL_BATCHES):
+        stage = f"{base}/stage{k}"
+        (events.filter(F.col("event_id") % STATEFUL_BATCHES == k)
+         .coalesce(1).write.parquet(stage))
+        part = next(f for f in _os.listdir(stage)
+                    if f.endswith(".parquet"))
+        _os.rename(_os.path.join(stage, part), f"{src}/f{k}.parquet")
+        _shutil.rmtree(stage)
+        _os.utime(f"{src}/f{k}.parquet", (1_700_000_000 + 10 * k,) * 2)
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("cum_n", T.LongType()),
+        T.StructField("cum_cents", T.LongType()),
+        T.StructField("batch_rows", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("cum_n", T.LongType()),
+        T.StructField("cum_cents", T.LongType()),
+    ])
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        n, cents = state.get if state.exists else (0, 0)
+        batch_rows = 0
+        for pdf in pdfs:
+            batch_rows += len(pdf)
+            # repo cents convention: round(value*100, 0) half-away —
+            # values carry 2 decimals, so +0.5-floor is exact here
+            cents += int((pdf["value"] * 100 + 0.5).astype("int64").sum())
+        n += batch_rows
+        state.update((n, cents))
+        yield pd.DataFrame({"user_id": [user_id], "cum_n": [n],
+                            "cum_cents": [cents],
+                            "batch_rows": [batch_rows]})
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    result = (stream.withWatermark("ts", "3650 days")
+              .groupBy("user_id")
+              .applyInPandasWithState(update, out_schema, state_schema,
+                                      "append",
+                                      GroupStateTimeout.NoTimeout))
+
+    def _write(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (result.writeStream.outputMode("append").foreachBatch(_write)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    q.awaitTermination()
+    spark.catalog.refreshByPath(out)
+    return (spark.read.parquet(out)
+            .select(F.col("user_id").cast("long").alias("user_id"),
+                    F.col("cum_n").cast("long").alias("cum_n"),
+                    F.col("cum_cents").cast("long").alias("cum_cents"),
+                    F.col("batch_rows").cast("long").alias("batch_rows")))
+
+
+def _sql_stream_stateful_counts() -> str:
+    nb = STATEFUL_BATCHES
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id % {nb} AS b,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+per AS (
+  SELECT user_id, b, count(*) AS batch_rows, sum(cents) AS batch_cents
+  FROM e GROUP BY 1, 2)
+SELECT user_id,
+       CAST(sum(batch_rows) OVER w AS BIGINT) AS cum_n,
+       CAST(sum(batch_cents) OVER w AS BIGINT) AS cum_cents,
+       CAST(batch_rows AS BIGINT) AS batch_rows
+FROM per
+WINDOW w AS (PARTITION BY user_id ORDER BY b ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def q_sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per point over the deterministic Lloyd
+    clustering (operators/simsearch.py:silhouette_simplified) — the
+    clustering-quality read an IVF index build should gate on. Exact
+    BIGINT a/b distances; the oracle re-trains the identical unrolled
+    kmeans (shared CTE block with sim_kmeans) and replays the same
+    ratio."""
+    from ..operators.simsearch import quantize_embeddings, \
+        silhouette_simplified
+    qz = quantize_embeddings(_tbl(spark, sf_dir, "embeddings"))
+    return silhouette_simplified(qz, k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+def _sql_sim_silhouette() -> str:
+    body, prev = _sql_kmeans_ctes()
+    dist = _sql_kmeans_dist()
+    return f"""
+WITH {body},
+asg AS MATERIALIZED (
+  SELECT v.vec_id, c.cid AS cluster, {dist} AS a_sq
+  FROM q8 v, {prev} c
+  QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                             ORDER BY a_sq, c.cid) = 1),
+alld AS (
+  SELECT v.vec_id, c.cid, {dist} AS sq FROM q8 v, {prev} c),
+bb AS (
+  SELECT d.vec_id, min(d.sq) AS b_sq
+  FROM alld d JOIN asg a ON a.vec_id = d.vec_id AND d.cid <> a.cluster
+  GROUP BY d.vec_id)
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       CAST(a.a_sq AS BIGINT) AS a_sq, CAST(b.b_sq AS BIGINT) AS b_sq,
+       round((b.b_sq - a.a_sq)
+             / greatest(a.a_sq, b.b_sq, 1), 6) + 0.0 AS s
+FROM asg a JOIN bb b USING (vec_id)
 """
