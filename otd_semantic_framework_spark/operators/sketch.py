@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 
 #: bit-array width — exactly 4 md5 hex digits, so positions need no mod
 BLOOM_NBITS = 65536
-#: hash functions per key (k = 3 → ~1.5% fp at 10% fill)
+#: hash functions per key (k = 3 → fp ≈ fill³: 0.1% at 10% fill,
+#: ~1.6% at 25% fill)
 BLOOM_K = 3
 
 
