@@ -823,3 +823,56 @@ def label_propagation(triples: DataFrame, rounds: int = 2) -> DataFrame:
                           F.coalesce("new_lab", "lab").alias("lab"))
                   .localCheckpoint(eager=True))
     return labels.select("node", F.col("lab").alias("community"))
+
+
+def weighted_edges(triples: DataFrame,
+                   pred_weights: dict[str, int]) -> DataFrame:
+    """Symmetrized integer-weighted edge set (src, dst, w) from the KG
+    triple table: each predicate carries a fixed integer cost from
+    ``pred_weights`` (predicates absent from the map are dropped), the
+    reverse edge costs the same, and parallel edges between a node
+    pair collapse to the cheapest predicate (min — deterministic).
+    Map-side projection + one keyed agg; no windows."""
+    w = F.lit(None).cast("long")
+    for pred, cost in sorted(pred_weights.items()):
+        w = F.when(F.col("pred") == pred, F.lit(int(cost)).cast("long")) \
+             .otherwise(w)
+    e = (triples.select(F.col("subj").alias("src"),
+                        F.col("obj").alias("dst"), w.alias("w"))
+         .filter(F.col("w").isNotNull()))
+    return (e.unionByName(e.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst"), "w"))
+            .groupBy("src", "dst").agg(F.min("w").alias("w")))
+
+
+def shortest_paths(triples: DataFrame, seeds: DataFrame,
+                   pred_weights: dict[str, int],
+                   rounds: int = 3) -> DataFrame:
+    """Bounded multi-source weighted shortest paths (Bellman-Ford,
+    ``rounds`` synchronous relaxation rounds) over the symmetrized
+    integer-weighted KG: dist(node) = min total edge cost from any
+    seed over paths of at most ``rounds`` edges. ``seeds`` is a
+    one-column (node) DataFrame; unreached nodes are absent.
+
+    Per round: one dist⋈edges equi-join on src, one union with the
+    incumbent distances, one (node) min-agg — all keyed shuffles that
+    partition by node/src at any scale (bucket the edge table by src
+    on a real cluster and every round co-partitions). Integer weights
+    make min() merge-order-free, so the bounded unrolled recursion is
+    exactly replayable by a depth-bounded recursive-CTE oracle. Eager
+    localCheckpoint per round cuts the iterative lineage (the same
+    driver-OOM class bfs_depths documents). Unlike bfs_depths there is
+    no early-exit action: a later round can still IMPROVE a known
+    distance (cheap long detour), so all ``rounds`` run."""
+    edges = weighted_edges(triples, pred_weights).localCheckpoint(eager=True)
+    dist = (seeds.select("node").distinct()
+            .withColumn("dist", F.lit(0).cast("long"))
+            .localCheckpoint(eager=True))
+    for _ in range(rounds):
+        relaxed = (edges.join(dist.withColumnRenamed("node", "src"), "src")
+                   .select(F.col("dst").alias("node"),
+                           (F.col("dist") + F.col("w")).alias("dist")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True))
+    return dist

@@ -523,3 +523,115 @@ def silhouette_simplified(vecs: DataFrame, k: int = 8, iters: int = 2,
                     (F.round((F.col("b_sq") - F.col("sq_dist"))
                              / F.greatest("sq_dist", "b_sq", F.lit(1)),
                              6) + 0.0).alias("s")))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 4, wave 7) — the billion-scale ANN memory
+# format: a D-dim vector becomes M tiny codes (one per contiguous
+# subspace), queries scan codes through a precomputed per-query lookup
+# table (ADC — asymmetric distance computation) instead of touching raw
+# vectors. Re-expressed Spark-first over int8-quantized vectors so every
+# distance is an exact integer: the codebook is a deterministic sample
+# (the lowest-id candidates — the stand-in for trained sub-kmeans, same
+# convention as kmeans_lloyd_exact's lowest-id seeding), encoding is one
+# map-side projection against a single broadcast codebook row, and the
+# ADC scan is a broadcast join of the tiny (query × M × K) LUT onto the
+# code table. Nothing exceeds M·K integer ops per vector; the raw
+# vectors are never shipped to the scoring stage.
+# ---------------------------------------------------------------------------
+
+def _sq_l2(a, b):
+    """Exact integer squared L2 between two int arrays (JVM HOFs)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: ((x - y).cast("long")
+                                       * (x - y).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def pq_codebook(candidates: DataFrame, n_subs: int, n_codes: int,
+                c_id: str = "cid", c_vec: str = "cv") -> DataFrame:
+    """One-row broadcastable codebook: the ``n_codes`` lowest-id
+    candidates sliced into ``n_subs`` contiguous subspaces, collected
+    as a sorted array<struct(m, code, cent)> column ``cb`` (length
+    n_subs·n_codes — bounded by construction, so the collect_list is a
+    constant-size agg, not a data-scale one). orderBy+limit first
+    (TakeOrdered — parallel), rank only the bounded result."""
+    w = F.size(F.col(c_vec)) / n_subs
+    low = candidates.orderBy(c_id).limit(n_codes)
+    wn = Window.orderBy(c_id)
+    coded = low.withColumn("code", F.row_number().over(wn) - 1)
+    slices = coded.select(
+        "code",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(n_subs - 1)),
+            lambda m: F.struct(
+                m.alias("m"),
+                F.slice(F.col(c_vec), (m * w + 1).cast("int"),
+                        w.cast("int")).alias("cent")))).alias("s")) \
+        .select("code", F.col("s.m").alias("m"), F.col("s.cent").alias("cent"))
+    return slices.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("m", "code", "cent")))
+        .alias("cb"))
+
+
+def pq_encode(candidates: DataFrame, codebook: DataFrame,
+              n_subs: int, n_codes: int,
+              c_id: str = "cid", c_vec: str = "cv") -> DataFrame:
+    """Encode every candidate as ``codes`` array<int> of length
+    ``n_subs``: codes[m] = argmin over the n_codes codewords of the
+    exact integer squared L2 between the candidate's m-th subspace
+    slice and the codeword (first-index tie-break — array_position
+    returns the FIRST occurrence of the min, so ties go to the lowest
+    code on every engine). One crossJoin against the single broadcast
+    codebook row; the whole encoding is a map-side projection."""
+    w = F.size(F.col(c_vec)) / n_subs
+    cb = F.col("cb")
+
+    def _code_for(m):
+        sl = F.slice(F.col(c_vec), (m * w + 1).cast("int"), w.cast("int"))
+        dl = F.transform(
+            F.sequence(F.lit(0), F.lit(n_codes - 1)),
+            lambda c: _sq_l2(sl, F.element_at(cb, (m * n_codes + c + 1)
+                                              .cast("int")).getField("cent")))
+        return (F.array_position(dl, F.array_min(dl)) - 1).cast("int")
+
+    codes = F.transform(F.sequence(F.lit(0), F.lit(n_subs - 1)), _code_for)
+    return (candidates.crossJoin(F.broadcast(codebook))
+            .select(F.col(c_id), codes.alias("codes")))
+
+
+def pq_adc_topk(queries: DataFrame, encoded: DataFrame,
+                codebook: DataFrame, n_subs: int, n_codes: int, k: int = 10,
+                q_id: str = "qid", q_vec: str = "qv",
+                c_id: str = "cid") -> DataFrame:
+    """ADC top-k: per query, lut[m][c] = exact integer squared L2
+    between the query's m-th slice and codeword c (an n_subs×n_codes
+    array built in one projection against the broadcast codebook row);
+    the approximate distance of a candidate is Σ_m lut[m][codes[m]],
+    one broadcast join of the tiny per-query LUT table onto the code
+    table — the raw vectors never reach this stage. Output
+    (qid, cid, adc_dist bigint, rk), ranked ascending (ties by cid) —
+    exact integers, so deterministic on any engine."""
+    w = F.size(F.col(q_vec)) / n_subs
+    cb = F.col("cb")
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(n_subs - 1)),
+        lambda m: F.transform(
+            F.sequence(F.lit(0), F.lit(n_codes - 1)),
+            lambda c: _sq_l2(
+                F.slice(F.col(q_vec), (m * w + 1).cast("int"),
+                        w.cast("int")),
+                F.element_at(cb, (m * n_codes + c + 1).cast("int"))
+                .getField("cent"))))
+    qlut = (queries.crossJoin(F.broadcast(codebook))
+            .select(F.col(q_id), lut.alias("lut")))
+    dist = F.aggregate(
+        F.zip_with("lut", "codes",
+                   lambda row, code: F.element_at(row, code + 1)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    scored = (encoded.crossJoin(F.broadcast(qlut))
+              .withColumn("adc_dist", dist))
+    wr = Window.partitionBy(q_id).orderBy(F.asc("adc_dist"), F.asc(c_id))
+    return (scored.withColumn("rk", F.row_number().over(wr))
+            .filter(F.col("rk") <= k)
+            .select(q_id, c_id, "adc_dist", "rk"))

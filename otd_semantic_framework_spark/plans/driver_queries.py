@@ -3355,6 +3355,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_benford": q_rel_benford,
         "stream_stateful_counts": q_stream_stateful_counts,
         "sim_silhouette": q_sim_silhouette,
+        "rel_gapfill": q_rel_gapfill,
+        "kg_shortest_path": q_kg_shortest_path,
+        "kg_snapshot_asof": q_kg_snapshot_asof,
+        "kg_sparql_agg": q_kg_sparql_agg,
+        "sim_pq_topk": q_sim_pq_topk,
     }
 
 
@@ -3524,6 +3529,13 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_benford": _sql_rel_benford(),
         "stream_stateful_counts": _sql_stream_stateful_counts(),
         "sim_silhouette": _sql_sim_silhouette(),
+        "rel_gapfill": SQL_REL_GAPFILL,
+        "kg_shortest_path": _sql_kg_shortest_path(),
+        "kg_snapshot_asof": _sql_kg_snapshot_asof(),
+        "kg_sparql_agg": _sql_kg_sparql_agg(),
+        "sim_pq_topk": SQL_SIM_PQ_TOPK_TMPL.format(
+            n_query=N_QUERY_VECS, K=PQ_CODES, M=PQ_SUBS,
+            w=64 // PQ_SUBS, k=SIM_TOP_K),
     }
 
 
@@ -7596,4 +7608,364 @@ SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
        round((b.b_sq - a.a_sq)
              / greatest(a.a_sq, b.b_sq, 1), 6) + 0.0 AS s
 FROM asg a JOIN bb b USING (vec_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 7: time-series gap-fill, weighted shortest paths, temporal
+# KG snapshot, SPARQL aggregates, product-quantization ANN
+# ---------------------------------------------------------------------------
+
+GAPFILL_PPM = 1_000_000
+
+
+def q_rel_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densify + gap-fill + linear interpolation — the
+    resample step every metrics/feature pipeline needs before a model
+    sees regularly-spaced input. Per user: daily observations (last
+    event value of the day, arg-max by event_id — deterministic), a
+    dense daily grid spanning the user's own observed range
+    (sequence+explode — grid size is bounded by the span, never by the
+    event count), forward-fill, and exact-integer linear
+    interpolation: the blend weight is ppm integer
+    (day−prev)·1e6 DIV (next−prev), interp = (prev·(1e6−w) +
+    next·w) DIV 1e6 — no float arithmetic after the single
+    floor(value·1e6) quantization both engines share, so distributed
+    aggregation order can't perturb the hash.
+
+    Scale shape: every window is PARTITIONED BY user_id (per-key
+    series are the natural partition unit; hot users bound the task,
+    not the stage), the grid explode is map-side, and the obs⋈grid
+    join is keyed on (user_id, day). No global sorts, no driver state."""
+    e = _tbl(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    obs = (e.groupBy("user_id", day.cast("long").alias("day"))
+           .agg(F.floor(F.max_by("value", "event_id") * GAPFILL_PPM)
+                .cast("long").alias("obs_ppm")))
+    span = obs.groupBy("user_id").agg(F.min("day").alias("d0"),
+                                      F.max("day").alias("d1"))
+    grid = span.select("user_id",
+                       F.explode(F.sequence("d0", "d1")).alias("day"))
+    j = grid.join(obs, ["user_id", "day"], "left")
+    wp = (Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = (Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_day = F.when(F.col("obs_ppm").isNotNull(), F.col("day"))
+    f = j.select(
+        "user_id", "day", "obs_ppm",
+        F.last("obs_ppm", ignorenulls=True).over(wp).alias("ffill_ppm"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("prev_day"),
+        F.first("obs_ppm", ignorenulls=True).over(wn).alias("next_ppm"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("next_day"))
+    f = f.withColumn(
+        "frac_ppm",
+        F.when(F.col("next_day") == F.col("prev_day"),
+               F.lit(0).cast("long"))
+        .otherwise(F.expr(
+            "(day - prev_day) * 1000000 DIV (next_day - prev_day)")))
+    return f.select(
+        "user_id",
+        F.col("day").cast("long").alias("day"),
+        "obs_ppm", "ffill_ppm",
+        F.expr("(ffill_ppm * (1000000 - frac_ppm) + next_ppm * frac_ppm)"
+               " DIV 1000000").alias("interp_ppm"),
+        F.col("obs_ppm").isNull().cast("long").alias("is_gap"))
+
+
+SQL_REL_GAPFILL = f"""
+WITH obs AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day,
+         CAST(floor(arg_max(value, event_id) * {GAPFILL_PPM}) AS BIGINT)
+           AS obs_ppm
+  FROM events GROUP BY 1, 2),
+span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+         FROM obs GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM span),
+j AS (SELECT g.user_id, g.day, o.obs_ppm
+      FROM grid g LEFT JOIN obs o USING (user_id, day)),
+f AS (
+  SELECT user_id, day, obs_ppm,
+         last_value(obs_ppm IGNORE NULLS) OVER wp AS ffill_ppm,
+         last_value(CASE WHEN obs_ppm IS NOT NULL THEN day END
+                    IGNORE NULLS) OVER wp AS prev_day,
+         first_value(obs_ppm IGNORE NULLS) OVER wn AS next_ppm,
+         first_value(CASE WHEN obs_ppm IS NOT NULL THEN day END
+                     IGNORE NULLS) OVER wn AS next_day
+  FROM j
+  WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, CAST(day AS BIGINT) AS day, obs_ppm, ffill_ppm,
+       CAST((ffill_ppm * ({GAPFILL_PPM} - frac_ppm)
+             + next_ppm * frac_ppm) // {GAPFILL_PPM} AS BIGINT)
+         AS interp_ppm,
+       CAST(CASE WHEN obs_ppm IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_gap
+FROM (SELECT *,
+             CASE WHEN next_day = prev_day THEN 0
+                  ELSE (day - prev_day) * {GAPFILL_PPM}
+                       // (next_day - prev_day) END AS frac_ppm
+      FROM f)
+"""
+
+
+SP_WEIGHTS = {"mentions": 3, "uses_tool": 2, "replies_to": 1}
+SP_ROUNDS = 3
+
+
+def q_kg_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source WEIGHTED shortest paths over the KG
+    (operators/graph.py:shortest_paths): min total edge cost from the
+    BFS seed set within 3 relaxation rounds, predicates priced
+    mentions=3 / uses_tool=2 / replies_to=1 — "how semantically close
+    is this turn to these capabilities", the weighted refinement of
+    kg_bfs's hop counts. Spark runs 3 synchronous Bellman-Ford rounds
+    (join + min-agg per round, integer weights so min is
+    merge-order-free); the oracle re-derives the same answer as
+    min(cost) over a depth-bounded recursive CTE — two genuinely
+    different algorithms, one answer."""
+    from ..operators.graph import shortest_paths
+    seeds = spark.createDataFrame([(s,) for s in BFS_SEEDS], "node string")
+    return shortest_paths(q_kg_triples(spark, sf_dir), seeds,
+                          SP_WEIGHTS, rounds=SP_ROUNDS)
+
+
+def _sql_kg_shortest_path() -> str:
+    seed_rows = ", ".join(f"('{s}')" for s in BFS_SEEDS)
+    case = ("CASE pred "
+            + " ".join(f"WHEN '{p}' THEN {w}"
+                       for p, w in sorted(SP_WEIGHTS.items()))
+            + " END")
+    return f"""
+WITH RECURSIVE triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+we AS MATERIALIZED (
+  SELECT src, dst, min(w) AS w FROM (
+    SELECT subj AS src, obj AS dst, {case} AS w FROM triples
+    UNION ALL
+    SELECT obj AS src, subj AS dst, {case} AS w FROM triples)
+  WHERE w IS NOT NULL GROUP BY src, dst),
+r(node, d, hops) AS (
+  SELECT node, CAST(0 AS BIGINT), 0 FROM (VALUES {seed_rows}) s(node)
+  UNION
+  SELECT e.dst, r.d + e.w, r.hops + 1
+  FROM r JOIN we e ON e.src = r.node
+  WHERE r.hops < {SP_ROUNDS}
+)
+SELECT node, CAST(min(d) AS BIGINT) AS dist FROM r GROUP BY node
+"""
+
+
+def q_kg_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG: every triple observation carries the turn's
+    timestamp, and the graph is queried AS OF a point in time — the
+    time-travel read a continuously-ingested KG needs ("what did we
+    know at T?"). The as-of instant is derived from the data (min +
+    3/5 of the span, exact integer DIV) so the same query text runs at
+    every sf. Output: every triple ever observed up to T with its
+    first observation time, last observation ≤ T, and observation
+    count ≤ T — i.e. the snapshot plus the recency/support metadata an
+    incremental re-tagger reads. One union of three map-side
+    observation streams, one broadcast of the 1-row as-of instant, one
+    (subj,pred,obj) agg — no windows except the replies_to lag, which
+    partitions by conv_id."""
+    canon = q_kg_canonical(spark, sf_dir)
+    tts = _transcripts_with_ts(spark, sf_dir)
+    subj = F.concat(F.lit("turn:"), F.col("conv_id"), F.lit(":"),
+                    F.col("turn_idx").cast("string"))
+    m = (canon.join(tts.select("conv_id", "turn_idx", "ts_s"),
+                    ["conv_id", "turn_idx"])
+         .select(subj.alias("subj"), F.lit("mentions").alias("pred"),
+                 F.col("concept_id").alias("obj"), "ts_s"))
+    u = (tts.filter(F.col("tool").isNotNull())
+         .select(subj.alias("subj"), F.lit("uses_tool").alias("pred"),
+                 F.concat(F.lit("tool:"), F.col("tool")).alias("obj"),
+                 "ts_s"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    r = (tts.withColumn("prev_turn_idx", F.lag("turn_idx", 1).over(w))
+         .filter(F.col("prev_turn_idx").isNotNull())
+         .select(subj.alias("subj"), F.lit("replies_to").alias("pred"),
+                 F.concat(F.lit("turn:"), F.col("conv_id"), F.lit(":"),
+                          F.col("prev_turn_idx").cast("string"))
+                 .alias("obj"), "ts_s"))
+    obs = m.unionByName(u).unionByName(r)
+    t_row = obs.agg(F.expr(
+        "min(ts_s) + (max(ts_s) - min(ts_s)) * 3 DIV 5").alias("t_asof"))
+    return (obs.crossJoin(F.broadcast(t_row))
+            .groupBy("subj", "pred", "obj")
+            .agg(F.min("ts_s").cast("long").alias("first_seen_s"),
+                 F.max(F.when(F.col("ts_s") <= F.col("t_asof"),
+                              F.col("ts_s"))).cast("long")
+                 .alias("last_seen_s"),
+                 F.sum((F.col("ts_s") <= F.col("t_asof")).cast("long"))
+                 .cast("long").alias("n_obs"),
+                 F.max("t_asof").cast("long").alias("t_asof"))
+            .filter(F.col("first_seen_s") <= F.col("t_asof")))
+
+
+def _sql_kg_snapshot_asof() -> str:
+    canon = _sql_kg_canonical_body(
+        "SELECT conv_id, turn_idx, surface, concept_id, link_score "
+        "FROM best WHERE rn = 1")
+    return f"""
+WITH canon AS ({canon}),
+tts AS ({_TS_TRANSCRIPTS_CTE}),
+obs AS (
+  SELECT 'turn:' || c.conv_id || ':' || cast(c.turn_idx AS STRING) AS subj,
+         'mentions' AS pred, c.concept_id AS obj, t.ts_s
+  FROM canon c JOIN tts t
+    ON t.conv_id = c.conv_id AND t.turn_idx = c.turn_idx
+  UNION ALL
+  SELECT 'turn:' || conv_id || ':' || cast(turn_idx AS STRING),
+         'uses_tool', 'tool:' || tool, ts_s
+  FROM tts WHERE tool IS NOT NULL
+  UNION ALL
+  SELECT 'turn:' || conv_id || ':' || cast(turn_idx AS STRING),
+         'replies_to',
+         'turn:' || conv_id || ':' || cast(prev_ti AS STRING), ts_s
+  FROM (SELECT conv_id, turn_idx, ts_s,
+               lag(turn_idx) OVER (PARTITION BY conv_id
+                                   ORDER BY turn_idx) AS prev_ti
+        FROM tts)
+  WHERE prev_ti IS NOT NULL),
+tt AS (SELECT min(ts_s) + (max(ts_s) - min(ts_s)) * 3 // 5 AS t_asof
+       FROM obs)
+SELECT subj, pred, obj,
+       CAST(min(ts_s) AS BIGINT) AS first_seen_s,
+       CAST(max(CASE WHEN ts_s <= t.t_asof THEN ts_s END) AS BIGINT)
+         AS last_seen_s,
+       CAST(sum(CASE WHEN ts_s <= t.t_asof THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_obs,
+       CAST(max(t.t_asof) AS BIGINT) AS t_asof
+FROM obs, tt t
+GROUP BY 1, 2, 3
+HAVING min(ts_s) <= max(t.t_asof)
+"""
+
+
+SPARQL_AGG_MIN_TURNS = 2
+
+
+def q_kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL SELECT-aggregate over BGP bindings — the GROUP BY /
+    HAVING half of the SPARQL 1.1 query surface (kg_bgp_query covers
+    the pattern-matching half):
+
+        SELECT ?concept (COUNT(DISTINCT ?turn)  AS n_turns)
+                        (COUNT(DISTINCT ?tool)  AS n_tools)
+                        (COUNT(*)               AS n_bindings)
+        WHERE {{ ?turn <mentions>  ?concept .
+                 ?turn <uses_tool> ?tool }}
+        GROUP BY ?concept
+        HAVING (COUNT(DISTINCT ?turn) >= 2)
+
+    The BGP compiles to pushed-down-filtered self-joins of the triple
+    table (operators/graph.py:bgp_query — SPARQL set semantics, so
+    bindings are DISTINCT before aggregation, exactly like the SQL
+    twin's SELECT DISTINCT subquery); the aggregate is one keyed hash
+    agg with map-side partials. Grouped distinct counts expand via
+    Expand (one pass), never a self-join per distinct."""
+    from ..operators.graph import bgp_query
+    b = bgp_query(q_kg_triples(spark, sf_dir),
+                  [("?turn", "mentions", "?concept"),
+                   ("?turn", "uses_tool", "?tool")])
+    return (b.groupBy("concept")
+            .agg(F.countDistinct("turn").cast("long").alias("n_turns"),
+                 F.countDistinct("tool").cast("long").alias("n_tools"),
+                 F.count(F.lit(1)).cast("long").alias("n_bindings"))
+            .filter(F.col("n_turns") >= SPARQL_AGG_MIN_TURNS))
+
+
+def _sql_kg_sparql_agg() -> str:
+    return f"""
+WITH triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+b AS (
+  SELECT DISTINCT m.subj AS turn, m.obj AS concept, u.obj AS tool
+  FROM triples m JOIN triples u ON u.subj = m.subj
+  WHERE m.pred = 'mentions' AND u.pred = 'uses_tool')
+SELECT concept,
+       CAST(count(DISTINCT turn) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT tool) AS BIGINT) AS n_tools,
+       CAST(count(*) AS BIGINT) AS n_bindings
+FROM b GROUP BY concept
+HAVING count(DISTINCT turn) >= {SPARQL_AGG_MIN_TURNS}
+"""
+
+
+PQ_SUBS = 4    # 64-dim vectors -> 4 subspaces of width 16
+PQ_CODES = 8   # codewords per subspace -> 1 byte of code per subspace
+
+
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k (operators/simsearch.py
+    pq_codebook + pq_encode + pq_adc_topk): candidates collapse to
+    PQ_SUBS tiny codes against a deterministic sampled codebook, and
+    each query scans codes through its precomputed integer
+    squared-L2 lookup table (ADC) — the memory-bound billion-vector
+    serving shape, where the scoring stage never touches a raw
+    vector. Exact integer math end to end (int8 slices, integer
+    squared distances, first-index argmin tie-break), so the DuckDB
+    replay is bit-identical."""
+    from ..operators.simsearch import (pq_adc_topk, pq_codebook, pq_encode,
+                                       quantize_embeddings)
+    qz = quantize_embeddings(_tbl(spark, sf_dir, "embeddings"))
+    q = (qz.filter(F.col("vec_id") < N_QUERY_VECS)
+         .select(F.col("vec_id").alias("qid"), F.col("qvec").alias("qv")))
+    c = (qz.filter(F.col("vec_id") >= N_QUERY_VECS)
+         .select(F.col("vec_id").alias("cid"), F.col("qvec").alias("cv")))
+    cb = pq_codebook(c, PQ_SUBS, PQ_CODES)
+    enc = pq_encode(c, cb, PQ_SUBS, PQ_CODES)
+    return pq_adc_topk(q, enc, cb, PQ_SUBS, PQ_CODES, k=SIM_TOP_K)
+
+
+SQL_SIM_PQ_TOPK_TMPL = """
+WITH q8 AS (
+  SELECT vec_id,
+         CASE WHEN ma = 0 THEN list_transform(d, x -> 0)
+              ELSE list_transform(d, x -> CAST(round(x * 127.0 / ma, 0) AS INT))
+         END AS qvec
+  FROM (SELECT vec_id, d,
+               list_max(list_transform(d, x -> abs(x))) AS ma
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d
+              FROM embeddings))),
+cand AS (SELECT vec_id AS cid, qvec FROM q8 WHERE vec_id >= {n_query}),
+qry AS (SELECT vec_id AS qid, qvec FROM q8 WHERE vec_id < {n_query}),
+cb AS (SELECT row_number() OVER (ORDER BY cid) - 1 AS code, qvec
+       FROM (SELECT cid, qvec FROM cand ORDER BY cid LIMIT {K})),
+ms AS (SELECT unnest(range(0, {M})) AS m),
+cbs AS (SELECT cb.code, ms.m,
+               list_slice(cb.qvec, ms.m * {w} + 1, (ms.m + 1) * {w}) AS cent
+        FROM cb, ms),
+encd AS (
+  SELECT c.cid, s.m, s.code,
+         CAST(list_sum(list_transform(range(1, {w} + 1), i ->
+           CAST(c.qvec[s.m * {w} + i] - s.cent[i] AS BIGINT)
+           * CAST(c.qvec[s.m * {w} + i] - s.cent[i] AS BIGINT)))
+           AS BIGINT) AS d
+  FROM cand c, cbs s),
+codes AS (
+  SELECT cid, m, code FROM (
+    SELECT cid, m, code,
+           row_number() OVER (PARTITION BY cid, m
+                              ORDER BY d ASC, code ASC) AS rk
+    FROM encd) WHERE rk = 1),
+lut AS (
+  SELECT q.qid, s.m, s.code,
+         CAST(list_sum(list_transform(range(1, {w} + 1), i ->
+           CAST(q.qvec[s.m * {w} + i] - s.cent[i] AS BIGINT)
+           * CAST(q.qvec[s.m * {w} + i] - s.cent[i] AS BIGINT)))
+           AS BIGINT) AS d
+  FROM qry q, cbs s),
+dist AS (
+  SELECT l.qid, cd.cid, CAST(sum(l.d) AS BIGINT) AS adc_dist
+  FROM codes cd JOIN lut l ON l.m = cd.m AND l.code = cd.code
+  GROUP BY 1, 2)
+SELECT qid, cid, adc_dist, rk FROM (
+  SELECT qid, cid, adc_dist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc_dist ASC, cid ASC) AS rk
+  FROM dist) WHERE rk <= {k}
 """
