@@ -3360,6 +3360,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_asof": q_kg_snapshot_asof,
         "kg_sparql_agg": q_kg_sparql_agg,
         "sim_pq_topk": q_sim_pq_topk,
+        "curation_skipgram": q_curation_skipgram,
+        "kg_link_predict": q_kg_link_predict,
+        "text_collocations": q_text_collocations,
+        "rel_changepoint": q_rel_changepoint,
     }
 
 
@@ -3536,6 +3540,10 @@ def build_oracle_sql() -> dict[str, str]:
         "sim_pq_topk": SQL_SIM_PQ_TOPK_TMPL.format(
             n_query=N_QUERY_VECS, K=PQ_CODES, M=PQ_SUBS,
             w=64 // PQ_SUBS, k=SIM_TOP_K),
+        "curation_skipgram": _sql_curation_skipgram(),
+        "kg_link_predict": _sql_kg_link_predict(),
+        "text_collocations": _sql_text_collocations(),
+        "rel_changepoint": SQL_REL_CHANGEPOINT,
     }
 
 
@@ -7968,4 +7976,297 @@ SELECT qid, cid, adc_dist, rk FROM (
          row_number() OVER (PARTITION BY qid
                             ORDER BY adc_dist ASC, cid ASC) AS rk
   FROM dist) WHERE rk <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 8: skip-gram training pairs, KG link prediction,
+# collocation lift, CUSUM changepoint
+# ---------------------------------------------------------------------------
+
+SKIPGRAM_WINDOW = 2
+SKIPGRAM_MIN_PAIRS = 2
+
+
+def q_curation_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair generation — the training-data
+    prep for the word2vec embeddings the reference's autotagger runs
+    on [K]: every token pairs with its neighbors within ±2 positions,
+    symmetric, counted over the corpus. The join is EQUI by
+    construction: instead of a non-equi |pos_a − pos_b| ≤ W predicate
+    (a range join), each center explodes into W forward target keys
+    (doc_id, pos+o) and equi-joins the token table — so Catalyst plans
+    an ordinary keyed shuffle join that partitions by doc at any
+    scale, and symmetry is restored by emitting each pair both ways.
+    The HAVING ≥ 2 cut drops the singleton long tail (the same
+    min-count every word2vec implementation applies)."""
+    d = _docs(spark, sf_dir)
+    tok = (d.select(
+        "doc_id",
+        F.posexplode(F.filter(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+            lambda t: t != "")).alias("pos", "raw"))
+        .select("doc_id", "pos",
+                F.regexp_replace("raw", r"[.!?,;:]", "").alias("tok"))
+        .filter(F.col("tok") != ""))
+    off = (tok.select("doc_id", "pos", F.col("tok").alias("center"))
+           .withColumn("o", F.explode(F.array(
+               *[F.lit(i) for i in range(1, SKIPGRAM_WINDOW + 1)])))
+           .select("doc_id", (F.col("pos") + F.col("o")).alias("pos"),
+                   "center"))
+    pairs = (off.join(tok, ["doc_id", "pos"])
+             .select("center", F.col("tok").alias("context")))
+    sym = pairs.unionByName(
+        pairs.select(F.col("context").alias("center"),
+                     F.col("center").alias("context")))
+    return (sym.groupBy("center", "context")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .filter(F.col("n_pairs") >= SKIPGRAM_MIN_PAIRS))
+
+
+def _sql_curation_skipgram() -> str:
+    return f"""
+WITH tok0 AS (
+  SELECT doc_id, u.pos,
+         regexp_replace(tk[u.pos], '[.!?,;:]', '', 'g') AS tok
+  FROM (SELECT doc_id,
+               list_filter(string_split(lower(coalesce(text, '')), ' '),
+                           x -> x <> '') AS tk
+        FROM documents),
+       unnest(range(1, len(tk) + 1)) AS u(pos)),
+tok AS (SELECT doc_id, pos, tok FROM tok0 WHERE tok <> ''),
+pairs AS (
+  SELECT a.tok AS center, b.tok AS context
+  FROM tok a JOIN tok b
+    ON b.doc_id = a.doc_id
+   AND b.pos - a.pos BETWEEN 1 AND {SKIPGRAM_WINDOW}),
+sym AS (SELECT center, context FROM pairs
+        UNION ALL
+        SELECT context, center FROM pairs)
+SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+FROM sym GROUP BY 1, 2
+HAVING count(*) >= {SKIPGRAM_MIN_PAIRS}
+"""
+
+
+LINKPRED_MIN_COMMON = 2
+LINKPRED_TOP = 5
+
+
+def q_kg_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-Jaccard link prediction over the KG — the
+    graph-completion read ("which un-linked node pairs probably belong
+    together?") behind candidate generation for KG enrichment.
+    score(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)| in exact ppm for node pairs
+    that share ≥ 2 neighbors but have NO edge (left-anti against the
+    edge set), per-node top-5 by a qid-partitioned rank window.
+
+    Shape: one 2-path self-join keyed on the middle node (the same
+    bounded-by-hot-degree cost kg_triangles and kg_clustering carry —
+    at 100× the standard mitigations are a degree cap on the middle
+    node or salting the hot concepts, both of which change candidate
+    recall, not correctness), two broadcast-sized degree joins, no
+    global operations."""
+    from ..operators.graph import undirected_edges
+    e = undirected_edges(q_kg_triples(spark, sf_dir))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    p1 = e.select(F.col("src").alias("a"), F.col("dst").alias("n"))
+    p2 = e.select(F.col("src").alias("n"), F.col("dst").alias("b"))
+    two = (p1.join(p2, "n").filter(F.col("a") < F.col("b"))
+           .groupBy("a", "b").agg(F.count(F.lit(1)).alias("common")))
+    cand = two.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"], "left_anti")
+    j = (cand
+         .join(deg.select(F.col("src").alias("a"),
+                          F.col("deg").alias("deg_a")), "a")
+         .join(deg.select(F.col("src").alias("b"),
+                          F.col("deg").alias("deg_b")), "b")
+         .filter(F.col("common") >= LINKPRED_MIN_COMMON)
+         .withColumn("jaccard_ppm", F.expr(
+             "common * 1000000 DIV (deg_a + deg_b - common)")))
+    w = Window.partitionBy("a").orderBy(F.desc("jaccard_ppm"), F.asc("b"))
+    return (j.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= LINKPRED_TOP)
+            .select("a", "b", F.col("common").cast("long").alias("common"),
+                    F.col("jaccard_ppm").cast("long").alias("jaccard_ppm"),
+                    "rk"))
+
+
+def _sql_kg_link_predict() -> str:
+    return f"""
+WITH triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+e AS MATERIALIZED (
+  SELECT subj AS src, obj AS dst FROM (SELECT DISTINCT subj, obj FROM triples)
+  UNION
+  SELECT obj, subj FROM (SELECT DISTINCT subj, obj FROM triples)),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+two AS (
+  SELECT p1.src AS a, p2.dst AS b, count(*) AS common
+  FROM e p1 JOIN e p2 ON p2.src = p1.dst
+  WHERE p1.src < p2.dst
+  GROUP BY 1, 2),
+cand AS (
+  SELECT t.* FROM two t
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = t.a AND e.dst = t.b)),
+j AS (
+  SELECT c.a, c.b, c.common,
+         c.common * 1000000 // (da.deg + db.deg - c.common) AS jaccard_ppm
+  FROM cand c JOIN deg da ON da.src = c.a JOIN deg db ON db.src = c.b
+  WHERE c.common >= {LINKPRED_MIN_COMMON})
+SELECT a, b, CAST(common AS BIGINT) AS common,
+       CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm, rk
+FROM (SELECT a, b, common, jaccard_ppm,
+             row_number() OVER (PARTITION BY a
+                                ORDER BY jaccard_ppm DESC, b ASC) AS rk
+      FROM j)
+WHERE rk <= {LINKPRED_TOP}
+"""
+
+
+COLLOC_MIN_COUNT = 3
+COLLOC_TOP = 100
+
+
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining by pointwise-lift — which adjacent
+    token pairs co-occur far above unigram independence (the PMI
+    family without the cross-engine transcendental: lift_ppm =
+    P(xy)/(P(x)P(y)) · 1e6 = c_xy·N·1e6 DIV (c_x·c_y), exact
+    integers). Corpus-level phrase discovery for tokenizer/vocab
+    curation; the keyphrase op scores within-document runs, this one
+    scores corpus-wide association. Two hash aggs (bigrams, unigrams),
+    two broadcast-sized joins of the unigram table, top-100 via
+    orderBy+limit (GlobalLimit) then rank over the bounded result."""
+    d = _docs(spark, sf_dir)
+    tok = (d.select(
+        "doc_id",
+        F.posexplode(F.filter(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+            lambda t: t != "")).alias("pos", "raw"))
+        .select("doc_id", "pos",
+                F.regexp_replace("raw", r"[.!?,;:]", "").alias("tok"))
+        .filter(F.col("tok") != ""))
+    nxt = tok.select("doc_id", (F.col("pos") - 1).alias("pos"),
+                     F.col("tok").alias("t2"))
+    big = (tok.join(nxt, ["doc_id", "pos"])
+           .groupBy(F.col("tok").alias("t1"), "t2")
+           .agg(F.count(F.lit(1)).alias("c12")))
+    uni = tok.groupBy(F.col("tok").alias("t")) \
+        .agg(F.count(F.lit(1)).alias("c"))
+    n_row = big.agg(F.sum("c12").alias("n_bigrams"))
+    scored = (big.filter(F.col("c12") >= COLLOC_MIN_COUNT)
+              .join(uni.select(F.col("t").alias("t1"),
+                               F.col("c").alias("c1")), "t1")
+              .join(uni.select(F.col("t").alias("t2"),
+                               F.col("c").alias("c2")), "t2")
+              .crossJoin(F.broadcast(n_row))
+              .withColumn("lift_ppm", F.expr(
+                  "c12 * n_bigrams * 1000000 DIV (c1 * c2)")))
+    top = scored.orderBy(F.desc("lift_ppm"), F.asc("t1"), F.asc("t2")) \
+        .limit(COLLOC_TOP)
+    wr = Window.orderBy(F.desc("lift_ppm"), F.asc("t1"), F.asc("t2"))
+    return (top.withColumn("rk", F.row_number().over(wr))
+            .select("t1", "t2", F.col("c12").cast("long").alias("c12"),
+                    F.col("lift_ppm").cast("long").alias("lift_ppm"),
+                    "rk"))
+
+
+def _sql_text_collocations() -> str:
+    return f"""
+WITH tok0 AS (
+  SELECT doc_id, u.pos,
+         regexp_replace(tk[u.pos], '[.!?,;:]', '', 'g') AS tok
+  FROM (SELECT doc_id,
+               list_filter(string_split(lower(coalesce(text, '')), ' '),
+                           x -> x <> '') AS tk
+        FROM documents),
+       unnest(range(1, len(tk) + 1)) AS u(pos)),
+tok AS (SELECT doc_id, pos, tok FROM tok0 WHERE tok <> ''),
+big AS (
+  SELECT a.tok AS t1, b.tok AS t2, count(*) AS c12
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2),
+uni AS (SELECT tok AS t, count(*) AS c FROM tok GROUP BY 1),
+n AS (SELECT sum(c12) AS n_bigrams FROM big),
+scored AS (
+  SELECT g.t1, g.t2, g.c12,
+         g.c12 * n.n_bigrams * 1000000 // (u1.c * u2.c) AS lift_ppm
+  FROM big g JOIN uni u1 ON u1.t = g.t1 JOIN uni u2 ON u2.t = g.t2, n
+  WHERE g.c12 >= {COLLOC_MIN_COUNT})
+SELECT t1, t2, CAST(c12 AS BIGINT) AS c12,
+       CAST(lift_ppm AS BIGINT) AS lift_ppm, rk
+FROM (SELECT t1, t2, c12, lift_ppm,
+             row_number() OVER (ORDER BY lift_ppm DESC, t1 ASC, t2 ASC)
+               AS rk
+      FROM (SELECT * FROM scored
+            ORDER BY lift_ppm DESC, t1 ASC, t2 ASC LIMIT {COLLOC_TOP}))
+WHERE rk <= {COLLOC_TOP}
+"""
+
+
+def q_rel_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type — where did this
+    metric's level shift? Daily means in exact ppm (integer DIV of the
+    per-day floor(value·1e6) sum), deviations from the type's mean of
+    daily means, cumulative-sum under a type-partitioned window, and
+    the changepoint is the day of max |CUSUM| (ties → earliest day).
+    The textbook offline CUSUM estimator, integer end to end; every
+    window partitions by event_type, so the per-type series is the
+    task unit at any scale."""
+    e = _tbl(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    daily = (e.groupBy("event_type", day.cast("long").alias("day"))
+             .agg(F.expr("sum(cast(floor(value * 1000000) AS BIGINT))"
+                         " DIV count(*)").alias("mean_ppm")))
+    wt = Window.partitionBy("event_type")
+    wc = (Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = (daily
+         .withColumn("gm_ppm", F.expr(
+             "sum(mean_ppm) OVER (PARTITION BY event_type)"
+             " DIV count(*) OVER (PARTITION BY event_type)"))
+         .withColumn("cusum", F.sum(F.col("mean_ppm") - F.col("gm_ppm"))
+                     .over(wc))
+         .withColumn("n_days", F.count(F.lit(1)).over(wt)))
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("cusum"))), F.asc("day"))
+    return (c.withColumn("rk", F.row_number().over(wr))
+            .filter(F.col("rk") == 1)
+            .select("event_type", F.col("day").alias("cp_day"),
+                    F.col("cusum").cast("long").alias("cusum_at_cp"),
+                    F.abs(F.col("cusum")).cast("long")
+                    .alias("max_abs_cusum"),
+                    F.col("n_days").cast("long").alias("n_days")))
+
+
+SQL_REL_CHANGEPOINT = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day,
+         sum(CAST(floor(value * 1000000) AS BIGINT)) // count(*)
+           AS mean_ppm
+  FROM events GROUP BY 1, 2),
+c AS (
+  SELECT event_type, day, mean_ppm,
+         sum(mean_ppm) OVER (PARTITION BY event_type)
+           // count(*) OVER (PARTITION BY event_type) AS gm_ppm,
+         count(*) OVER (PARTITION BY event_type) AS n_days
+  FROM daily),
+cs AS (
+  SELECT event_type, day, n_days,
+         sum(mean_ppm - gm_ppm) OVER (PARTITION BY event_type
+                                      ORDER BY day
+                                      ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM c)
+SELECT event_type, day AS cp_day,
+       CAST(cusum AS BIGINT) AS cusum_at_cp,
+       CAST(abs(cusum) AS BIGINT) AS max_abs_cusum,
+       CAST(n_days AS BIGINT) AS n_days
+FROM (SELECT event_type, day, cusum, n_days,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(cusum) DESC, day ASC) AS rk
+      FROM cs)
+WHERE rk = 1
 """
