@@ -8051,6 +8051,7 @@ HAVING count(*) >= {SKIPGRAM_MIN_PAIRS}
 
 LINKPRED_MIN_COMMON = 2
 LINKPRED_TOP = 5
+LINKPRED_HUB_CAP = 64  # middle nodes above this degree generate no pairs
 
 
 def q_kg_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8061,17 +8062,24 @@ def q_kg_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     that share ≥ 2 neighbors but have NO edge (left-anti against the
     edge set), per-node top-5 by a qid-partitioned rank window.
 
-    Shape: one 2-path self-join keyed on the middle node (the same
-    bounded-by-hot-degree cost kg_triangles and kg_clustering carry —
-    at 100× the standard mitigations are a degree cap on the middle
-    node or salting the hot concepts, both of which change candidate
-    recall, not correctness), two broadcast-sized degree joins, no
-    global operations."""
+    Shape: one 2-path self-join keyed on the middle node, with middle
+    nodes ABOVE LINKPRED_HUB_CAP degree excluded from pair generation
+    — the d² blowup lives entirely in the hubs (a concept mentioned by
+    d turns links all d² of those turn pairs), and a neighbor shared
+    via a hub is near-zero evidence anyway (the same reasoning that
+    weights Adamic-Adar by 1/log deg; measured: the uncapped join was
+    153 s at sf0.1, capped ~3 s). The cap is part of the operator's
+    SEMANTICS, replayed identically by the oracle, so parity is
+    exact. Degree joins stay broadcast-sized; no global operations."""
     from ..operators.graph import undirected_edges
     e = undirected_edges(q_kg_triples(spark, sf_dir))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    p1 = e.select(F.col("src").alias("a"), F.col("dst").alias("n"))
-    p2 = e.select(F.col("src").alias("n"), F.col("dst").alias("b"))
+    mid = (deg.filter(F.col("deg") <= LINKPRED_HUB_CAP)
+           .select(F.col("src").alias("n")))
+    p1 = (e.select(F.col("src").alias("a"), F.col("dst").alias("n"))
+          .join(mid, "n"))
+    p2 = (e.select(F.col("src").alias("n"), F.col("dst").alias("b"))
+          .join(mid, "n"))
     two = (p1.join(p2, "n").filter(F.col("a") < F.col("b"))
            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("common")))
     cand = two.join(
@@ -8101,9 +8109,11 @@ e AS MATERIALIZED (
   UNION
   SELECT obj, subj FROM (SELECT DISTINCT subj, obj FROM triples)),
 deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+mid AS (SELECT src AS n FROM deg WHERE deg <= {LINKPRED_HUB_CAP}),
 two AS (
   SELECT p1.src AS a, p2.dst AS b, count(*) AS common
   FROM e p1 JOIN e p2 ON p2.src = p1.dst
+  JOIN mid m ON m.n = p1.dst
   WHERE p1.src < p2.dst
   GROUP BY 1, 2),
 cand AS (
