@@ -3364,6 +3364,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_predict": q_kg_link_predict,
         "text_collocations": q_text_collocations,
         "rel_changepoint": q_rel_changepoint,
+        "rel_concurrency": q_rel_concurrency,
+        "kg_random_walks": q_kg_random_walks,
+        "dedup_canonical": q_dedup_canonical,
     }
 
 
@@ -3544,6 +3547,9 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_link_predict": _sql_kg_link_predict(),
         "text_collocations": _sql_text_collocations(),
         "rel_changepoint": SQL_REL_CHANGEPOINT,
+        "rel_concurrency": SQL_REL_CONCURRENCY,
+        "kg_random_walks": _sql_kg_random_walks(),
+        "dedup_canonical": _sql_dedup_canonical(),
     }
 
 
@@ -8279,4 +8285,190 @@ FROM (SELECT event_type, day, cusum, n_days,
                                 ORDER BY abs(cusum) DESC, day ASC) AS rk
       FROM cs)
 WHERE rk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 9: concurrency profile, deterministic walk corpus,
+# canonical doc per dup-cluster
+# ---------------------------------------------------------------------------
+
+CONC_TTL_MIN = 10
+
+
+def q_rel_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-concurrency profile per event type — "how many sessions
+    were active at once, and when?", the capacity-planning read. Each
+    event is active for a 10-minute TTL; concurrency is evaluated at
+    minute resolution, which makes this the SCALE-CORRECT variant: the
+    textbook sweep-line (+1/−1 ordered scan) is a total order per type
+    — one task per type at 10^12 rows — whereas the minute grid is a
+    map-side ×10 explode into a (type, minute) keyed agg, bounded by
+    the time span, and the per-type argmax window runs over at most
+    span-minutes rows. Earliest-minute tie-break keeps the peak
+    deterministic."""
+    e = _tbl(spark, sf_dir, "events")
+    # tz-free epoch minutes: NTZ timestamps decompose into date + clock
+    # parts identically on both engines (no session-timezone coupling)
+    m0 = (F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+          .cast("long") * 1440
+          + F.hour("ts").cast("long") * 60 + F.minute("ts").cast("long"))
+    act = e.select(
+        "event_type",
+        F.explode(F.sequence(m0, m0 + F.lit(CONC_TTL_MIN - 1)))
+        .alias("minute"))
+    cnt = (act.groupBy("event_type", "minute")
+           .agg(F.count(F.lit(1)).alias("active")))
+    wt = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc("active"), F.asc("minute"))
+    return (cnt.withColumn("n_minutes", F.count(F.lit(1)).over(wt))
+            .withColumn("rk", F.row_number().over(wr))
+            .filter(F.col("rk") == 1)
+            .select("event_type",
+                    F.col("minute").cast("long").alias("peak_minute"),
+                    F.col("active").cast("long").alias("peak_active"),
+                    F.col("n_minutes").cast("long").alias("n_minutes")))
+
+
+SQL_REL_CONCURRENCY = f"""
+WITH act AS (
+  SELECT event_type,
+         unnest(generate_series(m0, m0 + {CONC_TTL_MIN - 1})) AS minute
+  FROM (SELECT event_type,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) * 1440
+               + CAST(hour(ts) AS BIGINT) * 60
+               + CAST(minute(ts) AS BIGINT) AS m0
+        FROM events)),
+cnt AS (SELECT event_type, minute, count(*) AS active
+        FROM act GROUP BY 1, 2)
+SELECT event_type, CAST(minute AS BIGINT) AS peak_minute,
+       CAST(active AS BIGINT) AS peak_active,
+       CAST(n_minutes AS BIGINT) AS n_minutes
+FROM (SELECT event_type, minute, active,
+             count(*) OVER (PARTITION BY event_type) AS n_minutes,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY active DESC, minute ASC) AS rk
+      FROM cnt)
+WHERE rk = 1
+"""
+
+
+WALK_LEN = 4
+
+
+def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk-style walk corpus over the KG — the
+    training-data generator for graph-embedding models (each walk is a
+    "sentence" of nodes for the skip-gram stage). One walk of length 4
+    starts at every concept node; the "random" step is a deterministic
+    hash choice — next = the neighbor minimizing
+    md5(cur || ':' || step || ':' || neighbor) — so the corpus is
+    reproducible on any engine and any parallelism (the md5-replay
+    convention this repo's oracles use throughout). Walks that hit a
+    dead end stop early (absent rows, never NULL padding).
+
+    Shape: per step one frontier⋈edges equi-join on the current node
+    plus one per-(start)-partitioned rank window over candidate
+    neighbors (bounded by degree). Step count is the constant WALK_LEN
+    — no convergence probe, no driver state."""
+    from ..operators.graph import undirected_edges
+    tr = q_kg_triples(spark, sf_dir)
+    e = undirected_edges(tr)
+    starts = (tr.filter(F.col("pred") == "mentions")
+              .select(F.col("obj").alias("start")).distinct())
+    frontier = starts.select("start", F.col("start").alias("node"))
+    walks = frontier.select("start", F.lit(0).cast("long").alias("step"),
+                            "node")
+    for step in range(1, WALK_LEN + 1):
+        score = F.md5(F.concat(F.col("node"), F.lit(f":{step}:"),
+                               F.col("dst")))
+        w = Window.partitionBy("start").orderBy(score.asc(),
+                                                F.col("dst").asc())
+        frontier = (frontier.join(e, frontier.node == e.src)
+                    .withColumn("rk", F.row_number().over(w))
+                    .filter(F.col("rk") == 1)
+                    .select("start", F.col("dst").alias("node")))
+        walks = walks.unionByName(
+            frontier.select("start", F.lit(step).cast("long").alias("step"),
+                            "node"))
+    return walks
+
+
+def _sql_kg_random_walks() -> str:
+    steps = []
+    for i in range(1, WALK_LEN + 1):
+        steps.append(f"""w{i} AS MATERIALIZED (
+  SELECT start, node FROM (
+    SELECT w.start, e.dst AS node,
+           row_number() OVER (PARTITION BY w.start
+                              ORDER BY md5(w.node || ':{i}:' || e.dst) ASC,
+                                       e.dst ASC) AS rk
+    FROM w{i - 1} w JOIN e ON e.src = w.node) WHERE rk = 1)""")
+    selects = ["SELECT start, CAST(0 AS BIGINT) AS step, node FROM w0"]
+    selects += [f"SELECT start, CAST({i} AS BIGINT) AS step, node FROM w{i}"
+                for i in range(1, WALK_LEN + 1)]
+    steps_sql = ",\n".join(steps)
+    union_sql = " UNION ALL ".join(selects)
+    return f"""
+WITH triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+e AS MATERIALIZED (
+  SELECT subj AS src, obj AS dst FROM (SELECT DISTINCT subj, obj FROM triples)
+  UNION
+  SELECT obj, subj FROM (SELECT DISTINCT subj, obj FROM triples)),
+w0 AS MATERIALIZED (
+  SELECT obj AS start, obj AS node
+  FROM (SELECT DISTINCT obj FROM triples WHERE pred = 'mentions')),
+{steps_sql}
+{union_sql}
+"""
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document per near-dup cluster — the end product of
+    the fuzzy-dedup stack: connected components over the verified
+    Jaccard pair graph, then per cluster keep the LONGEST member
+    (ties → lowest doc_id), the standard "keep best version" rule.
+    One row per cluster with the survivor and the cluster size — what
+    a curation pipeline joins back to drop the other members. The
+    rank window partitions by component (cluster sizes are bounded by
+    the dup-graph's diameter, not the corpus)."""
+    comp = q_dedup_components(spark, sf_dir)
+    docs = (_docs(spark, sf_dir)
+            .filter(F.col("doc_id") < JACCARD_MAX_DOC)
+            .select("doc_id", "n_chars"))
+    j = comp.join(docs, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    return (j.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("component").cast("long").alias("component"),
+                    F.col("doc_id").cast("long").alias("canonical_doc_id"),
+                    F.col("n_chars").cast("long").alias("canonical_n_chars"))
+            .join(comp.groupBy("component")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_docs")),
+                  "component"))
+
+
+def _sql_dedup_canonical() -> str:
+    comp = _sql_dedup_components()
+    return f"""
+WITH comp AS MATERIALIZED ({comp}),
+j AS (
+  SELECT c.component, c.doc_id, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+keep AS (
+  SELECT component, doc_id AS canonical_doc_id,
+         n_chars AS canonical_n_chars
+  FROM (SELECT component, doc_id, n_chars,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rk
+        FROM j) WHERE rk = 1)
+SELECT CAST(k.component AS BIGINT) AS component,
+       CAST(k.canonical_doc_id AS BIGINT) AS canonical_doc_id,
+       CAST(k.canonical_n_chars AS BIGINT) AS canonical_n_chars,
+       CAST(s.n_docs AS BIGINT) AS n_docs
+FROM keep k JOIN (SELECT component, count(*) AS n_docs
+                  FROM comp GROUP BY 1) s ON s.component = k.component
 """
