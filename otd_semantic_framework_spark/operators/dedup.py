@@ -595,3 +595,67 @@ def boilerplate_segments(docs: DataFrame, seg_words: int = 8,
                     F.coalesce("clean_text", F.lit("")).alias("clean_text"),
                     F.length(F.coalesce("clean_text", F.lit("")))
                     .cast("long").alias("clean_chars")))
+
+
+def containment_pairs(docs: DataFrame, threshold_ppm: int,
+                      df_cap: int | None = None,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Token-set CONTAINMENT near-dup pairs — catches the subset/quote
+    case Jaccard misses: a short doc fully embedded in a long one has
+    tiny Jaccard (union is dominated by the long doc) but containment
+    |A∩B| / min(|A|,|B|) ≈ 1. Same posting-list candidate shape as
+    jaccard_near_dup_pairs (including the df_cap hot-token hygiene and
+    the exact all-token verify); the score is exact ppm integers, so
+    ranking/filtering is merge-order-free. Output one row per candidate
+    pair with containment ≥ threshold: (doc_small, doc_big) oriented by
+    token-set size (ties → lower id is doc_small), containment_ppm,
+    plus jaccard_ppm for contrast."""
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(F.split(F.col(text_col), " "))
+                        .alias("tok"))
+            .filter(F.col("tok") != "").distinct())
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    src = toks
+    if df_cap is not None:
+        rare = (toks.groupBy("tok")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= df_cap).select("tok"))
+        src = toks.join(rare, "tok")
+    ca, cb = src.alias("a"), src.alias("b")
+    cand = (ca.join(cb, (F.col("a.tok") == F.col("b.tok"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    av = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    bv = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (cand.join(av, "doc_a").join(bv, ["doc_b", "tok"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("sz").alias("sz_b"))
+    j = inter.join(sa, "doc_a").join(sb, "doc_b")
+    small = F.when(F.col("sz_a") <= F.col("sz_b"), F.col("doc_a")) \
+        .otherwise(F.col("doc_b"))
+    big = F.when(F.col("sz_a") <= F.col("sz_b"), F.col("doc_b")) \
+        .otherwise(F.col("doc_a"))
+    out = (j.select(
+        small.cast("long").alias("doc_small"),
+        big.cast("long").alias("doc_big"),
+        F.expr("inter * 1000000 DIV least(sz_a, sz_b)")
+        .alias("containment_ppm"),
+        F.expr("inter * 1000000 DIV (sz_a + sz_b - inter)")
+        .alias("jaccard_ppm"))
+        .filter(F.col("containment_ppm") >= threshold_ppm))
+    # the useful product is "my best container", not the all-pairs list
+    # (with a small shared vocabulary most pairs clear any threshold):
+    # keep ONE container per small doc — highest containment, then the
+    # LOWEST jaccard (the most asymmetric, i.e. most container-like
+    # partner), then lowest id. The window partitions by doc_small.
+    w = Window.partitionBy("doc_small").orderBy(
+        F.desc("containment_ppm"), F.asc("jaccard_ppm"), F.asc("doc_big"))
+    return (out.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1).drop("rk"))

@@ -1772,7 +1772,7 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_probe=IVF_N_PROBE)
 
 
-def _sql_sim_ann_ivf() -> str:
+def _sql_sim_ann_ivf(k: int = ANN_K) -> str:
     from ..operators.simsearch import ivf_centroids
     C = ivf_centroids(IVF_N_CELLS, 64)
     cent_rows = ",\n    ".join(
@@ -1809,7 +1809,7 @@ SELECT qid, cid, cos, rk FROM (
   SELECT qid, cid, cos,
          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rk
   FROM pairs
-) WHERE rk <= {ANN_K}
+) WHERE rk <= {k}
 """
 
 
@@ -3367,6 +3367,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_concurrency": q_rel_concurrency,
         "kg_random_walks": q_kg_random_walks,
         "dedup_canonical": q_dedup_canonical,
+        "dedup_containment": q_dedup_containment,
+        "kg_describe": q_kg_describe,
+        "sim_two_stage": q_sim_two_stage,
     }
 
 
@@ -3550,6 +3553,9 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_concurrency": SQL_REL_CONCURRENCY,
         "kg_random_walks": _sql_kg_random_walks(),
         "dedup_canonical": _sql_dedup_canonical(),
+        "dedup_containment": SQL_DEDUP_CONTAINMENT,
+        "kg_describe": _sql_kg_describe(),
+        "sim_two_stage": _sql_sim_two_stage(),
     }
 
 
@@ -8471,4 +8477,190 @@ SELECT CAST(k.component AS BIGINT) AS component,
        CAST(s.n_docs AS BIGINT) AS n_docs
 FROM keep k JOIN (SELECT component, count(*) AS n_docs
                   FROM comp GROUP BY 1) s ON s.component = k.component
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 10: containment near-dup, SPARQL DESCRIBE, two-stage retrieval
+# ---------------------------------------------------------------------------
+
+CONTAIN_THRESHOLD_PPM = 800_000
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set containment near-dup (operators/dedup.py
+    containment_pairs) — the subset/quote detector: a short document
+    fully embedded in a long one has tiny Jaccard (the union is
+    dominated by the long side) but containment |A∩B|/min(|A|,|B|) ≈ 1.
+    Same posting-list candidate shape + df-cap hot-token hygiene as
+    dedup_jaccard, exact-ppm scores, pairs oriented small→big, and ONE
+    row per contained doc — its best container (highest containment,
+    most-asymmetric tie-break)."""
+    from ..operators.dedup import containment_pairs
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < JACCARD_MAX_DOC)
+    return containment_pairs(d, CONTAIN_THRESHOLD_PPM,
+                             df_cap=JACCARD_DF_CAP)
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND doc_id < {JACCARD_MAX_DOC}
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+rare AS (
+  SELECT tok FROM toks GROUP BY tok HAVING count(*) <= {JACCARD_DF_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT t.* FROM toks t JOIN rare r ON r.tok = t.tok) a
+  JOIN (SELECT t.* FROM toks t JOIN rare r ON r.tok = t.tok) b
+    ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN toks a ON a.doc_id = c.doc_a
+  JOIN toks b ON b.doc_id = c.doc_b AND b.tok = a.tok
+  GROUP BY c.doc_a, c.doc_b
+),
+j AS (
+  SELECT i.doc_a, i.doc_b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id),
+pairs AS (
+  SELECT CAST(CASE WHEN sz_a <= sz_b THEN doc_a ELSE doc_b END AS BIGINT)
+           AS doc_small,
+         CAST(CASE WHEN sz_a <= sz_b THEN doc_b ELSE doc_a END AS BIGINT)
+           AS doc_big,
+         inter * 1000000 // least(sz_a, sz_b) AS containment_ppm,
+         inter * 1000000 // (sz_a + sz_b - inter) AS jaccard_ppm
+  FROM j
+  WHERE inter * 1000000 // least(sz_a, sz_b) >= {CONTAIN_THRESHOLD_PPM})
+SELECT doc_small, doc_big, containment_ppm, jaccard_ppm
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_small
+                                   ORDER BY containment_ppm DESC,
+                                            jaccard_ppm ASC,
+                                            doc_big ASC) AS rk
+      FROM pairs)
+WHERE rk = 1
+"""
+
+
+DESCRIBE_NODE = "dq:L27"
+
+
+def q_kg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE — the last of the four SPARQL 1.1 query verbs
+    (SELECT / ASK / CONSTRUCT already paired): a concise bounded
+    description of a resource. DESCRIBE's exact extent is
+    implementation-defined; this engine's CBD is (a) every triple
+    incident to the node in either role, plus (b) the 'mentions'
+    attribute triples of the adjacent TURN nodes (turns act as the
+    anonymous intermediates of this graph, the role blank nodes play
+    in rdflib's CBD [K]). Two pushed-down filters of the triple table
+    + one semi-join for the neighbor attributes — no traversal state."""
+    tr = q_kg_triples(spark, sf_dir)
+    node = F.lit(DESCRIBE_NODE)
+    incident = (tr.filter((F.col("subj") == node) | (F.col("obj") == node))
+                .select("subj", "pred", "obj",
+                        F.lit("incident").alias("via")))
+    nbr_turns = (tr.filter((F.col("obj") == node)
+                           & F.col("subj").startswith("turn:"))
+                 .select(F.col("subj").alias("nbr")).distinct())
+    attrs = (tr.join(nbr_turns, tr.subj == nbr_turns.nbr)
+             .filter((F.col("pred") == "mentions") & (F.col("obj") != node))
+             .select("subj", "pred", "obj", F.lit("neighbor").alias("via")))
+    return incident.unionByName(attrs).distinct()
+
+
+def _sql_kg_describe() -> str:
+    return f"""
+WITH triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+incident AS (
+  SELECT subj, pred, obj, 'incident' AS via FROM triples
+  WHERE subj = '{DESCRIBE_NODE}' OR obj = '{DESCRIBE_NODE}'),
+nbr AS (
+  SELECT DISTINCT subj AS nbr FROM triples
+  WHERE obj = '{DESCRIBE_NODE}' AND subj LIKE 'turn:%'),
+attrs AS (
+  SELECT t.subj, t.pred, t.obj, 'neighbor' AS via
+  FROM triples t JOIN nbr n ON n.nbr = t.subj
+  WHERE t.pred = 'mentions' AND t.obj <> '{DESCRIBE_NODE}')
+SELECT DISTINCT subj, pred, obj, via FROM (
+  SELECT * FROM incident UNION ALL SELECT * FROM attrs)
+"""
+
+
+TWO_STAGE_SHORTLIST = 15
+
+
+def q_sim_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — THE production ANN architecture: a cheap
+    recall stage (IVF-probed cells, float dots against deterministic
+    centroids) produces a per-query shortlist of 15, and an exact
+    integer re-rank stage (int8 quantized dot product over the
+    BROADCAST shortlist) picks the final top-5. Composes the paired
+    building blocks end-to-end; the re-rank is exact integers, so the
+    final ranking is deterministic even though stage 1 scores are
+    floats (stage-1 SET membership replays in SQL, stage-2 order is
+    integer math). At scale stage 1 touches only probed cells and
+    stage 2 only k₁ candidates per query — neither stage ever sees the
+    full corpus per query."""
+    from ..operators.simsearch import ann_ivf_topk, quantize_embeddings
+    e = _tbl(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    c = (e.filter(F.col("vec_id") >= N_QUERY_VECS)
+         .select(F.col("vec_id").alias("cid"),
+                 F.col("embedding").alias("cv")))
+    shortlist = (ann_ivf_topk(q, c, k=TWO_STAGE_SHORTLIST,
+                              n_cells=IVF_N_CELLS, n_probe=IVF_N_PROBE)
+                 .select("qid", "cid"))
+    qz = quantize_embeddings(e)
+    q8 = qz.select(F.col("vec_id").alias("qid"),
+                   F.col("qvec").alias("q8"))
+    c8 = qz.select(F.col("vec_id").alias("cid"),
+                   F.col("qvec").alias("c8"))
+    qdot = F.aggregate(
+        F.zip_with("q8", "c8", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    scored = (shortlist.join(q8, "qid").join(c8, "cid")
+              .withColumn("qdot", qdot))
+    w = Window.partitionBy("qid").orderBy(F.desc("qdot"), F.asc("cid"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= SIM_TOP_K)
+            .select("qid", "cid", "qdot", "rk"))
+
+
+def _sql_sim_two_stage() -> str:
+    ivf = _sql_sim_ann_ivf(k=TWO_STAGE_SHORTLIST)
+    return f"""
+WITH stage1 AS MATERIALIZED (
+  SELECT qid, cid FROM ({ivf})
+),
+q8 AS (
+  SELECT vec_id,
+         CASE WHEN ma = 0 THEN list_transform(d, x -> 0)
+              ELSE list_transform(d, x -> CAST(round(x * 127.0 / ma, 0) AS INT))
+         END AS qvec
+  FROM (SELECT vec_id, d,
+               list_max(list_transform(d, x -> abs(x))) AS ma
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d
+              FROM embeddings))),
+scored AS (
+  SELECT s.qid, s.cid,
+         CAST(list_dot_product(CAST(a.qvec AS DOUBLE[]),
+                               CAST(b.qvec AS DOUBLE[])) AS BIGINT) AS qdot
+  FROM stage1 s
+  JOIN q8 a ON a.vec_id = s.qid
+  JOIN q8 b ON b.vec_id = s.cid)
+SELECT qid, cid, qdot, rk FROM (
+  SELECT qid, cid, qdot,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY qdot DESC, cid ASC) AS rk
+  FROM scored) WHERE rk <= {SIM_TOP_K}
 """
