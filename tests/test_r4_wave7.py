@@ -63,11 +63,22 @@ class TestGapfill:
         # observed rows reproduce themselves: interp == ffill == obs
         assert out.filter("is_gap = 0 AND (interp_ppm != obs_ppm"
                           " OR ffill_ppm != obs_ppm)").count() == 0
-        # interpolation is always between its two endpoints
-        bad = out.filter(
-            "interp_ppm > greatest(ffill_ppm, interp_ppm, 0)"
-            " AND is_gap = 1").count()
+        # gap rows interpolate BETWEEN their surrounding observations:
+        # recompute prev/next observed values from the output itself
+        from pyspark.sql import Window
+        wp = (Window.partitionBy("user_id").orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        wn = (Window.partitionBy("user_id").orderBy("day")
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        withends = (out
+                    .withColumn("prev_obs", F.last("obs_ppm", True).over(wp))
+                    .withColumn("next_obs", F.first("obs_ppm", True).over(wn)))
+        bad = withends.filter(
+            "is_gap = 1 AND (interp_ppm < least(prev_obs, next_obs)"
+            " OR interp_ppm > greatest(prev_obs, next_obs))").count()
         assert bad == 0
+        # and the dataset genuinely exercises the gap branch
+        assert out.filter("is_gap = 1").count() > 0
         out.unpersist()
 
 
