@@ -160,6 +160,33 @@ def cmd_validate(args) -> None:
         sys.exit(2)
 
 
+def cmd_describe(args) -> None:
+    """SPARQL DESCRIBE over a materialized run's triple graph
+    (operators/graph.py describe_cbd): the concise bounded description
+    of a node — incident triples plus the mentions-attributes of
+    adjacent turns. Prints one JSON line with counts and a bounded
+    sample (orderBy+limit — never a full collect)."""
+    from pyspark.sql import functions as F
+
+    from .operators.graph import describe_cbd
+    from .sources.storage import Storage
+    spark = _spark(args)
+    triples = Storage(args.run_dir).read_table(spark, "triples")
+    cbd = describe_cbd(triples, args.node).cache()
+    by_via = {r["via"]: r["n"] for r in
+              cbd.groupBy("via").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    sample = [r.asDict() for r in
+              cbd.orderBy("via", "subj", "pred", "obj")
+              .limit(args.sample).collect()]
+    print(json.dumps({"node": args.node,
+                      "n_incident": by_via.get("incident", 0),
+                      "n_neighbor": by_via.get("neighbor", 0),
+                      "sample": sample}))
+    cbd.unpersist()
+    spark.stop()
+
+
 def cmd_evaluate(args) -> None:
     """The reference's evaluation lifecycle: P/R vs a golden triple set."""
     from .operators.evaluate import precision_recall
@@ -236,6 +263,11 @@ def main(argv: list[str] | None = None) -> None:
     va = sub.add_parser("validate"); va.add_argument("--run-dir", required=True)
     va.add_argument("--ontology")
     va.set_defaults(fn=cmd_validate)
+
+    d = sub.add_parser("describe"); d.add_argument("--run-dir", required=True)
+    d.add_argument("node", help="resource to describe, e.g. dq:L27")
+    d.add_argument("--sample", type=int, default=10)
+    d.set_defaults(fn=cmd_describe)
 
     e = sub.add_parser("evaluate"); e.add_argument("--run-dir", required=True)
     e.add_argument("--golden", required=True); e.set_defaults(fn=cmd_evaluate)

@@ -876,3 +876,27 @@ def shortest_paths(triples: DataFrame, seeds: DataFrame,
                 .groupBy("node").agg(F.min("dist").alias("dist"))
                 .localCheckpoint(eager=True))
     return dist
+
+
+def describe_cbd(triples: DataFrame, node: str) -> DataFrame:
+    """SPARQL DESCRIBE — concise bounded description of ``node``:
+    (a) every triple incident to the node in either role, plus (b) the
+    'mentions' attribute triples of adjacent TURN nodes (turns act as
+    the anonymous intermediates of this graph, the role blank nodes
+    play in rdflib's CBD [K]). Output (subj, pred, obj, via) with via
+    in {'incident', 'neighbor'}. Two pushed-down filters of the triple
+    table + one semi-join — no traversal state, no windows."""
+    n = F.lit(node)
+    incident = (triples
+                .filter((F.col("subj") == n) | (F.col("obj") == n))
+                .select("subj", "pred", "obj",
+                        F.lit("incident").alias("via")))
+    nbr_turns = (triples
+                 .filter((F.col("obj") == n)
+                         & F.col("subj").startswith("turn:"))
+                 .select(F.col("subj").alias("nbr")).distinct())
+    attrs = (triples.join(nbr_turns, triples.subj == nbr_turns.nbr)
+             .filter((F.col("pred") == "mentions") & (F.col("obj") != n))
+             .select("subj", "pred", "obj",
+                     F.lit("neighbor").alias("via")))
+    return incident.unionByName(attrs).distinct()

@@ -8562,18 +8562,8 @@ def q_kg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     anonymous intermediates of this graph, the role blank nodes play
     in rdflib's CBD [K]). Two pushed-down filters of the triple table
     + one semi-join for the neighbor attributes — no traversal state."""
-    tr = q_kg_triples(spark, sf_dir)
-    node = F.lit(DESCRIBE_NODE)
-    incident = (tr.filter((F.col("subj") == node) | (F.col("obj") == node))
-                .select("subj", "pred", "obj",
-                        F.lit("incident").alias("via")))
-    nbr_turns = (tr.filter((F.col("obj") == node)
-                           & F.col("subj").startswith("turn:"))
-                 .select(F.col("subj").alias("nbr")).distinct())
-    attrs = (tr.join(nbr_turns, tr.subj == nbr_turns.nbr)
-             .filter((F.col("pred") == "mentions") & (F.col("obj") != node))
-             .select("subj", "pred", "obj", F.lit("neighbor").alias("via")))
-    return incident.unionByName(attrs).distinct()
+    from ..operators.graph import describe_cbd
+    return describe_cbd(q_kg_triples(spark, sf_dir), DESCRIBE_NODE)
 
 
 def _sql_kg_describe() -> str:

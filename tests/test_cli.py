@@ -58,6 +58,22 @@ def test_cli_lifecycle(tmp_path):
     assert out["manual_valid"] == 1
     assert out["cds_rows"] > 0
 
+    # SPARQL DESCRIBE over the materialized graph: pick a concept the
+    # run actually tagged (most-mentioned obj) and check the CBD is
+    # non-empty, bounded, and node-centric
+    import pandas as pd  # noqa: F811 — local reuse
+    tr = pd.read_parquet(os.path.join(run_dir, "triples.parquet"))
+    node = (tr[tr["pred"] == "mentions"]["obj"]
+            .value_counts().index[0])
+    out = _run("describe", "--run-dir", run_dir, node, "--sample", "5")
+    assert out["node"] == node
+    assert out["n_incident"] > 0
+    assert out["n_neighbor"] > 0
+    assert len(out["sample"]) <= 5
+    for row in out["sample"]:
+        if row["via"] == "incident":
+            assert node in (row["subj"], row["obj"])
+
 
 def test_cli_turtle_ontology(tmp_path):
     """--ontology <file.ttl>: the reference's own ontology-input shape
