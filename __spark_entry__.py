@@ -55,7 +55,7 @@ DRIVER_SAMPLE_FIRST_50 = [
 ]
 
 
-# ROUND-5 ROTATION TODO: after the r4 driver record lands, 85 paired
+# ROUND-5 ROTATION TODO: after the r4 driver record lands, 86 paired
 # queries will still lack one (plus the 2 rows-only by design) — the
 # pre-rotation backlog plus the r4 wave-2/3/4 additions:
 # kg_mentions_regex, multimodal_{frames,decode,stats,phash},
@@ -75,7 +75,7 @@ DRIVER_SAMPLE_FIRST_50 = [
 # kg_{shortest_path,snapshot_asof,sparql_agg,link_predict},
 # sim_pq_topk, curation_skipgram, text_collocations, and wave 9:
 # rel_concurrency, kg_random_walks, dedup_canonical, and wave 10:
-# dedup_containment, kg_describe, sim_two_stage.
+# dedup_containment, kg_describe, sim_two_stage, kg_walk_pairs.
 # Rotate 41 of them into slots 10-50 of DRIVER_SAMPLE_FIRST_50 next
 # round (keep the core nine; prefer the r4 wave-2 additions and
 # anything with cross-query composition), and the remainder the round

@@ -3370,6 +3370,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "kg_describe": q_kg_describe,
         "sim_two_stage": q_sim_two_stage,
+        "kg_walk_pairs": q_kg_walk_pairs,
     }
 
 
@@ -3556,6 +3557,7 @@ def build_oracle_sql() -> dict[str, str]:
         "dedup_containment": SQL_DEDUP_CONTAINMENT,
         "kg_describe": _sql_kg_describe(),
         "sim_two_stage": _sql_sim_two_stage(),
+        "kg_walk_pairs": _sql_kg_walk_pairs(),
     }
 
 
@@ -8653,4 +8655,49 @@ SELECT qid, cid, qdot, rk FROM (
          row_number() OVER (PARTITION BY qid
                             ORDER BY qdot DESC, cid ASC) AS rk
   FROM scored) WHERE rk <= {SIM_TOP_K}
+"""
+
+
+WALK_PAIR_WINDOW = 2
+
+
+def q_kg_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk stage 2 — skip-gram (center, context) NODE pairs over
+    the deterministic walk corpus (kg_random_walks), window ±2 within
+    a walk, symmetric: exactly what curation_skipgram does for tokens,
+    applied to the graph's "sentences". The two queries compose into
+    the complete DeepWalk training-data pipeline (walks → pairs →
+    embedding trainer). Same equi-join shape: each center explodes
+    into W forward (start, step+o) keys — never a range join. No
+    min-count cut: the walk corpus is one bounded sentence per concept,
+    so every co-visit is signal."""
+    walks = q_kg_random_walks(spark, sf_dir)
+    ctr = walks.select("start", "step", F.col("node").alias("center"))
+    off = (ctr.withColumn("o", F.explode(F.array(
+        *[F.lit(i) for i in range(1, WALK_PAIR_WINDOW + 1)])))
+        .select("start", (F.col("step") + F.col("o")).alias("step"),
+                "center"))
+    pairs = (off.join(walks, ["start", "step"])
+             .select("center", F.col("node").alias("context")))
+    sym = pairs.unionByName(
+        pairs.select(F.col("context").alias("center"),
+                     F.col("center").alias("context")))
+    return (sym.groupBy("center", "context")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+
+
+def _sql_kg_walk_pairs() -> str:
+    walks = _sql_kg_random_walks()
+    return f"""
+WITH walks AS MATERIALIZED ({walks}),
+pairs AS (
+  SELECT a.node AS center, b.node AS context
+  FROM walks a JOIN walks b
+    ON b.start = a.start
+   AND b.step - a.step BETWEEN 1 AND {WALK_PAIR_WINDOW}),
+sym AS (SELECT center, context FROM pairs
+        UNION ALL
+        SELECT context, center FROM pairs)
+SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+FROM sym GROUP BY 1, 2
 """

@@ -95,3 +95,29 @@ class TestTwoStage:
         lagged = out.withColumn("prev", F.lag("qdot").over(w))
         assert lagged.filter("prev IS NOT NULL AND qdot > prev").count() == 0
         out.unpersist()
+
+
+class TestWalkPairs:
+    def test_symmetry_and_window_reach(self, spark):
+        from otd_semantic_framework_spark.plans.driver_queries import (
+            q_kg_random_walks, q_kg_walk_pairs, WALK_PAIR_WINDOW)
+        out = q_kg_walk_pairs(spark, SF).cache()
+        got = {(r.center, r.context): r.n_pairs for r in out.collect()}
+        assert got, "walk corpus produced no pairs"
+        # symmetric by construction
+        assert all(got[(y, x)] == n for (x, y), n in got.items())
+        # every pair really co-occurs within the window in some walk
+        walks = q_kg_random_walks(spark, SF).collect()
+        by_start = {}
+        for r in walks:
+            by_start.setdefault(r.start, {})[r.step] = r.node
+        want = {}
+        for seq in by_start.values():
+            for s, a in seq.items():
+                for o in range(1, WALK_PAIR_WINDOW + 1):
+                    b = seq.get(s + o)
+                    if b is not None:
+                        want[(a, b)] = want.get((a, b), 0) + 1
+                        want[(b, a)] = want.get((b, a), 0) + 1
+        assert got == want
+        out.unpersist()
