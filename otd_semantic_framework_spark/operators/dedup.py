@@ -659,3 +659,66 @@ def containment_pairs(docs: DataFrame, threshold_ppm: int,
         F.desc("containment_ppm"), F.asc("jaccard_ppm"), F.asc("doc_big"))
     return (out.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1).drop("rk"))
+
+
+def blocking_audit(docs: DataFrame, threshold: float,
+                   k_shingle: int = 3) -> DataFrame:
+    """Entity-resolution blocking QUALITY audit of the MinHash-LSH
+    blocker: pairs completeness, pairwise precision, and reduction
+    ratio — the three standard blocking metrics [K] a dedup pipeline
+    owner reads before trusting LSH at scale.
+
+    - truth  = exact shingle-Jaccard ≥ threshold over ALL pairs sharing
+      ≥1 shingle (complete for threshold > 0: disjoint pairs have J=0),
+      generated by the posting-list self-join — run on a BOUNDED audit
+      sample, never the full corpus;
+    - cand   = the LSH band candidates (portable md5 flavor, the same
+      blocker dedup_minhash_lsh verifies);
+    - pairs_completeness_ppm = |cand ∩ truth| · 1e6 DIV |truth| (recall
+      of the blocker), precision_ppm = hit · 1e6 DIV |cand|, and
+      reduction_ratio_ppm = 1e6 − |cand| · 1e6 DIV C(n,2) (how much of
+      the quadratic comparison space blocking eliminates).
+
+    One summary row, exact integers. Scale shape: audit-sample-bounded;
+    both pair generators are equi-joins (shingle posting lists / band
+    hashes), the intersection is an equi-join on (doc_a, doc_b), and
+    the metrics are single algebraic aggregates.
+    """
+    sh = shingles(docs, k=k_shingle).cache()
+    cand = lsh_candidate_pairs(minhash_signatures(sh, portable=True),
+                               portable=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("sz").alias("sz_b"))
+    truth = (inter.join(sa, "doc_a").join(sb, "doc_b")
+             .withColumn("jaccard", F.round(
+                 F.col("inter")
+                 / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+             .filter(F.col("jaccard") >= threshold)
+             .select("doc_a", "doc_b"))
+    both = (cand.withColumn("in_cand", F.lit(1))
+            .join(truth.withColumn("in_true", F.lit(1)),
+                  ["doc_a", "doc_b"], "full_outer")
+            .agg(F.sum(F.coalesce("in_cand", F.lit(0))).alias("n_cand"),
+                 F.sum(F.coalesce("in_true", F.lit(0))).alias("n_true"),
+                 F.sum(F.coalesce("in_cand", F.lit(0))
+                       * F.coalesce("in_true", F.lit(0))).alias("n_hit")))
+    n_docs = sizes.agg(F.count(F.lit(1)).alias("n_docs"))
+    m = n_docs.crossJoin(both)
+    return m.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_cand").cast("long").alias("n_cand"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.expr("n_hit * 1000000 DIV n_true").cast("long")
+         .alias("pairs_completeness_ppm"),
+        F.expr("n_hit * 1000000 DIV n_cand").cast("long")
+         .alias("precision_ppm"),
+        F.expr("1000000 - n_cand * 1000000 DIV (n_docs * (n_docs - 1) DIV 2)")
+         .cast("long").alias("reduction_ratio_ppm"))

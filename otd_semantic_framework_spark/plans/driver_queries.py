@@ -1943,11 +1943,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                threshold=MINHASH_THRESHOLD, portable=True)
 
 
-def _sql_dedup_minhash(threshold: float = MINHASH_THRESHOLD, k: int = 3,
-                       n_hashes: int = 64, n_bands: int = 16) -> str:
+def _sql_minhash_prefix(k: int = 3, n_hashes: int = 64, n_bands: int = 16,
+                        max_doc: int | None = None) -> str:
+    """Shared CTE body: documents → shingles → portable md5 signature →
+    LSH bands → candidate pairs (``cand``) + shingle table (``sh``).
+    Replays operators/dedup.py minhash_signatures(portable=True) /
+    lsh_candidate_pairs digit-by-digit. ``max_doc`` bounds the corpus
+    (the audit sample); None = all documents (the LSH pair query)."""
     from .. import semantics as S
     rpb = n_hashes // n_bands
     mersenne = (1 << 31) - 1
+    where = f"WHERE doc_id < {max_doc}" if max_doc is not None else ""
     digits = ", ".join(
         f"strpos('0123456789abcdef', substr(h, {p + 1}, 1)) - 1 AS d{p}"
         for p in range(16))
@@ -1965,11 +1971,10 @@ def _sql_dedup_minhash(threshold: float = MINHASH_THRESHOLD, k: int = 3,
                              for j in range(rpb))
         + ") AS band_hash FROM sig"
         for b in range(n_bands))
-    return f"""
-WITH tokd AS (
+    return f"""tokd AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
-  FROM documents
+  FROM documents {where}
 ),
 sh AS (
   SELECT DISTINCT doc_id, array_to_string(toks[i + 1:i + {k}], ' ') AS shingle
@@ -1985,7 +1990,14 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-),
+)"""
+
+
+def _sql_dedup_minhash(threshold: float = MINHASH_THRESHOLD, k: int = 3,
+                       n_hashes: int = 64, n_bands: int = 16) -> str:
+    prefix = _sql_minhash_prefix(k=k, n_hashes=n_hashes, n_bands=n_bands)
+    return f"""
+WITH {prefix},
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS inter
@@ -3371,6 +3383,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_describe": q_kg_describe,
         "sim_two_stage": q_sim_two_stage,
         "kg_walk_pairs": q_kg_walk_pairs,
+        "kg_direct_mapping": q_kg_direct_mapping,
+        "kg_fact_fusion": q_kg_fact_fusion,
+        "kg_open_relations": q_kg_open_relations,
+        "kg_dialogue_acts": q_kg_dialogue_acts,
+        "kg_property_stats": q_kg_property_stats,
+        "dedup_blocking_audit": q_dedup_blocking_audit,
     }
 
 
@@ -3558,6 +3576,12 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_describe": _sql_kg_describe(),
         "sim_two_stage": _sql_sim_two_stage(),
         "kg_walk_pairs": _sql_kg_walk_pairs(),
+        "kg_direct_mapping": SQL_KG_DIRECT_MAPPING,
+        "kg_fact_fusion": _sql_kg_fact_fusion(),
+        "kg_open_relations": _sql_kg_open_relations(),
+        "kg_dialogue_acts": _sql_kg_dialogue_acts(),
+        "kg_property_stats": _sql_kg_property_stats(),
+        "dedup_blocking_audit": _sql_dedup_blocking_audit(),
     }
 
 
@@ -8700,4 +8724,293 @@ sym AS (SELECT center, context FROM pairs
         SELECT context, center FROM pairs)
 SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
 FROM sym GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 11: KG-construction extensions — relational→RDF direct
+# mapping, knowledge fusion, open relation extraction, dialogue acts,
+# predicate QA profile, blocking-quality audit (operators/construct.py,
+# operators/dedup.py:blocking_audit)
+# ---------------------------------------------------------------------------
+
+DIRECT_MAP_MODULUS = 10
+
+
+def q_kg_direct_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3C-Direct-Mapping-lite [K]: a deterministic orders slice
+    (o_orderkey % 10 == 0) mapped to RDF triples — row IRIs, literal
+    columns, FK reference triples — plus the FK closure
+    (customer → nation → region) for exactly the referenced rows.
+    The second structured-data ingest front door next to DCAT: a KG
+    builder bootstraps its ABox from existing warehouse tables.
+    Union of map-only projections; closure pruning via broadcast
+    semi-joins on slice-sized key sets."""
+    from ..operators.construct import direct_mapping_triples
+    return direct_mapping_triples(
+        _tbl(spark, sf_dir, "orders"), _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "nation"), _tbl(spark, sf_dir, "region"),
+        modulus=DIRECT_MAP_MODULUS)
+
+
+SQL_KG_DIRECT_MAPPING = f"""
+WITH o AS (SELECT * FROM orders WHERE o_orderkey % {DIRECT_MAP_MODULUS} = 0),
+c AS (SELECT * FROM customer
+      WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM o)),
+n AS (SELECT * FROM nation
+      WHERE n_nationkey IN (SELECT DISTINCT c_nationkey FROM c)),
+r AS (SELECT * FROM region
+      WHERE r_regionkey IN (SELECT DISTINCT n_regionkey FROM n))
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS subj,
+         'rdf:type' AS pred, 'tpch:Order' AS obj FROM o
+  UNION ALL
+  SELECT 'order:' || CAST(o_orderkey AS VARCHAR), 'tpch:status',
+         o_orderstatus FROM o
+  UNION ALL
+  SELECT 'order:' || CAST(o_orderkey AS VARCHAR), 'tpch:priority',
+         o_orderpriority FROM o
+  UNION ALL
+  SELECT 'order:' || CAST(o_orderkey AS VARCHAR), 'tpch:price_cents',
+         CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR) FROM o
+  UNION ALL
+  SELECT 'order:' || CAST(o_orderkey AS VARCHAR), 'tpch:orderdate',
+         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM o
+  UNION ALL
+  SELECT 'order:' || CAST(o_orderkey AS VARCHAR), 'tpch:customer',
+         'customer:' || CAST(o_custkey AS VARCHAR) FROM o
+  UNION ALL
+  SELECT 'customer:' || CAST(c_custkey AS VARCHAR), 'rdf:type',
+         'tpch:Customer' FROM c
+  UNION ALL
+  SELECT 'customer:' || CAST(c_custkey AS VARCHAR), 'tpch:mktsegment',
+         c_mktsegment FROM c
+  UNION ALL
+  SELECT 'customer:' || CAST(c_custkey AS VARCHAR), 'tpch:nation',
+         'nation:' || CAST(c_nationkey AS VARCHAR) FROM c
+  UNION ALL
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), 'tpch:name',
+         n_name FROM n
+  UNION ALL
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), 'tpch:region',
+         'region:' || CAST(n_regionkey AS VARCHAR) FROM n
+  UNION ALL
+  SELECT 'region:' || CAST(r_regionkey AS VARCHAR), 'tpch:name',
+         r_name FROM r
+)
+"""
+
+
+def q_kg_fact_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge fusion (Knowledge Vault-style support counting [K]):
+    repeated observations of the same conversation-level fact
+    (conv discusses concept) collapse into one row with raw / distinct-
+    turn / role-weighted support, the provenance span, and a saturating
+    exact-integer confidence. Two-level hash agg, map-side partials."""
+    from ..operators.construct import fuse_facts
+    t = derived_transcripts(spark, sf_dir)
+    gaz = _gaz_df(spark)
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    m = (t.join(F.broadcast(gaz),
+                padded.contains(F.concat(F.lit(" "), gaz.surface,
+                                         F.lit(" "))), "inner")
+         .select("conv_id", "turn_idx", "role", "concept_id"))
+    return fuse_facts(m)
+
+
+def _sql_kg_fact_fusion() -> str:
+    from ..operators.construct import FUSION_PRIOR, FUSION_ROLE_WEIGHTS
+    wu, wa, wt = (FUSION_ROLE_WEIGHTS["user"],
+                  FUSION_ROLE_WEIGHTS["assistant"],
+                  FUSION_ROLE_WEIGHTS["tool"])
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+mentions AS (
+  SELECT t.conv_id, t.turn_idx, t.role, g.concept_id
+  FROM transcripts t JOIN {_gaz_values()} ON
+    (' ' || t.text || ' ') LIKE ('% ' || g.surface || ' %')
+),
+per_turn AS (
+  SELECT conv_id, concept_id, turn_idx, count(*) AS n_obs,
+         max(CASE role WHEN 'user' THEN {wu} WHEN 'assistant' THEN {wa}
+             ELSE {wt} END) AS w_turn
+  FROM mentions GROUP BY 1, 2, 3),
+fused AS (
+  SELECT conv_id, concept_id,
+         sum(n_obs) AS n_mentions, count(*) AS n_turns,
+         sum(w_turn) AS w_support,
+         min(turn_idx) AS first_turn, max(turn_idx) AS last_turn
+  FROM per_turn GROUP BY 1, 2)
+SELECT 'conv:' || conv_id AS subj, 'discusses' AS pred,
+       'concept:' || concept_id AS obj,
+       CAST(n_mentions AS BIGINT) AS n_mentions,
+       CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(w_support AS BIGINT) AS w_support,
+       CAST(first_turn AS BIGINT) AS first_turn,
+       CAST(last_turn AS BIGINT) AS last_turn,
+       CAST(w_support * 1000000 // (w_support + {FUSION_PRIOR}) AS BIGINT)
+         AS conf_ppm
+FROM fused
+"""
+
+
+def q_kg_open_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-based open relation extraction (ReVerb-lite [K]): mine
+    (arg, trigger, arg) adjacency triples outside the gazetteer, with
+    corpus-level support counts — how a KG grows predicates it was
+    never configured for. Position-preserving tokenization; two
+    equi-joins on (conv, turn, position); one support hash-agg."""
+    from ..operators.construct import open_relation_triples
+    return open_relation_triples(derived_transcripts(spark, sf_dir))
+
+
+def _sql_kg_open_relations() -> str:
+    from ..operators.construct import (OPENIE_MIN_SUPPORT, OPENIE_STOP,
+                                       OPENIE_TRIGGERS)
+    trig = ", ".join(f"'{t}'" for t in OPENIE_TRIGGERS)
+    stop = ", ".join(f"'{t}'" for t in OPENIE_STOP)
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+toks AS (
+  SELECT conv_id, turn_idx, tl[CAST(i AS INT) + 1] AS tok,
+         CAST(i AS INT) AS pos
+  FROM (SELECT conv_id, turn_idx, string_split(text, ' ') AS tl
+        FROM transcripts),
+       unnest(range(0, len(tl))) AS r(i)),
+v AS (SELECT conv_id, turn_idx, pos AS vpos, tok AS rel
+      FROM toks WHERE tok IN ({trig})),
+args AS (
+  SELECT conv_id, turn_idx, pos, tok FROM toks
+  WHERE regexp_full_match(tok, '[a-z]{{3,}}')
+    AND tok NOT IN ({trig}) AND tok NOT IN ({stop})),
+trip AS (
+  SELECT l.tok AS subj_tok, v.rel, r.tok AS obj_tok
+  FROM v
+  JOIN args l ON l.conv_id = v.conv_id AND l.turn_idx = v.turn_idx
+             AND l.pos = v.vpos - 1
+  JOIN args r ON r.conv_id = v.conv_id AND r.turn_idx = v.turn_idx
+             AND r.pos = v.vpos + 1)
+SELECT subj_tok, rel, obj_tok, CAST(count(*) AS BIGINT) AS n_support
+FROM trip GROUP BY 1, 2, 3
+HAVING count(*) >= {OPENIE_MIN_SUPPORT}
+"""
+
+
+def q_kg_dialogue_acts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialogue-act tagging (cue-phrase heuristic [K]) + first-order
+    act-transition matrix with exact-integer row-normalized
+    probabilities — the conversation-structure profile of a transcript
+    corpus. Lag window PARTITIONED BY conv_id; final normalization
+    windows over the |acts|²-sized aggregate only."""
+    from ..operators.construct import dialogue_act_transitions
+    return dialogue_act_transitions(derived_transcripts(spark, sf_dir))
+
+
+def _sql_kg_dialogue_acts() -> str:
+    from ..operators.construct import ACT_DIRECTIVE_CUES, ACT_QUESTION_CUES
+    qc = ", ".join(f"'{t}'" for t in ACT_QUESTION_CUES)
+    dc = ", ".join(f"'{t}'" for t in ACT_DIRECTIVE_CUES)
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+tagged AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN contains(text, '?')
+                   OR string_split(text, ' ')[1] IN ({qc}) THEN 'question'
+              WHEN string_split(text, ' ')[1] IN ({dc}) THEN 'directive'
+              ELSE 'inform' END AS act
+  FROM transcripts),
+tr AS (
+  SELECT coalesce(lag(act) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                  '<start>') AS prev_act, act
+  FROM tagged),
+counts AS (SELECT prev_act, act, count(*) AS n_trans FROM tr GROUP BY 1, 2)
+SELECT prev_act, act, CAST(n_trans AS BIGINT) AS n_trans,
+       CAST(n_trans * 1000000 //
+            sum(n_trans) OVER (PARTITION BY prev_act) AS BIGINT) AS p_ppm
+FROM counts
+"""
+
+
+def q_kg_property_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LODStats-style predicate QA profile [K] over the extracted graph:
+    per predicate — triple count, subject/object cardinalities, max
+    subject fan-out, functional-property violations. The report that
+    tells a curator which predicates are functional and where
+    extraction over-fires. Two-level hash agg + one distinct agg."""
+    from ..operators.construct import predicate_profile
+    return predicate_profile(
+        q_kg_triples(spark, sf_dir).select("subj", "pred", "obj"))
+
+
+def _sql_kg_property_stats() -> str:
+    return f"""
+WITH triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+per_subj AS (
+  SELECT pred, subj, count(*) AS n, count(DISTINCT obj) AS n_obj_subj
+  FROM triples GROUP BY 1, 2),
+prof AS (
+  SELECT pred, sum(n) AS n_triples, count(*) AS n_subj,
+         max(n) AS max_fanout,
+         sum(CASE WHEN n_obj_subj > 1 THEN 1 ELSE 0 END) AS nfv
+  FROM per_subj GROUP BY 1),
+nobj AS (
+  SELECT pred, count(*) AS n_obj
+  FROM (SELECT DISTINCT pred, obj FROM triples) GROUP BY 1)
+SELECT p.pred, CAST(p.n_triples AS BIGINT) AS n_triples,
+       CAST(p.n_subj AS BIGINT) AS n_subj,
+       CAST(o.n_obj AS BIGINT) AS n_obj,
+       CAST(p.max_fanout AS BIGINT) AS max_fanout,
+       CAST(p.nfv AS BIGINT) AS n_functional_violations
+FROM prof p JOIN nobj o ON o.pred = p.pred
+"""
+
+
+def q_dedup_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit of the MinHash-LSH blocker on the bounded
+    audit sample: pairs completeness (blocker recall vs exact
+    shingle-Jaccard truth), pairwise precision, and reduction ratio —
+    the ER metrics [K] that justify trusting LSH before a 100-TB run.
+    One summary row, exact-integer ppm."""
+    from ..operators.dedup import blocking_audit
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < JACCARD_MAX_DOC)
+    return blocking_audit(d, threshold=MINHASH_THRESHOLD)
+
+
+def _sql_dedup_blocking_audit() -> str:
+    prefix = _sql_minhash_prefix(max_doc=JACCARD_MAX_DOC)
+    return f"""
+WITH {prefix},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE round(cast(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6)
+        >= {MINHASH_THRESHOLD}),
+m AS (
+  SELECT sum(CASE WHEN in_cand THEN 1 ELSE 0 END) AS n_cand,
+         sum(CASE WHEN in_true THEN 1 ELSE 0 END) AS n_true,
+         sum(CASE WHEN in_cand AND in_true THEN 1 ELSE 0 END) AS n_hit
+  FROM (SELECT coalesce(c.doc_a, t.doc_a) AS doc_a,
+               c.doc_a IS NOT NULL AS in_cand,
+               t.doc_a IS NOT NULL AS in_true
+        FROM cand c
+        FULL OUTER JOIN truth t
+          ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)),
+nd AS (SELECT count(*) AS n_docs FROM sizes)
+SELECT CAST(nd.n_docs AS BIGINT) AS n_docs,
+       CAST(m.n_cand AS BIGINT) AS n_cand,
+       CAST(m.n_true AS BIGINT) AS n_true,
+       CAST(m.n_hit AS BIGINT) AS n_hit,
+       CAST(m.n_hit * 1000000 // m.n_true AS BIGINT)
+         AS pairs_completeness_ppm,
+       CAST(m.n_hit * 1000000 // m.n_cand AS BIGINT) AS precision_ppm,
+       CAST(1000000 - m.n_cand * 1000000 // (nd.n_docs * (nd.n_docs - 1) // 2)
+            AS BIGINT) AS reduction_ratio_ppm
+FROM m, nd
 """
