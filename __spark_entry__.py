@@ -77,7 +77,9 @@ DRIVER_SAMPLE_FIRST_50 = [
 # rel_concurrency, kg_random_walks, dedup_canonical, and wave 10:
 # dedup_containment, kg_describe, sim_two_stage, kg_walk_pairs,
 # and wave 11: kg_{direct_mapping,fact_fusion,open_relations,
-# dialogue_acts,property_stats}, dedup_blocking_audit.
+# dialogue_acts,property_stats}, dedup_blocking_audit, and wave 12:
+# kg_{coref_lite,entity_salience,turn_novelty,alias_table,
+# transe_score}.
 # Rotate 41 of them into slots 10-50 of DRIVER_SAMPLE_FIRST_50 next
 # round (keep the core nine; prefer the r4 wave-2 additions and
 # anything with cross-query composition), and the remainder the round

@@ -19,7 +19,7 @@ no driver-side data movement.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PPM = 1_000_000
@@ -270,3 +270,157 @@ def predicate_profile(triples: DataFrame) -> DataFrame:
     return prof.join(n_obj, "pred").select(
         "pred", "n_triples", "n_subj", "n_obj", "max_fanout",
         "n_functional_violations")
+
+
+# Discourse / linking-quality extensions (wave 12): recency-based
+# antecedent propagation, per-conversation entity salience, turn-level
+# novelty profiling, and the entity-linking alias dictionary.
+
+SALIENCE_TOP_K = 3
+ALIAS_AMBIGUITY_MARGIN_PPM = 100_000
+
+
+def recency_antecedents(transcripts: DataFrame,
+                        turn_concepts: DataFrame) -> DataFrame:
+    """Recency-based antecedent propagation (centering-theory baseline
+    [K]): every turn that carries NO explicit concept mention inherits
+    the concept of the most recent PRIOR mention-bearing turn in the
+    same conversation — the discourse carry-over a coreference layer
+    contributes to KG construction (pronouns/ellipsis keep discussing
+    the last entity) without an NLP model.
+
+    ``turn_concepts`` is one row per mention observation with
+    ``conv_id``, ``turn_idx``, ``concept_id``; ties within a turn break
+    to the lexicographically greatest concept (a salience model would
+    rank — the pick just has to be deterministic).
+
+    Scale shape: one (conv, turn) hash agg, one equi-join back to the
+    turn spine, and two ``last(ignorenulls)`` windows PARTITIONED BY
+    conv_id — conversation-bounded, never one task. Output is only the
+    resolved mention-less turns.
+    """
+    tc = (turn_concepts.groupBy("conv_id", "turn_idx")
+          .agg(F.max("concept_id").alias("turn_concept")))
+    spine = (transcripts.select("conv_id", "turn_idx")
+             .join(tc, ["conv_id", "turn_idx"], "left"))
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    out = spine.select(
+        "conv_id", "turn_idx", "turn_concept",
+        F.last("turn_concept", ignorenulls=True).over(w)
+         .alias("antecedent_concept"),
+        F.last(F.when(F.col("turn_concept").isNotNull(),
+                      F.col("turn_idx")), ignorenulls=True).over(w)
+         .alias("antecedent_turn"))
+    return (out.filter(F.col("turn_concept").isNull()
+                       & F.col("antecedent_concept").isNotNull())
+            .select("conv_id", "turn_idx", "antecedent_concept",
+                    F.col("antecedent_turn").cast("long")
+                     .alias("antecedent_turn"),
+                    (F.col("turn_idx") - F.col("antecedent_turn"))
+                    .cast("long").alias("gap")))
+
+
+def entity_salience(transcripts: DataFrame, turn_concepts: DataFrame,
+                    top_k: int = SALIENCE_TOP_K) -> DataFrame:
+    """Per-conversation entity salience: blend of turn coverage (share
+    of the conversation's turns that mention the concept) and earliness
+    (how soon it first appears) — the score a KG builder uses to pick a
+    conversation's HEAD entities for summary nodes and indexing [K].
+
+    salience_ppm = 500000 · n_turns DIV conv_len
+                 + 500000 DIV (1 + first_turn)     (exact integers)
+
+    Scale shape: one (conv, concept) hash agg (count / distinct-turn /
+    min are all algebraic), one conv-level count joined back on the
+    conv key, and one rank window PARTITIONED BY conv_id.
+    """
+    conv_len = (transcripts.groupBy("conv_id")
+                .agg(F.count(F.lit(1)).alias("conv_len")))
+    per = (turn_concepts.groupBy("conv_id", "concept_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_mentions"),
+                F.countDistinct("turn_idx").cast("long").alias("n_turns"),
+                F.min("turn_idx").cast("long").alias("first_turn")))
+    scored = (per.join(conv_len, "conv_id")
+              .withColumn("salience_ppm", F.expr(
+                  "500000 * n_turns DIV conv_len"
+                  " + 500000 DIV (1 + first_turn)").cast("long")))
+    w = Window.partitionBy("conv_id").orderBy(
+        F.desc("salience_ppm"), F.asc("concept_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("conv_id", "concept_id", "n_mentions", "n_turns",
+                    "first_turn", "salience_ppm",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def turn_novelty(turn_concepts: DataFrame) -> DataFrame:
+    """Turn-level novelty profile: for each mention-bearing turn, how
+    many distinct concepts it mentions, how many it INTRODUCES (first
+    occurrence within the conversation), the running distinct-concept
+    count, and the exact-integer novelty ratio — the "new information
+    rate" curve that tells a curator where a conversation stops adding
+    knowledge (and an incremental KG builder which turns can be
+    skipped).
+
+    Scale shape: one distinct on (conv, turn, concept); a first-
+    occurrence window PARTITIONED BY (conv, concept); one (conv, turn)
+    hash agg; and a running-sum window PARTITIONED BY conv_id.
+    """
+    cm = turn_concepts.select("conv_id", "turn_idx", "concept_id").distinct()
+    w_first = Window.partitionBy("conv_id", "concept_id").orderBy("turn_idx")
+    flagged = cm.withColumn(
+        "is_new", (F.row_number().over(w_first) == 1).cast("int"))
+    per_turn = (flagged.groupBy("conv_id", "turn_idx")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_concepts"),
+                     F.sum("is_new").cast("long").alias("n_new")))
+    w_run = (Window.partitionBy("conv_id").orderBy("turn_idx")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    return per_turn.select(
+        "conv_id", "turn_idx", "n_concepts", "n_new",
+        F.sum("n_new").over(w_run).cast("long").alias("cum_concepts"),
+        F.expr(f"n_new * {PPM} DIV n_concepts").cast("long")
+         .alias("novelty_ppm"))
+
+
+def alias_table(mentions: DataFrame, scores: DataFrame,
+                margin_ppm: int = ALIAS_AMBIGUITY_MARGIN_PPM) -> DataFrame:
+    """Entity-linking alias dictionary [K]: one row per surface form
+    seen in the corpus — its mention frequency, candidate-concept
+    fan-out, best candidate, and the best-vs-runner-up cosine margin
+    that flags ambiguous names (small margin = the linker is choosing
+    between near-ties and deserves a context model).
+
+    Cosines become exact ppm ints via floor(cos·1e6 + 0.5) — identical
+    half-up semantics on every engine (engine round() differs: Spark is
+    half-away, DuckDB half-even). A unique candidate's margin is its
+    full score (nothing competes).
+
+    Scale shape: the corpus-frequency agg is one surface-keyed hash agg;
+    the candidate ranking windows over the broadcast-sized score table
+    (ontology-scale, not corpus-scale); the final join is broadcast.
+    """
+    freq = (mentions.groupBy("surface")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_mentions")))
+    cos_ppm = F.floor(F.col("cos_sim") * PPM + 0.5).cast("long")
+    w = Window.partitionBy("surface").orderBy(
+        F.desc("cos_sim"), F.asc("concept_id"))
+    ranked = (scores.withColumn("rn", F.row_number().over(w))
+              .withColumn("cos_ppm", cos_ppm))
+    best = (ranked.filter(F.col("rn") == 1)
+            .select("surface", F.col("concept_id").alias("best_concept"),
+                    F.col("cos_ppm").alias("best_cos_ppm")))
+    second = (ranked.filter(F.col("rn") == 2)
+              .select("surface", F.col("cos_ppm").alias("second_cos_ppm")))
+    n_cand = (scores.groupBy("surface")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_candidates")))
+    prof = (best.join(second, "surface", "left").join(n_cand, "surface")
+            .withColumn("margin_ppm",
+                        (F.col("best_cos_ppm")
+                         - F.coalesce("second_cos_ppm", F.lit(0)))
+                        .cast("long")))
+    return (freq.join(F.broadcast(prof), "surface", "inner")
+            .select("surface", "n_mentions", "n_candidates", "best_concept",
+                    "best_cos_ppm", "margin_ppm",
+                    (F.col("margin_ppm") < margin_ppm).cast("int")
+                     .alias("is_ambiguous")))

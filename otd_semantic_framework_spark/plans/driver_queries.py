@@ -3389,6 +3389,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_dialogue_acts": q_kg_dialogue_acts,
         "kg_property_stats": q_kg_property_stats,
         "dedup_blocking_audit": q_dedup_blocking_audit,
+        "kg_coref_lite": q_kg_coref_lite,
+        "kg_entity_salience": q_kg_entity_salience,
+        "kg_turn_novelty": q_kg_turn_novelty,
+        "kg_alias_table": q_kg_alias_table,
+        "kg_transe_score": q_kg_transe_score,
     }
 
 
@@ -3582,6 +3587,11 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_dialogue_acts": _sql_kg_dialogue_acts(),
         "kg_property_stats": _sql_kg_property_stats(),
         "dedup_blocking_audit": _sql_dedup_blocking_audit(),
+        "kg_coref_lite": SQL_KG_COREF_LITE,
+        "kg_entity_salience": _sql_kg_entity_salience(),
+        "kg_turn_novelty": SQL_KG_TURN_NOVELTY,
+        "kg_alias_table": _sql_kg_alias_table(),
+        "kg_transe_score": _sql_kg_transe_score(),
     }
 
 
@@ -9013,4 +9023,213 @@ SELECT CAST(nd.n_docs AS BIGINT) AS n_docs,
        CAST(1000000 - m.n_cand * 1000000 // (nd.n_docs * (nd.n_docs - 1) // 2)
             AS BIGINT) AS reduction_ratio_ppm
 FROM m, nd
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 12: discourse-layer construction (recency antecedents, entity
+# salience, turn novelty), the entity-linking alias dictionary, and
+# TransE-style triple plausibility scoring.
+# ---------------------------------------------------------------------------
+
+def q_kg_coref_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-based antecedent propagation (centering-theory baseline
+    [K]) for the FOCUS concepts — the sparse multi-word compound terms
+    of the gazetteer: a turn that does not explicitly name a compound
+    concept inherits the conversation's most recently named one (topic
+    carry-over — single-token references keep discussing the last
+    explicitly-named compound). The coref layer's contribution to KG
+    construction without an NLP model. Windows are PARTITIONED BY
+    conv_id (conversation-bounded)."""
+    from ..operators.construct import recency_antecedents
+    focus = (_mentions_df(spark, sf_dir)
+             .filter(F.col("surface").contains(" "))
+             .select("conv_id", "turn_idx", "concept_id"))
+    return recency_antecedents(derived_transcripts(spark, sf_dir), focus)
+
+
+SQL_KG_COREF_LITE = f"""
+WITH {_MENTIONS_CTE},
+tc AS (
+  SELECT conv_id, turn_idx, max(concept_id) AS turn_concept
+  FROM mentions WHERE surface LIKE '% %' GROUP BY 1, 2),
+spine AS (
+  SELECT t.conv_id, t.turn_idx, tc.turn_concept
+  FROM transcripts t LEFT JOIN tc USING (conv_id, turn_idx)),
+w AS (
+  SELECT conv_id, turn_idx, turn_concept,
+         last_value(turn_concept IGNORE NULLS) OVER
+           (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS antecedent_concept,
+         last_value(CASE WHEN turn_concept IS NOT NULL THEN turn_idx END
+                    IGNORE NULLS) OVER
+           (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS antecedent_turn
+  FROM spine)
+SELECT conv_id, turn_idx, antecedent_concept,
+       CAST(antecedent_turn AS BIGINT) AS antecedent_turn,
+       CAST(turn_idx - antecedent_turn AS BIGINT) AS gap
+FROM w WHERE turn_concept IS NULL AND antecedent_concept IS NOT NULL
+"""
+
+
+def q_kg_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation entity salience (turn coverage + earliness,
+    exact-integer ppm) with a top-3 rank window PARTITIONED BY conv_id
+    — the head-entity pick for summary nodes and indexing [K]."""
+    from ..operators.construct import entity_salience
+    return entity_salience(
+        derived_transcripts(spark, sf_dir),
+        _mentions_df(spark, sf_dir).select("conv_id", "turn_idx",
+                                           "concept_id"))
+
+
+def _sql_kg_entity_salience() -> str:
+    from ..operators.construct import SALIENCE_TOP_K
+    return f"""
+WITH {_MENTIONS_CTE},
+conv_len AS (
+  SELECT conv_id, count(*) AS conv_len FROM transcripts GROUP BY 1),
+per AS (
+  SELECT conv_id, concept_id, count(*) AS n_mentions,
+         count(DISTINCT turn_idx) AS n_turns, min(turn_idx) AS first_turn
+  FROM mentions GROUP BY 1, 2),
+scored AS (
+  SELECT p.conv_id, p.concept_id, p.n_mentions, p.n_turns, p.first_turn,
+         500000 * p.n_turns // c.conv_len
+           + 500000 // (1 + p.first_turn) AS salience_ppm
+  FROM per p JOIN conv_len c USING (conv_id)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id
+             ORDER BY salience_ppm DESC, concept_id ASC) AS rank
+  FROM scored)
+SELECT conv_id, concept_id, CAST(n_mentions AS BIGINT) AS n_mentions,
+       CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(first_turn AS BIGINT) AS first_turn,
+       CAST(salience_ppm AS BIGINT) AS salience_ppm,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {SALIENCE_TOP_K}
+"""
+
+
+def q_kg_turn_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-level novelty: distinct concepts per turn, first
+    introductions, running distinct-concept count, exact novelty ratio
+    — the new-information-rate curve an incremental KG builder reads.
+    All windows partitioned by (conv) or (conv, concept)."""
+    from ..operators.construct import turn_novelty
+    return turn_novelty(
+        _mentions_df(spark, sf_dir).select("conv_id", "turn_idx",
+                                           "concept_id"))
+
+
+SQL_KG_TURN_NOVELTY = f"""
+WITH {_MENTIONS_CTE},
+cm AS (SELECT DISTINCT conv_id, turn_idx, concept_id FROM mentions),
+flagged AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN row_number() OVER (PARTITION BY conv_id, concept_id
+              ORDER BY turn_idx) = 1 THEN 1 ELSE 0 END AS is_new
+  FROM cm),
+per_turn AS (
+  SELECT conv_id, turn_idx, count(*) AS n_concepts, sum(is_new) AS n_new
+  FROM flagged GROUP BY 1, 2)
+SELECT conv_id, turn_idx, CAST(n_concepts AS BIGINT) AS n_concepts,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST(sum(n_new) OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_concepts,
+       CAST(n_new * 1000000 // n_concepts AS BIGINT) AS novelty_ppm
+FROM per_turn
+"""
+
+
+def q_kg_alias_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-linking alias dictionary: per corpus surface form —
+    mention frequency, candidate fan-out, best candidate, best-vs-
+    runner-up margin (half-up ppm), ambiguity flag. Candidate ranking
+    windows over the broadcast-sized score table only."""
+    from ..operators.construct import alias_table
+    return alias_table(_mentions_df(spark, sf_dir), _scores_df(spark))
+
+
+def _sql_kg_alias_table() -> str:
+    from ..operators.construct import ALIAS_AMBIGUITY_MARGIN_PPM
+    sc = values_sql(driver_scores().round({"cos_sim": 6}), "s")
+    return f"""
+WITH {_MENTIONS_CTE},
+freq AS (
+  SELECT surface, count(*) AS n_mentions FROM mentions GROUP BY 1),
+ranked AS (
+  SELECT surface, concept_id,
+         CAST(floor(cos_sim * 1000000 + 0.5) AS BIGINT) AS cos_ppm,
+         row_number() OVER (PARTITION BY surface
+                            ORDER BY cos_sim DESC, concept_id ASC) AS rn
+  FROM {sc}),
+n_cand AS (SELECT surface, count(*) AS n_candidates FROM ranked GROUP BY 1),
+prof AS (
+  SELECT b.surface, b.concept_id AS best_concept,
+         b.cos_ppm AS best_cos_ppm,
+         b.cos_ppm - coalesce(s2.cos_ppm, 0) AS margin_ppm
+  FROM (SELECT * FROM ranked WHERE rn = 1) b
+  LEFT JOIN (SELECT * FROM ranked WHERE rn = 2) s2 USING (surface))
+SELECT f.surface, CAST(f.n_mentions AS BIGINT) AS n_mentions,
+       CAST(n.n_candidates AS BIGINT) AS n_candidates,
+       p.best_concept, p.best_cos_ppm,
+       CAST(p.margin_ppm AS BIGINT) AS margin_ppm,
+       CAST(CASE WHEN p.margin_ppm < {ALIAS_AMBIGUITY_MARGIN_PPM}
+            THEN 1 ELSE 0 END AS INT) AS is_ambiguous
+FROM freq f JOIN prof p USING (surface) JOIN n_cand n USING (surface)
+"""
+
+
+def q_kg_transe_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransE-style triple plausibility evaluation [K: Bordes 2013]
+    over the extracted graph with deterministic hash-initialized
+    fixed-point embeddings (operators/kgembed.py) — per-predicate true
+    vs corrupted-tail L1 scores, strict-win rate, margin sum. Map-only
+    scoring + one predicate-keyed hash agg; exact integers end to
+    end."""
+    from ..operators.kgembed import transe_margins
+    return transe_margins(
+        q_kg_triples(spark, sf_dir).select("subj", "pred", "obj"))
+
+
+def _sql_kg_transe_score() -> str:
+    from ..operators.kgembed import TRANSE_DIM
+
+    def comp(key: str, j: int) -> str:
+        p1, p2 = 2 * j + 1, 2 * j + 2
+        return (f"((strpos('0123456789abcdef', substr(md5({key}), {p1}, 1))"
+                f" - 1) * 16"
+                f" + strpos('0123456789abcdef', substr(md5({key}), {p2}, 1))"
+                f" - 1 - 128)")
+
+    def l1(tail_key: str) -> str:
+        return " + ".join(
+            f"abs({comp('h_key', j)} + {comp('r_key', j)}"
+            f" - {comp(tail_key, j)})"
+            for j in range(TRANSE_DIM))
+
+    return f"""
+WITH triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+keyed AS (
+  SELECT pred, 'ent:' || subj AS h_key, 'rel:' || pred AS r_key,
+         'ent:' || obj AS t_key,
+         'corrupt:' || subj || pred || obj AS c_key
+  FROM (SELECT DISTINCT subj, pred, obj FROM triples)),
+scored AS (
+  SELECT pred, {l1('t_key')} AS true_score, {l1('c_key')} AS corrupt_score
+  FROM keyed)
+SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(sum(true_score) AS BIGINT) AS sum_true_score,
+       CAST(sum(corrupt_score) AS BIGINT) AS sum_corrupt_score,
+       CAST(sum(CASE WHEN true_score < corrupt_score THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_true_better,
+       CAST(sum(CASE WHEN true_score < corrupt_score THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS hits_ppm,
+       CAST(sum(corrupt_score - true_score) AS BIGINT) AS margin_sum
+FROM scored GROUP BY pred
 """
