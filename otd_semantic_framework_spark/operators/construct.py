@@ -424,3 +424,132 @@ def alias_table(mentions: DataFrame, scores: DataFrame,
                     "best_cos_ppm", "margin_ppm",
                     (F.col("margin_ppm") < margin_ppm).cast("int")
                      .alias("is_ambiguous")))
+
+
+# KG quality / enrichment extensions (wave 13): AMIE-lite rule mining,
+# capture-recapture completeness estimation, and the functional-
+# predicate conflict-resolution queue.
+
+RULE_MIN_SUPPORT = 2
+RULE_HUB_CAP = 64
+
+
+def mine_rules(triples: DataFrame, min_support: int = RULE_MIN_SUPPORT,
+               hub_cap: int = RULE_HUB_CAP) -> DataFrame:
+    """AMIE-lite horn-rule mining [K: Galárraga 2013]: discover
+    2-atom forward-chain rules  p(x,y) ∧ q(y,z) ⇒ r(x,z)  with their
+    support (distinct (x,z) instances satisfying body AND head) and
+    standard confidence (support / distinct body instances) — how a KG
+    learns inference rules (e.g. "a reply stays on topic") from its own
+    extracted facts.
+
+    Middle nodes y with total degree above ``hub_cap`` are excluded
+    from body generation (the d² path blowup lives in hubs, and a chain
+    through a hub is near-zero evidence — same cap-as-semantics policy
+    as kg_link_predict); x = z chains are dropped (reflexive heads are
+    vacuous).
+
+    Scale shape: one degree agg; the body is a single equi-join keyed
+    on the capped middle node; the head check is an equi-join on
+    (x, z); support/body counts are hash aggs over distinct projections.
+    No windows, no cross joins.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    deg = (t.select(F.col("subj").alias("n"))
+           .unionAll(t.select(F.col("obj").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("deg")))
+    mid = deg.filter(F.col("deg") <= hub_cap).select("n")
+    t1 = t.select(F.col("subj").alias("x"), F.col("pred").alias("p"),
+                  F.col("obj").alias("n"))
+    t2 = t.select(F.col("subj").alias("n"), F.col("pred").alias("q"),
+                  F.col("obj").alias("z"))
+    body = (t1.join(mid, "n").join(t2, "n")
+            .filter(F.col("x") != F.col("z"))
+            .select("p", "q", "x", "z").distinct())
+    body_count = (body.groupBy("p", "q")
+                  .agg(F.count(F.lit(1)).alias("n_body")))
+    head = t.select(F.col("subj").alias("x"), F.col("pred").alias("r"),
+                    F.col("obj").alias("z"))
+    support = (body.join(head, ["x", "z"])
+               .groupBy("p", "q", "r")
+               .agg(F.count(F.lit(1)).alias("support")))
+    return (support.join(body_count, ["p", "q"])
+            .filter(F.col("support") >= min_support)
+            .select(F.col("p").alias("body_p"), F.col("q").alias("body_q"),
+                    F.col("r").alias("head_r"),
+                    F.col("support").cast("long").alias("support"),
+                    F.col("n_body").cast("long").alias("n_body"),
+                    F.expr(f"support * {PPM} DIV n_body").cast("long")
+                     .alias("conf_ppm")))
+
+
+def estimate_completeness(observations: DataFrame) -> DataFrame:
+    """KB completeness estimation via capture-recapture [K: the
+    Lincoln-Petersen estimator, as applied to KB recall by Razniewski
+    et al.]: treat user turns and assistant turns as two independent
+    observers of the same fact space (conv discusses concept); the
+    overlap between their catches estimates how many facts exist that
+    NEITHER observed — the "how complete is my KG" number a curator
+    cannot get from counts alone.
+
+    est_total = n_user · n_assistant DIV n_overlap, and coverage_ppm =
+    n_observed · 1e6 DIV est_total (may exceed 1e6: facts observed only
+    by tool turns add to n_observed but not to either observer's
+    catch). NULL when the overlap is empty (the estimator is
+    undefined).
+
+    Input: one row per mention observation (conv_id, concept_id,
+    role). Scale shape: one (conv, concept) hash agg with boolean-max
+    partials, then one global algebraic agg — two shuffles, one row
+    out.
+    """
+    per_fact = (observations.groupBy("conv_id", "concept_id")
+                .agg(F.max((F.col("role") == "user").cast("int"))
+                      .alias("saw_user"),
+                     F.max((F.col("role") == "assistant").cast("int"))
+                      .alias("saw_asst")))
+    agg = per_fact.agg(
+        F.sum("saw_user").cast("long").alias("n_user"),
+        F.sum("saw_asst").cast("long").alias("n_assistant"),
+        F.sum(F.col("saw_user") * F.col("saw_asst")).cast("long")
+         .alias("n_overlap"),
+        F.count(F.lit(1)).cast("long").alias("n_observed"))
+    est = F.when(F.col("n_overlap") > 0,
+                 F.expr("n_user * n_assistant DIV n_overlap")).cast("long")
+    return (agg.withColumn("est_total", est)
+            .withColumn("coverage_ppm",
+                        F.when(F.col("est_total") > 0,
+                               F.expr(f"n_observed * {PPM} DIV est_total"))
+                        .cast("long")))
+
+
+def fact_conflicts(facts: DataFrame) -> DataFrame:
+    """Conflict-resolution queue for a functional predicate: subjects
+    asserting MORE THAN ONE distinct object, with per-object support,
+    exact-integer share, winner pick (max support, lexicographic
+    tiebreak), and rank — the queue a curator (or an automated
+    last-writer/majority policy) works through, with evidence.
+    predicate_profile COUNTS these violations; this LISTS them.
+
+    Input: one row per observation with ``subj``, ``obj``. Scale shape:
+    one (subj, obj) hash agg, then rank/total windows PARTITIONED BY
+    subj (subject-bounded, never one task).
+    """
+    sup = (facts.groupBy("subj", "obj")
+           .agg(F.count(F.lit(1)).alias("support")))
+    w_rank = Window.partitionBy("subj").orderBy(
+        F.desc("support"), F.asc("obj"))
+    w_subj = Window.partitionBy("subj")
+    out = (sup
+           .withColumn("rank", F.row_number().over(w_rank))
+           .withColumn("n_alternatives", F.count(F.lit(1)).over(w_subj))
+           .withColumn("total_support", F.sum("support").over(w_subj)))
+    return (out.filter(F.col("n_alternatives") >= 2)
+            .select("subj", "obj", F.col("support").cast("long")
+                     .alias("support"),
+                    F.col("n_alternatives").cast("long")
+                     .alias("n_alternatives"),
+                    F.expr(f"support * {PPM} DIV total_support")
+                     .cast("long").alias("share_ppm"),
+                    (F.col("rank") == 1).cast("int").alias("is_winner"),
+                    F.col("rank").cast("int").alias("rank")))

@@ -722,3 +722,33 @@ def blocking_audit(docs: DataFrame, threshold: float,
          .alias("precision_ppm"),
         F.expr("1000000 - n_cand * 1000000 DIV (n_docs * (n_docs - 1) DIV 2)")
          .cast("long").alias("reduction_ratio_ppm"))
+
+
+def dedup_savings(components: DataFrame, docs: DataFrame) -> DataFrame:
+    """Dedup savings report: per multi-document near-dup cluster — its
+    size, survivor (min doc_id, the same survivorship rule as
+    dedup_canonical's default order), total bytes, duplicate bytes
+    (everything except the survivor's), and exact-integer savings ratio
+    — the artifact a pipeline owner reads to decide whether a dedup
+    pass pays for itself at 100 TB.
+
+    Scale shape: one equi-join of the component labels to doc lengths
+    on doc_id, one component-keyed hash agg (count / sum / min / min_by
+    are all algebraic with map-side partials). No windows.
+    """
+    labeled = components.join(
+        docs.select("doc_id", "n_chars"), "doc_id")
+    agg = (labeled.groupBy("component")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.min("doc_id").cast("long").alias("rep_doc"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+                F.min_by("n_chars", "doc_id").cast("long")
+                 .alias("rep_chars")))
+    return (agg.filter(F.col("n_docs") >= 2)
+            .select(F.col("component").cast("long").alias("component"),
+                    "n_docs", "rep_doc", "total_chars",
+                    (F.col("total_chars") - F.col("rep_chars"))
+                    .cast("long").alias("dup_chars"),
+                    F.expr("(total_chars - rep_chars) * 1000000"
+                           " DIV total_chars")
+                     .cast("long").alias("savings_ppm")))

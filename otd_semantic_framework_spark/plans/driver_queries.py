@@ -3394,6 +3394,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_turn_novelty": q_kg_turn_novelty,
         "kg_alias_table": q_kg_alias_table,
         "kg_transe_score": q_kg_transe_score,
+        "kg_rule_mining": q_kg_rule_mining,
+        "kg_completeness_est": q_kg_completeness_est,
+        "kg_fact_conflicts": q_kg_fact_conflicts,
+        "dedup_savings": q_dedup_savings,
     }
 
 
@@ -3592,6 +3596,10 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_turn_novelty": SQL_KG_TURN_NOVELTY,
         "kg_alias_table": _sql_kg_alias_table(),
         "kg_transe_score": _sql_kg_transe_score(),
+        "kg_rule_mining": _sql_kg_rule_mining(),
+        "kg_completeness_est": SQL_KG_COMPLETENESS_EST,
+        "kg_fact_conflicts": _sql_kg_fact_conflicts(),
+        "dedup_savings": _sql_dedup_savings(),
     }
 
 
@@ -9232,4 +9240,172 @@ SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
             * 1000000 // count(*) AS BIGINT) AS hits_ppm,
        CAST(sum(corrupt_score - true_score) AS BIGINT) AS margin_sum
 FROM scored GROUP BY pred
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 13: rule mining, completeness estimation, the conflict queue,
+# and the dedup savings report.
+# ---------------------------------------------------------------------------
+
+def q_kg_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-lite horn-rule mining [K: Galárraga 2013] over the
+    extracted graph: 2-atom forward chains p(x,y) ∧ q(y,z) ⇒ r(x,z)
+    with support and standard confidence (exact ppm), middle nodes
+    hub-capped (cap-as-semantics, replayed by the oracle). Discovers
+    e.g. "a reply stays on topic" (replies_to ∧ mentions ⇒ mentions)
+    from the triples alone."""
+    from ..operators.construct import mine_rules
+    return mine_rules(q_kg_triples(spark, sf_dir).select(
+        "subj", "pred", "obj"))
+
+
+def _sql_kg_rule_mining() -> str:
+    from ..operators.construct import RULE_HUB_CAP, RULE_MIN_SUPPORT
+    return f"""
+WITH triples AS MATERIALIZED (
+  SELECT DISTINCT subj, pred, obj FROM ({_sql_kg_triples_body()})),
+deg AS (
+  SELECT n, count(*) AS deg FROM (
+    SELECT subj AS n FROM triples UNION ALL SELECT obj AS n FROM triples)
+  GROUP BY 1),
+mid AS (SELECT n FROM deg WHERE deg <= {RULE_HUB_CAP}),
+body AS (
+  SELECT DISTINCT t1.pred AS p, t2.pred AS q, t1.subj AS x, t2.obj AS z
+  FROM triples t1
+  JOIN mid m ON m.n = t1.obj
+  JOIN triples t2 ON t2.subj = t1.obj
+  WHERE t1.subj <> t2.obj),
+body_count AS (SELECT p, q, count(*) AS n_body FROM body GROUP BY 1, 2),
+support AS (
+  SELECT b.p, b.q, h.pred AS r, count(*) AS support
+  FROM body b JOIN triples h ON h.subj = b.x AND h.obj = b.z
+  GROUP BY 1, 2, 3)
+SELECT s.p AS body_p, s.q AS body_q, s.r AS head_r,
+       CAST(s.support AS BIGINT) AS support,
+       CAST(c.n_body AS BIGINT) AS n_body,
+       CAST(s.support * 1000000 // c.n_body AS BIGINT) AS conf_ppm
+FROM support s JOIN body_count c ON c.p = s.p AND c.q = s.q
+WHERE s.support >= {RULE_MIN_SUPPORT}
+"""
+
+
+def q_kg_completeness_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KB completeness via capture-recapture [K: Lincoln-Petersen;
+    Razniewski et al. apply it to KB recall]: user turns and assistant
+    turns as two independent observers of the (conv discusses concept)
+    fact space; their overlap estimates the unobserved remainder. One
+    summary row, exact integers."""
+    from ..operators.construct import estimate_completeness
+    t = derived_transcripts(spark, sf_dir)
+    gaz = _gaz_df(spark)
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    obs = (t.join(F.broadcast(gaz),
+                  padded.contains(F.concat(F.lit(" "), gaz.surface,
+                                           F.lit(" "))), "inner")
+           .select("conv_id", "concept_id", "role"))
+    return estimate_completeness(obs)
+
+
+SQL_KG_COMPLETENESS_EST = f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+obs AS (
+  SELECT t.conv_id, g.concept_id, t.role
+  FROM transcripts t JOIN {_gaz_values()} ON
+    (' ' || t.text || ' ') LIKE ('% ' || g.surface || ' %')
+),
+per_fact AS (
+  SELECT conv_id, concept_id,
+         max(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS saw_user,
+         max(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS saw_asst
+  FROM obs GROUP BY 1, 2),
+agg AS (
+  SELECT CAST(sum(saw_user) AS BIGINT) AS n_user,
+         CAST(sum(saw_asst) AS BIGINT) AS n_assistant,
+         CAST(sum(saw_user * saw_asst) AS BIGINT) AS n_overlap,
+         CAST(count(*) AS BIGINT) AS n_observed
+  FROM per_fact)
+SELECT n_user, n_assistant, n_overlap, n_observed,
+       CAST(CASE WHEN n_overlap > 0
+            THEN n_user * n_assistant // n_overlap END AS BIGINT)
+         AS est_total,
+       CAST(CASE WHEN n_overlap > 0
+                  AND n_user * n_assistant // n_overlap > 0
+            THEN n_observed * 1000000 //
+                 (n_user * n_assistant // n_overlap) END AS BIGINT)
+         AS coverage_ppm
+FROM agg
+"""
+
+
+def q_kg_fact_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conflict-resolution queue for the conversation-level uses_tool
+    predicate (functional at conv granularity by policy): convs using
+    multiple tools, per-tool support/share, winner pick — the evidence
+    list behind predicate_profile's violation COUNTS. Windows
+    PARTITIONED BY subj."""
+    from ..operators.construct import fact_conflicts
+    facts = (q_kg_triples(spark, sf_dir)
+             .filter(F.col("pred") == "uses_tool")
+             .select(F.concat(F.lit("conv:"),
+                              F.split(F.col("subj"), ":").getItem(1))
+                      .alias("subj"),
+                     F.col("obj")))
+    return fact_conflicts(facts)
+
+
+def _sql_kg_fact_conflicts() -> str:
+    return f"""
+WITH triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+facts AS (
+  SELECT 'conv:' || string_split(subj, ':')[2] AS subj, obj
+  FROM triples WHERE pred = 'uses_tool'),
+sup AS (SELECT subj, obj, count(*) AS support FROM facts GROUP BY 1, 2),
+ranked AS (
+  SELECT subj, obj, support,
+         row_number() OVER (PARTITION BY subj
+                            ORDER BY support DESC, obj ASC) AS rank,
+         count(*) OVER (PARTITION BY subj) AS n_alternatives,
+         sum(support) OVER (PARTITION BY subj) AS total_support
+  FROM sup)
+SELECT subj, obj, CAST(support AS BIGINT) AS support,
+       CAST(n_alternatives AS BIGINT) AS n_alternatives,
+       CAST(support * 1000000 // total_support AS BIGINT) AS share_ppm,
+       CAST(CASE WHEN rank = 1 THEN 1 ELSE 0 END AS INT) AS is_winner,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE n_alternatives >= 2
+"""
+
+
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup savings report over the near-dup components: per multi-doc
+    cluster — size, survivor, total vs duplicate bytes, exact savings
+    ratio. The go/no-go artifact for a 100-TB dedup pass. One join +
+    one component-keyed hash agg on top of dedup_components."""
+    from ..operators.dedup import dedup_savings
+    comp = q_dedup_components(spark, sf_dir)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < JACCARD_MAX_DOC)
+    return dedup_savings(comp, docs)
+
+
+def _sql_dedup_savings() -> str:
+    return f"""
+WITH comp AS MATERIALIZED ({_sql_dedup_components()}),
+labeled AS (
+  SELECT c.component, c.doc_id, d.n_chars
+  FROM comp c JOIN documents d USING (doc_id)
+  WHERE d.doc_id < {JACCARD_MAX_DOC}),
+agg AS (
+  SELECT component, count(*) AS n_docs, min(doc_id) AS rep_doc,
+         sum(n_chars) AS total_chars,
+         arg_min(n_chars, doc_id) AS rep_chars
+  FROM labeled GROUP BY 1)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(rep_doc AS BIGINT) AS rep_doc,
+       CAST(total_chars AS BIGINT) AS total_chars,
+       CAST(total_chars - rep_chars AS BIGINT) AS dup_chars,
+       CAST((total_chars - rep_chars) * 1000000 // total_chars AS BIGINT)
+         AS savings_ppm
+FROM agg WHERE n_docs >= 2
 """
