@@ -80,7 +80,8 @@ DRIVER_SAMPLE_FIRST_50 = [
 # dialogue_acts,property_stats}, dedup_blocking_audit, and wave 12:
 # kg_{coref_lite,entity_salience,turn_novelty,alias_table,
 # transe_score}, and wave 13: kg_{rule_mining,completeness_est,
-# fact_conflicts}, dedup_savings.
+# fact_conflicts}, dedup_savings, and wave 14:
+# kg_{sparql_setops,reify,void_stats}.
 # Rotate 41 of them into slots 10-50 of DRIVER_SAMPLE_FIRST_50 next
 # round (keep the core nine; prefer the r4 wave-2 additions and
 # anything with cross-query composition), and the remainder the round

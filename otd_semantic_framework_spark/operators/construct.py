@@ -553,3 +553,89 @@ def fact_conflicts(facts: DataFrame) -> DataFrame:
                      .cast("long").alias("share_ppm"),
                     (F.col("rank") == 1).cast("int").alias("is_winner"),
                     F.col("rank").cast("int").alias("rank")))
+
+
+# RDF publishing surface (wave 14): statement reification and the VoID
+# dataset self-description.
+
+REIFY_SEP = "#"  # never occurs in this graph's IRIs (pinned in pytest)
+
+
+def reify_triples(triples: DataFrame) -> DataFrame:
+    """RDF reification [K: RDF 1.1 Semantics, rdf:Statement vocabulary]:
+    each distinct (subj, pred, obj) becomes an addressable statement
+    node — the prerequisite for attaching provenance, confidence, and
+    edit history to individual facts (the fusion/conflict operators'
+    outputs hang off these IRIs in a full deployment).
+
+    Statement IRIs are content-addressed (first 16 md5 hex chars of the
+    '#'-joined triple), so reification is idempotent and engine-
+    portable; each statement emits the four standard triples
+    (rdf:type rdf:Statement, rdf:subject, rdf:predicate, rdf:object).
+
+    Scale shape: map-only — one distinct, then four projections
+    UNION ALL'd; no joins, no aggregation, no windows.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    stmt = F.concat(
+        F.lit("stmt:"),
+        F.substring(F.md5(F.concat_ws(REIFY_SEP, "subj", "pred", "obj")),
+                    1, 16))
+    t = t.withColumn("stmt", stmt)
+
+    def emit(pred, obj_col):
+        return t.select(F.col("stmt").alias("subj"),
+                        F.lit(pred).alias("pred"), obj_col.alias("obj"))
+
+    return (emit("rdf:type", F.lit("rdf:Statement"))
+            .unionByName(emit("rdf:subject", F.col("subj")))
+            .unionByName(emit("rdf:predicate", F.col("pred")))
+            .unionByName(emit("rdf:object", F.col("obj"))))
+
+
+def void_description(triples: DataFrame,
+                     dataset_iri: str = "dataset:kg") -> DataFrame:
+    """VoID dataset self-description [K: W3C VoID vocabulary]: the
+    standard statistics a published RDF dataset carries about itself —
+    total triples, distinct subjects/objects, property count, and one
+    property partition per predicate with its triple count. The
+    publishing step that lets a consumer size a federated query before
+    reading the data.
+
+    Scale shape: one global algebraic+distinct aggregate and one
+    predicate-keyed hash agg; output is vocabulary-sized (a handful of
+    rows), emitted as (subj, pred, obj) string triples.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    g = t.agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+        F.countDistinct("pred").alias("n_pred"))
+    d = F.lit(dataset_iri)
+
+    def stat(pred, col):
+        return g.select(d.alias("subj"), F.lit(pred).alias("pred"),
+                        col.cast("string").alias("obj"))
+
+    global_triples = (
+        g.select(d.alias("subj"), F.lit("rdf:type").alias("pred"),
+                 F.lit("void:Dataset").alias("obj"))
+        .unionByName(stat("void:triples", F.col("n_triples")))
+        .unionByName(stat("void:distinctSubjects", F.col("n_subj")))
+        .unionByName(stat("void:distinctObjects", F.col("n_obj")))
+        .unionByName(stat("void:properties", F.col("n_pred"))))
+
+    per_pred = t.groupBy("pred").agg(F.count(F.lit(1)).alias("n"))
+    part = F.concat(d, F.lit(REIFY_SEP), F.col("pred"))
+    pred_triples = (
+        per_pred.select(part.alias("subj"),
+                        F.lit("void:property").alias("pred"),
+                        F.col("pred").alias("obj"))
+        .unionByName(per_pred.select(
+            part.alias("subj"), F.lit("void:triples").alias("pred"),
+            F.col("n").cast("string").alias("obj")))
+        .unionByName(per_pred.select(
+            d.alias("subj"), F.lit("void:propertyPartition").alias("pred"),
+            part.alias("obj"))))
+    return global_triples.unionByName(pred_triples)

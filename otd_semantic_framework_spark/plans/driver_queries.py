@@ -3398,6 +3398,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_completeness_est": q_kg_completeness_est,
         "kg_fact_conflicts": q_kg_fact_conflicts,
         "dedup_savings": q_dedup_savings,
+        "kg_sparql_setops": q_kg_sparql_setops,
+        "kg_reify": q_kg_reify,
+        "kg_void_stats": q_kg_void_stats,
     }
 
 
@@ -3600,6 +3603,9 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_completeness_est": SQL_KG_COMPLETENESS_EST,
         "kg_fact_conflicts": _sql_kg_fact_conflicts(),
         "dedup_savings": _sql_dedup_savings(),
+        "kg_sparql_setops": _sql_kg_sparql_setops(),
+        "kg_reify": _sql_kg_reify(),
+        "kg_void_stats": _sql_kg_void_stats(),
     }
 
 
@@ -9408,4 +9414,123 @@ SELECT CAST(component AS BIGINT) AS component,
        CAST((total_chars - rep_chars) * 1000000 // total_chars AS BIGINT)
          AS savings_ppm
 FROM agg WHERE n_docs >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 14: SPARQL set-operator surface and the RDF publishing layer
+# (reification + VoID self-description).
+# ---------------------------------------------------------------------------
+
+def q_kg_sparql_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION / MINUS / FILTER-regex in one algebra tree —
+    the set-operator half of the SPARQL 1.1 surface (BGP/OPTIONAL/
+    NOT-EXISTS/paths/aggregates/ASK/DESCRIBE/CONSTRUCT are covered by
+    their own paired queries):
+
+        SELECT ?t ?c ?src WHERE {
+          { ?t <mentions> ?c }  UNION  { ?t <uses_tool> ?c }
+          MINUS { ?t <replies_to> ?u }          # opening turns only
+          FILTER regex(?c, '^(dq:B|tool:)')     # branch concepts/tools
+        }
+
+    Shape: two filtered projections UNION ALL'd, one left-anti join
+    (MINUS on the shared binding), one JVM regex filter — no windows,
+    no cross joins."""
+    t = q_kg_triples(spark, sf_dir).select("subj", "pred", "obj")
+    m = (t.filter(F.col("pred") == "mentions")
+         .select(F.col("subj").alias("t"), F.col("obj").alias("c"),
+                 F.lit("mentions").alias("src")))
+    u = (t.filter(F.col("pred") == "uses_tool")
+         .select(F.col("subj").alias("t"), F.col("obj").alias("c"),
+                 F.lit("uses_tool").alias("src")))
+    openers_minus = (t.filter(F.col("pred") == "replies_to")
+                     .select(F.col("subj").alias("t")).distinct())
+    return (m.unionByName(u)
+            .filter(F.col("c").rlike("^(dq:B|tool:)"))
+            .join(openers_minus, "t", "left_anti")
+            .distinct())
+
+
+def _sql_kg_sparql_setops() -> str:
+    return f"""
+WITH triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+branches AS (
+  SELECT subj AS t, obj AS c, 'mentions' AS src
+  FROM triples WHERE pred = 'mentions'
+  UNION ALL
+  SELECT subj AS t, obj AS c, 'uses_tool' AS src
+  FROM triples WHERE pred = 'uses_tool')
+SELECT DISTINCT t, c, src
+FROM branches b
+WHERE regexp_matches(c, '^(dq:B|tool:)')
+  AND NOT EXISTS (SELECT 1 FROM triples r
+                  WHERE r.pred = 'replies_to' AND r.subj = b.t)
+"""
+
+
+def q_kg_reify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF reification of the extracted graph [K: rdf:Statement]:
+    content-addressed statement IRIs + the four standard triples per
+    fact — the provenance attachment point. Map-only."""
+    from ..operators.construct import reify_triples
+    return reify_triples(q_kg_triples(spark, sf_dir).select(
+        "subj", "pred", "obj"))
+
+
+def _sql_kg_reify() -> str:
+    return f"""
+WITH triples AS (
+  SELECT DISTINCT subj, pred, obj FROM ({_sql_kg_triples_body()})),
+stmt AS (
+  SELECT 'stmt:' || substr(md5(subj || '#' || pred || '#' || obj), 1, 16)
+           AS stmt,
+         subj, pred, obj
+  FROM triples)
+SELECT stmt AS subj, 'rdf:type' AS pred, 'rdf:Statement' AS obj FROM stmt
+UNION ALL
+SELECT stmt, 'rdf:subject', subj FROM stmt
+UNION ALL
+SELECT stmt, 'rdf:predicate', pred FROM stmt
+UNION ALL
+SELECT stmt, 'rdf:object', obj FROM stmt
+"""
+
+
+def q_kg_void_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID self-description of the extracted graph [K: W3C VoID]:
+    dataset-level triple/subject/object/property counts plus one
+    property partition per predicate, emitted as triples. One global
+    distinct agg + one predicate-keyed hash agg."""
+    from ..operators.construct import void_description
+    return void_description(q_kg_triples(spark, sf_dir).select(
+        "subj", "pred", "obj"))
+
+
+def _sql_kg_void_stats() -> str:
+    return f"""
+WITH triples AS MATERIALIZED (
+  SELECT DISTINCT subj, pred, obj FROM ({_sql_kg_triples_body()})),
+g AS (
+  SELECT count(*) AS n_triples, count(DISTINCT subj) AS n_subj,
+         count(DISTINCT obj) AS n_obj, count(DISTINCT pred) AS n_pred
+  FROM triples),
+pp AS (SELECT pred, count(*) AS n FROM triples GROUP BY 1)
+SELECT 'dataset:kg' AS subj, 'rdf:type' AS pred, 'void:Dataset' AS obj
+FROM g
+UNION ALL
+SELECT 'dataset:kg', 'void:triples', CAST(n_triples AS VARCHAR) FROM g
+UNION ALL
+SELECT 'dataset:kg', 'void:distinctSubjects', CAST(n_subj AS VARCHAR) FROM g
+UNION ALL
+SELECT 'dataset:kg', 'void:distinctObjects', CAST(n_obj AS VARCHAR) FROM g
+UNION ALL
+SELECT 'dataset:kg', 'void:properties', CAST(n_pred AS VARCHAR) FROM g
+UNION ALL
+SELECT 'dataset:kg' || '#' || pred, 'void:property', pred FROM pp
+UNION ALL
+SELECT 'dataset:kg' || '#' || pred, 'void:triples', CAST(n AS VARCHAR) FROM pp
+UNION ALL
+SELECT 'dataset:kg', 'void:propertyPartition', 'dataset:kg' || '#' || pred
+FROM pp
 """

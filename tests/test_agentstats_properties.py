@@ -37,7 +37,9 @@ def _scd2_reference(streams):
         for i, (attr, ts) in enumerate(changes):
             to = changes[i + 1][1] if i + 1 < len(changes) else None
             out.append((user, attr, ts, to, i + 1, int(to is None)))
-    return sorted(out)
+    # (user, version) is a total key; plain tuple sort would compare a
+    # None eff_to against a datetime when same-ts events tie the prefix
+    return sorted(out, key=lambda t: (t[0], t[4]))
 
 
 @settings(max_examples=8, deadline=None)
@@ -56,15 +58,16 @@ def test_scd2_matches_bruteforce(spark, streams):
     ev = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, event_type string")
     got = sorted(
-        (r.user_id, r.event_type,
-         dt.datetime(1970, 1, 1)
-         + dt.timedelta(microseconds=r.eff_from_us),
-         (dt.datetime(1970, 1, 1)
-          + dt.timedelta(microseconds=r.eff_to_us))
-         if r.eff_to_us is not None else None,
-         r.version, r.is_current)
-        for r in scd2_history(ev, "user_id", "event_type", "ts",
-                              "event_id").collect())
+        ((r.user_id, r.event_type,
+          dt.datetime(1970, 1, 1)
+          + dt.timedelta(microseconds=r.eff_from_us),
+          (dt.datetime(1970, 1, 1)
+           + dt.timedelta(microseconds=r.eff_to_us))
+          if r.eff_to_us is not None else None,
+          r.version, r.is_current)
+         for r in scd2_history(ev, "user_id", "event_type", "ts",
+                               "event_id").collect()),
+        key=lambda t: (t[0], t[4]))
     assert got == _scd2_reference(ref_in)
 
 
