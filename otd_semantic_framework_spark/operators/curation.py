@@ -941,3 +941,46 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 32,
                     F.col("c.tok_from").cast("long").alias("tok_from"),
                     F.col("c.tok_to").cast("long").alias("tok_to"),
                     F.col("c.chunk").alias("chunk")))
+
+
+def token_budget_mix(docs: DataFrame, budget_tokens: int,
+                     domain_col: str = "source",
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Token-budgeted mixture: give every domain the same token budget
+    and keep its documents in a deterministic priority order (longest
+    first, id ascending on ties — a stand-in for any quality score)
+    until the running whitespace-token total would exceed the budget.
+    The budget is a hard cap: the document that crosses the line is
+    dropped even if later, shorter documents still fit — the greedy
+    prefix rule every token-budget sampler actually ships, because it
+    keeps the decision a pure function of the running sum.
+
+    Returns one row per domain: documents/tokens kept and dropped and
+    the exact-ppm budget fill. The only wide ops are one window
+    partitioned BY DOMAIN (the per-domain prefix sum is the task unit
+    — no global order) and one hash agg, so the shape survives any
+    corpus size; the output is domain-cardinality-sized.
+    """
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = (Window.partitionBy("domain")
+         .orderBy(F.desc("n_toks"), F.asc(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    scored = (docs
+              .select(F.col(id_col), F.col(domain_col).alias("domain"),
+                      toks.cast("long").alias("n_toks"))
+              .withColumn("cum_toks", F.sum("n_toks").over(w))
+              .withColumn("kept",
+                          (F.col("cum_toks") <= budget_tokens)
+                          .cast("int")))
+    return (scored.groupBy("domain")
+            .agg(F.sum("kept").cast("long").alias("n_kept"),
+                 (F.count(F.lit(1)) - F.sum("kept")).cast("long")
+                 .alias("n_dropped"),
+                 F.sum(F.col("n_toks") * F.col("kept")).cast("long")
+                 .alias("tokens_kept"),
+                 F.sum(F.col("n_toks") * (1 - F.col("kept"))).cast("long")
+                 .alias("tokens_dropped"))
+            .withColumn("fill_ppm",
+                        F.expr(f"tokens_kept * 1000000"
+                               f" DIV {budget_tokens}").cast("long")))

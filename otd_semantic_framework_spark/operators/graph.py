@@ -900,3 +900,85 @@ def describe_cbd(triples: DataFrame, node: str) -> DataFrame:
              .select("subj", "pred", "obj",
                      F.lit("neighbor").alias("via")))
     return incident.unionByName(attrs).distinct()
+
+
+def cooccurrence_edges(mentions: DataFrame, min_convs: int = 2) -> DataFrame:
+    """Concept co-occurrence projection of the conversation-concept
+    bipartite graph: an undirected edge (src, dst) for every concept
+    pair mentioned together in >= ``min_convs`` distinct conversations.
+
+    This is the distributed half of closeness centrality: the
+    conv-level distinct + the within-conversation pair self-join do
+    the 100-TB work (the self-join is keyed on conv_id, so each
+    conversation's concept set — gazetteer-bounded, tens of rows — is
+    the task unit), and the output projection is ontology-sized.
+    Both orientations are emitted so BFS can treat it as undirected.
+    """
+    cm = mentions.select("conv_id", "concept_id").distinct()
+    a = cm.alias("a")
+    b = cm.alias("b")
+    return (a.join(b, "conv_id")
+            .filter(F.col("a.concept_id") != F.col("b.concept_id"))
+            .groupBy(F.col("a.concept_id").alias("src"),
+                     F.col("b.concept_id").alias("dst"))
+            .agg(F.count(F.lit(1)).alias("n_convs"))
+            .filter(F.col("n_convs") >= min_convs)
+            .select("src", "dst"))
+
+
+def closeness_centrality(edges: DataFrame, max_hops: int = 4) -> DataFrame:
+    """Bounded-hop closeness + harmonic centrality over an undirected
+    edge list (both orientations present): per node, the count of
+    nodes reachable within ``max_hops``, the sum of their minimum
+    distances, classic closeness (n_reach-1)/sum_dist and harmonic
+    centrality sum(1/d) — both as exact-integer ppm (integer division,
+    merge-order-independent).
+
+    All-pairs level-synchronous BFS keyed by source: ``dist`` holds
+    (src, node, depth); each hop joins the frontier to the edge table
+    and anti-joins the visited set per source, so the first depth a
+    (src, node) pair appears at is its minimum distance — the same
+    min-over-bounded-recursion DuckDB's recursive-CTE oracle computes.
+    Intended for projection graphs (ontology-sized node sets) produced
+    by distributed aggregation such as ``cooccurrence_edges``; the
+    per-hop joins are plain equi-joins, so the same code runs at any
+    scale — bucket the edge table by src on a real cluster.
+    localCheckpoint per hop cuts iterative lineage (the hits_exact
+    convention)."""
+    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    visited = (nodes.select(F.col("node").alias("bfs_src"),
+                            F.col("node"))
+               .withColumn("depth", F.lit(0).cast("long"))
+               .localCheckpoint(eager=True))
+    frontier = visited.select("bfs_src", "node")
+    for hop in range(1, max_hops + 1):
+        nxt = (frontier.join(edges,
+                             frontier.node == edges.src, "inner")
+               .select("bfs_src", F.col("dst").alias("node")).distinct()
+               .join(visited.select("bfs_src", "node"),
+                     ["bfs_src", "node"], "left_anti")
+               .withColumn("depth", F.lit(hop).cast("long"))
+               .localCheckpoint(eager=True))
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("bfs_src", "node")
+    reached = visited.filter(F.col("depth") > 0)
+    per = (reached.groupBy(F.col("bfs_src").alias("node"))
+           .agg(F.count(F.lit(1)).alias("n_reach"),
+                F.sum("depth").alias("sum_dist"),
+                F.sum(F.expr(f"CAST({PPM} AS BIGINT) DIV depth"))
+                .alias("harmonic_ppm")))
+    return (nodes.join(per, "node", "left")
+            .select("node",
+                    F.coalesce("n_reach", F.lit(0)).cast("long")
+                    .alias("n_reach"),
+                    F.coalesce("sum_dist", F.lit(0)).cast("long")
+                    .alias("sum_dist"),
+                    F.when(F.coalesce("sum_dist", F.lit(0)) > 0,
+                           F.expr(f"(n_reach * CAST({PPM} AS BIGINT))"
+                                  " DIV sum_dist"))
+                    .otherwise(F.lit(0)).cast("long").alias("closeness_ppm"),
+                    F.coalesce("harmonic_ppm", F.lit(0)).cast("long")
+                    .alias("harmonic_ppm")))

@@ -3401,6 +3401,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_setops": q_kg_sparql_setops,
         "kg_reify": q_kg_reify,
         "kg_void_stats": q_kg_void_stats,
+        "rel_outliers": q_rel_outliers,
+        "rel_seq_patterns": q_rel_seq_patterns,
+        "curation_token_budget": q_curation_token_budget,
+        "kg_closeness": q_kg_closeness,
     }
 
 
@@ -3606,6 +3610,10 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_sparql_setops": _sql_kg_sparql_setops(),
         "kg_reify": _sql_kg_reify(),
         "kg_void_stats": _sql_kg_void_stats(),
+        "rel_outliers": SQL_REL_OUTLIERS,
+        "rel_seq_patterns": SQL_REL_SEQ_PATTERNS,
+        "curation_token_budget": SQL_CURATION_TOKEN_BUDGET,
+        "kg_closeness": SQL_KG_CLOSENESS,
     }
 
 
@@ -9533,4 +9541,194 @@ SELECT 'dataset:kg' || '#' || pred, 'void:triples', CAST(n AS VARCHAR) FROM pp
 UNION ALL
 SELECT 'dataset:kg', 'void:propertyPartition', 'dataset:kg' || '#' || pred
 FROM pp
+"""
+
+
+# ---------------------------------------------------------------------------
+# wave 15: robust outliers, sequential patterns, token-budgeted mixture,
+# closeness centrality over the concept co-occurrence projection
+# ---------------------------------------------------------------------------
+
+#: rel_seq_patterns: minimum support for a reported trigram
+SEQ_MIN_SUPPORT = 3
+#: curation_token_budget: per-domain whitespace-token budget
+TOKEN_BUDGET = 800
+#: kg_closeness: co-occurrence edge floor / BFS hop bound
+CLOSENESS_MIN_CONVS = 2
+CLOSENESS_MAX_HOPS = 4
+
+
+def q_rel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection (median / MAD, the textbook
+    3-sigma-equivalent rule |x - med| > 3·1.4826·MAD) on event values.
+    Exact integers end to end: values in doubled micro-units so both
+    engines' linear-interpolated medians land on integers (midpoint of
+    two even bigints), and the outlier predicate cross-multiplies
+    (dev2·10000 > 22239·mad4) instead of dividing. Three passes over
+    events (median, MAD, flag) — each a hash agg + broadcast join of a
+    type-cardinality-sized table back onto the scan; at 100 TB swap
+    the exact percentile for approx_percentile and keep the shape."""
+    e = _tbl(spark, sf_dir, "events")
+    v = e.select("event_type", F.expr(
+        "2 * CAST(floor(value * 1000000) AS BIGINT)").alias("v2"))
+    g1 = v.groupBy("event_type").agg(
+        F.expr("CAST(percentile(v2, 0.5) AS BIGINT)").alias("med2"),
+        F.count(F.lit(1)).alias("n"))
+    d = (v.join(F.broadcast(g1), "event_type")
+         .withColumn("dev2", F.abs(F.col("v2") - F.col("med2"))))
+    g2 = d.groupBy("event_type").agg(
+        F.expr("CAST(percentile(2 * dev2, 0.5) AS BIGINT)").alias("mad4"))
+    return (d.join(F.broadcast(g2), "event_type")
+            .groupBy("event_type")
+            .agg(F.max("n").cast("long").alias("n"),
+                 F.max("med2").cast("long").alias("med2_micro"),
+                 F.max("mad4").cast("long").alias("mad4_micro"),
+                 F.sum(F.expr(
+                     "CASE WHEN dev2 * 10000 > 22239 * mad4"
+                     " THEN 1 ELSE 0 END")).cast("long")
+                 .alias("n_outliers"))
+            .withColumn("outlier_ppm", F.expr(
+                "n_outliers * 1000000 DIV n").cast("long")))
+
+
+SQL_REL_OUTLIERS = """
+WITH v AS (
+  SELECT event_type,
+         2 * CAST(floor(value * 1000000) AS BIGINT) AS v2
+  FROM events),
+g1 AS (
+  SELECT event_type, CAST(quantile_cont(v2, 0.5) AS BIGINT) AS med2,
+         count(*) AS n
+  FROM v GROUP BY 1),
+d AS (
+  SELECT v.event_type, abs(v2 - med2) AS dev2, n, med2
+  FROM v JOIN g1 USING (event_type)),
+g2 AS (
+  SELECT event_type,
+         CAST(quantile_cont(2 * dev2, 0.5) AS BIGINT) AS mad4
+  FROM d GROUP BY 1)
+SELECT d.event_type, CAST(max(d.n) AS BIGINT) AS n,
+       CAST(max(d.med2) AS BIGINT) AS med2_micro,
+       CAST(max(g2.mad4) AS BIGINT) AS mad4_micro,
+       CAST(sum(CASE WHEN dev2 * 10000 > 22239 * mad4
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(sum(CASE WHEN dev2 * 10000 > 22239 * mad4
+                THEN 1 ELSE 0 END) * 1000000 // max(d.n) AS BIGINT)
+         AS outlier_ppm
+FROM d JOIN g2 USING (event_type)
+GROUP BY 1
+"""
+
+
+def q_rel_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-3 sequential pattern mining over per-user event streams
+    (the contiguous-trigram special case of PrefixSpan [K: Pei 2001]):
+    lead() twice under a user-partitioned window, hash-agg support and
+    distinct-user counts, floor at SEQ_MIN_SUPPORT. The window
+    partitions by user_id, so the per-user history is the task unit at
+    any scale; the pattern table is |types|^3-bounded."""
+    e = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (e.select("user_id", F.col("event_type").alias("e1"),
+                  F.lead("event_type", 1).over(w).alias("e2"),
+                  F.lead("event_type", 2).over(w).alias("e3"))
+         .filter(F.col("e2").isNotNull() & F.col("e3").isNotNull()))
+    return (t.groupBy("e1", "e2", "e3")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"),
+                 F.countDistinct("user_id").cast("long").alias("n_users"))
+            .filter(F.col("support") >= SEQ_MIN_SUPPORT))
+
+
+SQL_REL_SEQ_PATTERNS = f"""
+WITH t AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e3
+  FROM events)
+SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS support,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY 1, 2, 3
+HAVING count(*) >= {SEQ_MIN_SUPPORT}
+"""
+
+
+def q_curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted domain mixture (operators/curation.
+    token_budget_mix): greedy longest-first prefix under a hard
+    per-domain whitespace-token budget, reported as per-domain
+    kept/dropped counts and exact-ppm budget fill."""
+    from ..operators.curation import token_budget_mix
+    return token_budget_mix(_docs(spark, sf_dir), TOKEN_BUDGET)
+
+
+SQL_CURATION_TOKEN_BUDGET = rf"""
+WITH toks AS (
+  SELECT doc_id, source AS domain,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> t <> '')) AS n_toks
+  FROM documents),
+c AS (
+  SELECT domain, doc_id, n_toks,
+         sum(n_toks) OVER (PARTITION BY domain
+                           ORDER BY n_toks DESC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks),
+k AS (
+  SELECT domain, n_toks,
+         CASE WHEN cum <= {TOKEN_BUDGET} THEN 1 ELSE 0 END AS kept
+  FROM c)
+SELECT domain, CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped,
+       CAST(sum(n_toks * kept) AS BIGINT) AS tokens_kept,
+       CAST(sum(n_toks * (1 - kept)) AS BIGINT) AS tokens_dropped,
+       CAST(sum(n_toks * kept) * 1000000 // {TOKEN_BUDGET} AS BIGINT)
+         AS fill_ppm
+FROM k GROUP BY 1
+"""
+
+
+def q_kg_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness + harmonic centrality of concepts over the
+    co-occurrence projection (operators/graph.cooccurrence_edges →
+    closeness_centrality): which concepts sit nearest the center of
+    what the corpus talks about. The projection join is the
+    distributed stage (keyed by conv_id); the all-pairs bounded BFS
+    runs on the ontology-sized edge list. Oracle recomputes min
+    distance as a depth-bounded recursive CTE."""
+    from ..operators.graph import closeness_centrality, cooccurrence_edges
+    edges = cooccurrence_edges(_mentions_df(spark, sf_dir),
+                               min_convs=CLOSENESS_MIN_CONVS)
+    return closeness_centrality(edges, max_hops=CLOSENESS_MAX_HOPS)
+
+
+SQL_KG_CLOSENESS = f"""
+WITH RECURSIVE {_MENTIONS_CTE},
+cm AS (SELECT DISTINCT conv_id, concept_id FROM mentions),
+edges AS (
+  SELECT a.concept_id AS src, b.concept_id AS dst
+  FROM cm a JOIN cm b USING (conv_id)
+  WHERE a.concept_id <> b.concept_id
+  GROUP BY 1, 2 HAVING count(*) >= {CLOSENESS_MIN_CONVS}),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+walk(bfs_src, node, d) AS (
+  SELECT node, node, 0 FROM nodes
+  UNION
+  SELECT w.bfs_src, e.dst, w.d + 1
+  FROM walk w JOIN edges e ON w.node = e.src
+  WHERE w.d < {CLOSENESS_MAX_HOPS}),
+dist AS (SELECT bfs_src, node, min(d) AS d FROM walk GROUP BY 1, 2),
+per AS (
+  SELECT bfs_src AS node, count(*) AS n_reach, sum(d) AS sum_dist,
+         sum(1000000 // d) AS harmonic_ppm
+  FROM dist WHERE d > 0 GROUP BY 1)
+SELECT n.node, CAST(coalesce(p.n_reach, 0) AS BIGINT) AS n_reach,
+       CAST(coalesce(p.sum_dist, 0) AS BIGINT) AS sum_dist,
+       CAST(CASE WHEN coalesce(p.sum_dist, 0) > 0
+            THEN p.n_reach * 1000000 // p.sum_dist ELSE 0 END AS BIGINT)
+         AS closeness_ppm,
+       CAST(coalesce(p.harmonic_ppm, 0) AS BIGINT) AS harmonic_ppm
+FROM nodes n LEFT JOIN per p USING (node)
 """
