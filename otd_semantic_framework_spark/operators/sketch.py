@@ -112,3 +112,63 @@ def bloom_decontaminate(corpus: DataFrame, probes: DataFrame, n: int = 5,
                 .alias("n_false_pos"),
                 (F.coalesce("n_bloom_hits", F.lit(0)) > 0)
                 .alias("is_flagged")))
+
+
+#: count-min sketch shape: depth (independent hash rows) × width (buckets)
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def _cms_bucket_expr(salt: str, key_sql: str) -> str:
+    """Portable bucket: first two md5 hex nibbles of 'cms{salt}:'‖key,
+    decoded digit-by-digit (the minhash md5-replay convention), mod
+    CMS_WIDTH — identical arithmetic in Spark SQL (instr) and DuckDB
+    (strpos, emitted by the paired oracle)."""
+    h = f"md5(concat('cms{salt}:', {key_sql}))"
+    d0 = f"(instr('0123456789abcdef', substring({h}, 1, 1)) - 1)"
+    d1 = f"(instr('0123456789abcdef', substring({h}, 2, 1)) - 1)"
+    return f"(({d0} * 16 + {d1}) % {CMS_WIDTH})"
+
+
+def cms_estimate(df: DataFrame, key_col: str,
+                 depth: int = CMS_DEPTH) -> DataFrame:
+    """Count-min sketch [K: Cormode & Muthukrishnan 2005] frequency
+    estimation with the exact truth alongside: per key — exact count,
+    CMS estimate (min over ``depth`` hashed bucket counters), and the
+    overestimate (>= 0 ALWAYS; CMS never undercounts — the paired
+    oracle and a pytest pin exactly that).
+
+    Why a sketch when the exact groupBy is right there: the sketch
+    table is depth × CMS_WIDTH counters — a FIXED-size aggregate
+    independent of key cardinality, the streaming/low-memory path for
+    heavy-hitter queries over unbounded key domains (URLs, n-grams) at
+    100 TB. Shape: one explode of depth (row, bucket) pairs per input
+    row → one hash agg into the fixed counter table (map-side partial,
+    256 groups) → broadcast join of the probe keys' buckets back onto
+    it. Deterministic md5 bucketing, exact integers end to end.
+    """
+    pairs = df.select(F.col(key_col).alias("k"), F.explode(F.array(*[
+        F.struct(F.lit(i).alias("r"),
+                 F.expr(_cms_bucket_expr(str(i), key_col))
+                 .cast("int").alias("bucket"))
+        for i in range(depth)])).alias("rb"))
+    sketch = (pairs.groupBy(F.col("rb.r").alias("r"),
+                            F.col("rb.bucket").alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    exact = (df.groupBy(F.col(key_col).alias("k"))
+             .agg(F.count(F.lit(1)).alias("exact_n")))
+    probe = exact.select("k", "exact_n", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("r"),
+                 F.expr(_cms_bucket_expr(str(i), "k"))
+                 .cast("int").alias("bucket"))
+        for i in range(depth)])).alias("rb"))
+    return (probe
+            .join(F.broadcast(sketch),
+                  (probe.rb.r == sketch.r) & (probe.rb.bucket == sketch.bucket))
+            .groupBy("k", "exact_n")
+            .agg(F.min("c").alias("est_n"))
+            .select(F.col("k").alias(key_col),
+                    F.col("exact_n").cast("long").alias("exact_n"),
+                    F.col("est_n").cast("long").alias("est_n"),
+                    (F.col("est_n") - F.col("exact_n")).cast("long")
+                    .alias("overestimate")))

@@ -3405,6 +3405,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_seq_patterns": q_rel_seq_patterns,
         "curation_token_budget": q_curation_token_budget,
         "kg_closeness": q_kg_closeness,
+        "stats_cms_tokens": q_stats_cms_tokens,
+        "kg_decay_cds": q_kg_decay_cds,
     }
 
 
@@ -3614,6 +3616,8 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_seq_patterns": SQL_REL_SEQ_PATTERNS,
         "curation_token_budget": SQL_CURATION_TOKEN_BUDGET,
         "kg_closeness": SQL_KG_CLOSENESS,
+        "stats_cms_tokens": _sql_stats_cms_tokens(),
+        "kg_decay_cds": _sql_kg_decay_cds(),
     }
 
 
@@ -9731,4 +9735,103 @@ SELECT n.node, CAST(coalesce(p.n_reach, 0) AS BIGINT) AS n_reach,
          AS closeness_ppm,
        CAST(coalesce(p.harmonic_ppm, 0) AS BIGINT) AS harmonic_ppm
 FROM nodes n LEFT JOIN per p USING (node)
+"""
+
+
+# ---------------------------------------------------------------------------
+# wave 16: count-min sketch frequency estimation, recency-decayed CDS
+# ---------------------------------------------------------------------------
+
+
+def q_stats_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch token-frequency estimation
+    (operators/sketch.cms_estimate) over the documents vocabulary:
+    exact count, sketch estimate (min over 4 md5-bucketed counter
+    rows of width 64), and the never-negative overestimate. The
+    counter table is fixed-size regardless of vocabulary — the
+    bounded-memory path for frequency queries over unbounded key
+    domains; the vocabulary here is small enough that the oracle
+    verifies every key's estimate, collisions included."""
+    from ..operators.sketch import cms_estimate
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+    return cms_estimate(toks, "tok")
+
+
+def _sql_stats_cms_tokens() -> str:
+    from ..operators.sketch import CMS_DEPTH, CMS_WIDTH
+
+    def b(i: int, key: str) -> str:
+        h = f"md5('cms{i}:' || {key})"
+        d0 = f"(strpos('0123456789abcdef', substr({h}, 1, 1)) - 1)"
+        d1 = f"(strpos('0123456789abcdef', substr({h}, 2, 1)) - 1)"
+        return f"(({d0} * 16 + {d1}) % {CMS_WIDTH})"
+
+    pairs = "\n  UNION ALL ".join(
+        f"SELECT {i} AS r, {b(i, 'tok')} AS bucket, tok FROM toks"
+        for i in range(CMS_DEPTH))
+    probe = "\n  UNION ALL ".join(
+        f"SELECT tok, exact_n, {i} AS r, {b(i, 'tok')} AS bucket FROM exact"
+        for i in range(CMS_DEPTH))
+    return rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents),
+pairs AS (
+  {pairs}),
+sketch AS (SELECT r, bucket, count(*) AS c FROM pairs GROUP BY 1, 2),
+exact AS (SELECT tok, count(*) AS exact_n FROM toks GROUP BY 1),
+probe AS (
+  {probe})
+SELECT p.tok, CAST(p.exact_n AS BIGINT) AS exact_n,
+       CAST(min(s.c) AS BIGINT) AS est_n,
+       CAST(min(s.c) - p.exact_n AS BIGINT) AS overestimate
+FROM probe p JOIN sketch s USING (r, bucket)
+GROUP BY p.tok, p.exact_n
+"""
+
+
+def q_kg_decay_cds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed CDS: the conversation-level concept score where
+    each canonical mention is discounted by how far it sits from the
+    conversation's last turn (weight_ppm = 1e6 DIV (1 + age)) — the
+    freshness-weighted variant of kg_cds for tagging what a LIVE
+    conversation is about NOW rather than everything it ever touched.
+    Exact integers: link_score enters as half-up ppm, the decay
+    product is integer-divided back to ppm, max/count per (conv,
+    concept). The last-turn window partitions by conv_id, so the
+    per-conversation history is the task unit at any scale."""
+    canon = q_kg_canonical(spark, sf_dir)
+    w = Window.partitionBy("conv_id")
+    x = (canon
+         .withColumn("score_ppm", F.expr(
+             "CAST(floor(link_score * 1000000 + 0.5) AS BIGINT)"))
+         .withColumn("last_turn", F.max("turn_idx").over(w))
+         .withColumn("dscore", F.expr(
+             "(score_ppm * (1000000 DIV (1 + last_turn - turn_idx)))"
+             " DIV 1000000")))
+    return (x.groupBy(
+        F.concat(F.lit("conv:"), F.col("conv_id")).alias("subj_key"),
+        "concept_id")
+        .agg(F.max("score_ppm").cast("long").alias("raw_ppm"),
+             F.max("dscore").cast("long").alias("decayed_ppm"),
+             F.count(F.lit(1)).cast("long").alias("n_mentions")))
+
+
+def _sql_kg_decay_cds() -> str:
+    return f"""
+WITH canon AS ({_sql_kg_canonical_body()}),
+x AS (
+  SELECT conv_id, concept_id,
+         CAST(floor(link_score * 1000000 + 0.5) AS BIGINT) AS score_ppm,
+         (CAST(floor(link_score * 1000000 + 0.5) AS BIGINT)
+          * (1000000 // (1 + max(turn_idx) OVER (PARTITION BY conv_id)
+                         - turn_idx))) // 1000000 AS dscore
+  FROM canon)
+SELECT 'conv:' || conv_id AS subj_key, concept_id,
+       CAST(max(score_ppm) AS BIGINT) AS raw_ppm,
+       CAST(max(dscore) AS BIGINT) AS decayed_ppm,
+       CAST(count(*) AS BIGINT) AS n_mentions
+FROM x GROUP BY 1, 2
 """
