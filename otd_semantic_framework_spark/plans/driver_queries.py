@@ -3407,6 +3407,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_closeness": q_kg_closeness,
         "stats_cms_tokens": q_stats_cms_tokens,
         "kg_decay_cds": q_kg_decay_cds,
+        "rel_skyline": q_rel_skyline,
+        "kg_pred_cooccur": q_kg_pred_cooccur,
     }
 
 
@@ -3618,6 +3620,8 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_closeness": SQL_KG_CLOSENESS,
         "stats_cms_tokens": _sql_stats_cms_tokens(),
         "kg_decay_cds": _sql_kg_decay_cds(),
+        "rel_skyline": SQL_REL_SKYLINE,
+        "kg_pred_cooccur": _sql_kg_pred_cooccur(),
     }
 
 
@@ -9834,4 +9838,118 @@ SELECT 'conv:' || conv_id AS subj_key, concept_id,
        CAST(max(dscore) AS BIGINT) AS decayed_ppm,
        CAST(count(*) AS BIGINT) AS n_mentions
 FROM x GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# wave 17: 2-D skyline (Pareto front) and predicate co-occurrence summary
+# ---------------------------------------------------------------------------
+
+
+def q_rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 2-D skyline (Pareto front) over documents, maximizing
+    (n_chars, distinct whitespace tokens): a doc survives unless some
+    other doc in its source is >= on both dimensions and > on one.
+    No quadratic self-join: sorted running aggregates decide dominance
+    exactly — a RANGE frame bounded at 1 PRECEDING on n_chars DESC
+    captures 'strictly longer' dominators' best token count, and a
+    (source, n_chars) group max captures equal-length dominators; ties
+    on both dimensions are co-skyline (no strict edge). Both windows
+    partition by source, so the per-source frontier is the task unit
+    at any scale."""
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.array_distinct(
+            F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long").alias("distinct_toks"))
+    w_strict = (Window.partitionBy("source")
+                .orderBy(F.desc("n_chars"))
+                .rangeBetween(Window.unboundedPreceding, -1))
+    w_equal = Window.partitionBy("source", "n_chars")
+    x = (base
+         .withColumn("best_dt_longer", F.max("distinct_toks").over(w_strict))
+         .withColumn("best_dt_equal", F.max("distinct_toks").over(w_equal)))
+    return (x.filter(
+        (F.col("best_dt_longer").isNull()
+         | (F.col("best_dt_longer") < F.col("distinct_toks")))
+        & (F.col("best_dt_equal") <= F.col("distinct_toks")))
+        .select("source", "doc_id", "n_chars", "distinct_toks"))
+
+
+SQL_REL_SKYLINE = r"""
+WITH base AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(list_distinct(list_filter(
+             string_split_regex(trim(text), '\s+'), t -> t <> '')))
+           AS BIGINT) AS distinct_toks
+  FROM documents),
+x AS (
+  SELECT *,
+         max(distinct_toks) OVER (
+             PARTITION BY source ORDER BY n_chars DESC
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_dt_longer,
+         max(distinct_toks) OVER (PARTITION BY source, n_chars)
+           AS best_dt_equal
+  FROM base)
+SELECT source, doc_id, n_chars, distinct_toks
+FROM x
+WHERE (best_dt_longer IS NULL OR best_dt_longer < distinct_toks)
+  AND best_dt_equal <= distinct_toks
+"""
+
+
+def q_kg_pred_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate co-occurrence schema summary: for every unordered
+    predicate pair, how many subjects carry BOTH (the LODStats-style
+    'which properties travel together' profile), with exact-ppm
+    Jaccard over the per-predicate subject sets. One subj-keyed
+    self-join of the distinct (subj, pred) table — per-subject
+    predicate sets are rule-bounded (3 predicates here), so the join
+    fan-out is constant per subject at any corpus size."""
+    sp = (q_kg_triples(spark, sf_dir)
+          .select("subj", "pred").distinct())
+    a = sp.alias("a")
+    b = sp.alias("b")
+    co = (a.join(b, "subj")
+          .filter(F.col("a.pred") < F.col("b.pred"))
+          .groupBy(F.col("a.pred").alias("pred_a"),
+                   F.col("b.pred").alias("pred_b"))
+          .agg(F.count(F.lit(1)).cast("long").alias("n_both")))
+    per = sp.groupBy("pred").agg(F.count(F.lit(1)).alias("n_subj"))
+    return (co
+            .join(F.broadcast(per.select(F.col("pred").alias("pred_a"),
+                                         F.col("n_subj").alias("n_a"))),
+                  "pred_a")
+            .join(F.broadcast(per.select(F.col("pred").alias("pred_b"),
+                                         F.col("n_subj").alias("n_b"))),
+                  "pred_b")
+            .select("pred_a", "pred_b", "n_both",
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    F.expr("n_both * 1000000"
+                           " DIV (n_a + n_b - n_both)").cast("long")
+                    .alias("jaccard_ppm")))
+
+
+def _sql_kg_pred_cooccur() -> str:
+    return f"""
+WITH triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+sp AS (SELECT DISTINCT subj, pred FROM triples),
+co AS (
+  SELECT a.pred AS pred_a, b.pred AS pred_b, count(*) AS n_both
+  FROM sp a JOIN sp b USING (subj)
+  WHERE a.pred < b.pred
+  GROUP BY 1, 2),
+per AS (SELECT pred, count(*) AS n_subj FROM sp GROUP BY 1)
+SELECT co.pred_a, co.pred_b, CAST(co.n_both AS BIGINT) AS n_both,
+       CAST(pa.n_subj AS BIGINT) AS n_a,
+       CAST(pb.n_subj AS BIGINT) AS n_b,
+       CAST(co.n_both * 1000000
+            // (pa.n_subj + pb.n_subj - co.n_both) AS BIGINT)
+         AS jaccard_ppm
+FROM co
+JOIN per pa ON pa.pred = co.pred_a
+JOIN per pb ON pb.pred = co.pred_b
 """
