@@ -4,10 +4,13 @@ All three are pure DataFrame algebra — no Python UDFs anywhere — so they
 stay inside whole-stage codegen and scale by partitioning:
 
 - exact: hash-groupBy on md5(text) (map-side partial agg).
-- MinHash + LSH: shingle → 64 xxhash64 min-aggregations → band → bucket
-  join → Jaccard verify. The classic shingle→minhash→band→bucket-join
-  layout; candidate generation never cross-joins — pairs only form
-  inside LSH buckets.
+- MinHash + LSH: shingle → minhash signature → band → bucket join →
+  Jaccard verify. The classic shingle→minhash→band→bucket-join layout;
+  candidate generation never cross-joins — pairs only form inside LSH
+  buckets. The production signature path is SHUFFLE-FREE
+  (``minhash_signatures_maponly``): shingles are document-local, so the
+  64 Carter-Wegman mins fold inside one array ``aggregate`` per row
+  instead of an explode + 64-min groupBy exchange.
 - SimHash: per-token 64-bit hash, bit-majority vote via 64 conditional
   sums, hamming-near pairs by band join on 4x16-bit chunks.
 """
@@ -34,16 +37,20 @@ def _tokens(text_col: str):
     return F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
 
 
+def _shingle_array(text_col: str, k: int = 3):
+    """Distinct token k-gram shingles of one document as an array column."""
+    toks = _tokens(text_col)
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    ))
+
+
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              k: int = 3) -> DataFrame:
     """Token k-gram shingles via native slice/transform (no UDF)."""
-    toks = _tokens(text_col)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-    )
     return docs.select(F.col(id_col).alias("doc_id"),
-                       F.explode(F.array_distinct(sh)).alias("shingle"))
+                       F.explode(_shingle_array(text_col, k)).alias("shingle"))
 
 
 def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES,
@@ -104,6 +111,48 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES,
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
 
 
+def minhash_signatures_maponly(docs: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text", k: int = 3,
+                               n_hashes: int = N_HASHES) -> DataFrame:
+    """doc_id → minhash signature with ZERO shuffle.
+
+    Shingles are per-document local, so the explode → groupBy(64 mins)
+    round trip of :func:`minhash_signatures` moves data it never needed
+    to move: at 10^11 shingle rows the exchange is the stage's whole
+    cost. Here the signature is one narrow projection — a single
+    ``transform`` computes the two xxhash64 halves once per shingle,
+    then one ``aggregate`` pass folds all 64 Carter-Wegman mins in a
+    single array traversal (struct-field reads inside the fold are
+    register loads, not re-hashes). Bit-identical to
+    ``minhash_signatures(shingles(docs))`` with portable=False —
+    pinned by test — and the LSH stages downstream are unchanged.
+    """
+    from .. import semantics as S
+    mersenne = (1 << 31) - 1
+    xs = F.transform(
+        _shingle_array(text_col, k),
+        lambda s: F.struct(
+            F.shiftrightunsigned(F.xxhash64(s), 32).alias("x1"),
+            F.xxhash64(s, F.lit(1)).bitwiseAND(
+                F.lit((1 << 32) - 1)).alias("x2")))
+    coeffs = []
+    for i in range(n_hashes):
+        coeffs.append((S.stable_hash("minhash-a", i, mod=1 << 16) | 1,
+                       S.stable_hash("minhash-b", i, mod=1 << 16) | 1,
+                       S.stable_hash("minhash-c", i, mod=mersenne)))
+
+    def fold(acc, e):
+        vals = F.array(*[
+            F.pmod(e.x1 * F.lit(a) + e.x2 * F.lit(b) + F.lit(c),
+                   F.lit(mersenne))
+            for a, b, c in coeffs])
+        return F.zip_with(acc, vals, lambda p, q: F.least(p, q))
+
+    init = F.array(*[F.lit(mersenne).cast("long")] * n_hashes)
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       F.aggregate(xs, init, fold).alias("sig"))
+
+
 def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS,
                         portable: bool = False) -> DataFrame:
     """Band the signature; docs sharing any band-hash become a pair."""
@@ -137,8 +186,9 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8,
     """Full MinHash-LSH near-dup pipeline: candidate pairs + exact
     shingle-Jaccard verification, pairs with jaccard >= threshold."""
     sh = shingles(docs, k=k_shingle).cache()
-    pairs = lsh_candidate_pairs(minhash_signatures(sh, portable=portable),
-                                portable=portable)
+    sig = (minhash_signatures(sh, portable=True) if portable
+           else minhash_signatures_maponly(docs, k=k_shingle))
+    pairs = lsh_candidate_pairs(sig, portable=portable)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

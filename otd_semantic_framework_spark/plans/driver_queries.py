@@ -3409,6 +3409,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_decay_cds": q_kg_decay_cds,
         "rel_skyline": q_rel_skyline,
         "kg_pred_cooccur": q_kg_pred_cooccur,
+        "stats_binned_quantiles": q_stats_binned_quantiles,
+        "kg_collective_linking": q_kg_collective_linking,
+        "rel_nearest_event": q_rel_nearest_event,
     }
 
 
@@ -3622,6 +3625,9 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_decay_cds": _sql_kg_decay_cds(),
         "rel_skyline": SQL_REL_SKYLINE,
         "kg_pred_cooccur": _sql_kg_pred_cooccur(),
+        "stats_binned_quantiles": SQL_STATS_BINNED_QUANTILES,
+        "kg_collective_linking": _sql_kg_collective_linking(),
+        "rel_nearest_event": SQL_REL_NEAREST_EVENT,
     }
 
 
@@ -9952,4 +9958,319 @@ SELECT co.pred_a, co.pred_b, CAST(co.n_both AS BIGINT) AS n_both,
 FROM co
 JOIN per pa ON pa.pred = co.pred_a
 JOIN per pb ON pb.pred = co.pred_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 18: histogram-sketch quantiles, collective entity linking,
+# nearest-event temporal join.
+# ---------------------------------------------------------------------------
+
+BINQ_WIDTH_CENTS = 10_000        # $100 bins over l_extendedprice
+BINQ_SHARD_BINS = 64             # bins per cumulative-sum shard
+BINQ_QUANTILES_PPM = (250_000, 500_000, 750_000, 900_000, 990_000)
+COLLECTIVE_TOP_K = 5             # candidate set: self + 4 wup-nearest
+COLLECTIVE_W_PRIOR = 2           # linker-prior weight in the blend
+COLLECTIVE_W_CTX = 5             # conversation-coherence weight
+# (2,5) flips ~11% of fixture picks: a neighbor wins only when its
+# average-wup coherence advantage exceeds 2/5 of its prior deficit.
+
+
+def q_stats_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-sketch quantiles — the 100-TB quantile path.
+
+    ``rel_percentiles`` is the exact sort-based answer; at 10^12 rows
+    you ship a SKETCH instead: one map-side-combinable groupBy builds a
+    fixed-width histogram (O(bins) state per executor, mergeable across
+    any partitioning — the same contract as approx_percentile, but
+    engine-portable and exactly replayable in SQL). Quantile readout is
+    a prefix sum over the O(bins) histogram: cumulated per bin-shard
+    with a KEYED window, cross-shard offsets collected to the driver at
+    O(shards) rows — never O(data) — and rebroadcast (the
+    interleave_domains pattern). Each requested quantile then selects
+    the first bin whose cumulative count reaches ceil(q*N) via a
+    5-row broadcast join. Answer granularity = one bin width, the
+    sketch's documented contract."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    base = li.select(F.round(F.col("l_extendedprice") * 100)
+                     .cast("long").alias("cents"))
+    hist = (base.select(F.expr(f"cents DIV {BINQ_WIDTH_CENTS}").alias("bin"))
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
+    sh = hist.withColumn(
+        "shard", F.expr(f"bin DIV {BINQ_SHARD_BINS}").cast("int"))
+    w = Window.partitionBy("shard").orderBy("bin")
+    cum_local = sh.withColumn("cum_in_shard", F.sum("n").over(w))
+    # O(shards) driver state, exactly like interleave_domains' offsets
+    totals = {r["shard"]: r["t"] for r in
+              sh.groupBy("shard").agg(F.sum("n").alias("t")).collect()}
+    offsets, acc = [], 0
+    for s in sorted(totals):
+        offsets.append((s, acc))
+        acc += totals[s]
+    total = acc
+    off = spark.createDataFrame(offsets, "shard int, _off long")
+    cum = (cum_local.join(F.broadcast(off), "shard")
+           .select("bin", "n",
+                   (F.col("_off") + F.col("cum_in_shard")).alias("cum")))
+    qdf = spark.createDataFrame([(q,) for q in BINQ_QUANTILES_PPM],
+                                "q_ppm long").withColumn(
+        "thresh", F.expr(f"(q_ppm * {total}L + 999999) DIV 1000000"))
+    sel = (cum.join(F.broadcast(qdf), F.col("cum") >= F.col("thresh"))
+           .groupBy("q_ppm").agg(F.min("bin").alias("bin")))
+    return (sel.join(cum, "bin")
+            .select("q_ppm", "bin",
+                    (F.col("bin") * BINQ_WIDTH_CENTS).alias("lo_cents"),
+                    ((F.col("bin") + 1) * BINQ_WIDTH_CENTS - 1)
+                    .alias("hi_cents"),
+                    F.col("cum").cast("long").alias("cum_n"),
+                    F.lit(total).cast("long").alias("total_n")))
+
+
+SQL_STATS_BINNED_QUANTILES = f"""
+WITH base AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem),
+hist AS (
+  SELECT cents // {BINQ_WIDTH_CENTS} AS bin, count(*) AS n
+  FROM base GROUP BY 1),
+cumu AS (
+  SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum FROM hist),
+tot AS (SELECT sum(n) AS total FROM hist),
+q(q_ppm) AS (VALUES {', '.join(f'({v})' for v in BINQ_QUANTILES_PPM)}),
+sel AS (
+  SELECT q.q_ppm, min(c.bin) AS bin
+  FROM q, tot, cumu c
+  WHERE c.cum >= (q.q_ppm * tot.total + 999999) // 1000000
+  GROUP BY 1)
+SELECT CAST(s.q_ppm AS BIGINT) AS q_ppm, s.bin,
+       s.bin * {BINQ_WIDTH_CENTS} AS lo_cents,
+       (s.bin + 1) * {BINQ_WIDTH_CENTS} - 1 AS hi_cents,
+       CAST(c.cum AS BIGINT) AS cum_n,
+       CAST(t.total AS BIGINT) AS total_n
+FROM sel s JOIN cumu c ON c.bin = s.bin CROSS JOIN tot t
+"""
+
+
+def q_kg_collective_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collective entity disambiguation (document-coherence re-rank —
+    the Cucerzan / Milne-Witten shape [K]): a candidate concept is
+    scored by its TAXONOMY COHERENCE with the conversation's other
+    top-1 links — the sum of Wu-Palmer similarity (exact-integer ppm)
+    to every other mention's independent pick, its own contribution
+    excluded — and the final pick maximizes (coherence, cos_sim,
+    concept_id). An ambiguous surface is thus pulled toward the
+    ontology branch the conversation is actually about instead of
+    being linked in isolation. Shapes: the per-conversation concept
+    profile is a two-level hash agg; both wup joins broadcast the
+    O(|ontology|²) similarity table; the candidate × profile join keys
+    on conv_id, whose fan-out is bounded by concepts-per-conversation
+    (ontology-bounded) — the conversation is the task unit at any
+    scale. ``changed`` marks mentions the context flipped.
+
+    Candidate generation: the exact-match linker is single-point
+    (driver_scores maps each surface to ONE concept at sim 1.0), so the
+    candidate set is widened by taxonomy neighborhood — the gazetteer
+    concept plus its top-(K-1) WuP-nearest concepts, each carrying its
+    wup as the candidate prior (``sim_ppm``; the direct hit scores the
+    full 10^6). This is the standard recall-widening move when the
+    entity linker emits point estimates."""
+    mentions = (_mentions_df(spark, sf_dir)
+                .select("conv_id", "turn_idx", "surface",
+                        F.col("concept_id").alias("base_concept"))
+                .distinct())
+    wupp = _wup_df(spark).select(
+        "concept_a", "concept_b",
+        F.round(F.col("wup") * 1_000_000).cast("long").alias("wup_ppm"))
+    wk = Window.partitionBy("concept_a").orderBy(
+        F.desc("wup_ppm"), F.asc("concept_b"))
+    # wup(a,a)=1.0 ranks first, so self is always in the candidate set
+    wupk = (wupp.withColumn("krnk", F.row_number().over(wk))
+            .filter(F.col("krnk") <= COLLECTIVE_TOP_K))
+    cands = (mentions
+             .join(F.broadcast(wupk.select(
+                 F.col("concept_a").alias("base_concept"),
+                 F.col("concept_b").alias("concept_id"),
+                 F.col("wup_ppm").alias("sim_ppm"))), "base_concept"))
+    profile = (mentions.groupBy("conv_id", F.col("base_concept")
+                                .alias("ctx_concept"))
+               .agg(F.count(F.lit(1)).alias("n")))
+    coh = (cands
+           .join(profile, "conv_id")
+           .join(F.broadcast(wupp),
+                 (F.col("concept_id") == F.col("concept_a"))
+                 & (F.col("ctx_concept") == F.col("concept_b")))
+           .groupBy("conv_id", "turn_idx", "surface", "base_concept",
+                    "concept_id", "sim_ppm")
+           .agg(F.sum(F.col("n") * F.col("wup_ppm")).alias("coh_all")))
+    own = wupp.select(F.col("concept_a").alias("concept_id"),
+                      F.col("concept_b").alias("base_concept"),
+                      F.col("wup_ppm").alias("own_ppm"))
+    nm = mentions.groupBy("conv_id").agg(F.count(F.lit(1)).alias("nm"))
+    scored = (coh
+              .join(F.broadcast(own), ["concept_id", "base_concept"])
+              .join(nm, "conv_id")
+              .withColumn("vote", F.col("coh_all") - F.col("own_ppm"))
+              .withColumn("coh_ppm", F.when(
+                  F.col("nm") > 1,
+                  F.expr("vote DIV (nm - 1)")).otherwise(F.lit(0)))
+              .withColumn("score",
+                          COLLECTIVE_W_PRIOR * F.col("sim_ppm")
+                          + COLLECTIVE_W_CTX * F.col("coh_ppm")))
+    w = Window.partitionBy("conv_id", "turn_idx", "surface").orderBy(
+        F.desc("score"), F.desc("sim_ppm"), F.asc("concept_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("conv_id", "turn_idx", "surface", "concept_id",
+                    F.col("sim_ppm").cast("long").alias("sim_ppm"),
+                    F.col("coh_ppm").cast("long").alias("coh_ppm"),
+                    F.col("score").cast("long").alias("score"),
+                    (F.col("concept_id") != F.col("base_concept"))
+                    .cast("long").alias("changed")))
+
+
+def _sql_kg_collective_linking() -> str:
+    wu = values_sql(driver_wup(), "w")
+    return f"""
+WITH {_MENTIONS_CTE},
+m AS (
+  SELECT DISTINCT conv_id, turn_idx, surface,
+         concept_id AS base_concept
+  FROM mentions),
+wupp AS (
+  SELECT concept_a, concept_b,
+         CAST(round(wup * 1000000) AS BIGINT) AS wup_ppm
+  FROM {wu}),
+wupk AS (
+  SELECT * FROM (
+    SELECT concept_a, concept_b, wup_ppm,
+           row_number() OVER (PARTITION BY concept_a
+                              ORDER BY wup_ppm DESC, concept_b ASC) AS krnk
+    FROM wupp)
+  WHERE krnk <= {COLLECTIVE_TOP_K}),
+cands AS (
+  SELECT m.conv_id, m.turn_idx, m.surface, m.base_concept,
+         k.concept_b AS concept_id, k.wup_ppm AS sim_ppm
+  FROM m JOIN wupk k ON k.concept_a = m.base_concept),
+profile AS (
+  SELECT conv_id, base_concept AS ctx_concept, count(*) AS n
+  FROM m GROUP BY 1, 2),
+coh AS (
+  SELECT c.conv_id, c.turn_idx, c.surface, c.base_concept,
+         c.concept_id, c.sim_ppm,
+         sum(p.n * w.wup_ppm) AS coh_all
+  FROM cands c
+  JOIN profile p ON p.conv_id = c.conv_id
+  JOIN wupp w ON w.concept_a = c.concept_id
+             AND w.concept_b = p.ctx_concept
+  GROUP BY 1, 2, 3, 4, 5, 6),
+nm AS (SELECT conv_id, count(*) AS nm FROM m GROUP BY 1),
+scored AS (
+  SELECT coh.*,
+         CASE WHEN nm.nm > 1
+              THEN (coh.coh_all - w2.wup_ppm) // (nm.nm - 1)
+              ELSE 0 END AS coh_ppm
+  FROM coh
+  JOIN wupp w2 ON w2.concept_a = coh.concept_id
+              AND w2.concept_b = coh.base_concept
+  JOIN nm ON nm.conv_id = coh.conv_id),
+pick AS (
+  SELECT *, {COLLECTIVE_W_PRIOR} * sim_ppm
+              + {COLLECTIVE_W_CTX} * coh_ppm AS score,
+         row_number() OVER (
+      PARTITION BY conv_id, turn_idx, surface
+      ORDER BY {COLLECTIVE_W_PRIOR} * sim_ppm
+                 + {COLLECTIVE_W_CTX} * coh_ppm DESC,
+               sim_ppm DESC, concept_id ASC) AS rn
+  FROM scored)
+SELECT conv_id, turn_idx, surface, concept_id,
+       CAST(sim_ppm AS BIGINT) AS sim_ppm,
+       CAST(coh_ppm AS BIGINT) AS coh_ppm,
+       CAST(score AS BIGINT) AS score,
+       CAST(CASE WHEN concept_id <> base_concept THEN 1 ELSE 0 END
+            AS BIGINT) AS changed
+FROM pick WHERE rn = 1
+"""
+
+
+def q_rel_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event temporal join (pandas merge_asof
+    direction='nearest', distributed): each click pairs with the SAME
+    user's closest purchase in absolute time — backward carry via
+    last(ignorenulls) over the preceding frame, forward via
+    first(ignorenulls) over the following frame, nearer one wins, tie
+    to the earlier purchase. Both windows partition by user_id (the
+    task unit), so unlike the global as-of this never needs a range
+    repartition: per-user event streams are the natural shard."""
+    ev = _tbl(spark, sf_dir, "events")
+    x = (ev.filter(F.col("event_type").isin("click", "purchase"))
+         .select("event_id", "user_id", "event_type",
+                 F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+         .withColumn("pid", F.when(F.col("event_type") == "purchase",
+                                   F.col("event_id")))
+         .withColumn("pts", F.when(F.col("event_type") == "purchase",
+                                   F.col("ts_us"))))
+    order = [F.col("ts_us"), F.col("event_id")]
+    w_prev = (Window.partitionBy("user_id").orderBy(*order)
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_next = (Window.partitionBy("user_id").orderBy(*order)
+              .rowsBetween(0, Window.unboundedFollowing))
+    y = (x.withColumn("prev_pid", F.last("pid", True).over(w_prev))
+         .withColumn("prev_pts", F.last("pts", True).over(w_prev))
+         .withColumn("next_pid", F.first("pid", True).over(w_next))
+         .withColumn("next_pts", F.first("pts", True).over(w_next)))
+    clicks = y.filter(F.col("event_type") == "click")
+    d_prev = F.col("ts_us") - F.col("prev_pts")
+    d_next = F.col("next_pts") - F.col("ts_us")
+    take_prev = F.col("prev_pid").isNotNull() & (
+        F.col("next_pid").isNull() | (d_prev <= d_next))
+    return (clicks
+            .withColumn("purchase_id",
+                        F.when(take_prev, F.col("prev_pid"))
+                        .otherwise(F.col("next_pid")))
+            .withColumn("purchase_ts_us",
+                        F.when(take_prev, F.col("prev_pts"))
+                        .otherwise(F.col("next_pts")))
+            .filter(F.col("purchase_id").isNotNull())
+            .select("event_id", "user_id", "ts_us",
+                    "purchase_id", "purchase_ts_us",
+                    F.abs(F.col("purchase_ts_us") - F.col("ts_us"))
+                    .alias("delta_us"),
+                    F.when(take_prev, F.lit("backward"))
+                    .otherwise(F.lit("forward")).alias("direction")))
+
+
+SQL_REL_NEAREST_EVENT = """
+WITH x AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         CASE WHEN event_type = 'purchase' THEN event_id END AS pid,
+         CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS pts
+  FROM events WHERE event_type IN ('click', 'purchase')),
+y AS (
+  SELECT *,
+         last_value(pid IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_pid,
+         last_value(pts IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_pts,
+         first_value(pid IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_pid,
+         first_value(pts IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_pts
+  FROM x),
+clicks AS (
+  SELECT *,
+         (prev_pid IS NOT NULL AND (next_pid IS NULL
+              OR ts_us - prev_pts <= next_pts - ts_us)) AS take_prev
+  FROM y WHERE event_type = 'click')
+SELECT event_id, user_id, ts_us,
+       CASE WHEN take_prev THEN prev_pid ELSE next_pid END AS purchase_id,
+       CASE WHEN take_prev THEN prev_pts ELSE next_pts END AS purchase_ts_us,
+       abs(CASE WHEN take_prev THEN prev_pts ELSE next_pts END - ts_us)
+         AS delta_us,
+       CASE WHEN take_prev THEN 'backward' ELSE 'forward' END AS direction
+FROM clicks
+WHERE CASE WHEN take_prev THEN prev_pid ELSE next_pid END IS NOT NULL
 """

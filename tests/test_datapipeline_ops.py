@@ -51,6 +51,25 @@ def test_minhash_signature_shape(spark, docs):
     assert by_id[0] == by_id[2]
 
 
+def test_minhash_maponly_bitidentical_and_shuffle_free(spark, docs):
+    """The map-only signature path (array-HOF fold, no explode/groupBy)
+    must be bit-identical to the exploded+grouped path AND carry zero
+    Exchange in its physical plan — the whole point is that shingles
+    are document-local so the signature never needs a shuffle."""
+    from otd_semantic_framework_spark.operators.dedup import (
+        minhash_signatures_maponly)
+    grouped = {r.doc_id: list(r.sig)
+               for r in minhash_signatures(shingles(docs)).collect()}
+    maponly_df = minhash_signatures_maponly(docs)
+    maponly = {r.doc_id: list(r.sig) for r in maponly_df.collect()}
+    assert grouped == maponly
+    plan = maponly_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # the two xxhash64 halves are computed once per shingle, not once
+    # per Carter-Wegman coefficient
+    assert plan.count("xxhash64") == 2
+
+
 def test_lsh_no_cross_join(spark, docs):
     """Candidate pairs must come only from shared buckets (doc 3/5 share
     nothing with 0)."""
