@@ -113,22 +113,35 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES,
 
 def minhash_signatures_maponly(docs: DataFrame, id_col: str = "doc_id",
                                text_col: str = "text", k: int = 3,
-                               n_hashes: int = N_HASHES) -> DataFrame:
-    """doc_id → minhash signature with ZERO shuffle.
+                               n_hashes: int = N_HASHES,
+                               respread: bool = True) -> DataFrame:
+    """doc_id → minhash signature with no DATA-SIZED shuffle.
 
     Shingles are per-document local, so the explode → groupBy(64 mins)
     round trip of :func:`minhash_signatures` moves data it never needed
-    to move: at 10^11 shingle rows the exchange is the stage's whole
-    cost. Here the signature is one narrow projection — a single
-    ``transform`` computes the two xxhash64 halves once per shingle,
-    then one ``aggregate`` pass folds all 64 Carter-Wegman mins in a
-    single array traversal (struct-field reads inside the fold are
-    register loads, not re-hashes). Bit-identical to
-    ``minhash_signatures(shingles(docs))`` with portable=False —
+    to move: at 10^11 shingle rows the exchange ships ~k× the corpus
+    bytes (every shingle row). Here the signature is one narrow
+    projection — a single ``transform`` computes the two xxhash64
+    halves once per shingle, then one ``aggregate`` pass folds all 64
+    Carter-Wegman mins in a single array traversal (struct-field reads
+    inside the fold are register loads, not re-hashes). Bit-identical
+    to ``minhash_signatures(shingles(docs))`` with portable=False —
     pinned by test — and the LSH stages downstream are unchanged.
+
+    ``respread=True`` (default) round-robin-repartitions the RAW
+    document rows first: the signature stage is compute-bound, so its
+    parallelism must not inherit the scan's file layout (a single
+    parquet file would otherwise run the whole corpus on one core).
+    That exchange ships 1× the corpus — still k× cheaper than the
+    grouped path's exploded-shingle shuffle. Pass respread=False when
+    the input is already well-spread (e.g. a bucketed production
+    table) for a fully exchange-free plan.
     """
     from .. import semantics as S
     mersenne = (1 << 31) - 1
+    if respread:
+        docs = docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism)
     xs = F.transform(
         _shingle_array(text_col, k),
         lambda s: F.struct(

@@ -60,7 +60,7 @@ def test_minhash_maponly_bitidentical_and_shuffle_free(spark, docs):
         minhash_signatures_maponly)
     grouped = {r.doc_id: list(r.sig)
                for r in minhash_signatures(shingles(docs)).collect()}
-    maponly_df = minhash_signatures_maponly(docs)
+    maponly_df = minhash_signatures_maponly(docs, respread=False)
     maponly = {r.doc_id: list(r.sig) for r in maponly_df.collect()}
     assert grouped == maponly
     plan = maponly_df._jdf.queryExecution().executedPlan().toString()
@@ -68,6 +68,13 @@ def test_minhash_maponly_bitidentical_and_shuffle_free(spark, docs):
     # the two xxhash64 halves are computed once per shingle, not once
     # per Carter-Wegman coefficient
     assert plan.count("xxhash64") == 2
+    # the default (respread=True) adds exactly one round-robin exchange
+    # of the RAW doc rows — never a hash/agg exchange of shingle rows
+    spread = minhash_signatures_maponly(docs)
+    plan2 = spread._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in plan2
+    assert {r.doc_id: list(r.sig) for r in spread.collect()} == grouped
 
 
 def test_lsh_no_cross_join(spark, docs):
