@@ -3412,6 +3412,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_binned_quantiles": q_stats_binned_quantiles,
         "kg_collective_linking": q_kg_collective_linking,
         "rel_nearest_event": q_rel_nearest_event,
+        "kg_concept_transitions": q_kg_concept_transitions,
+        "stats_kmv_distinct": q_stats_kmv_distinct,
+        "rel_fk_discovery": q_rel_fk_discovery,
     }
 
 
@@ -3628,6 +3631,9 @@ def build_oracle_sql() -> dict[str, str]:
         "stats_binned_quantiles": SQL_STATS_BINNED_QUANTILES,
         "kg_collective_linking": _sql_kg_collective_linking(),
         "rel_nearest_event": SQL_REL_NEAREST_EVENT,
+        "kg_concept_transitions": _sql_kg_concept_transitions(),
+        "stats_kmv_distinct": _sql_stats_kmv_distinct(),
+        "rel_fk_discovery": _sql_rel_fk_discovery(),
     }
 
 
@@ -10274,3 +10280,168 @@ SELECT event_id, user_id, ts_us,
 FROM clicks
 WHERE CASE WHEN take_prev THEN prev_pid ELSE next_pid END IS NOT NULL
 """
+
+
+# ---------------------------------------------------------------------------
+# Wave 19: concept transition graph, KMV distinct sketch, FK discovery.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64                       # k-minimum-values sketch size
+KMV_PREFIX_HEX = 12              # 48-bit hash prefix (exact in BIGINT)
+KMV_SPACE = 16 ** KMV_PREFIX_HEX
+
+
+def q_kg_concept_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order concept transition graph over conversations: how
+    often concept A in turn t is followed by concept B in turn t+1 —
+    the Markov chain a dialogue planner or next-topic recommender
+    trains on. Turn-adjacent equi-join keyed on (conv_id, turn_idx+1)
+    (the conversation is the join's task unit), two-level hash agg for
+    the edge counts, and the per-source totals rejoin keyed on the
+    source concept; transition probability in exact ppm."""
+    m = (_mentions_df(spark, sf_dir)
+         .select("conv_id", "turn_idx", "concept_id").distinct())
+    a = m.alias("a")
+    b = m.alias("b")
+    trans = (a.join(b, (F.col("a.conv_id") == F.col("b.conv_id"))
+                    & (F.col("b.turn_idx") == F.col("a.turn_idx") + 1))
+             .groupBy(F.col("a.concept_id").alias("src"),
+                      F.col("b.concept_id").alias("dst"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    tot = trans.groupBy("src").agg(F.sum("n").alias("n_out"))
+    return (trans.join(tot, "src")
+            .select("src", "dst", F.col("n").cast("long").alias("n"),
+                    F.col("n_out").cast("long").alias("n_out"),
+                    F.expr("n * 1000000 DIV n_out").cast("long")
+                    .alias("p_ppm")))
+
+
+def _sql_kg_concept_transitions() -> str:
+    return f"""
+WITH {_MENTIONS_CTE},
+m AS (SELECT DISTINCT conv_id, turn_idx, concept_id FROM mentions),
+trans AS (
+  SELECT a.concept_id AS src, b.concept_id AS dst, count(*) AS n
+  FROM m a JOIN m b ON b.conv_id = a.conv_id
+                   AND b.turn_idx = a.turn_idx + 1
+  GROUP BY 1, 2),
+tot AS (SELECT src, sum(n) AS n_out FROM trans GROUP BY 1)
+SELECT t.src, t.dst, CAST(t.n AS BIGINT) AS n,
+       CAST(o.n_out AS BIGINT) AS n_out,
+       CAST(t.n * 1000000 // o.n_out AS BIGINT) AS p_ppm
+FROM trans t JOIN tot o ON o.src = t.src
+"""
+
+
+def q_stats_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-cardinality sketch [K], the
+    mergeable bounded-state estimator — unlike HLL++ it is exactly
+    replayable cross-engine because its state is just the K smallest
+    md5 values: est = (K-1) * HASH_SPACE / v_K. The k-smallest scan is
+    TakeOrdered (per-partition partial top-k, no full sort); the
+    distinct pre-step is a hash agg on the hash itself (O(distinct)
+    shuffle). Emitted next to the exact count as a QA row so the
+    sketch's error is part of the record."""
+    o = _tbl(spark, sf_dir, "orders")
+    h = (o.select(F.md5(F.col("o_custkey").cast("string")).alias("h"))
+         .distinct())
+    kth = (h.orderBy("h").limit(KMV_K)
+           .orderBy(F.desc("h")).limit(1)
+           .select(F.conv(F.substring("h", 1, KMV_PREFIX_HEX), 16, 10)
+                   .cast("long").alias("vk")))
+    exact = h.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    return (kth.join(exact)
+            .select(F.lit(KMV_K).cast("long").alias("k"),
+                    F.col("vk"),
+                    F.expr(f"{(KMV_K - 1) * KMV_SPACE}L DIV vk")
+                    .cast("long").alias("est_distinct"),
+                    F.col("exact_distinct").cast("long")
+                    .alias("exact_distinct"),
+                    F.expr(f"(({(KMV_K - 1) * KMV_SPACE}L DIV vk)"
+                           " * 1000000) DIV exact_distinct")
+                    .cast("long").alias("ratio_ppm")))
+
+
+def _sql_stats_kmv_distinct() -> str:
+    dig = " + ".join(
+        f"(instr('0123456789abcdef', substring(h, {i + 1}, 1)) - 1) "
+        f"* {16 ** (KMV_PREFIX_HEX - 1 - i)}::BIGINT"
+        for i in range(KMV_PREFIX_HEX))
+    return f"""
+WITH h AS (
+  SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders),
+topk AS (SELECT h FROM h ORDER BY h LIMIT {KMV_K}),
+kth AS (SELECT max(h) AS h FROM topk),
+dec AS (SELECT {dig} AS vk FROM kth),
+ex AS (SELECT count(*) AS exact_distinct FROM h)
+SELECT CAST({KMV_K} AS BIGINT) AS k,
+       CAST(d.vk AS BIGINT) AS vk,
+       CAST({(KMV_K - 1) * KMV_SPACE} // d.vk AS BIGINT) AS est_distinct,
+       CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+       CAST(({(KMV_K - 1) * KMV_SPACE} // d.vk) * 1000000
+            // e.exact_distinct AS BIGINT) AS ratio_ppm
+FROM dec d CROSS JOIN ex e
+"""
+
+
+# candidate inclusion dependencies: (child table, child col, parent
+# table, parent col). The last is a deliberate non-FK control pair.
+FK_CANDIDATES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders", "o_custkey", "supplier", "s_suppkey"),
+]
+
+
+def q_rel_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency mining (the FK-discovery profile a
+    relational-to-KG direct mapping runs first [K]): for each candidate
+    (child.col → parent.col) pair, the fraction of DISTINCT child
+    values contained in the parent — containment 10^6 ppm == a foreign
+    key holds. Each pair is a distinct-project + one left-semi equi
+    join (shuffle O(distinct values), the profiling lower bound); the
+    per-pair outputs are 1-row aggregates unioned together. The last
+    candidate is a deliberate negative control so the report proves it
+    can reject."""
+    from functools import reduce
+    rows = []
+    for ct, cc, pt, pc in FK_CANDIDATES:
+        child = (_tbl(spark, sf_dir, ct)
+                 .select(F.col(cc).cast("long").alias("v")).distinct())
+        parent = (_tbl(spark, sf_dir, pt)
+                  .select(F.col(pc).cast("long").alias("v")).distinct())
+        contained = child.join(parent, "v", "left_semi")
+        stats = (child.agg(F.count(F.lit(1)).alias("n_child"))
+                 .join(contained.agg(
+                     F.count(F.lit(1)).alias("n_contained"))))
+        rows.append(stats.select(
+            F.lit(f"{ct}.{cc}").alias("child_col"),
+            F.lit(f"{pt}.{pc}").alias("parent_col"),
+            F.col("n_child").cast("long").alias("n_child"),
+            F.col("n_contained").cast("long").alias("n_contained"),
+            F.expr("n_contained * 1000000 DIV n_child").cast("long")
+            .alias("containment_ppm"),
+            (F.col("n_contained") == F.col("n_child")).cast("long")
+            .alias("is_fk")))
+    return reduce(lambda x, y: x.unionByName(y), rows)
+
+
+def _sql_rel_fk_discovery() -> str:
+    parts = []
+    for ct, cc, pt, pc in FK_CANDIDATES:
+        parts.append(f"""
+SELECT '{ct}.{cc}' AS child_col, '{pt}.{pc}' AS parent_col,
+       CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_contained AS BIGINT) AS n_contained,
+       CAST(n_contained * 1000000 // n_child AS BIGINT)
+         AS containment_ppm,
+       CAST(CASE WHEN n_contained = n_child THEN 1 ELSE 0 END AS BIGINT)
+         AS is_fk
+FROM (
+  SELECT (SELECT count(DISTINCT {cc}) FROM {ct}) AS n_child,
+         (SELECT count(*) FROM (SELECT DISTINCT {cc} FROM {ct}) c
+          WHERE c.{cc} IN (SELECT {pc} FROM {pt})) AS n_contained)""")
+    return "\nUNION ALL\n".join(parts)
