@@ -3415,6 +3415,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_concept_transitions": q_kg_concept_transitions,
         "stats_kmv_distinct": q_stats_kmv_distinct,
         "rel_fk_discovery": q_rel_fk_discovery,
+        "kg_entity_cards": q_kg_entity_cards,
+        "curation_contrastive_pairs": q_curation_contrastive_pairs,
     }
 
 
@@ -3634,6 +3636,8 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_concept_transitions": _sql_kg_concept_transitions(),
         "stats_kmv_distinct": _sql_stats_kmv_distinct(),
         "rel_fk_discovery": _sql_rel_fk_discovery(),
+        "kg_entity_cards": _sql_kg_entity_cards(),
+        "curation_contrastive_pairs": _sql_curation_contrastive_pairs(),
     }
 
 
@@ -10445,3 +10449,127 @@ FROM (
          (SELECT count(*) FROM (SELECT DISTINCT {cc} FROM {ct}) c
           WHERE c.{cc} IN (SELECT {pc} FROM {pt})) AS n_contained)""")
     return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Wave 20: per-concept entity cards, contrastive training triplets.
+# ---------------------------------------------------------------------------
+
+
+def q_kg_entity_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity card materialization — the per-concept profile a KG
+    browser or entity-page service precomputes: mention volume,
+    conversation reach, surface-form diversity, and the concept's
+    strongest co-occurring neighbor (by shared-conversation count,
+    deterministic tie to the smaller id). Two-level hash aggs
+    throughout; the neighbor rank is a window PARTITIONED BY concept —
+    the concept is the task unit at any scale."""
+    m = (_mentions_df(spark, sf_dir)
+         .select("conv_id", "turn_idx", "surface", "concept_id"))
+    base = (m.groupBy("concept_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.countDistinct("surface").cast("long").alias("n_surfaces")))
+    cc = m.select("conv_id", "concept_id").distinct()
+    a = cc.alias("a")
+    b = cc.alias("b")
+    co = (a.join(b, (F.col("a.conv_id") == F.col("b.conv_id"))
+                 & (F.col("a.concept_id") != F.col("b.concept_id")))
+          .groupBy(F.col("a.concept_id").alias("concept_id"),
+                   F.col("b.concept_id").alias("co_concept"))
+          .agg(F.count(F.lit(1)).cast("long").alias("n_shared")))
+    w = Window.partitionBy("concept_id").orderBy(
+        F.desc("n_shared"), F.asc("co_concept"))
+    top_co = (co.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("concept_id", F.col("co_concept").alias("top_co"),
+                      F.col("n_shared").alias("top_co_n")))
+    return (base.join(top_co, "concept_id", "left")
+            .select("concept_id", "n_mentions", "n_convs", "n_surfaces",
+                    "top_co", F.coalesce("top_co_n", F.lit(0))
+                    .cast("long").alias("top_co_n")))
+
+
+def _sql_kg_entity_cards() -> str:
+    return f"""
+WITH {_MENTIONS_CTE},
+m AS (SELECT conv_id, turn_idx, surface, concept_id FROM mentions),
+base AS (
+  SELECT concept_id, count(*) AS n_mentions,
+         count(DISTINCT conv_id) AS n_convs,
+         count(DISTINCT surface) AS n_surfaces
+  FROM m GROUP BY 1),
+cc AS (SELECT DISTINCT conv_id, concept_id FROM m),
+co AS (
+  SELECT a.concept_id, b.concept_id AS co_concept, count(*) AS n_shared
+  FROM cc a JOIN cc b ON a.conv_id = b.conv_id
+                     AND a.concept_id <> b.concept_id
+  GROUP BY 1, 2),
+top_co AS (
+  SELECT concept_id, co_concept AS top_co, n_shared AS top_co_n
+  FROM (SELECT *, row_number() OVER (
+            PARTITION BY concept_id
+            ORDER BY n_shared DESC, co_concept ASC) AS rn FROM co)
+  WHERE rn = 1)
+SELECT b.concept_id, CAST(b.n_mentions AS BIGINT) AS n_mentions,
+       CAST(b.n_convs AS BIGINT) AS n_convs,
+       CAST(b.n_surfaces AS BIGINT) AS n_surfaces,
+       t.top_co, CAST(COALESCE(t.top_co_n, 0) AS BIGINT) AS top_co_n
+FROM base b LEFT JOIN top_co t ON t.concept_id = b.concept_id
+"""
+
+
+def q_curation_contrastive_pairs(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Contrastive training triplets for embedding-model training:
+    (anchor, positive, negative) where positives are verified Jaccard
+    near-dups (the dedup_jaccard pair set) and negatives are drawn
+    deterministically from the anchor's 16-way md5 bucket — the
+    next-larger hash in the bucket, wrapping to the bucket minimum.
+    Hash-random negatives are the standard in-batch-negative
+    approximation, made replayable: no RNG, no driver state, the
+    bucket window partitions by the hash prefix. Singleton-bucket
+    anchors (no distinct neighbor) are dropped."""
+    pairs = q_dedup_jaccard(spark, sf_dir)
+    docs = (_docs(spark, sf_dir)
+            .filter(F.col("doc_id") < JACCARD_MAX_DOC)
+            .select("doc_id",
+                    F.md5(F.col("doc_id").cast("string")).alias("h")))
+    docs = docs.withColumn("bkt", F.substring("h", 1, 1))
+    wb = Window.partitionBy("bkt").orderBy("h")
+    wall = Window.partitionBy("bkt").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    neg = (docs
+           .withColumn("nxt", F.lead("doc_id", 1).over(wb))
+           .withColumn("wrap", F.first("doc_id").over(wall))
+           .select(F.col("doc_id").alias("anchor_id"),
+                   F.coalesce("nxt", "wrap").alias("neg_id"))
+           .filter(F.col("neg_id") != F.col("anchor_id")))
+    return (pairs
+            .select(F.col("doc_a").alias("anchor_id"),
+                    F.col("doc_b").alias("pos_id"), "jaccard")
+            .join(neg, "anchor_id")
+            .select("anchor_id", "pos_id", "neg_id", "jaccard"))
+
+
+def _sql_curation_contrastive_pairs() -> str:
+    return f"""
+WITH pairs AS ({SQL_DEDUP_JACCARD}),
+d AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bkt
+  FROM documents WHERE doc_id < {JACCARD_MAX_DOC}),
+neg AS (
+  SELECT doc_id AS anchor_id,
+         COALESCE(
+             lead(doc_id, 1) OVER (PARTITION BY bkt ORDER BY h),
+             first_value(doc_id) OVER (
+                 PARTITION BY bkt ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)) AS neg_id
+  FROM d)
+SELECT p.doc_a AS anchor_id, p.doc_b AS pos_id, n.neg_id, p.jaccard
+FROM pairs p
+JOIN neg n ON n.anchor_id = p.doc_a
+WHERE n.neg_id <> n.anchor_id
+"""
