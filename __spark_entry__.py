@@ -81,7 +81,11 @@ DRIVER_SAMPLE_FIRST_50 = [
 # kg_{coref_lite,entity_salience,turn_novelty,alias_table,
 # transe_score}, and wave 13: kg_{rule_mining,completeness_est,
 # fact_conflicts}, dedup_savings, and wave 14:
-# kg_{sparql_setops,reify,void_stats}.
+# kg_{sparql_setops,reify,void_stats}, and waves 15-20:
+# rel_{outliers,seq_patterns,skyline,nearest_event,fk_discovery},
+# curation_{token_budget,contrastive_pairs}, kg_{closeness,decay_cds,
+# pred_cooccur,collective_linking,concept_transitions,entity_cards},
+# stats_{cms_tokens,binned_quantiles,kmv_distinct}.
 # Rotate 41 of them into slots 10-50 of DRIVER_SAMPLE_FIRST_50 next
 # round (keep the core nine; prefer the r4 wave-2 additions and
 # anything with cross-query composition), and the remainder the round
