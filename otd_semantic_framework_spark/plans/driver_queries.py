@@ -3417,6 +3417,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_fk_discovery": q_rel_fk_discovery,
         "kg_entity_cards": q_kg_entity_cards,
         "curation_contrastive_pairs": q_curation_contrastive_pairs,
+        "rel_chisq": q_rel_chisq,
+        "kg_graph_summary": q_kg_graph_summary,
     }
 
 
@@ -3638,6 +3640,8 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_fk_discovery": _sql_rel_fk_discovery(),
         "kg_entity_cards": _sql_kg_entity_cards(),
         "curation_contrastive_pairs": _sql_curation_contrastive_pairs(),
+        "rel_chisq": SQL_REL_CHISQ,
+        "kg_graph_summary": _sql_kg_graph_summary(),
     }
 
 
@@ -10572,4 +10576,130 @@ SELECT p.doc_a AS anchor_id, p.doc_b AS pos_id, n.neg_id, p.jaccard
 FROM pairs p
 JOIN neg n ON n.anchor_id = p.doc_a
 WHERE n.neg_id <> n.anchor_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 21: chi-square independence test, SNAP-style graph summarization.
+# ---------------------------------------------------------------------------
+
+
+def q_rel_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence profile of event_type ×
+    day-of-week — the categorical drift test next to rel_ks_drift's
+    numeric one. Emits the full contingency diagnostics per cell
+    (observed, expected, contribution), so the analyst sees WHERE
+    independence breaks, not just the statistic. One hash agg for the
+    cells; the two marginals are broadcast-sized rejoins. Day-of-week
+    via epoch-day mod 7 (engine-neutral — Spark and DuckDB disagree on
+    dayofweek numbering). Doubles follow the repo round(x,6)+0.0
+    convention (rel_stats_agg precedent)."""
+    ev = _tbl(spark, sf_dir, "events")
+    cells = (ev.select(
+        "event_type",
+        (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")
+                    .cast("date")) % 7).cast("long").alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("long").alias("o")))
+    rows = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols = cells.groupBy("dow").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("t"))
+    e = (F.col("r") * F.col("c") / F.col("t"))
+    contrib = (F.col("o") - e) * (F.col("o") - e) / e
+    return (cells.join(F.broadcast(rows), "event_type")
+            .join(F.broadcast(cols), "dow")
+            .join(F.broadcast(tot))
+            .select("event_type", "dow", "o",
+                    (F.round(e, 6) + 0.0).alias("expected"),
+                    (F.round(contrib, 6) + 0.0).alias("chi2_contrib")))
+
+
+SQL_REL_CHISQ = """
+WITH cells AS (
+  SELECT event_type,
+         CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT)
+           AS dow,
+         count(*) AS o
+  FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY 1),
+c AS (SELECT dow, sum(o) AS c FROM cells GROUP BY 1),
+t AS (SELECT sum(o) AS t FROM cells)
+SELECT cells.event_type, cells.dow, CAST(cells.o AS BIGINT) AS o,
+       round(CAST(r.r AS DOUBLE) * c.c / t.t, 6) + 0.0 AS expected,
+       round((cells.o - CAST(r.r AS DOUBLE) * c.c / t.t)
+             * (cells.o - CAST(r.r AS DOUBLE) * c.c / t.t)
+             / (CAST(r.r AS DOUBLE) * c.c / t.t), 6) + 0.0
+         AS chi2_contrib
+FROM cells
+JOIN r ON r.event_type = cells.event_type
+JOIN c ON c.dow = cells.dow
+CROSS JOIN t
+"""
+
+
+def q_kg_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAP-style graph summarization [K]: collapse the triple graph
+    onto (node-type, degree-bucket) super-nodes and count edges
+    between super-node pairs per predicate — the compact structural
+    fingerprint an operator dashboards instead of the 10^12-edge
+    graph. Degree = total (in+out) over distinct edges; buckets are
+    exact power-of-two ranges (a CASE chain, not float log2 -- an
+    engine-parity hazard at boundaries), capped at 256+. Two hash
+    aggs for degrees,
+    node-keyed rejoins of the edge list, one super-edge agg — every
+    join keys on the node id."""
+    t = q_kg_triples(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    deg = (t.select(F.col("subj").alias("node"))
+           .unionAll(t.select(F.col("obj").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    bucket = F.when(F.col("degree") <= 1, 0)
+    for i in range(1, 8):
+        bucket = bucket.when(F.col("degree") <= (1 << (i + 1)) - 1, i)
+    bucket = bucket.otherwise(8)
+    ntype = F.when(F.col("node").startswith("turn:"), "turn") \
+             .when(F.col("node").startswith("tool:"), "tool") \
+             .otherwise("concept")
+    groups = deg.select(
+        "node", F.concat(ntype, F.lit(":d"), bucket.cast("string"))
+        .alias("grp"))
+    return (t.join(groups.withColumnRenamed("grp", "src_grp"),
+                   t.subj == groups.node).drop("node")
+            .join(groups.withColumnRenamed("grp", "dst_grp")
+                  .withColumnRenamed("node", "node2"),
+                  F.col("obj") == F.col("node2")).drop("node2")
+            .groupBy("src_grp", "pred", "dst_grp")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+
+
+def _sql_kg_graph_summary() -> str:
+    return f"""
+WITH triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+t AS (SELECT DISTINCT subj, pred, obj FROM triples),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT subj AS node FROM t
+    UNION ALL
+    SELECT obj AS node FROM t) GROUP BY 1),
+groups AS (
+  SELECT node,
+         (CASE WHEN node LIKE 'turn:%' THEN 'turn'
+               WHEN node LIKE 'tool:%' THEN 'tool'
+               ELSE 'concept' END
+          || ':d' ||
+          CASE WHEN degree <= 1 THEN 0
+               WHEN degree <= 3 THEN 1
+               WHEN degree <= 7 THEN 2
+               WHEN degree <= 15 THEN 3
+               WHEN degree <= 31 THEN 4
+               WHEN degree <= 63 THEN 5
+               WHEN degree <= 127 THEN 6
+               WHEN degree <= 255 THEN 7
+               ELSE 8 END) AS grp
+  FROM deg)
+SELECT gs.grp AS src_grp, t.pred, gd.grp AS dst_grp,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM t
+JOIN groups gs ON gs.node = t.subj
+JOIN groups gd ON gd.node = t.obj
+GROUP BY 1, 2, 3
 """
