@@ -114,7 +114,8 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES,
 def minhash_signatures_maponly(docs: DataFrame, id_col: str = "doc_id",
                                text_col: str = "text", k: int = 3,
                                n_hashes: int = N_HASHES,
-                               respread: bool = True) -> DataFrame:
+                               respread: bool = True,
+                               portable: bool = False) -> DataFrame:
     """doc_id → minhash signature with no DATA-SIZED shuffle.
 
     Shingles are per-document local, so the explode → groupBy(64 mins)
@@ -136,18 +137,34 @@ def minhash_signatures_maponly(docs: DataFrame, id_col: str = "doc_id",
     grouped path's exploded-shingle shuffle. Pass respread=False when
     the input is already well-spread (e.g. a bucketed production
     table) for a fully exchange-free plan.
+
+    ``portable=True`` swaps the xxhash64 halves for the md5-derived
+    x1/x2 of :func:`minhash_signatures`'s portable family (one md5 per
+    shingle, halves via 8-hex-digit conv) — bit-identical to the
+    exploded+grouped portable path, so the DuckDB oracle replay is
+    unchanged while the Spark side loses the shingle-row exchange.
     """
     from .. import semantics as S
     mersenne = (1 << 31) - 1
     if respread:
         docs = docs.repartition(
             docs.sparkSession.sparkContext.defaultParallelism)
-    xs = F.transform(
-        _shingle_array(text_col, k),
-        lambda s: F.struct(
-            F.shiftrightunsigned(F.xxhash64(s), 32).alias("x1"),
-            F.xxhash64(s, F.lit(1)).bitwiseAND(
-                F.lit((1 << 32) - 1)).alias("x2")))
+    if portable:
+        hs = F.transform(_shingle_array(text_col, k), F.md5)
+        xs = F.transform(
+            hs,
+            lambda h: F.struct(
+                F.conv(F.substring(h, 1, 8), 16, 10)
+                .cast("long").alias("x1"),
+                F.conv(F.substring(h, 9, 8), 16, 10)
+                .cast("long").alias("x2")))
+    else:
+        xs = F.transform(
+            _shingle_array(text_col, k),
+            lambda s: F.struct(
+                F.shiftrightunsigned(F.xxhash64(s), 32).alias("x1"),
+                F.xxhash64(s, F.lit(1)).bitwiseAND(
+                    F.lit((1 << 32) - 1)).alias("x2")))
     coeffs = []
     for i in range(n_hashes):
         coeffs.append((S.stable_hash("minhash-a", i, mod=1 << 16) | 1,
@@ -199,8 +216,7 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8,
     """Full MinHash-LSH near-dup pipeline: candidate pairs + exact
     shingle-Jaccard verification, pairs with jaccard >= threshold."""
     sh = shingles(docs, k=k_shingle).cache()
-    sig = (minhash_signatures(sh, portable=True) if portable
-           else minhash_signatures_maponly(docs, k=k_shingle))
+    sig = minhash_signatures_maponly(docs, k=k_shingle, portable=portable)
     pairs = lsh_candidate_pairs(sig, portable=portable)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -982,3 +982,27 @@ def closeness_centrality(edges: DataFrame, max_hops: int = 4) -> DataFrame:
                     .otherwise(F.lit(0)).cast("long").alias("closeness_ppm"),
                     F.coalesce("harmonic_ppm", F.lit(0)).cast("long")
                     .alias("harmonic_ppm")))
+
+
+def transitive_reduction(edges: DataFrame,
+                         src_col: str = "src",
+                         dst_col: str = "dst") -> DataFrame:
+    """Transitive reduction of a DAG edge list: drop every edge (a, c)
+    for which a 2-step witness a→b→c exists — on a transitively CLOSED
+    input this yields the unique minimal (Hasse) edge set, the inverse
+    of the closure materialization in triples.ancestor_expansion. One
+    self-join keyed on the middle node + one left-anti join keyed on
+    the edge — no iteration needed for closed inputs, because any
+    redundant edge in a closure always has a direct 2-step witness.
+    Cycles would make the reduction non-unique; callers own acyclicity
+    (the SHACL-lite validator's irreflexivity check is the guard)."""
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"))
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    witnessed = (ab.join(bc, "b")
+                 .select(F.col("a").alias("src"), F.col("c").alias("dst"))
+                 .distinct())
+    return (e.join(witnessed, ["src", "dst"], "left_anti")
+            .select(F.col("src").alias(src_col),
+                    F.col("dst").alias(dst_col)))

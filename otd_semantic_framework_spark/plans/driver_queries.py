@@ -3419,6 +3419,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_contrastive_pairs": q_curation_contrastive_pairs,
         "rel_chisq": q_rel_chisq,
         "kg_graph_summary": q_kg_graph_summary,
+        "kg_surface_ambiguity": q_kg_surface_ambiguity,
+        "kg_transitive_reduction": q_kg_transitive_reduction,
     }
 
 
@@ -3642,6 +3644,8 @@ def build_oracle_sql() -> dict[str, str]:
         "curation_contrastive_pairs": _sql_curation_contrastive_pairs(),
         "rel_chisq": SQL_REL_CHISQ,
         "kg_graph_summary": _sql_kg_graph_summary(),
+        "kg_surface_ambiguity": _sql_kg_surface_ambiguity(),
+        "kg_transitive_reduction": _sql_kg_transitive_reduction(),
     }
 
 
@@ -10702,4 +10706,97 @@ FROM t
 JOIN groups gs ON gs.node = t.subj
 JOIN groups gd ON gd.node = t.obj
 GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 22: surface ambiguity QA, taxonomy transitive reduction.
+# ---------------------------------------------------------------------------
+
+
+def q_kg_surface_ambiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface-form ambiguity QA over the COLLECTIVE linker's output:
+    per surface — mention volume, how many distinct concepts the
+    context-aware linker actually assigned it across the corpus, the
+    dominant concept, and its share in exact ppm. The report that
+    tells a KG curator which surfaces are genuinely polysemous in this
+    corpus (under the isolated linker every surface is 1 concept by
+    construction; only context creates spread). Two hash aggs + a
+    surface-partitioned rank window."""
+    coll = q_kg_collective_linking(spark, sf_dir)
+    per = (coll.groupBy("surface", "concept_id")
+           .agg(F.count(F.lit(1)).alias("n")))
+    tot = per.groupBy("surface").agg(
+        F.sum("n").alias("n_mentions"),
+        F.count(F.lit(1)).alias("n_concepts"))
+    w = Window.partitionBy("surface").orderBy(
+        F.desc("n"), F.asc("concept_id"))
+    top = (per.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select("surface", F.col("concept_id").alias("top_concept"),
+                   F.col("n").alias("top_n")))
+    return (tot.join(top, "surface")
+            .select("surface",
+                    F.col("n_mentions").cast("long").alias("n_mentions"),
+                    F.col("n_concepts").cast("long").alias("n_concepts"),
+                    "top_concept",
+                    F.expr("top_n * 1000000 DIV n_mentions").cast("long")
+                    .alias("top_share_ppm")))
+
+
+def _sql_kg_surface_ambiguity() -> str:
+    return f"""
+WITH coll AS MATERIALIZED ({_sql_kg_collective_linking()}),
+per AS (
+  SELECT surface, concept_id, count(*) AS n
+  FROM coll GROUP BY 1, 2),
+tot AS (
+  SELECT surface, sum(n) AS n_mentions, count(*) AS n_concepts
+  FROM per GROUP BY 1),
+top AS (
+  SELECT surface, concept_id AS top_concept, n AS top_n
+  FROM (SELECT *, row_number() OVER (
+            PARTITION BY surface ORDER BY n DESC, concept_id ASC) AS rn
+        FROM per)
+  WHERE rn = 1)
+SELECT t.surface, CAST(t.n_mentions AS BIGINT) AS n_mentions,
+       CAST(t.n_concepts AS BIGINT) AS n_concepts,
+       p.top_concept,
+       CAST(p.top_n * 1000000 // t.n_mentions AS BIGINT)
+         AS top_share_ppm
+FROM tot t JOIN top p ON p.surface = t.surface
+"""
+
+
+def q_kg_transitive_reduction(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Transitive reduction of the ancestor CLOSURE back to the Hasse
+    diagram (operators/graph.py transitive_reduction): drop every
+    closure edge with a 2-step witness — the exact inverse of the
+    inference stage's ancestor_expansion, pinned as such in pytest.
+    Self-join keyed on the middle node + left-anti on the edge."""
+    from ..operators.graph import transitive_reduction
+    av = driver_ancestors()
+    closure = spark.createDataFrame(
+        av[["concept_id", "anc_id"]],
+        "concept_id string, anc_id string")
+    return (transitive_reduction(closure, "concept_id", "anc_id")
+            .select(F.col("concept_id"), F.col("anc_id").alias("parent_id")))
+
+
+def _sql_kg_transitive_reduction() -> str:
+    import pandas as pd
+    av = values_sql(driver_ancestors()[["concept_id", "anc_id"]], "a")
+    return f"""
+WITH closure AS (SELECT concept_id, anc_id FROM {av}),
+witnessed AS (
+  SELECT DISTINCT ab.concept_id, bc.anc_id
+  FROM closure ab JOIN closure bc ON bc.concept_id = ab.anc_id),
+red AS (
+  SELECT c.concept_id, c.anc_id
+  FROM closure c
+  LEFT JOIN witnessed w
+    ON w.concept_id = c.concept_id AND w.anc_id = c.anc_id
+  WHERE w.concept_id IS NULL)
+SELECT concept_id, anc_id AS parent_id FROM red
 """

@@ -75,6 +75,14 @@ def test_minhash_maponly_bitidentical_and_shuffle_free(spark, docs):
     assert plan2.count("Exchange") == 1
     assert "RoundRobinPartitioning" in plan2
     assert {r.doc_id: list(r.sig) for r in spread.collect()} == grouped
+    # the portable (md5) family: map-only must equal exploded+grouped too
+    gp = {r.doc_id: list(r.sig)
+          for r in minhash_signatures(shingles(docs),
+                                      portable=True).collect()}
+    mp = {r.doc_id: list(r.sig)
+          for r in minhash_signatures_maponly(
+              docs, respread=False, portable=True).collect()}
+    assert gp == mp
 
 
 def test_lsh_no_cross_join(spark, docs):
