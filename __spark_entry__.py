@@ -85,7 +85,8 @@ DRIVER_SAMPLE_FIRST_50 = [
 # rel_{outliers,seq_patterns,skyline,nearest_event,fk_discovery},
 # curation_{token_budget,contrastive_pairs}, kg_{closeness,decay_cds,
 # pred_cooccur,collective_linking,concept_transitions,entity_cards},
-# stats_{cms_tokens,binned_quantiles,kmv_distinct}.
+# stats_{cms_tokens,binned_quantiles,kmv_distinct}, and waves 21-22:
+# rel_chisq, kg_{graph_summary,surface_ambiguity,transitive_reduction}.
 # Rotate 41 of them into slots 10-50 of DRIVER_SAMPLE_FIRST_50 next
 # round (keep the core nine; prefer the r4 wave-2 additions and
 # anything with cross-query composition), and the remainder the round

@@ -3421,6 +3421,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_summary": q_kg_graph_summary,
         "kg_surface_ambiguity": q_kg_surface_ambiguity,
         "kg_transitive_reduction": q_kg_transitive_reduction,
+        "kg_event_extraction": q_kg_event_extraction,
+        "kg_fact_intervals": q_kg_fact_intervals,
     }
 
 
@@ -3646,6 +3648,8 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_graph_summary": _sql_kg_graph_summary(),
         "kg_surface_ambiguity": _sql_kg_surface_ambiguity(),
         "kg_transitive_reduction": _sql_kg_transitive_reduction(),
+        "kg_event_extraction": _sql_kg_event_extraction(),
+        "kg_fact_intervals": _sql_kg_fact_intervals(),
     }
 
 
@@ -10799,4 +10803,117 @@ red AS (
     ON w.concept_id = c.concept_id AND w.anc_id = c.anc_id
   WHERE w.concept_id IS NULL)
 SELECT concept_id, anc_id AS parent_id FROM red
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 23: n-ary event extraction, temporal fact-validity intervals.
+# ---------------------------------------------------------------------------
+
+
+def q_kg_event_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-ary event extraction (the reified-event-node pattern n-ary
+    relations need [K: W3C n-ary relations note]): every turn that
+    BOTH uses a tool AND mentions a concept yields a tool-application
+    event — a content-addressed event node with actor (role), action
+    (tool), theme (concept) and location (turn) edges. Binary triples
+    can't hold a 4-way relation; the event node is the KG-native
+    encoding. One conv/turn-keyed equi-join of the tool turns with
+    their canonical mentions, then a map-only 4-way edge projection
+    (posexplode of a literal-4 array — no unions of separate scans)."""
+    t = derived_transcripts(spark, sf_dir).filter(F.col("tool").isNotNull())
+    m = (_mentions_df(spark, sf_dir)
+         .select("conv_id", "turn_idx", "concept_id").distinct())
+    ev = (t.join(m, ["conv_id", "turn_idx"])
+          .select(
+              F.concat(
+                  F.lit("event:"),
+                  F.substring(F.md5(F.concat_ws(
+                      "#", "conv_id", F.col("turn_idx").cast("string"),
+                      "tool", "concept_id")), 1, 16)).alias("event"),
+              "conv_id", "turn_idx", "role", "tool", "concept_id"))
+    edge = F.array(
+        F.struct(F.lit("kg:actor").alias("pred"),
+                 F.col("role").alias("obj")),
+        F.struct(F.lit("kg:action").alias("pred"),
+                 F.concat(F.lit("tool:"), F.col("tool")).alias("obj")),
+        F.struct(F.lit("kg:theme").alias("pred"),
+                 F.col("concept_id").alias("obj")),
+        F.struct(F.lit("kg:at_turn").alias("pred"),
+                 F.concat(F.lit("turn:"), F.col("conv_id"), F.lit(":"),
+                          F.col("turn_idx").cast("string")).alias("obj")))
+    return (ev.select("event", F.explode(edge).alias("e"))
+            .select(F.col("event").alias("subj"),
+                    F.col("e.pred").alias("pred"),
+                    F.col("e.obj").alias("obj")))
+
+
+def _sql_kg_event_extraction() -> str:
+    return f"""
+WITH {_MENTIONS_CTE},
+m AS (SELECT DISTINCT conv_id, turn_idx, concept_id FROM mentions),
+ev AS (
+  SELECT 'event:' || substr(md5(t.conv_id || '#' ||
+             CAST(t.turn_idx AS VARCHAR) || '#' || t.tool || '#' ||
+             m.concept_id), 1, 16) AS event,
+         t.conv_id, t.turn_idx, t.role, t.tool, m.concept_id
+  FROM transcripts t
+  JOIN m ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx
+  WHERE t.tool IS NOT NULL)
+SELECT event AS subj, 'kg:actor' AS pred, role AS obj FROM ev
+UNION ALL
+SELECT event, 'kg:action', 'tool:' || tool FROM ev
+UNION ALL
+SELECT event, 'kg:theme', concept_id FROM ev
+UNION ALL
+SELECT event, 'kg:at_turn',
+       'turn:' || conv_id || ':' || CAST(turn_idx AS VARCHAR) FROM ev
+"""
+
+
+def q_kg_fact_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal validity intervals for conversation-level facts: per
+    (conv, concept), collapse the turns that mention the concept into
+    maximal runs of CONSECUTIVE turns (gaps-and-islands via the
+    turn_idx − dense-position anchor) — the validity spans a temporal
+    KG stores instead of per-turn observations. Every window
+    partitions by (conv_id, concept_id); spans carry start/end turn,
+    length, and the per-fact span count."""
+    m = (_mentions_df(spark, sf_dir)
+         .select("conv_id", "turn_idx", "concept_id").distinct())
+    w = Window.partitionBy("conv_id", "concept_id").orderBy("turn_idx")
+    spans = (m.withColumn("anchor",
+                          F.col("turn_idx") - F.row_number().over(w))
+             .groupBy("conv_id", "concept_id", "anchor")
+             .agg(F.min("turn_idx").alias("from_turn"),
+                  F.max("turn_idx").alias("to_turn"),
+                  F.count(F.lit(1)).cast("long").alias("n_turns")))
+    wn = Window.partitionBy("conv_id", "concept_id")
+    return (spans
+            .withColumn("n_spans",
+                        F.count(F.lit(1)).over(wn).cast("long"))
+            .select("conv_id", "concept_id", "from_turn", "to_turn",
+                    "n_turns", "n_spans"))
+
+
+def _sql_kg_fact_intervals() -> str:
+    return f"""
+WITH {_MENTIONS_CTE},
+m AS (SELECT DISTINCT conv_id, turn_idx, concept_id FROM mentions),
+anch AS (
+  SELECT conv_id, concept_id, turn_idx,
+         turn_idx - row_number() OVER (
+             PARTITION BY conv_id, concept_id ORDER BY turn_idx)
+           AS anchor
+  FROM m),
+spans AS (
+  SELECT conv_id, concept_id, anchor,
+         min(turn_idx) AS from_turn, max(turn_idx) AS to_turn,
+         count(*) AS n_turns
+  FROM anch GROUP BY 1, 2, 3)
+SELECT conv_id, concept_id, from_turn, to_turn,
+       CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(count(*) OVER (PARTITION BY conv_id, concept_id) AS BIGINT)
+         AS n_spans
+FROM spans
 """
