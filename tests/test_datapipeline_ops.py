@@ -85,6 +85,48 @@ def test_minhash_maponly_bitidentical_and_shuffle_free(spark, docs):
     assert gp == mp
 
 
+def test_minhash_maponly_parity_on_adversarial_corpus(spark):
+    """Map-only == exploded+grouped for BOTH hash families over a
+    deterministic adversarial corpus: empty text, whitespace-only,
+    single token, all-duplicate tokens, unicode, long docs, and
+    3-token boundary lengths (the k-shingle edge)."""
+    from otd_semantic_framework_spark.operators.dedup import (
+        minhash_signatures_maponly)
+    rows = [(0, ""), (1, "   "), (2, "one"), (3, "a a a a a a"),
+            (4, "naïve café über straße"), (5, "x y"), (6, "x y z"),
+            (7, "x y z w"),
+            (8, " ".join(f"tok{i % 37}" for i in range(400)))]
+    rows += [(10 + i, " ".join(f"w{(i * j) % 53}" for j in range(i + 1)))
+             for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for portable in (False, True):
+        grouped = {r.doc_id: list(r.sig) for r in minhash_signatures(
+            shingles(docs), portable=portable).collect()}
+        maponly = {r.doc_id: list(r.sig) for r in
+                   minhash_signatures_maponly(
+                       docs, portable=portable).collect()}
+        assert grouped == maponly, portable
+
+
+def test_minhash_maponly_empty_input(spark):
+    from otd_semantic_framework_spark.operators.dedup import (
+        minhash_signatures_maponly)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_signatures_maponly(empty).count() == 0
+
+
+def test_transitive_reduction_empty_and_chain(spark):
+    from otd_semantic_framework_spark.operators.graph import (
+        transitive_reduction)
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert transitive_reduction(empty).count() == 0
+    # a pure chain has no redundant edges — reduction is identity
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+    assert {(r.src, r.dst) for r in transitive_reduction(chain).collect()
+            } == {("a", "b"), ("b", "c"), ("c", "d")}
+
+
 def test_lsh_no_cross_join(spark, docs):
     """Candidate pairs must come only from shared buckets (doc 3/5 share
     nothing with 0)."""
