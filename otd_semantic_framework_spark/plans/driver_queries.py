@@ -3423,6 +3423,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_transitive_reduction": q_kg_transitive_reduction,
         "kg_event_extraction": q_kg_event_extraction,
         "kg_fact_intervals": q_kg_fact_intervals,
+        "kg_snapshot_diff": q_kg_snapshot_diff,
     }
 
 
@@ -3650,6 +3651,7 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_transitive_reduction": _sql_kg_transitive_reduction(),
         "kg_event_extraction": _sql_kg_event_extraction(),
         "kg_fact_intervals": _sql_kg_fact_intervals(),
+        "kg_snapshot_diff": _sql_kg_snapshot_diff(),
     }
 
 
@@ -10916,4 +10918,75 @@ SELECT conv_id, concept_id, from_turn, to_turn,
        CAST(count(*) OVER (PARTITION BY conv_id, concept_id) AS BIGINT)
          AS n_spans
 FROM spans
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 24: graph diff between snapshot states.
+# ---------------------------------------------------------------------------
+
+
+def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph diff between two KG snapshot states — the change report a
+    nightly rebuild publishes next to the storage layer's time travel:
+    v1 and v2 are two overlapping md5-slices of the extracted graph
+    (so added, removed AND unchanged all fire). Per predicate: triples
+    added, removed, unchanged, plus churn in exact ppm of the v2 size. A
+    null-safe full outer join on the whole triple key (the
+    ontology_diff pattern applied to the instance graph) feeding one
+    pred-keyed conditional agg — both shuffles key on (subj,pred,obj)
+    / pred."""
+    full = q_kg_triples(spark, sf_dir).select("subj", "pred", "obj")
+    h = (F.conv(F.substring(F.md5(F.col("subj")), 1, 2), 16, 10)
+         .cast("long"))
+    # two overlapping hash slices so the diff exercises ALL THREE
+    # classes: v1-only (removed), v2-only (added), both (unchanged)
+    v1 = full.filter(h < 160)
+    v2 = full.filter(h >= 32)
+    j = (v1.withColumn("_v1", F.lit(1))
+         .join(v2.withColumn("_v2", F.lit(1)),
+               ["subj", "pred", "obj"], "full_outer"))
+    per = (j.groupBy("pred").agg(
+        F.sum(F.when(F.col("_v1").isNull(), 1).otherwise(0))
+        .cast("long").alias("added"),
+        F.sum(F.when(F.col("_v2").isNull(), 1).otherwise(0))
+        .cast("long").alias("removed"),
+        F.sum(F.when(F.col("_v1").isNotNull() & F.col("_v2").isNotNull(),
+                     1).otherwise(0)).cast("long").alias("unchanged")))
+    return per.select(
+        "pred", "added", "removed", "unchanged",
+        F.expr("(added + removed) * 1000000"
+               " DIV (added + unchanged)").cast("long")
+        .alias("churn_ppm"))
+
+
+def _sql_kg_snapshot_diff() -> str:
+    dig = ("(instr('0123456789abcdef', substring(md5(subj), 1, 1)) - 1)"
+           " * 16 + instr('0123456789abcdef', substring(md5(subj), 2, 1))"
+           " - 1")
+    return f"""
+WITH full_g AS (
+  SELECT subj, pred, obj FROM ({_sql_kg_triples_body()})),
+v1 AS (SELECT * FROM full_g WHERE {dig} < 160),
+v2 AS (SELECT * FROM full_g WHERE {dig} >= 32),
+j AS (
+  SELECT COALESCE(a.subj, b.subj) AS subj,
+         COALESCE(a.pred, b.pred) AS pred,
+         COALESCE(a.obj, b.obj) AS obj,
+         a.subj IS NOT NULL AS in_v1, b.subj IS NOT NULL AS in_v2
+  FROM v1 a FULL OUTER JOIN v2 b
+    ON a.subj = b.subj AND a.pred = b.pred AND a.obj = b.obj)
+SELECT pred,
+       CAST(sum(CASE WHEN NOT in_v1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS added,
+       CAST(sum(CASE WHEN NOT in_v2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS removed,
+       CAST(sum(CASE WHEN in_v1 AND in_v2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS unchanged,
+       CAST((sum(CASE WHEN NOT in_v1 THEN 1 ELSE 0 END)
+             + sum(CASE WHEN NOT in_v2 THEN 1 ELSE 0 END)) * 1000000
+            // (sum(CASE WHEN NOT in_v1 THEN 1 ELSE 0 END)
+                + sum(CASE WHEN in_v1 AND in_v2 THEN 1 ELSE 0 END))
+            AS BIGINT) AS churn_ppm
+FROM j GROUP BY 1
 """
