@@ -84,6 +84,59 @@ def pagerank_exact(triples: DataFrame, iterations: int = 4) -> DataFrame:
     return ranks
 
 
+def personalized_pagerank_exact(triples: DataFrame, seeds: DataFrame,
+                                iterations: int = 4) -> DataFrame:
+    """Personalized PageRank / random-walk-with-restart [K: Haveliwala
+    2002] over the KG edge table: restart mass returns ONLY to the
+    ``seeds`` node set (one ``node`` column), so the fixed point ranks
+    every node by its walk-proximity to the seed cluster — the standard
+    KG entity-relatedness primitive (recommendation, query-biased
+    importance) that global PageRank can't express.
+
+    Same exact-BIGINT discipline as :func:`pagerank_exact`: rank0 =
+    1 ppm-unit (1_000_000) on seeds and 0 elsewhere; each synchronous
+    round every node receives ``is_seed * 150000 + (850 * inflow) DIV
+    1000``. The restart is UNNORMALIZED (0.15 per seed, not 0.15/|S|) —
+    a pure rescaling of the conventional RWR that keeps every operation
+    in integer space; both engines share the definition, which is what
+    the oracle pairing needs. Nodes the walk never reaches hold rank 0
+    and are dropped, so the output is proportional to the seed-reachable
+    region, not the node universe.
+
+    Scale shape: identical to :func:`pagerank_exact` — per round one
+    shuffle-hash join on the node key + one destination-keyed hash agg,
+    both map-side-partial; the seed flag is folded into the persisted
+    node table by ONE join before the loop (shuffle, not broadcast:
+    seed sets like "every tool-using turn" grow with the corpus).
+    """
+    edges = kg_edges(triples)
+    out_deg = edges.groupBy("subj").agg(F.count(F.lit(1)).alias("out_deg"))
+    nodes = (edges.select(F.col("subj").alias("node"))
+             .unionByName(edges.select(F.col("obj").alias("node")))
+             .distinct())
+    seed_nodes = (nodes.join(
+        seeds.select("node").distinct().withColumn("_s", F.lit(1)),
+        "node", "left")
+        .select("node", F.coalesce(F.col("_s"), F.lit(0)).alias("is_seed")))
+    send = edges.join(out_deg, "subj").select("subj", "obj", "out_deg")
+    for df in (seed_nodes, send):
+        df.persist()
+    ranks = seed_nodes.select(
+        "node", (F.col("is_seed").cast("long") * F.lit(PPM)).alias("rank"))
+    for _ in range(iterations):
+        inflow = (
+            send.join(ranks, send["subj"] == ranks["node"])
+            .select(F.col("obj").alias("node"),
+                    F.expr("rank DIV out_deg").alias("contrib"))
+            .groupBy("node").agg(F.sum("contrib").alias("inflow")))
+        ranks = seed_nodes.join(inflow, "node", "left").select(
+            "node",
+            (F.col("is_seed").cast("long") * F.lit(BASE_RANK)
+             + F.expr(f"({DAMPING_PM} * coalesce(inflow, 0L)) DIV 1000")
+             ).alias("rank"))
+    return ranks.filter(F.col("rank") > 0)
+
+
 def concept_lift(mentions: DataFrame, min_pair: int = 2,
                  conv_col: str = "conv_id",
                  concept_col: str = "concept_id") -> DataFrame:

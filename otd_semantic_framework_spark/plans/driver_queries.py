@@ -3424,6 +3424,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_event_extraction": q_kg_event_extraction,
         "kg_fact_intervals": q_kg_fact_intervals,
         "kg_snapshot_diff": q_kg_snapshot_diff,
+        "kg_ppr": q_kg_ppr,
+        "kg_search_prf": q_kg_search_prf,
     }
 
 
@@ -3652,6 +3654,8 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_event_extraction": _sql_kg_event_extraction(),
         "kg_fact_intervals": _sql_kg_fact_intervals(),
         "kg_snapshot_diff": _sql_kg_snapshot_diff(),
+        "kg_ppr": _sql_kg_ppr(),
+        "kg_search_prf": _sql_kg_search_prf(),
     }
 
 
@@ -10989,4 +10993,161 @@ SELECT pred,
                 + sum(CASE WHEN in_v1 AND in_v2 THEN 1 ELSE 0 END))
             AS BIGINT) AS churn_ppm
 FROM j GROUP BY 1
+"""
+
+
+PPR_ITERS = 4
+
+
+def q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank / random-walk-with-restart
+    (operators/graph.py) seeded on every tool-using turn — "which
+    nodes does the tool-using activity region of the KG concentrate
+    on". Restart mass returns only to the seeds; pure BIGINT fixed
+    point, so the distributed aggregation is bit-exact against
+    DuckDB's unrolled replay of the same four synchronous rounds.
+    Zero-rank (seed-unreachable) nodes are dropped in BOTH engines."""
+    from ..operators.graph import personalized_pagerank_exact
+    triples = q_kg_triples(spark, sf_dir)
+    seeds = (triples.filter(F.col("pred") == "uses_tool")
+             .select(F.col("subj").alias("node")).distinct())
+    return (personalized_pagerank_exact(triples, seeds,
+                                        iterations=PPR_ITERS)
+            .select("node", F.col("rank").alias("rank_ppm")))
+
+
+def _sql_kg_ppr() -> str:
+    its, prev = [], "r0"
+    for i in range(1, PPR_ITERS + 1):
+        its.append(f"""i{i} AS (
+  SELECT n.node,
+         CAST(n.is_seed * 150000
+              + (850 * coalesce(f.inflow, 0)) // 1000 AS BIGINT) AS pr
+  FROM sn n LEFT JOIN (
+    SELECT s.obj AS node, CAST(sum(r.pr // s.out_deg) AS BIGINT) AS inflow
+    FROM send s JOIN {prev} r ON r.node = s.subj
+    GROUP BY s.obj) f ON f.node = n.node)""")
+        prev = f"i{i}"
+    return f"""
+WITH triples AS ({_sql_kg_triples_body()}),
+edges AS (SELECT DISTINCT subj, obj FROM triples),
+outd AS (SELECT subj, count(*) AS out_deg FROM edges GROUP BY subj),
+nodes AS (SELECT subj AS node FROM edges UNION SELECT obj FROM edges),
+seeds AS (SELECT DISTINCT subj AS node FROM triples
+          WHERE pred = 'uses_tool'),
+sn AS (SELECT n.node,
+              CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+       FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+send AS (SELECT e.subj, e.obj, o.out_deg
+         FROM edges e JOIN outd o ON o.subj = e.subj),
+r0 AS (SELECT node, CAST(is_seed * 1000000 AS BIGINT) AS pr FROM sn),
+{', '.join(its)}
+SELECT node, pr AS rank_ppm FROM {prev} WHERE pr > 0
+"""
+
+
+PRF_FB_DOCS = 10   # pseudo-relevant subjects fed back
+PRF_FB_TERMS = 3   # expansion concepts taken from the feedback set
+PRF_BETA = 0.05    # Rocchio beta / |FB|: expansion weight multiplier
+
+
+def q_kg_search_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback search (Rocchio query expansion [K]):
+    run the P17 scorer, take the top-``PRF_FB_DOCS`` subjects as
+    pseudo-relevant, mine their CDS rows for the ``PRF_FB_TERMS``
+    strongest concepts NOT already in the query, append them with a
+    damped weight (``round(mass * PRF_BETA, 6)``), and re-score. The
+    round-to-6-then-rank discipline (deterministic ties on id) keeps
+    both the feedback selection and the final ranking engine-portable.
+
+    Scale shape: the feedback set is a broadcast-bounded constant
+    (10 subjects → semi-join, 3 concepts → broadcast weights); both
+    scoring passes are one subject-keyed hash agg over CDS followed by
+    limit-then-rank (TakeOrdered, never a partitionless window over an
+    unbounded input)."""
+    import pandas as pd
+    scores = driver_scores()
+    gaz = driver_gazetteer()
+    norm = S.normalize_text(SEARCH_QUERY)
+    surfaces = sorted({m[0] for m in S.find_mentions(norm, gaz)})
+    q = (scores[scores.surface.isin(surfaces)]
+         .groupby("concept_id", as_index=False)["cos_sim"].max()
+         .rename(columns={"cos_sim": "weight"}).round({"weight": 6}))
+    q_df = spark.createDataFrame(
+        pd.DataFrame(q), "concept_id string, weight double")
+    q_concepts = sorted(q["concept_id"])
+    cds = q_kg_cds(spark, sf_dir)
+    base = (
+        cds.join(F.broadcast(q_df), cds.cds_concept == q_df.concept_id,
+                 "inner")
+        .groupBy("subj_key")
+        .agg(F.round(F.sum(F.col("score") * F.col("weight")), 6)
+             .alias("base_score")))
+    fb = (base.orderBy(F.desc("base_score"), F.asc("subj_key"))
+          .limit(PRF_FB_DOCS).select("subj_key"))
+    expansion = (
+        cds.join(F.broadcast(fb), "subj_key", "left_semi")
+        .filter(~F.col("cds_concept").isin(q_concepts))
+        .groupBy("cds_concept")
+        .agg(F.round(F.sum("score"), 6).alias("mass"))
+        .orderBy(F.desc("mass"), F.asc("cds_concept"))
+        .limit(PRF_FB_TERMS)
+        .select(F.col("cds_concept").alias("concept_id"),
+                F.round(F.col("mass") * F.lit(PRF_BETA), 6)
+                .alias("weight")))
+    weights = q_df.unionByName(expansion)
+    final = (
+        cds.join(F.broadcast(weights),
+                 cds.cds_concept == weights.concept_id, "inner")
+        .groupBy("subj_key")
+        .agg(F.round(F.sum(F.col("score") * F.col("weight")), 6)
+             .alias("prf_score")))
+    top = final.orderBy(F.desc("prf_score"), F.asc("subj_key")).limit(20)
+    w = Window.orderBy(F.desc("prf_score"), F.asc("subj_key"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("subj_key", "rank", "prf_score"))
+
+
+def _sql_kg_search_prf() -> str:
+    import pandas as pd
+    scores = driver_scores()
+    gaz = driver_gazetteer()
+    norm = S.normalize_text(SEARCH_QUERY)
+    surfaces = sorted({m[0] for m in S.find_mentions(norm, gaz)})
+    q = (scores[scores.surface.isin(surfaces)]
+         .groupby("concept_id", as_index=False)["cos_sim"].max()
+         .rename(columns={"cos_sim": "weight"}).round({"weight": 6}))
+    qv = values_sql(pd.DataFrame(q), "q")
+    q_list = ", ".join(f"'{c}'" for c in sorted(q["concept_id"]))
+    return f"""
+WITH cds AS ({_sql_kg_cds_body()}),
+base AS (
+  SELECT c.subj_key,
+         round(sum(c.score * q.weight), 6) AS base_score
+  FROM cds c JOIN {qv} ON q.concept_id = c.cds_concept
+  GROUP BY c.subj_key),
+fb AS (SELECT subj_key FROM base
+       ORDER BY base_score DESC, subj_key ASC LIMIT {PRF_FB_DOCS}),
+expansion AS (
+  SELECT cds_concept AS concept_id,
+         round(round(sum(score), 6) * {PRF_BETA}, 6) AS weight
+  FROM cds
+  WHERE subj_key IN (SELECT subj_key FROM fb)
+    AND cds_concept NOT IN ({q_list})
+  GROUP BY cds_concept
+  ORDER BY round(sum(score), 6) DESC, cds_concept ASC
+  LIMIT {PRF_FB_TERMS}),
+weights AS (SELECT concept_id, weight FROM {qv}
+            UNION ALL SELECT concept_id, weight FROM expansion),
+final AS (
+  SELECT c.subj_key, round(sum(c.score * w.weight), 6) AS prf_score
+  FROM cds c JOIN weights w ON w.concept_id = c.cds_concept
+  GROUP BY c.subj_key),
+top AS (SELECT subj_key, prf_score FROM final
+        ORDER BY prf_score DESC, subj_key ASC LIMIT 20)
+SELECT subj_key,
+       CAST(row_number() OVER (ORDER BY prf_score DESC, subj_key ASC)
+            AS INT) AS rank,
+       prf_score
+FROM top
 """
