@@ -3426,6 +3426,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_ppr": q_kg_ppr,
         "kg_search_prf": q_kg_search_prf,
+        "kg_linkpred_eval": q_kg_linkpred_eval,
+        "kg_type_inference": q_kg_type_inference,
+        "kg_assortativity": q_kg_assortativity,
     }
 
 
@@ -3656,6 +3659,9 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_snapshot_diff": _sql_kg_snapshot_diff(),
         "kg_ppr": _sql_kg_ppr(),
         "kg_search_prf": _sql_kg_search_prf(),
+        "kg_linkpred_eval": _sql_kg_linkpred_eval(),
+        "kg_type_inference": _sql_kg_type_inference(),
+        "kg_assortativity": _sql_kg_assortativity(),
     }
 
 
@@ -11150,4 +11156,215 @@ SELECT subj_key,
             AS INT) AS rank,
        prf_score
 FROM top
+"""
+
+
+LINKPRED_EVAL_HITS_K = 5
+
+
+def q_kg_linkpred_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction ranking evaluation — MRR and Hits@{1,k} of the
+    neighbor-Jaccard scorer (q_kg_link_predict) measured against the
+    graph's own edge set ("raw" setting: every 2-path candidate is
+    ranked, true edges are NOT filtered out of the candidate pool but
+    labeled). For every node `a` whose candidate list contains at
+    least one true edge, the reciprocal rank of the FIRST true edge is
+    taken; the summary row reports the node count, the exact-integer
+    mean reciprocal rank and hit rates in ppm (sum//n — both engines
+    share BIGINT floor semantics, so the distributed agg is bit-exact
+    against DuckDB).
+
+    Scale shape: identical candidate generation to kg_link_predict
+    (hub-capped 2-path self-join keyed on the middle node — the d²
+    blowup is excluded by LINKPRED_HUB_CAP as part of the SEMANTICS);
+    the label join is an equi-join against the edge set; the ranking
+    window is PARTITIONED BY a (keyed, never global); the final
+    summary is one partial-aggregating reduce to a single row."""
+    from ..operators.graph import undirected_edges
+    e = undirected_edges(q_kg_triples(spark, sf_dir))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    mid = (deg.filter(F.col("deg") <= LINKPRED_HUB_CAP)
+           .select(F.col("src").alias("n")))
+    p1 = (e.select(F.col("src").alias("a"), F.col("dst").alias("n"))
+          .join(mid, "n"))
+    p2 = (e.select(F.col("src").alias("n"), F.col("dst").alias("b"))
+          .join(mid, "n"))
+    two = (p1.join(p2, "n").filter(F.col("a") < F.col("b"))
+           .groupBy("a", "b").agg(F.count(F.lit(1)).alias("common")))
+    edges_ab = (e.filter(F.col("src") < F.col("dst"))
+                .select(F.col("src").alias("a"), F.col("dst").alias("b"),
+                        F.lit(1).alias("is_edge")))
+    j = (two.filter(F.col("common") >= LINKPRED_MIN_COMMON)
+         .join(deg.select(F.col("src").alias("a"),
+                          F.col("deg").alias("deg_a")), "a")
+         .join(deg.select(F.col("src").alias("b"),
+                          F.col("deg").alias("deg_b")), "b")
+         .withColumn("jaccard_ppm", F.expr(
+             "common * 1000000 DIV (deg_a + deg_b - common)"))
+         .join(edges_ab, ["a", "b"], "left")
+         .withColumn("label", F.coalesce(F.col("is_edge"), F.lit(0))))
+    w = Window.partitionBy("a").orderBy(F.desc("jaccard_ppm"), F.asc("b"))
+    per_a = (j.withColumn("rk", F.row_number().over(w))
+             .groupBy("a")
+             .agg(F.min(F.when(F.col("label") == 1, F.col("rk")))
+                  .alias("first_true"))
+             .filter(F.col("first_true").isNotNull()))
+    k = LINKPRED_EVAL_HITS_K
+    return per_a.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("sum(1000000 DIV first_true) DIV count(*)")
+        .alias("mrr_ppm"),
+        F.expr("sum(CASE WHEN first_true <= 1 THEN 1 ELSE 0 END)"
+               " * 1000000 DIV count(*)").alias("hits1_ppm"),
+        F.expr(f"sum(CASE WHEN first_true <= {k} THEN 1 ELSE 0 END)"
+               " * 1000000 DIV count(*)").alias("hitsk_ppm"))
+
+
+def _sql_kg_linkpred_eval() -> str:
+    return f"""
+WITH triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+e AS MATERIALIZED (
+  SELECT subj AS src, obj AS dst FROM (SELECT DISTINCT subj, obj FROM triples)
+  UNION
+  SELECT obj, subj FROM (SELECT DISTINCT subj, obj FROM triples)),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+mid AS (SELECT src AS n FROM deg WHERE deg <= {LINKPRED_HUB_CAP}),
+two AS (
+  SELECT p1.src AS a, p2.dst AS b, count(*) AS common
+  FROM e p1 JOIN e p2 ON p2.src = p1.dst
+  JOIN mid m ON m.n = p1.dst
+  WHERE p1.src < p2.dst
+  GROUP BY 1, 2),
+j AS (
+  SELECT t.a, t.b,
+         t.common * 1000000 // (da.deg + db.deg - t.common) AS jaccard_ppm,
+         CASE WHEN ed.src IS NULL THEN 0 ELSE 1 END AS label
+  FROM two t
+  JOIN deg da ON da.src = t.a
+  JOIN deg db ON db.src = t.b
+  LEFT JOIN e ed ON ed.src = t.a AND ed.dst = t.b
+  WHERE t.common >= {LINKPRED_MIN_COMMON}),
+rk AS (
+  SELECT a, label,
+         row_number() OVER (PARTITION BY a
+                            ORDER BY jaccard_ppm DESC, b ASC) AS rk
+  FROM j),
+per_a AS (
+  SELECT a, min(CASE WHEN label = 1 THEN rk END) AS first_true
+  FROM rk GROUP BY a
+  HAVING min(CASE WHEN label = 1 THEN rk END) IS NOT NULL)
+SELECT count(*) AS n_nodes,
+       CAST(sum(1000000 // first_true) // count(*) AS BIGINT) AS mrr_ppm,
+       CAST(sum(CASE WHEN first_true <= 1 THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS hits1_ppm,
+       CAST(sum(CASE WHEN first_true <= {LINKPRED_EVAL_HITS_K}
+                THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS hitsk_ppm
+FROM per_a
+"""
+
+
+def q_kg_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-signature node typing — RDFS-style domain/range
+    inference [K]: each predicate of the derived KG carries an implied
+    (subject-type, object-type) signature (mentions: turn->concept,
+    uses_tool: turn->tool, replies_to: turn->turn); every incident
+    edge casts one vote at each endpoint, and a node's inferred type
+    is its majority vote with confidence = votes*1e6//total ppm
+    (deterministic tie on type name). On a clean graph confidence is
+    1e6 everywhere; the operator exists to FLAG the dirty case (a node
+    id reused across roles) and to materialize the typing a downstream
+    consumer joins against.
+
+    Shape: one projection + union (no shuffle), one (node, type) hash
+    agg, then a keyed rank window over the per-node handful of type
+    rows. Nothing global."""
+    t = q_kg_triples(spark, sf_dir)
+    obj_type = (F.when(F.col("pred") == "mentions", F.lit("concept"))
+                .when(F.col("pred") == "uses_tool", F.lit("tool"))
+                .otherwise(F.lit("turn")))
+    votes = (t.select(F.col("subj").alias("node"),
+                      F.lit("turn").alias("node_type"))
+             .unionAll(t.select(F.col("obj").alias("node"),
+                                obj_type.alias("node_type"))))
+    counts = (votes.groupBy("node", "node_type")
+              .agg(F.count(F.lit(1)).alias("votes")))
+    wt = Window.partitionBy("node")
+    wr = Window.partitionBy("node").orderBy(F.desc("votes"),
+                                            F.asc("node_type"))
+    return (counts
+            .withColumn("total", F.sum("votes").over(wt))
+            .withColumn("rk", F.row_number().over(wr))
+            .filter(F.col("rk") == 1)
+            .select("node", "node_type", "votes", "total",
+                    F.expr("votes * 1000000 DIV total")
+                    .alias("confidence_ppm")))
+
+
+def _sql_kg_type_inference() -> str:
+    return f"""
+WITH triples AS ({_sql_kg_triples_body()}),
+votes AS (
+  SELECT subj AS node, 'turn' AS node_type FROM triples
+  UNION ALL
+  SELECT obj,
+         CASE pred WHEN 'mentions' THEN 'concept'
+                   WHEN 'uses_tool' THEN 'tool'
+                   ELSE 'turn' END
+  FROM triples),
+counts AS (
+  SELECT node, node_type, count(*) AS votes
+  FROM votes GROUP BY 1, 2),
+ranked AS (
+  SELECT node, node_type, votes,
+         sum(votes) OVER (PARTITION BY node) AS total,
+         row_number() OVER (PARTITION BY node
+                            ORDER BY votes DESC, node_type ASC) AS rk
+  FROM counts)
+SELECT node, node_type, votes, CAST(total AS BIGINT) AS total,
+       CAST(votes * 1000000 // total AS BIGINT) AS confidence_ppm
+FROM ranked WHERE rk = 1
+"""
+
+
+def q_kg_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-correlation profile of the undirected KG — knn(k), the
+    mean degree of neighbors of degree-k nodes (Pastor-Satorras
+    degree-correlation function [K]): rising knn(k) = assortative
+    mixing, falling = disassortative hub-periphery (the typical KG
+    shape — leaf turns attach to hub concepts). Exact ppm via
+    sum*1e6//count so the agg is engine-portable.
+
+    Shape: degree table joined onto both edge endpoints (the degree
+    table is concept-scale — broadcastable on a real cluster), then
+    ONE hash agg keyed by degree. No windows, nothing global."""
+    from ..operators.graph import undirected_edges
+    e = undirected_edges(q_kg_triples(spark, sf_dir))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    j = (e.join(deg.select(F.col("src"), F.col("deg").alias("deg_src")),
+                "src")
+         .join(deg.select(F.col("src").alias("dst"),
+                          F.col("deg").alias("deg_dst")), "dst"))
+    return (j.groupBy(F.col("deg_src").alias("degree"))
+            .agg(F.count(F.lit(1)).alias("endpoints"),
+                 F.expr("sum(deg_dst) * 1000000 DIV count(*)")
+                 .alias("avg_nbr_deg_ppm")))
+
+
+def _sql_kg_assortativity() -> str:
+    return f"""
+WITH triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+e AS MATERIALIZED (
+  SELECT subj AS src, obj AS dst FROM (SELECT DISTINCT subj, obj FROM triples)
+  UNION
+  SELECT obj, subj FROM (SELECT DISTINCT subj, obj FROM triples)),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)
+SELECT ds.deg AS degree,
+       count(*) AS endpoints,
+       CAST(sum(dd.deg) * 1000000 // count(*) AS BIGINT)
+         AS avg_nbr_deg_ppm
+FROM e
+JOIN deg ds ON ds.src = e.src
+JOIN deg dd ON dd.src = e.dst
+GROUP BY 1
 """
