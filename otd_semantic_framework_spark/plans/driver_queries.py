@@ -3429,6 +3429,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linkpred_eval": q_kg_linkpred_eval,
         "kg_type_inference": q_kg_type_inference,
         "kg_assortativity": q_kg_assortativity,
+        "kg_sameas_closure": q_kg_sameas_closure,
+        "kg_search_mmr": q_kg_search_mmr,
     }
 
 
@@ -3662,6 +3664,8 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_linkpred_eval": _sql_kg_linkpred_eval(),
         "kg_type_inference": _sql_kg_type_inference(),
         "kg_assortativity": _sql_kg_assortativity(),
+        "kg_sameas_closure": _sql_kg_sameas_closure(),
+        "kg_search_mmr": _sql_kg_search_mmr(),
     }
 
 
@@ -11367,4 +11371,209 @@ FROM e
 JOIN deg ds ON ds.src = e.src
 JOIN deg dd ON dd.src = e.dst
 GROUP BY 1
+"""
+
+
+SAMEAS_PREFIX = 32  # utterance-fingerprint length (chars of normalized text)
+
+
+def q_kg_sameas_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:sameAs consolidation of the constructed KG — the standard
+    post-extraction step that collapses equivalent entity nodes and
+    rewrites the triple table onto canonical ids [K]. Equivalence here
+    comes from an utterance fingerprint (first SAMEAS_PREFIX chars of
+    the normalized text — a deliberately coarse blocking key standing
+    in for a fuzzy matcher; the seam where a production matcher plugs
+    in). Because the fingerprint is a FUNCTION of the node, the
+    transitive closure is exactly the group-by on the fingerprint — no
+    iteration — and the canonical member is the lexicographic min node
+    id. Every triple's turn endpoints are remapped, merge-induced
+    self-loops are dropped, and the rewritten table is re-deduplicated
+    under the same (subj, pred, obj) -> max(score) rule as P13.
+
+    Shape: one hash agg for the mapping (turn-scale, keyed by
+    fingerprint), one equi-join per endpoint (subj always; obj only on
+    the replies_to branch), one final dedup agg. All keyed; at cluster
+    scale the mapping table co-partitions with the triple table on the
+    node id."""
+    t = derived_transcripts(spark, sf_dir)
+    node = F.concat(F.lit("turn:"), F.col("conv_id"), F.lit(":"),
+                    F.col("turn_idx").cast("string"))
+    tm = t.select(node.alias("node"),
+                  F.substring("text", 1, SAMEAS_PREFIX).alias("fp"))
+    mapping = (tm.groupBy("fp").agg(F.min("node").alias("canon_node"))
+               .join(tm, "fp")
+               .select("node", "canon_node"))
+    triples = q_kg_triples(spark, sf_dir)
+    m1 = mapping.select(F.col("node").alias("subj"),
+                        F.col("canon_node").alias("subj_c"))
+    m2 = mapping.select(F.col("node").alias("obj"),
+                        F.col("canon_node").alias("obj_c"))
+    rw = (triples.join(m1, "subj")
+          .join(m2, "obj", "left")
+          .select(F.col("subj_c").alias("subj"), "pred",
+                  F.when(F.col("pred") == "replies_to", F.col("obj_c"))
+                  .otherwise(F.col("obj")).alias("obj"),
+                  "score"))
+    return (rw.filter(F.col("subj") != F.col("obj"))
+            .groupBy("subj", "pred", "obj")
+            .agg(F.round(F.max("score"), 6).alias("score")))
+
+
+def _sql_kg_sameas_closure() -> str:
+    return f"""
+WITH triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+transcripts3 AS ({TRANSCRIPTS_CTE}),
+tm AS (
+  SELECT 'turn:' || conv_id || ':' || cast(turn_idx AS STRING) AS node,
+         substr(text, 1, {SAMEAS_PREFIX}) AS fp
+  FROM transcripts3),
+mapping AS (
+  SELECT tm.node, g.canon_node
+  FROM tm JOIN (SELECT fp, min(node) AS canon_node FROM tm GROUP BY fp) g
+       ON g.fp = tm.fp),
+rw AS (
+  SELECT m1.canon_node AS subj, t.pred,
+         CASE WHEN t.pred = 'replies_to' THEN m2.canon_node
+              ELSE t.obj END AS obj,
+         t.score
+  FROM triples t
+  JOIN mapping m1 ON m1.node = t.subj
+  LEFT JOIN mapping m2 ON m2.node = t.obj)
+SELECT subj, pred, obj, round(max(score), 6) AS score
+FROM rw WHERE subj <> obj
+GROUP BY 1, 2, 3
+"""
+
+
+MMR_K = 20       # candidate pool = the P17 top-K
+MMR_SELECT = 5   # reranked results returned
+MMR_LAMBDA_NUM = 7   # lambda = 0.7 as the integer pair (7, 3)/10
+
+
+def q_kg_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance rerank of the P17 search results
+    (Carbonell-Goldstein MMR [K]) — diversify the top-20 into 5 picks
+    that balance relevance against redundancy. Pure-integer variant:
+    relevance is rank-normalized ((K-rank+1)*1e6//K ppm), redundancy
+    is the concept-set Jaccard between candidates (inter*1e6//union
+    ppm over their CDS concept sets), and each greedy step takes
+    argmax of (7*rel + 3*(1e6 - max_sim_to_selected))//10 with
+    deterministic ties on subj_key — every quantity BIGINT, so the
+    greedy trace is bit-identical across engines.
+
+    Shape: candidates are the distributed TakeOrdered top-K; concept
+    sets are semi-joined down to those K subjects before the pairwise
+    step, so the similarity join touches K(K-1)/2 <= 190 pairs
+    regardless of corpus size. The greedy head runs on the collected
+    K-row result — driver-CONSTANT work (like presenting the result
+    page), not a driver-side data path."""
+    cand = q_kg_search(spark, sf_dir)
+    cds = q_kg_cds(spark, sf_dir)
+    csets = (cds.join(F.broadcast(cand.select("subj_key")),
+                      "subj_key", "left_semi")
+             .select("subj_key", "cds_concept").distinct())
+    sizes = csets.groupBy("subj_key").agg(F.count(F.lit(1)).alias("n"))
+    pa = csets.select(F.col("subj_key").alias("a"), "cds_concept")
+    pb = csets.select(F.col("subj_key").alias("b"), "cds_concept")
+    inter = (pa.join(pb, "cds_concept").filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("i")))
+    sims = (inter
+            .join(sizes.select(F.col("subj_key").alias("a"),
+                               F.col("n").alias("na")), "a")
+            .join(sizes.select(F.col("subj_key").alias("b"),
+                               F.col("n").alias("nb")), "b")
+            .withColumn("sim_ppm",
+                        F.expr("i * 1000000 DIV (na + nb - i)"))
+            .select("a", "b", "sim_ppm"))
+    rel = {r.subj_key: (MMR_K - r.rank + 1) * 1_000_000 // MMR_K
+           for r in cand.collect()}
+    sim: dict[tuple[str, str], int] = {}
+    for r in sims.collect():
+        sim[(r.a, r.b)] = r.sim_ppm
+        sim[(r.b, r.a)] = r.sim_ppm
+    lam, lam_c = MMR_LAMBDA_NUM, 10 - MMR_LAMBDA_NUM
+    selected: list[str] = []
+    out = []
+    remaining = sorted(rel)
+    for step in range(1, MMR_SELECT + 1):
+        best = None
+        for c in remaining:
+            ms = max((sim.get((c, s), 0) for s in selected), default=0)
+            mmr = (lam * rel[c] + lam_c * (1_000_000 - ms)) // 10
+            key = (-mmr, c)
+            if best is None or key < best[0]:
+                best = (key, c, mmr)
+        _, c, mmr = best
+        selected.append(c)
+        remaining.remove(c)
+        out.append((c, step, mmr))
+    return spark.createDataFrame(
+        out, "subj_key string, mmr_rank int, mmr_ppm bigint")
+
+
+def _sql_kg_search_mmr() -> str:
+    import pandas as pd
+    scores = driver_scores()
+    gaz = driver_gazetteer()
+    norm = S.normalize_text(SEARCH_QUERY)
+    surfaces = sorted({m[0] for m in S.find_mentions(norm, gaz)})
+    q = (scores[scores.surface.isin(surfaces)]
+         .groupby("concept_id", as_index=False)["cos_sim"].max()
+         .rename(columns={"cos_sim": "q_score"}).round({"q_score": 6}))
+    qv = values_sql(pd.DataFrame(q), "q")
+    lam, lam_c = MMR_LAMBDA_NUM, 10 - MMR_LAMBDA_NUM
+    steps = []
+    for i in range(2, MMR_SELECT + 1):
+        steps.append(f"""c{i} AS (
+  SELECT r.subj_key, r.rel_ppm, coalesce(max(s.sim_ppm), 0) AS ms
+  FROM rel r
+  LEFT JOIN sims2 s ON s.a = r.subj_key
+       AND s.b IN (SELECT subj_key FROM sel{i - 1})
+  WHERE r.subj_key NOT IN (SELECT subj_key FROM sel{i - 1})
+  GROUP BY 1, 2),
+s{i} AS (
+  SELECT subj_key,
+         ({lam} * rel_ppm + {lam_c} * (1000000 - ms)) // 10 AS mmr_ppm
+  FROM c{i} ORDER BY mmr_ppm DESC, subj_key ASC LIMIT 1),
+sel{i} AS (SELECT * FROM sel{i - 1}
+           UNION ALL SELECT subj_key, {i}, mmr_ppm FROM s{i})""")
+    return f"""
+WITH cds AS MATERIALIZED ({_sql_kg_cds_body()}),
+ranked AS (
+  SELECT c.subj_key, round(sum(c.score * q.q_score), 6) AS search_score
+  FROM cds c JOIN {qv} ON q.concept_id = c.cds_concept
+  GROUP BY c.subj_key),
+cand AS (
+  SELECT subj_key,
+         row_number() OVER (ORDER BY search_score DESC, subj_key ASC)
+           AS rnk
+  FROM ranked ORDER BY search_score DESC, subj_key ASC LIMIT {MMR_K}),
+rel AS (SELECT subj_key,
+               ({MMR_K} - rnk + 1) * 1000000 // {MMR_K} AS rel_ppm
+        FROM cand),
+csets AS (
+  SELECT DISTINCT c.subj_key, c.cds_concept
+  FROM cds c JOIN cand ON cand.subj_key = c.subj_key),
+sizes AS (SELECT subj_key, count(*) AS n FROM csets GROUP BY 1),
+inter AS (
+  SELECT a.subj_key AS a, b.subj_key AS b, count(*) AS i
+  FROM csets a JOIN csets b
+       ON a.cds_concept = b.cds_concept AND a.subj_key < b.subj_key
+  GROUP BY 1, 2),
+sims AS (
+  SELECT i.a, i.b, i.i * 1000000 // (sa.n + sb.n - i.i) AS sim_ppm
+  FROM inter i JOIN sizes sa ON sa.subj_key = i.a
+               JOIN sizes sb ON sb.subj_key = i.b),
+sims2 AS (SELECT a, b, sim_ppm FROM sims
+          UNION ALL SELECT b, a, sim_ppm FROM sims),
+s1 AS (
+  SELECT subj_key,
+         ({lam} * rel_ppm + {lam_c} * 1000000) // 10 AS mmr_ppm
+  FROM rel ORDER BY rel_ppm DESC, subj_key ASC LIMIT 1),
+sel1 AS (SELECT subj_key, 1 AS mmr_rank, mmr_ppm FROM s1),
+{', '.join(steps)}
+SELECT subj_key, CAST(mmr_rank AS INT) AS mmr_rank,
+       CAST(mmr_ppm AS BIGINT) AS mmr_ppm
+FROM sel{MMR_SELECT}
 """
