@@ -3431,6 +3431,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_assortativity": q_kg_assortativity,
         "kg_sameas_closure": q_kg_sameas_closure,
         "kg_search_mmr": q_kg_search_mmr,
+        "sim_rrf_fusion": q_sim_rrf_fusion,
+        "rel_attribution": q_rel_attribution,
     }
 
 
@@ -3666,6 +3668,8 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_assortativity": _sql_kg_assortativity(),
         "kg_sameas_closure": _sql_kg_sameas_closure(),
         "kg_search_mmr": _sql_kg_search_mmr(),
+        "sim_rrf_fusion": _sql_sim_rrf_fusion(),
+        "rel_attribution": _sql_rel_attribution(),
     }
 
 
@@ -11576,4 +11580,210 @@ sel1 AS (SELECT subj_key, 1 AS mmr_rank, mmr_ppm FROM s1),
 SELECT subj_key, CAST(mmr_rank AS INT) AS mmr_rank,
        CAST(mmr_ppm AS BIGINT) AS mmr_ppm
 FROM sel{MMR_SELECT}
+"""
+
+
+RRF_C = 60    # the standard RRF damping constant [K]
+RRF_N = 25    # per-leg candidate depth
+RRF_TOP = 10  # fused results returned
+
+
+def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval reciprocal-rank fusion (Cormack-Clarke RRF
+    [K]): fuse the lexical BM25 ranking (operators/curation.py
+    bm25_topk over the fixed BM25_TERMS query) with the semantic
+    embedding-cosine ranking (query vector = vec_id 0 against the
+    candidate corpus) by rrf = sum over legs of 1e6 // (C + rank) —
+    pure BIGINT once each leg's rank is fixed, so fusion is bit-exact
+    cross-engine. Docs surfaced by only one leg keep that leg's term
+    (standard union semantics); the fused top-RRF_TOP is returned with
+    both leg ranks for audit.
+
+    Shape: each leg is a distributed score + TakeOrdered limit; rank
+    windows run over the <= RRF_N-row limited result only (the
+    limit-then-rank discipline); the fusion join is a full outer join
+    of two constant-size rank lists."""
+    from ..operators.curation import bm25_topk
+    lex = bm25_topk(_docs(spark, sf_dir), BM25_TERMS, k=RRF_N)
+    wl = Window.orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+    lex_rk = (lex.withColumn("lex_rk", F.row_number().over(wl))
+              .select("doc_id", "lex_rk"))
+    e = _tbl(spark, sf_dir, "embeddings")
+    dbl = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    q = (e.filter(F.col("vec_id") == 0)
+         .select(dbl("embedding").alias("qv")))
+    c = (e.filter(F.col("vec_id") >= N_QUERY_VECS)
+         .select(F.col("vec_id").alias("doc_id"), dbl("embedding").alias("cv")))
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    norm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(F.col(col), lambda x: x * x), F.lit(0.0),
+        lambda a, v: a + v))
+    sem_top = (c.crossJoin(F.broadcast(q))
+               .withColumn("cos", F.round(dot / (norm("qv") * norm("cv")), 6))
+               .orderBy(F.desc("cos"), F.asc("doc_id")).limit(RRF_N))
+    ws = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    sem_rk = (sem_top.withColumn("sem_rk", F.row_number().over(ws))
+              .select("doc_id", "sem_rk"))
+    fused = (lex_rk.join(sem_rk, "doc_id", "full_outer")
+             .withColumn("rrf_ppm", F.expr(
+                 f"coalesce(1000000 DIV ({RRF_C} + lex_rk), 0)"
+                 f" + coalesce(1000000 DIV ({RRF_C} + sem_rk), 0)")))
+    top = fused.orderBy(F.desc("rrf_ppm"), F.asc("doc_id")).limit(RRF_TOP)
+    wf = Window.orderBy(F.desc("rrf_ppm"), F.asc("doc_id"))
+    return (top.withColumn("fused_rank", F.row_number().over(wf))
+            .select("doc_id", "lex_rk", "sem_rk", "rrf_ppm", "fused_rank"))
+
+
+def _sql_sim_rrf_fusion() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dlen AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, CAST(sum(dlen) AS BIGINT) AS tot
+          FROM dlen),
+qtf AS (SELECT doc_id, tok, tf FROM tf WHERE tok IN ({terms})),
+dfreq AS (SELECT tok, count(*) AS df FROM qtf GROUP BY tok),
+scored AS (
+  SELECT q.doc_id,
+         CAST(round(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (q.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+           / (q.tf + CAST(1.2 AS DOUBLE)
+              * (1.0 - CAST(0.75 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * dl.dlen
+                   / (CAST(s.tot AS DOUBLE) / s.n_docs)))
+           * CAST(1000000 AS DOUBLE), 0) AS BIGINT) AS term_ppm
+  FROM qtf q JOIN dfreq d ON d.tok = q.tok
+       JOIN dlen dl ON dl.doc_id = q.doc_id CROSS JOIN stats s),
+lex AS (
+  SELECT doc_id, CAST(sum(term_ppm) AS BIGINT) AS score_ppm
+  FROM scored GROUP BY doc_id
+  ORDER BY score_ppm DESC, doc_id ASC LIMIT {RRF_N}),
+lex_rk AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score_ppm DESC, doc_id ASC)
+           AS lex_rk
+  FROM lex),
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT c.vec_id AS doc_id,
+         round(
+           (SELECT sum(cast(x AS DOUBLE) * cast(y AS DOUBLE))
+            FROM (SELECT unnest(q.qv) AS x, unnest(c.embedding) AS y))
+           / (sqrt((SELECT sum(cast(x AS DOUBLE) * cast(x AS DOUBLE))
+                    FROM (SELECT unnest(q.qv) AS x)))
+              * sqrt((SELECT sum(cast(y AS DOUBLE) * cast(y AS DOUBLE))
+                      FROM (SELECT unnest(c.embedding) AS y)))),
+           6) AS cos
+  FROM embeddings c CROSS JOIN qv q
+  WHERE c.vec_id >= {N_QUERY_VECS}
+  ORDER BY cos DESC, doc_id ASC LIMIT {RRF_N}),
+sem_rk AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC)
+           AS sem_rk
+  FROM sem),
+fused AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rk, s.sem_rk,
+         coalesce(1000000 // ({RRF_C} + l.lex_rk), 0)
+         + coalesce(1000000 // ({RRF_C} + s.sem_rk), 0) AS rrf_ppm
+  FROM lex_rk l FULL OUTER JOIN sem_rk s ON s.doc_id = l.doc_id),
+top AS (SELECT * FROM fused ORDER BY rrf_ppm DESC, doc_id ASC
+        LIMIT {RRF_TOP})
+SELECT doc_id, CAST(lex_rk AS INT) AS lex_rk,
+       CAST(sem_rk AS INT) AS sem_rk,
+       CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+       CAST(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id ASC) AS INT)
+         AS fused_rank
+FROM top
+"""
+
+
+ATTR_CONV_TYPE = "purchase"   # the conversion event
+ATTR_U_END_PPM = 400_000      # U-shaped: 40% first, 40% last, 20% middle
+
+
+def q_rel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution [K] over the
+    events stream: each purchase's value is attributed to the same
+    user's PRECEDING non-purchase touches — 40% to the first touch,
+    40% to the last, the middle 20% split evenly (exact ppm; integer
+    remainder goes to the first touch; 1 touch takes 100%, 2 take
+    50/50). Conversion value enters as exact cents and every weight is
+    BIGINT ppm, so the per-channel rollup is bit-exact cross-engine.
+
+    Shape: the touch-to-conversion match is a user-keyed equi-join
+    with a timestamp predicate (per-user interval join — the same
+    shape as sessionized attribution at warehouse scale); position
+    and touch-count windows partition BY CONVERSION (keyed, bounded by
+    a user's history, never global); the rollup is one hash agg."""
+    ev = _tbl(spark, sf_dir, "events")
+    conv = (ev.filter(F.col("event_type") == ATTR_CONV_TYPE)
+            .select(F.col("event_id").alias("conv_id"),
+                    F.col("user_id"), F.col("ts").alias("conv_ts"),
+                    F.round(F.col("value") * 100, 0).cast("long")
+                    .alias("conv_cents")))
+    touch = (ev.filter(F.col("event_type") != ATTR_CONV_TYPE)
+             .select("user_id", F.col("event_id").alias("touch_id"),
+                     F.col("event_type"), F.col("ts").alias("touch_ts")))
+    pairs = conv.join(touch, "user_id").filter(
+        (F.col("touch_ts") < F.col("conv_ts"))
+        | ((F.col("touch_ts") == F.col("conv_ts"))
+           & (F.col("touch_id") < F.col("conv_id"))))
+    wp = Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
+    wn = Window.partitionBy("conv_id")
+    mid = 1_000_000 - 2 * ATTR_U_END_PPM
+    weighted = (pairs
+                .withColumn("pos", F.row_number().over(wp))
+                .withColumn("n", F.count(F.lit(1)).over(wn))
+                .withColumn("w_ppm", F.expr(f"""
+        CASE WHEN n = 1 THEN 1000000
+             WHEN n = 2 THEN 500000
+             WHEN pos = 1 THEN {ATTR_U_END_PPM} + {mid} % (n - 2)
+             WHEN pos = n THEN {ATTR_U_END_PPM}
+             ELSE {mid} DIV (n - 2) END""")))
+    return (weighted.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("touches"),
+                 F.countDistinct("conv_id").alias("conversions"),
+                 F.sum(F.col("conv_cents") * F.col("w_ppm"))
+                 .alias("attr_micro"))
+            .withColumn("attr_cents",
+                        F.expr("attr_micro DIV 1000000")))
+
+
+def _sql_rel_attribution() -> str:
+    mid = 1_000_000 - 2 * ATTR_U_END_PPM
+    return f"""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts AS conv_ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS conv_cents
+  FROM events WHERE event_type = '{ATTR_CONV_TYPE}'),
+touch AS (
+  SELECT user_id, event_id AS touch_id, event_type, ts AS touch_ts
+  FROM events WHERE event_type <> '{ATTR_CONV_TYPE}'),
+pairs AS (
+  SELECT c.conv_id, c.conv_cents, t.touch_id, t.event_type,
+         row_number() OVER (PARTITION BY c.conv_id
+                            ORDER BY t.touch_ts, t.touch_id) AS pos,
+         count(*) OVER (PARTITION BY c.conv_id) AS n
+  FROM conv c JOIN touch t ON t.user_id = c.user_id
+       AND (t.touch_ts < c.conv_ts
+            OR (t.touch_ts = c.conv_ts AND t.touch_id < c.conv_id))),
+weighted AS (
+  SELECT conv_id, conv_cents, event_type,
+         CASE WHEN n = 1 THEN 1000000
+              WHEN n = 2 THEN 500000
+              WHEN pos = 1 THEN {ATTR_U_END_PPM} + {mid} % (n - 2)
+              WHEN pos = n THEN {ATTR_U_END_PPM}
+              ELSE {mid} // (n - 2) END AS w_ppm
+  FROM pairs)
+SELECT event_type,
+       count(*) AS touches,
+       count(DISTINCT conv_id) AS conversions,
+       CAST(sum(conv_cents * w_ppm) AS BIGINT) AS attr_micro,
+       CAST(sum(conv_cents * w_ppm) // 1000000 AS BIGINT) AS attr_cents
+FROM weighted GROUP BY 1
 """
