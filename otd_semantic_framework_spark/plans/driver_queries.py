@@ -3433,6 +3433,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_search_mmr": q_kg_search_mmr,
         "sim_rrf_fusion": q_sim_rrf_fusion,
         "rel_attribution": q_rel_attribution,
+        "rel_basket_rules": q_rel_basket_rules,
+        "sim_cluster_ari": q_sim_cluster_ari,
     }
 
 
@@ -3670,6 +3672,8 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_search_mmr": _sql_kg_search_mmr(),
         "sim_rrf_fusion": _sql_sim_rrf_fusion(),
         "rel_attribution": _sql_rel_attribution(),
+        "rel_basket_rules": _sql_rel_basket_rules(),
+        "sim_cluster_ari": _sql_sim_cluster_ari(),
     }
 
 
@@ -11786,4 +11790,158 @@ SELECT event_type,
        CAST(sum(conv_cents * w_ppm) AS BIGINT) AS attr_micro,
        CAST(sum(conv_cents * w_ppm) // 1000000 AS BIGINT) AS attr_cents
 FROM weighted GROUP BY 1
+"""
+
+
+BASKET_MIN_SUP = 3  # minimum pair support for an emitted rule
+
+
+def q_rel_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over the order line items
+    (Agrawal-Srikant support/confidence/lift [K]): baskets are the
+    distinct parts of an order; every co-bought part pair with support
+    >= BASKET_MIN_SUP emits both directed rules with confidence =
+    sup*1e6//sup(antecedent) and lift = sup*N*1e6//(sup_a*sup_c) in
+    exact ppm — the classic cross-sell read, and the relational twin
+    of the KG's concept-lift operator.
+
+    Shape: the pair generation is a self-join keyed on the order key,
+    quadratic only in BASKET SIZE (TPC-H-shaped orders hold <= ~10
+    parts — the same bounded-key argument as the concept-lift join);
+    item supports join back part-keyed; the order count enters as a
+    broadcast 1-row aggregate. No windows, nothing global."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    b = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")).distinct()
+    n_orders = b.select("o").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders"))
+    item = b.groupBy("p").agg(F.count(F.lit(1)).alias("sup_item"))
+    pa = b.select(F.col("o"), F.col("p").alias("pa"))
+    pb = b.select(F.col("o"), F.col("p").alias("pb"))
+    pairs = (pa.join(pb, "o").filter(F.col("pa") < F.col("pb"))
+             .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("support"))
+             .filter(F.col("support") >= BASKET_MIN_SUP))
+    rules = (pairs.select(F.col("pa").alias("antecedent"),
+                          F.col("pb").alias("consequent"), "support")
+             .unionByName(
+                 pairs.select(F.col("pb").alias("antecedent"),
+                              F.col("pa").alias("consequent"), "support")))
+    return (rules
+            .join(item.select(F.col("p").alias("antecedent"),
+                              F.col("sup_item").alias("sup_a")),
+                  "antecedent")
+            .join(item.select(F.col("p").alias("consequent"),
+                              F.col("sup_item").alias("sup_c")),
+                  "consequent")
+            .crossJoin(F.broadcast(n_orders))
+            .select("antecedent", "consequent", "support",
+                    F.expr("support * 1000000 DIV sup_a")
+                    .alias("conf_ppm"),
+                    F.expr("support * n_orders * 1000000"
+                           " DIV (sup_a * sup_c)").alias("lift_ppm")))
+
+
+def _sql_rel_basket_rules() -> str:
+    return f"""
+WITH b AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT count(DISTINCT o) AS n_orders FROM b),
+item AS (SELECT p, count(*) AS sup_item FROM b GROUP BY p),
+pairs AS (
+  SELECT a.p AS pa, c.p AS pb, count(*) AS support
+  FROM b a JOIN b c ON c.o = a.o AND a.p < c.p
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_SUP}),
+rules AS (
+  SELECT pa AS antecedent, pb AS consequent, support FROM pairs
+  UNION ALL
+  SELECT pb, pa, support FROM pairs)
+SELECT r.antecedent, r.consequent, r.support,
+       CAST(r.support * 1000000 // ia.sup_item AS BIGINT) AS conf_ppm,
+       CAST(r.support * n.n_orders * 1000000
+            // (ia.sup_item * ic.sup_item) AS BIGINT) AS lift_ppm
+FROM rules r
+JOIN item ia ON ia.p = r.antecedent
+JOIN item ic ON ic.p = r.consequent
+CROSS JOIN n
+"""
+
+
+def q_sim_cluster_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-stability evaluation via the Adjusted Rand Index
+    (Hubert-Arabie ARI [K]) between the 1-round and KMEANS_ITERS-round
+    exact-integer Lloyd clusterings — "how much does one more
+    synchronous update reshuffle the partition", the convergence
+    diagnostic an IVF-training pipeline watches. Both clusterings
+    share the deterministic seed and training prefix, so the
+    contingency table is reproducible bit-for-bit; all pair counts
+    (C(x,2)) are exact BIGINT and only the final signed ratio is a
+    double under the repo's round(x,6) + 0.0 convention (plain /,
+    never integer DIV — the sign makes floor-vs-truncate an engine
+    hazard). The BIGINT sums are promoted to DOUBLE before the big
+    products so the formula stays overflow-safe at corpus scale.
+
+    Shape: two broadcast-centroid assignments, one (c1, c2)-keyed
+    contingency agg (at most k*k rows), margin aggs over k rows, and a
+    crossJoin of four 1-row aggregates. Nothing global, no windows."""
+    from ..operators.simsearch import kmeans_lloyd_exact, \
+        quantize_embeddings
+    qz = quantize_embeddings(_tbl(spark, sf_dir, "embeddings"))
+    f1 = (kmeans_lloyd_exact(qz, k=KMEANS_K, iters=1)
+          .select("vec_id", F.col("cluster").alias("ca")))
+    f2 = (kmeans_lloyd_exact(qz, k=KMEANS_K, iters=KMEANS_ITERS)
+          .select("vec_id", F.col("cluster").alias("cb")))
+    j = f1.join(f2, "vec_id")
+    ct = j.groupBy("ca", "cb").agg(F.count(F.lit(1)).alias("nij"))
+    idx = ct.agg(F.sum(F.expr("nij * (nij - 1) DIV 2")).alias("idx"))
+    a2 = (j.groupBy("ca").agg(F.count(F.lit(1)).alias("cnt"))
+          .agg(F.sum(F.expr("cnt * (cnt - 1) DIV 2")).alias("a2")))
+    b2 = (j.groupBy("cb").agg(F.count(F.lit(1)).alias("cnt"))
+          .agg(F.sum(F.expr("cnt * (cnt - 1) DIV 2")).alias("b2")))
+    nn = j.agg(F.count(F.lit(1)).alias("n"))
+    return (idx.crossJoin(a2).crossJoin(b2).crossJoin(nn)
+            .select("n", "idx", "a2", "b2",
+                    F.expr("""
+        round((2.0 * (CAST(idx AS DOUBLE) * (CAST(n AS DOUBLE)
+                      * (n - 1.0) / 2.0)
+                      - CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE)))
+              / ((CAST(a2 AS DOUBLE) + CAST(b2 AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * (n - 1.0) / 2.0)
+                 - 2.0 * CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE)),
+              6) + 0.0""").alias("ari")))
+
+
+def _sql_sim_cluster_ari() -> str:
+    body, prev = _sql_kmeans_ctes()
+    dist = _sql_kmeans_dist()
+    prev1 = f"c{KMEANS_ITERS - 1}"
+    return f"""
+WITH {body},
+fa AS (
+  SELECT v.vec_id, c.cid AS ca, {dist} AS sq
+  FROM q8 v, {prev1} c
+  QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                             ORDER BY sq, c.cid) = 1),
+fb AS (
+  SELECT v.vec_id, c.cid AS cb, {dist} AS sq
+  FROM q8 v, {prev} c
+  QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                             ORDER BY sq, c.cid) = 1),
+jj AS (SELECT fa.vec_id, fa.ca, fb.cb FROM fa JOIN fb USING (vec_id)),
+ctab AS (SELECT ca, cb, count(*) AS nij FROM jj GROUP BY 1, 2),
+s_idx AS (SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS idx FROM ctab),
+s_a2 AS (SELECT CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS a2
+       FROM (SELECT ca, count(*) AS cnt FROM jj GROUP BY ca)),
+s_b2 AS (SELECT CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS b2
+       FROM (SELECT cb, count(*) AS cnt FROM jj GROUP BY cb)),
+s_nn AS (SELECT count(*) AS n FROM jj)
+SELECT n, idx, a2, b2,
+       round((2.0 * (CAST(idx AS DOUBLE) * (CAST(n AS DOUBLE)
+                     * (n - 1.0) / 2.0)
+                     - CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE)))
+             / ((CAST(a2 AS DOUBLE) + CAST(b2 AS DOUBLE))
+                * (CAST(n AS DOUBLE) * (n - 1.0) / 2.0)
+                - 2.0 * CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE)),
+             6) + 0.0 AS ari
+FROM s_idx CROSS JOIN s_a2 CROSS JOIN s_b2 CROSS JOIN s_nn
 """
