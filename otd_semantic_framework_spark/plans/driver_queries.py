@@ -3435,6 +3435,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_attribution": q_rel_attribution,
         "rel_basket_rules": q_rel_basket_rules,
         "sim_cluster_ari": q_sim_cluster_ari,
+        "rel_rfm": q_rel_rfm,
+        "sim_prefix_recall": q_sim_prefix_recall,
     }
 
 
@@ -3674,6 +3676,8 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_attribution": _sql_rel_attribution(),
         "rel_basket_rules": _sql_rel_basket_rules(),
         "sim_cluster_ari": _sql_sim_cluster_ari(),
+        "rel_rfm": _sql_rel_rfm(),
+        "sim_prefix_recall": _sql_sim_prefix_recall(),
     }
 
 
@@ -11944,4 +11948,193 @@ SELECT n, idx, a2, b2,
                 - 2.0 * CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE)),
              6) + 0.0 AS ari
 FROM s_idx CROSS JOIN s_a2 CROSS JOIN s_b2 CROSS JOIN s_nn
+"""
+
+
+RFM_R_DAYS = (90, 180, 365, 730)           # recency score breakpoints
+RFM_F_ORDERS = (15, 12, 9, 6)              # frequency breakpoints
+RFM_M_CENTS = (450_000_000, 350_000_000,   # monetary breakpoints
+               250_000_000, 150_000_000)
+
+
+def _rfm_case(col: str, breaks: tuple, asc: bool) -> str:
+    """5..1 CASE score; asc=True means smaller is better (recency)."""
+    op = "<=" if asc else ">="
+    arms = " ".join(f"WHEN {col} {op} {b} THEN {5 - i}"
+                    for i, b in enumerate(breaks))
+    return f"CASE {arms} ELSE 1 END"
+
+
+def q_rel_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation [K: recency/frequency/monetary] over
+    the orders table — days since last order (vs the corpus max date),
+    order count, lifetime spend in exact cents, each scored 1..5 on
+    FIXED documented breakpoints (rank-free on purpose: quantile
+    scoring would need a partitionless ntile over every customer — the
+    exact window shape this repo bans — and fixed breaks are what a
+    production scorecard pins anyway), plus the classic named segment.
+
+    Shape: one customer-keyed hash agg, the corpus max date as a
+    broadcast 1-row aggregate, then pure map-side CASE scoring. All
+    arithmetic integer (days, counts, cents)."""
+    o = _tbl(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("corpus_max"))
+    per_c = (o.groupBy("o_custkey")
+             .agg(F.max("o_orderdate").alias("last_order"),
+                  F.count(F.lit(1)).alias("frequency"),
+                  F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                        .cast("long")).alias("monetary_cents")))
+    scored = (per_c.crossJoin(F.broadcast(maxd))
+              .withColumn("recency_days",
+                          F.datediff("corpus_max", "last_order"))
+              .withColumn("r_score", F.expr(
+                  _rfm_case("recency_days", RFM_R_DAYS, asc=True)))
+              .withColumn("f_score", F.expr(
+                  _rfm_case("frequency", RFM_F_ORDERS, asc=False)))
+              .withColumn("m_score", F.expr(
+                  _rfm_case("monetary_cents", RFM_M_CENTS, asc=False))))
+    return scored.select(
+        F.col("o_custkey").alias("custkey"), "recency_days",
+        "frequency", "monetary_cents", "r_score", "f_score", "m_score",
+        F.expr("""
+            CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                 WHEN r_score >= 4 THEN 'recent'
+                 WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                 WHEN r_score <= 2 AND f_score <= 2 THEN 'lost'
+                 ELSE 'regular' END""").alias("segment"))
+
+
+def _sql_rel_rfm() -> str:
+    return f"""
+WITH maxd AS (SELECT max(o_orderdate) AS corpus_max FROM orders),
+per_c AS (
+  SELECT o_custkey AS custkey, max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY 1),
+scored AS (
+  SELECT custkey,
+         CAST(date_diff('day', last_order, corpus_max) AS INT)
+           AS recency_days,
+         frequency, monetary_cents
+  FROM per_c CROSS JOIN maxd),
+s2 AS (
+  SELECT *,
+         {_rfm_case("recency_days", RFM_R_DAYS, asc=True)} AS r_score,
+         {_rfm_case("frequency", RFM_F_ORDERS, asc=False)} AS f_score,
+         {_rfm_case("monetary_cents", RFM_M_CENTS, asc=False)} AS m_score
+  FROM scored)
+SELECT custkey, recency_days, frequency, monetary_cents,
+       CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score >= 4 THEN 'recent'
+            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'lost'
+            ELSE 'regular' END AS segment
+FROM s2
+"""
+
+
+PREFIX_DIMS = 16       # truncated head of the 64-dim embedding
+PREFIX_RECALL_K = 10   # top-k depth compared
+
+
+def q_sim_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation [K: MRL]: recall@k of
+    cosine top-k computed on the first PREFIX_DIMS dimensions against
+    the full-dimension top-k, per query — the measurement that decides
+    how many dimensions a cheap first-pass ANN index can drop. Overlap
+    and recall are exact integers (ppm); both rankings share the
+    deterministic (cos desc, cid asc) tie discipline.
+
+    Shape: identical to the brute cosine baseline — the tiny query set
+    broadcast against the corpus, per-query keyed rank windows, then
+    one equi-join of the two k-row-per-query lists and a qid-keyed
+    count. The prefix leg reads the SAME column sliced, so no second
+    scan materializes at the storage layer."""
+    e = _tbl(spark, sf_dir, "embeddings")
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
+         .select(F.col("vec_id").alias("qid"),
+                 dbl(F.col("embedding")).alias("qv"),
+                 dbl(F.slice("embedding", 1, PREFIX_DIMS)).alias("qp")))
+    c = (e.filter(F.col("vec_id") >= N_QUERY_VECS)
+         .select(F.col("vec_id").alias("cid"),
+                 dbl(F.col("embedding")).alias("cv"),
+                 dbl(F.slice("embedding", 1, PREFIX_DIMS)).alias("cp")))
+
+    def cos(a, b):
+        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, v: acc + v)
+        nrm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
+            F.transform(col, lambda x: x * x), F.lit(0.0),
+            lambda acc, v: acc + v))
+        return F.round(dot / (nrm(a) * nrm(b)), 6)
+
+    pairs = (q.crossJoin(F.broadcast(c))
+             .withColumn("cos_full", cos(F.col("qv"), F.col("cv")))
+             .withColumn("cos_pre", cos(F.col("qp"), F.col("cp"))))
+    wf = Window.partitionBy("qid").orderBy(F.desc("cos_full"),
+                                           F.asc("cid"))
+    wp = Window.partitionBy("qid").orderBy(F.desc("cos_pre"),
+                                           F.asc("cid"))
+    full_k = (pairs.withColumn("rk", F.row_number().over(wf))
+              .filter(F.col("rk") <= PREFIX_RECALL_K)
+              .select("qid", "cid"))
+    pre_k = (pairs.withColumn("rk", F.row_number().over(wp))
+             .filter(F.col("rk") <= PREFIX_RECALL_K)
+             .select("qid", "cid"))
+    hits = (full_k.join(pre_k, ["qid", "cid"], "left_semi")
+            .groupBy("qid").agg(F.count(F.lit(1)).alias("overlap")))
+    return (full_k.select("qid").distinct()
+            .join(hits, "qid", "left")
+            .select("qid",
+                    F.coalesce(F.col("overlap"), F.lit(0))
+                    .cast("long").alias("overlap"))
+            .withColumn("recall_ppm", F.expr(
+                f"overlap * 1000000 DIV {PREFIX_RECALL_K}")))
+
+
+def _sql_sim_prefix_recall() -> str:
+    def cos_sql(qcol, ccol):
+        return f"""round(
+           (SELECT sum(cast(x AS DOUBLE) * cast(y AS DOUBLE))
+            FROM (SELECT unnest({qcol}) AS x, unnest({ccol}) AS y))
+           / (sqrt((SELECT sum(cast(x AS DOUBLE) * cast(x AS DOUBLE))
+                    FROM (SELECT unnest({qcol}) AS x)))
+              * sqrt((SELECT sum(cast(y AS DOUBLE) * cast(y AS DOUBLE))
+                      FROM (SELECT unnest({ccol}) AS y)))), 6)"""
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+                  embedding[1:{PREFIX_DIMS}] AS qp
+           FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+c AS (SELECT vec_id AS cid, embedding AS cv,
+             embedding[1:{PREFIX_DIMS}] AS cp
+      FROM embeddings WHERE vec_id >= {N_QUERY_VECS}),
+pairs AS MATERIALIZED (
+  SELECT q.qid, c.cid,
+         {cos_sql('q.qv', 'c.cv')} AS cos_full,
+         {cos_sql('q.qp', 'c.cp')} AS cos_pre
+  FROM q CROSS JOIN c),
+full_k AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+           ORDER BY cos_full DESC, cid ASC) AS rk FROM pairs)
+  WHERE rk <= {PREFIX_RECALL_K}),
+pre_k AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+           ORDER BY cos_pre DESC, cid ASC) AS rk FROM pairs)
+  WHERE rk <= {PREFIX_RECALL_K}),
+hits AS (
+  SELECT f.qid, count(*) AS overlap
+  FROM full_k f JOIN pre_k p ON p.qid = f.qid AND p.cid = f.cid
+  GROUP BY 1)
+SELECT f.qid, CAST(coalesce(h.overlap, 0) AS BIGINT) AS overlap,
+       CAST(coalesce(h.overlap, 0) * 1000000 // {PREFIX_RECALL_K}
+            AS BIGINT) AS recall_ppm
+FROM (SELECT DISTINCT qid FROM full_k) f
+LEFT JOIN hits h ON h.qid = f.qid
 """
