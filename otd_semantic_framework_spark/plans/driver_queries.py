@@ -3437,6 +3437,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cluster_ari": q_sim_cluster_ari,
         "rel_rfm": q_rel_rfm,
         "sim_prefix_recall": q_sim_prefix_recall,
+        "curation_keep_list": q_curation_keep_list,
+        "sim_conv_pool": q_sim_conv_pool,
     }
 
 
@@ -3678,6 +3680,8 @@ def build_oracle_sql() -> dict[str, str]:
         "sim_cluster_ari": _sql_sim_cluster_ari(),
         "rel_rfm": _sql_rel_rfm(),
         "sim_prefix_recall": _sql_sim_prefix_recall(),
+        "curation_keep_list": _sql_curation_keep_list(),
+        "sim_conv_pool": _sql_sim_conv_pool(),
     }
 
 
@@ -12137,4 +12141,167 @@ SELECT f.qid, CAST(coalesce(h.overlap, 0) AS BIGINT) AS overlap,
             AS BIGINT) AS recall_ppm
 FROM (SELECT DISTINCT qid FROM full_k) f
 LEFT JOIN hits h ON h.qid = f.qid
+"""
+
+
+KEEP_MIN_TOKENS = 20   # short-doc gate
+KEEP_TTR_PCT = 35      # lexical-diversity gate: distinct*100 < n*35
+
+
+def q_curation_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation decision — the keep/drop list with reason
+    codes that an ingestion pipeline actually ships [K: RefinedWeb /
+    FineWeb-style gate cascades]. Gates fire in a fixed documented
+    order and the FIRST failure names the reason: (1) near-dup
+    non-survivor (the SAMEAS_PREFIX fingerprint group, canonical = min
+    doc_id keeps), (2) too short (< KEEP_MIN_TOKENS whitespace
+    tokens), (3) low lexical diversity (distinct*100 < n*KEEP_TTR_PCT
+    — integer cross-multiply, no float ratio crosses engines), else
+    kept. One row per document, keep flag + reason.
+
+    Shape: the dup gate is one fingerprint-keyed hash agg joined back
+    doc-keyed; every other gate is map-side token arithmetic. No
+    windows, nothing global — the exact cascade shape that runs as one
+    pass over a 100-TB corpus."""
+    d = _docs(spark, sf_dir)
+    fp = d.select("doc_id",
+                  F.substring(F.lower("text"), 1, SAMEAS_PREFIX)
+                  .alias("fp"))
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canon_doc"))
+    toks = F.filter(F.split(F.lower(F.col("text")), " "),
+                    lambda t: t != "")
+    gated = (d.select("doc_id",
+                      F.size(toks).alias("n_tokens"),
+                      F.size(F.array_distinct(toks)).alias("n_distinct"))
+             .join(fp, "doc_id").join(canon, "fp"))
+    reason = F.when(F.col("doc_id") != F.col("canon_doc"),
+                    F.lit("near_dup")) \
+        .when(F.col("n_tokens") < KEEP_MIN_TOKENS, F.lit("too_short")) \
+        .when(F.col("n_distinct") * 100
+              < F.col("n_tokens") * KEEP_TTR_PCT, F.lit("low_ttr")) \
+        .otherwise(F.lit("kept"))
+    return (gated.select("doc_id", reason.alias("reason"))
+            .withColumn("keep", (F.col("reason") == "kept").cast("int")))
+
+
+def _sql_curation_keep_list() -> str:
+    return f"""
+WITH fp AS (
+  SELECT doc_id, substr(lower(text), 1, {SAMEAS_PREFIX}) AS fp,
+         list_filter(string_split(lower(text), ' '), x -> x <> '')
+           AS toks
+  FROM documents),
+canon AS (SELECT fp, min(doc_id) AS canon_doc FROM fp GROUP BY fp),
+gated AS (
+  SELECT f.doc_id, len(f.toks) AS n_tokens,
+         len(list_distinct(f.toks)) AS n_distinct, c.canon_doc
+  FROM fp f JOIN canon c ON c.fp = f.fp)
+SELECT doc_id,
+       CASE WHEN doc_id <> canon_doc THEN 'near_dup'
+            WHEN n_tokens < {KEEP_MIN_TOKENS} THEN 'too_short'
+            WHEN n_distinct * 100 < n_tokens * {KEEP_TTR_PCT}
+              THEN 'low_ttr'
+            ELSE 'kept' END AS reason,
+       CAST(CASE WHEN doc_id <> canon_doc THEN 0
+                 WHEN n_tokens < {KEEP_MIN_TOKENS} THEN 0
+                 WHEN n_distinct * 100 < n_tokens * {KEEP_TTR_PCT}
+                   THEN 0 ELSE 1 END AS INT) AS keep
+FROM gated
+"""
+
+
+POOL_SIGN_BITS = 4   # sign-bucket width for the pooled-neighbor join
+POOL_TOP = 3         # neighbors returned per conversation
+
+
+def q_sim_conv_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical embedding pooling + bucketed neighbor join: mean-
+    pool the int8-quantized document embeddings per conversation
+    (exact integer mean via the (sum+127*n)//n-127 shift — the same
+    engine-portable trick as the Lloyd update), then find each
+    conversation's POOL_TOP nearest conversations by integer dot
+    product among SIGN-BUCKET collisions (first POOL_SIGN_BITS pooled
+    dims) — the doc->passage->corpus rollup a retrieval pipeline runs
+    to build coarse conversation-level routing.
+
+    Shape: pooling is one (conv, dim)-keyed hash agg + one conv-keyed
+    re-assembly; the candidate join is an equi-join on the sign bucket
+    (never all-pairs — the LSH-family argument every ANN path in this
+    repo uses); ranking windows are conv-keyed."""
+    from ..operators.simsearch import quantize_embeddings
+    qz = quantize_embeddings(_tbl(spark, sf_dir, "embeddings"))
+    dims = (qz.select((F.col("vec_id") % N_CONVS).cast("int")
+                      .alias("conv"),
+                      F.posexplode("qvec").alias("pos", "v"))
+            .groupBy("conv", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")))
+    pool = (dims.withColumn("pv", F.expr("(s + 127 * n) DIV n - 127"))
+            .groupBy("conv")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "pv"))),
+                lambda x: x.pv).alias("pvec")))
+    bucket = sum((F.when(F.element_at("pvec", i + 1) >= 0, 2 ** i)
+                  .otherwise(0)) for i in range(POOL_SIGN_BITS))
+    pb = pool.withColumn("bucket", bucket.cast("int"))
+    a = pb.select(F.col("conv").alias("ca"), F.col("pvec").alias("va"),
+                  "bucket")
+    b = pb.select(F.col("conv").alias("cb"), F.col("pvec").alias("vb"),
+                  "bucket")
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, v: acc + v)
+    pairs = (a.join(b, "bucket").filter(F.col("ca") < F.col("cb"))
+             .withColumn("dot", dot).select("ca", "cb", "dot"))
+    both = (pairs.select(F.col("ca").alias("conv"),
+                         F.col("cb").alias("neighbor"), "dot")
+            .unionByName(pairs.select(F.col("cb").alias("conv"),
+                                      F.col("ca").alias("neighbor"),
+                                      "dot")))
+    w = Window.partitionBy("conv").orderBy(F.desc("dot"),
+                                           F.asc("neighbor"))
+    return (both.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= POOL_TOP)
+            .select("conv", "neighbor", "dot", "rk"))
+
+
+def _sql_sim_conv_pool() -> str:
+    bits = " + ".join(
+        f"CASE WHEN pvec[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END"
+        for i in range(POOL_SIGN_BITS))
+    return f"""
+WITH q8 AS (
+  SELECT vec_id,
+         CASE WHEN ma = 0 THEN list_transform(d, x -> 0)
+              ELSE list_transform(d, x -> CAST(round(x * 127.0 / ma, 0)
+                                               AS INT))
+         END AS qvec
+  FROM (SELECT vec_id, d,
+               list_max(list_transform(d, x -> abs(x))) AS ma
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d
+              FROM embeddings))),
+dims AS (
+  SELECT CAST(vec_id % {N_CONVS} AS INT) AS conv, r.i AS pos,
+         sum(qvec[r.i]) AS s, count(*) AS n
+  FROM q8, lateral unnest(range(1, {KMEANS_DIM + 1})) AS r(i)
+  GROUP BY 1, 2),
+pool AS (
+  SELECT conv,
+         list(CAST((s + 127 * n) // n - 127 AS BIGINT) ORDER BY pos)
+           AS pvec
+  FROM dims GROUP BY conv),
+pb AS (SELECT conv, pvec, CAST({bits} AS INT) AS bucket FROM pool),
+pairs AS (
+  SELECT a.conv AS ca, b.conv AS cb,
+         CAST(list_sum(list_transform(range(1, {KMEANS_DIM + 1}),
+              i -> a.pvec[i] * b.pvec[i])) AS BIGINT) AS dot
+  FROM pb a JOIN pb b ON b.bucket = a.bucket AND a.conv < b.conv),
+sym AS (
+  SELECT ca AS conv, cb AS neighbor, dot FROM pairs
+  UNION ALL
+  SELECT cb, ca, dot FROM pairs)
+SELECT conv, neighbor, dot, rk FROM (
+  SELECT conv, neighbor, dot,
+         CAST(row_number() OVER (PARTITION BY conv
+              ORDER BY dot DESC, neighbor ASC) AS INT) AS rk
+  FROM sym)
+WHERE rk <= {POOL_TOP}
 """
