@@ -3439,6 +3439,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_prefix_recall": q_sim_prefix_recall,
         "curation_keep_list": q_curation_keep_list,
         "sim_conv_pool": q_sim_conv_pool,
+        "kg_property_table": q_kg_property_table,
+        "text_jsd_sources": q_text_jsd_sources,
     }
 
 
@@ -3682,6 +3684,8 @@ def build_oracle_sql() -> dict[str, str]:
         "sim_prefix_recall": _sql_sim_prefix_recall(),
         "curation_keep_list": _sql_curation_keep_list(),
         "sim_conv_pool": _sql_sim_conv_pool(),
+        "kg_property_table": _sql_kg_property_table(),
+        "text_jsd_sources": _sql_text_jsd_sources(),
     }
 
 
@@ -12304,4 +12308,178 @@ SELECT conv, neighbor, dot, rk FROM (
               ORDER BY dot DESC, neighbor ASC) AS INT) AS rk
   FROM sym)
 WHERE rk <= {POOL_TOP}
+"""
+
+
+def q_kg_property_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-centric property-table denormalization [K: the classic
+    RDF property-table / entity-card storage layout]: one wide row per
+    subject with per-predicate counts, the max link score, and the
+    DISTINCT object lists flattened to '|'-joined sorted strings
+    (engine-portable — array hashing is not) — the materialization a
+    serving layer reads instead of re-aggregating the triple table per
+    request.
+
+    Shape: one subject-keyed hash agg over the triple table (the
+    conditional aggregates all fold into the same Expand-free agg);
+    the list columns come from two DISTINCT sub-aggs keyed the same
+    way, left-joined back. Partial aggregation everywhere; at cluster
+    scale the table buckets by subj exactly like the triple sink."""
+    t = q_kg_triples(spark, sf_dir)
+    base = (t.groupBy("subj").agg(
+        F.sum(F.when(F.col("pred") == "mentions", 1).otherwise(0))
+        .alias("n_mentions"),
+        F.sum(F.when(F.col("pred") == "uses_tool", 1).otherwise(0))
+        .alias("n_tools"),
+        F.sum(F.when(F.col("pred") == "replies_to", 1).otherwise(0))
+        .alias("n_replies"),
+        F.round(F.max("score"), 6).alias("max_score")))
+    concepts = (t.filter(F.col("pred") == "mentions")
+                .select("subj", "obj").distinct()
+                .groupBy("subj")
+                .agg(F.concat_ws("|", F.array_sort(F.collect_set("obj")))
+                     .alias("concept_list")))
+    tools = (t.filter(F.col("pred") == "uses_tool")
+             .select("subj", "obj").distinct()
+             .groupBy("subj")
+             .agg(F.concat_ws("|", F.array_sort(F.collect_set("obj")))
+                  .alias("tool_list")))
+    return (base.join(concepts, "subj", "left")
+            .join(tools, "subj", "left")
+            .select("subj", "n_mentions", "n_tools", "n_replies",
+                    "max_score",
+                    F.coalesce("concept_list", F.lit(""))
+                    .alias("concept_list"),
+                    F.coalesce("tool_list", F.lit(""))
+                    .alias("tool_list")))
+
+
+def _sql_kg_property_table() -> str:
+    return f"""
+WITH triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+base AS (
+  SELECT subj,
+         CAST(sum(CASE WHEN pred = 'mentions' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_mentions,
+         CAST(sum(CASE WHEN pred = 'uses_tool' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_tools,
+         CAST(sum(CASE WHEN pred = 'replies_to' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_replies,
+         round(max(score), 6) AS max_score
+  FROM triples GROUP BY subj),
+concepts AS (
+  SELECT subj, string_agg(obj, '|' ORDER BY obj) AS concept_list
+  FROM (SELECT DISTINCT subj, obj FROM triples WHERE pred = 'mentions')
+  GROUP BY subj),
+tools AS (
+  SELECT subj, string_agg(obj, '|' ORDER BY obj) AS tool_list
+  FROM (SELECT DISTINCT subj, obj FROM triples WHERE pred = 'uses_tool')
+  GROUP BY subj)
+SELECT b.subj, b.n_mentions, b.n_tools, b.n_replies, b.max_score,
+       coalesce(c.concept_list, '') AS concept_list,
+       coalesce(t.tool_list, '') AS tool_list
+FROM base b
+LEFT JOIN concepts c ON c.subj = b.subj
+LEFT JOIN tools t ON t.subj = b.subj
+"""
+
+
+def q_text_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distribution shift: Jensen-Shannon divergence [K]
+    between each language slice's unigram distribution and the REST of
+    the corpus — the curation dashboard's "which slice is drifting
+    away from the mixture" read. Per-token JSD contributions are
+    rounded to micro-nat INTEGERS before the sum (the same
+    merge-order-independence discipline as the bigram-LM perplexity
+    operator), so the per-slice totals are bit-exact cross-engine.
+
+    Shape: one (lang, token) hash agg, one token hash agg, per-lang
+    totals as a 5-row broadcast join, and the contribution scan is
+    map-side CASE arithmetic. Nothing global, no windows."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("lang",
+                    F.explode(F.filter(
+                        F.split(F.lower("text"), " "),
+                        lambda t: t != "")).alias("tok"))
+    lt = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c_lt"))
+    tot_l = lt.groupBy("lang").agg(F.sum("c_lt").alias("n_l"),
+                                   F.count(F.lit(1)).alias("vocab_l"))
+    tot_t = lt.groupBy("tok").agg(F.sum("c_lt").alias("c_t"))
+    gtot = lt.agg(F.sum("c_lt").alias("n_all"))
+    # token grid per lang: every (lang, token-in-corpus) cell so the
+    # q-only side (token absent from the slice) still contributes
+    grid = (tot_l.select("lang").crossJoin(tot_t)
+            .join(lt, ["lang", "tok"], "left")
+            .withColumn("c_lt", F.coalesce("c_lt", F.lit(0))))
+    j = (grid.join(tot_l.select("lang", "n_l"), "lang")
+         .crossJoin(F.broadcast(gtot)))
+    term = F.expr("""
+        CAST(round((
+          CASE WHEN c_lt > 0 THEN
+            0.5 * (CAST(c_lt AS DOUBLE) / n_l)
+                * ln((CAST(c_lt AS DOUBLE) / n_l)
+                     / (0.5 * (CAST(c_lt AS DOUBLE) / n_l)
+                        + 0.5 * (CAST(c_t - c_lt AS DOUBLE)
+                                 / (n_all - n_l))))
+          ELSE 0.0 END
+          +
+          CASE WHEN c_t - c_lt > 0 THEN
+            0.5 * (CAST(c_t - c_lt AS DOUBLE) / (n_all - n_l))
+                * ln((CAST(c_t - c_lt AS DOUBLE) / (n_all - n_l))
+                     / (0.5 * (CAST(c_lt AS DOUBLE) / n_l)
+                        + 0.5 * (CAST(c_t - c_lt AS DOUBLE)
+                                 / (n_all - n_l))))
+          ELSE 0.0 END) * 1000000, 0) AS BIGINT)""")
+    return (j.withColumn("term_micro", term)
+            .groupBy("lang")
+            .agg(F.sum("term_micro").alias("jsd_micro"))
+            .join(tot_l, "lang")
+            .select("lang", F.col("n_l").alias("n_tokens"),
+                    F.col("vocab_l").alias("vocab"), "jsd_micro"))
+
+
+def _sql_text_jsd_sources() -> str:
+    return """
+WITH toks AS (
+  SELECT lang, t.tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''),
+lt AS (SELECT lang, tok, count(*) AS c_lt FROM toks GROUP BY 1, 2),
+tot_l AS (SELECT lang, CAST(sum(c_lt) AS BIGINT) AS n_l,
+                 count(*) AS vocab_l
+          FROM lt GROUP BY lang),
+tot_t AS (SELECT tok, CAST(sum(c_lt) AS BIGINT) AS c_t
+          FROM lt GROUP BY tok),
+gtot AS (SELECT CAST(sum(c_lt) AS BIGINT) AS n_all FROM lt),
+grid AS (
+  SELECT l.lang, t.tok, t.c_t, coalesce(x.c_lt, 0) AS c_lt
+  FROM (SELECT lang FROM tot_l) l
+  CROSS JOIN tot_t t
+  LEFT JOIN lt x ON x.lang = l.lang AND x.tok = t.tok),
+j AS (
+  SELECT g.lang, g.c_lt, g.c_t, l.n_l, a.n_all
+  FROM grid g JOIN tot_l l ON l.lang = g.lang CROSS JOIN gtot a),
+terms AS (
+  SELECT lang,
+         CAST(round((
+           CASE WHEN c_lt > 0 THEN
+             0.5 * (CAST(c_lt AS DOUBLE) / n_l)
+                 * ln((CAST(c_lt AS DOUBLE) / n_l)
+                      / (0.5 * (CAST(c_lt AS DOUBLE) / n_l)
+                         + 0.5 * (CAST(c_t - c_lt AS DOUBLE)
+                                  / (n_all - n_l))))
+           ELSE 0.0 END
+           +
+           CASE WHEN c_t - c_lt > 0 THEN
+             0.5 * (CAST(c_t - c_lt AS DOUBLE) / (n_all - n_l))
+                 * ln((CAST(c_t - c_lt AS DOUBLE) / (n_all - n_l))
+                      / (0.5 * (CAST(c_lt AS DOUBLE) / n_l)
+                         + 0.5 * (CAST(c_t - c_lt AS DOUBLE)
+                                  / (n_all - n_l))))
+           ELSE 0.0 END) * 1000000, 0) AS BIGINT) AS term_micro
+  FROM j)
+SELECT t.lang, l.n_l AS n_tokens, l.vocab_l AS vocab,
+       CAST(sum(t.term_micro) AS BIGINT) AS jsd_micro
+FROM terms t JOIN tot_l l ON l.lang = t.lang
+GROUP BY t.lang, l.n_l, l.vocab_l
 """
