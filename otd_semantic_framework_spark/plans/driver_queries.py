@@ -3441,6 +3441,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_conv_pool": q_sim_conv_pool,
         "kg_property_table": q_kg_property_table,
         "text_jsd_sources": q_text_jsd_sources,
+        "kg_powerlaw_alpha": q_kg_powerlaw_alpha,
+        "text_burstiness": q_text_burstiness,
     }
 
 
@@ -3686,6 +3688,8 @@ def build_oracle_sql() -> dict[str, str]:
         "sim_conv_pool": _sql_sim_conv_pool(),
         "kg_property_table": _sql_kg_property_table(),
         "text_jsd_sources": _sql_text_jsd_sources(),
+        "kg_powerlaw_alpha": _sql_kg_powerlaw_alpha(),
+        "text_burstiness": _sql_text_burstiness(),
     }
 
 
@@ -12482,4 +12486,108 @@ SELECT t.lang, l.n_l AS n_tokens, l.vocab_l AS vocab,
        CAST(sum(t.term_micro) AS BIGINT) AS jsd_micro
 FROM terms t JOIN tot_l l ON l.lang = t.lang
 GROUP BY t.lang, l.n_l, l.vocab_l
+"""
+
+
+HILL_DMIN = 16  # tail threshold for the Hill estimator
+
+
+def q_kg_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law tail exponent of the KG degree distribution — the
+    Hill maximum-likelihood estimator [K: Clauset-Shalizi-Newman]:
+    alpha = 1 + n / sum(ln(d / d_min)) over undirected degrees
+    d >= HILL_DMIN. The one-number answer to "how hub-dominated is
+    this graph", which decides whether degree-capped joins (the
+    LINKPRED_HUB_CAP family) are mandatory at scale. Per-node ln terms
+    are rounded to micro-nat INTEGERS before the sum (the repo's
+    merge-order-independence discipline) and alpha comes out in exact
+    micro units via BIGINT division, so the estimate is bit-identical
+    cross-engine.
+
+    Shape: the degree table (one hash agg over the undirected edge
+    set), a map-side filter + ln, one 1-row reduce."""
+    from ..operators.graph import undirected_edges
+    e = undirected_edges(q_kg_triples(spark, sf_dir))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    tail = (deg.filter(F.col("deg") >= HILL_DMIN)
+            .withColumn("ln_micro", F.expr(
+                f"CAST(round(ln(CAST(deg AS DOUBLE) / {HILL_DMIN})"
+                f" * 1000000, 0) AS BIGINT)")))
+    return (tail.agg(F.count(F.lit(1)).alias("n_tail"),
+                     F.sum("ln_micro").alias("sum_ln_micro"))
+            .select("n_tail", "sum_ln_micro",
+                    F.expr("1000000 + n_tail * 1000000000000"
+                           " DIV sum_ln_micro").alias("alpha_micro")))
+
+
+def _sql_kg_powerlaw_alpha() -> str:
+    return f"""
+WITH triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+e AS (
+  SELECT subj AS src, obj AS dst FROM (SELECT DISTINCT subj, obj FROM triples)
+  UNION
+  SELECT obj, subj FROM (SELECT DISTINCT subj, obj FROM triples)),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+tail AS (
+  SELECT CAST(round(ln(CAST(deg AS DOUBLE) / {HILL_DMIN}) * 1000000, 0)
+              AS BIGINT) AS ln_micro
+  FROM deg WHERE deg >= {HILL_DMIN})
+SELECT count(*) AS n_tail,
+       CAST(sum(ln_micro) AS BIGINT) AS sum_ln_micro,
+       CAST(1000000 + count(*) * 1000000000000 // sum(ln_micro)
+            AS BIGINT) AS alpha_micro
+FROM tail
+"""
+
+
+BURST_MIN_TOTAL = 100  # corpus-count floor for emitted tokens
+
+
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness — the variance-to-mean ratio (index of
+    dispersion [K: Church-Gale burstiness]) of each frequent token's
+    per-document count across the WHOLE corpus (absent docs count as
+    zero): VMR 1e6 = Poisson-like spread, higher = the token clumps
+    into few documents — the signal that separates content words from
+    function words and drives stop-shingle pruning in the dedup stack.
+    Computed entirely from integer sums: vmr_ppm =
+    (N*sum(c^2) - sum(c)^2) * 1e6 // (N*sum(c)).
+
+    Shape: one (doc, token) hash agg, one token hash agg (sum, sum of
+    squares, df all in the same partial agg), the doc count as a 1-row
+    broadcast. No windows, nothing global."""
+    d = _docs(spark, sf_dir)
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    toks = d.select("doc_id",
+                    F.explode(F.filter(F.split(F.lower("text"), " "),
+                                       lambda t: t != "")).alias("tok"))
+    dt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_tok = (dt.groupBy("tok")
+               .agg(F.count(F.lit(1)).alias("df"),
+                    F.sum("c").alias("total"),
+                    F.sum(F.col("c") * F.col("c")).alias("sum_sq"))
+               .filter(F.col("total") >= BURST_MIN_TOTAL))
+    return (per_tok.crossJoin(F.broadcast(n_docs))
+            .select("tok", "df", "total",
+                    F.expr("(n_docs * sum_sq - total * total) * 1000000"
+                           " DIV (n_docs * total)").alias("vmr_ppm")))
+
+
+def _sql_text_burstiness() -> str:
+    return f"""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''),
+dt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+per_tok AS (
+  SELECT tok, count(*) AS df, CAST(sum(c) AS BIGINT) AS total,
+         CAST(sum(c * c) AS BIGINT) AS sum_sq
+  FROM dt GROUP BY tok
+  HAVING sum(c) >= {BURST_MIN_TOTAL})
+SELECT tok, df, total,
+       CAST((n.n_docs * sum_sq - total * total) * 1000000
+            // (n.n_docs * total) AS BIGINT) AS vmr_ppm
+FROM per_tok CROSS JOIN n
 """
