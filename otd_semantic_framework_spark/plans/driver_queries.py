@@ -3443,6 +3443,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_jsd_sources": q_text_jsd_sources,
         "kg_powerlaw_alpha": q_kg_powerlaw_alpha,
         "text_burstiness": q_text_burstiness,
+        "multimodal_patches": q_multimodal_patches,
+        "stream_scd2": q_stream_scd2,
     }
 
 
@@ -3690,6 +3692,8 @@ def build_oracle_sql() -> dict[str, str]:
         "text_jsd_sources": _sql_text_jsd_sources(),
         "kg_powerlaw_alpha": _sql_kg_powerlaw_alpha(),
         "text_burstiness": _sql_text_burstiness(),
+        "multimodal_patches": _sql_multimodal_patches(),
+        "stream_scd2": SQL_REL_SCD2,
     }
 
 
@@ -12591,3 +12595,129 @@ SELECT tok, df, total,
             // (n.n_docs * total) AS BIGINT) AS vmr_ppm
 FROM per_tok CROSS JOIN n
 """
+
+
+MM_PATCH = 16  # ViT-style square patch side
+
+
+def q_multimodal_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch-grid extraction plumbing: run the mapInPandas
+    decode seam (stub decoder — a real codec drops in behind the same
+    seam), then explode each media item into its ceil(w/P) x ceil(h/P)
+    patch grid with edge patches clipped to the image bounds — the
+    exact (batching, shape, clip) arithmetic a vision preprocessor
+    ships to the trainer. Every output is integer; the oracle replays
+    the stub's md5-derived dimensions digit-by-digit like the other
+    multimodal pairings.
+
+    Shape: decode is one Arrow-batched mapInPandas pass; the grid is a
+    map-side sequence explode (fan-out bounded by n_patches <= 25 at
+    the stub's max 80x80); no shuffle at all after the scan."""
+    from ..operators.multimodal import attach_fake_media, decode_media
+    dec = decode_media(attach_fake_media(_docs(spark, sf_dir)))
+    p = MM_PATCH
+    g = dec.select(
+        "doc_id", "width", "height",
+        F.expr(f"CAST((width + {p - 1}) DIV {p} AS INT)").alias("px"),
+        F.expr(f"CAST((height + {p - 1}) DIV {p} AS INT)").alias("py"))
+    e = g.withColumn("pid", F.explode(F.expr("sequence(0, px * py - 1)")))
+    return e.select(
+        "doc_id",
+        F.col("pid").cast("int").alias("patch_id"),
+        F.expr("CAST(pid DIV px AS INT)").alias("prow"),
+        F.expr("CAST(pid % px AS INT)").alias("pcol"),
+        F.expr(f"CAST(least({p}, width - (pid % px) * {p}) AS INT)")
+        .alias("pw"),
+        F.expr(f"CAST(least({p}, height - (pid DIV px) * {p}) AS INT)")
+        .alias("ph"),
+        F.expr("CAST(px * py AS INT)").alias("n_patches"))
+
+
+def _sql_multimodal_patches() -> str:
+    p = MM_PATCH
+    digits = ", ".join(
+        f"instr('0123456789abcdef', substring(h, {i + 1}, 1)) - 1 AS d{i}"
+        for i in range(4))
+    return f"""
+WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+dims AS (
+  SELECT doc_id,
+         16 + (16 * d0 + d1) % 64 AS width,
+         16 + (16 * d2 + d3) % 64 AS height
+  FROM (SELECT doc_id, {digits} FROM hx)),
+grid AS (
+  SELECT doc_id, width, height,
+         (width + {p - 1}) // {p} AS px,
+         (height + {p - 1}) // {p} AS py
+  FROM dims)
+SELECT g.doc_id,
+       CAST(r.pid AS INT) AS patch_id,
+       CAST(r.pid // g.px AS INT) AS prow,
+       CAST(r.pid % g.px AS INT) AS pcol,
+       CAST(least({p}, g.width - (r.pid % g.px) * {p}) AS INT) AS pw,
+       CAST(least({p}, g.height - (r.pid // g.px) * {p}) AS INT) AS ph,
+       CAST(g.px * g.py AS INT) AS n_patches
+FROM grid g, lateral unnest(range(0, g.px * g.py)) AS r(pid)
+"""
+
+
+def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming type-2 SCD maintenance — the warehouse-grade
+    incremental-history pattern: the events change stream drains in
+    four TIME-ORDERED micro-batches (day-of-month ranges), foreachBatch
+    keeps only each batch's per-user CHANGE POINTS (lag-pruned — the
+    state grows with type changes, never with raw event volume), and
+    the final history assembles validity intervals over the pruned
+    state. Batch-local pruning can never drop a global change point
+    (each user's first event per batch is always kept; batches
+    partition time, so every within-batch predecessor IS the global
+    predecessor), so the drained history is row-identical to the batch
+    operator — the oracle is literally rel_scd2's SQL over all events,
+    pinning stream ≡ batch end-to-end through a real readStream.
+
+    Shape: per batch one user-keyed lag window + an append; final
+    assembly one user-keyed gaps-and-islands pass over the (small)
+    change-point state."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    from ..operators.agentstats import scd2_history
+    sfx = f"{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}"
+    root = _os.path.join(_tempfile.gettempdir(), f"stream_scd2_{sfx}")
+    ckpt = _os.path.join(root, "ckpt")
+    src = _os.path.join(root, "src")
+    state = _os.path.join(root, "state")
+    _shutil.rmtree(root, ignore_errors=True)
+    _os.makedirs(src)
+    ev = _tbl(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id")
+    for b, (lo, hi) in enumerate(((1, 8), (9, 15), (16, 22), (23, 31))):
+        batch = ev.filter((F.dayofmonth("ts") >= lo)
+                          & (F.dayofmonth("ts") <= hi))
+        stage = _os.path.join(root, f"stage_{b}")
+        batch.coalesce(1).write.parquet(stage)
+        part = next(f for f in _os.listdir(stage)
+                    if f.endswith(".parquet"))
+        _os.rename(_os.path.join(stage, part),
+                   _os.path.join(src, f"b{b}.parquet"))
+    schema = ("user_id long, event_type string, ts timestamp, "
+              "event_id long")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pruned = (batch_df
+                  .withColumn("prev", F.lag("event_type").over(w))
+                  .filter(F.col("prev").isNull()
+                          | (F.col("prev") != F.col("event_type")))
+                  .drop("prev"))
+        pruned.write.mode("append").parquet(state)
+
+    q = (stream.writeStream.outputMode("update").foreachBatch(_fold)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    q.awaitTermination()
+    return scd2_history(spark.read.parquet(state),
+                        key_col="user_id", attr_col="event_type",
+                        ts_col="ts", tiebreak_col="event_id")
