@@ -3445,6 +3445,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_burstiness": q_text_burstiness,
         "multimodal_patches": q_multimodal_patches,
         "stream_scd2": q_stream_scd2,
+        "kg_impact_analysis": q_kg_impact_analysis,
+        "text_vocab_coverage": q_text_vocab_coverage,
     }
 
 
@@ -3694,6 +3696,8 @@ def build_oracle_sql() -> dict[str, str]:
         "text_burstiness": _sql_text_burstiness(),
         "multimodal_patches": _sql_multimodal_patches(),
         "stream_scd2": SQL_REL_SCD2,
+        "kg_impact_analysis": _sql_kg_impact_analysis(),
+        "text_vocab_coverage": _sql_text_vocab_coverage(),
     }
 
 
@@ -12721,3 +12725,166 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(spark.read.parquet(state),
                         key_col="user_id", attr_col="event_type",
                         ts_col="ts", tiebreak_col="event_id")
+
+
+IMPACT_CONV_SUFFIX = "1"  # the "changed since last build" conv set
+
+
+def q_kg_impact_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage impact analysis for incremental rebuilds [K: the
+    warehouse "what do I have to recompute" read]: given a changed
+    source-conversation set (deterministic here: conv ids ending in
+    IMPACT_CONV_SUFFIX — in production the manifest diff supplies it),
+    report what fraction of every downstream artifact derives from the
+    changed sources — triples, CDS rows, concepts touched, and the
+    current search top-20. Exact-integer shares in ppm.
+
+    Shape: each leg is the artifact's own (already keyed) plan plus a
+    map-side provenance predicate on the conv id embedded in the key —
+    no new shuffles; the four 1-row aggregates union into the report."""
+    changed = lambda c: c.endswith(IMPACT_CONV_SUFFIX)  # noqa: E731
+    t = q_kg_triples(spark, sf_dir).withColumn(
+        "conv", F.split(F.col("subj"), ":").getItem(1))
+    is_ch = F.col("conv").endswith(IMPACT_CONV_SUFFIX)
+    leg_t = t.agg(F.sum(F.when(is_ch, 1).otherwise(0)).alias("affected"),
+                  F.count(F.lit(1)).alias("total")) \
+        .select(F.lit("triples").alias("artifact"), "affected", "total")
+    cds = q_kg_cds(spark, sf_dir).withColumn(
+        "conv", F.split(F.col("subj_key"), ":").getItem(1))
+    leg_c = cds.agg(F.sum(F.when(is_ch, 1).otherwise(0))
+                    .alias("affected"),
+                    F.count(F.lit(1)).alias("total")) \
+        .select(F.lit("cds_rows").alias("artifact"), "affected", "total")
+    conc = (t.filter(F.col("pred") == "mentions")
+            .groupBy("obj")
+            .agg(F.max(F.when(is_ch, 1).otherwise(0)).alias("touched")))
+    leg_k = conc.agg(F.sum("touched").alias("affected"),
+                     F.count(F.lit(1)).alias("total")) \
+        .select(F.lit("concepts").alias("artifact"), "affected", "total")
+    srch = q_kg_search(spark, sf_dir).withColumn(
+        "conv", F.split(F.col("subj_key"), ":").getItem(1))
+    leg_s = srch.agg(F.sum(F.when(is_ch, 1).otherwise(0))
+                     .alias("affected"),
+                     F.count(F.lit(1)).alias("total")) \
+        .select(F.lit("search_top20").alias("artifact"), "affected",
+                "total")
+    rep = leg_t.unionByName(leg_c).unionByName(leg_k).unionByName(leg_s)
+    return rep.select("artifact",
+                      F.col("affected").cast("long").alias("affected"),
+                      F.col("total").cast("long").alias("total"),
+                      F.expr("affected * 1000000 DIV total")
+                      .alias("share_ppm"))
+
+
+def _sql_kg_impact_analysis() -> str:
+    import pandas as pd
+    scores = driver_scores()
+    gaz = driver_gazetteer()
+    norm = S.normalize_text(SEARCH_QUERY)
+    surfaces = sorted({m[0] for m in S.find_mentions(norm, gaz)})
+    q = (scores[scores.surface.isin(surfaces)]
+         .groupby("concept_id", as_index=False)["cos_sim"].max()
+         .rename(columns={"cos_sim": "q_score"}).round({"q_score": 6}))
+    qv = values_sql(pd.DataFrame(q), "q")
+    sfx = IMPACT_CONV_SUFFIX
+    return f"""
+WITH triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+cds AS MATERIALIZED ({_sql_kg_cds_body()}),
+tt AS (
+  SELECT CASE WHEN string_split(subj, ':')[2] LIKE '%{sfx}'
+              THEN 1 ELSE 0 END AS ch, pred, obj
+  FROM triples),
+leg_t AS (
+  SELECT 'triples' AS artifact, CAST(sum(ch) AS BIGINT) AS affected,
+         count(*) AS total
+  FROM tt),
+leg_c AS (
+  SELECT 'cds_rows' AS artifact,
+         CAST(sum(CASE WHEN string_split(subj_key, ':')[2] LIKE '%{sfx}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS affected,
+         count(*) AS total
+  FROM cds),
+leg_k AS (
+  SELECT 'concepts' AS artifact, CAST(sum(touched) AS BIGINT) AS affected,
+         count(*) AS total
+  FROM (SELECT obj, max(ch) AS touched FROM tt
+        WHERE pred = 'mentions' GROUP BY obj)),
+ranked AS (
+  SELECT c.subj_key, round(sum(c.score * q.q_score), 6) AS search_score
+  FROM cds c JOIN {qv} ON q.concept_id = c.cds_concept
+  GROUP BY c.subj_key),
+top AS (SELECT subj_key FROM ranked
+        ORDER BY search_score DESC, subj_key ASC LIMIT 20),
+leg_s AS (
+  SELECT 'search_top20' AS artifact,
+         CAST(sum(CASE WHEN string_split(subj_key, ':')[2] LIKE '%{sfx}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS affected,
+         count(*) AS total
+  FROM top),
+rep AS (
+  SELECT * FROM leg_t UNION ALL SELECT * FROM leg_c
+  UNION ALL SELECT * FROM leg_k UNION ALL SELECT * FROM leg_s)
+SELECT artifact, affected, CAST(total AS BIGINT) AS total,
+       CAST(affected * 1000000 // total AS BIGINT) AS share_ppm
+FROM rep
+"""
+
+
+VOCAB_COV_SIZES = (1, 2, 4, 8, 16, 32)  # candidate vocabulary sizes
+
+
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV-rate curve [K: the tokenizer-design
+    measurement]: for each candidate vocab size N (top-N tokens by
+    corpus count, deterministic ties), the fraction of total token
+    mass covered — 1e6 minus this is the OOV rate a size-N vocabulary
+    pays. Exact-integer cumulative sums in ppm.
+
+    Shape: one token hash agg, orderBy+limit to the largest N
+    (TakeOrdered — the rank window sees only the limited head), then a
+    tiny size-grid join. The corpus-total is a 1-row broadcast."""
+    d = _docs(spark, sf_dir)
+    counts = (d.select(F.explode(F.filter(
+        F.split(F.lower("text"), " "), lambda t: t != "")).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    total = counts.agg(F.sum("n").alias("total"))
+    mx = max(VOCAB_COV_SIZES)
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(mx)
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = top.withColumn("rk", F.row_number().over(w))
+    sizes = spark.createDataFrame([(n,) for n in VOCAB_COV_SIZES],
+                                  "vocab_n int")
+    return (ranked.join(F.broadcast(sizes),
+                        F.col("rk") <= F.col("vocab_n"))
+            .groupBy("vocab_n")
+            .agg(F.sum("n").alias("covered"))
+            .crossJoin(F.broadcast(total))
+            .select("vocab_n",
+                    F.col("covered").cast("long").alias("covered"),
+                    F.col("total").cast("long").alias("total"),
+                    F.expr("covered * 1000000 DIV total")
+                    .alias("coverage_ppm")))
+
+
+def _sql_text_vocab_coverage() -> str:
+    sizes = ", ".join(str(n) for n in VOCAB_COV_SIZES)
+    mx = max(VOCAB_COV_SIZES)
+    return f"""
+WITH toks AS (
+  SELECT t.tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''),
+counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+total AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rk
+  FROM (SELECT tok, n FROM counts ORDER BY n DESC, tok ASC LIMIT {mx})),
+sizes AS (SELECT unnest([{sizes}]) AS vocab_n)
+SELECT s.vocab_n,
+       CAST(sum(r.n) AS BIGINT) AS covered,
+       t.total,
+       CAST(sum(r.n) * 1000000 // t.total AS BIGINT) AS coverage_ppm
+FROM ranked r JOIN sizes s ON r.rk <= s.vocab_n
+CROSS JOIN total t
+GROUP BY s.vocab_n, t.total
+"""
