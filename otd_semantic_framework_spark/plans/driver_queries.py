@@ -3447,6 +3447,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_scd2": q_stream_scd2,
         "kg_impact_analysis": q_kg_impact_analysis,
         "text_vocab_coverage": q_text_vocab_coverage,
+        "kg_mention_contexts": q_kg_mention_contexts,
+        "curation_domain_weights": q_curation_domain_weights,
     }
 
 
@@ -3698,6 +3700,8 @@ def build_oracle_sql() -> dict[str, str]:
         "stream_scd2": SQL_REL_SCD2,
         "kg_impact_analysis": _sql_kg_impact_analysis(),
         "text_vocab_coverage": _sql_text_vocab_coverage(),
+        "kg_mention_contexts": _sql_kg_mention_contexts(),
+        "curation_domain_weights": _sql_curation_domain_weights(),
     }
 
 
@@ -12887,4 +12891,93 @@ SELECT s.vocab_n,
 FROM ranked r JOIN sizes s ON r.rk <= s.vocab_n
 CROSS JOIN total t
 GROUP BY s.vocab_n, t.total
+"""
+
+
+def q_kg_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG training-pair constructor: for every canonical (conversation,
+    turn, concept) link, the +/-1-turn context window — the
+    (query=concept, context=turn neighborhood) rows a retrieval-
+    augmented trainer consumes. Window ids come from the P2 turn
+    assembly (conv-keyed lag/lead), ctx_size counts the turns actually
+    present (edge turns get 2), and the link score is the mention's
+    max.
+
+    Shape: one (conv, turn, concept) hash agg over the canonical
+    mentions joined to the turn-assembly frame on its natural
+    (conv, turn) key — both sides already partition by conversation;
+    no new shuffle shapes, no windows beyond P2's own keyed ones."""
+    canon = (q_kg_canonical(spark, sf_dir)
+             .groupBy("conv_id", "turn_idx", "concept_id")
+             .agg(F.round(F.max("link_score"), 6).alias("link_score")))
+    turns = q_kg_turn_assembly(spark, sf_dir).select(
+        "conv_id", "turn_idx", "prev_turn_idx", "next_turn_idx")
+    j = canon.join(turns, ["conv_id", "turn_idx"])
+    ctx = (F.lit(1)
+           + F.when(F.col("prev_turn_idx").isNotNull(), 1).otherwise(0)
+           + F.when(F.col("next_turn_idx").isNotNull(), 1).otherwise(0))
+    return j.select("conv_id", "turn_idx", "concept_id", "link_score",
+                    "prev_turn_idx", "next_turn_idx",
+                    ctx.cast("int").alias("ctx_size"))
+
+
+def _sql_kg_mention_contexts() -> str:
+    canon = _sql_kg_canonical_body()
+    return f"""
+WITH canon AS ({canon}),
+cm AS (
+  SELECT conv_id, turn_idx, concept_id,
+         round(max(link_score), 6) AS link_score
+  FROM canon GROUP BY 1, 2, 3),
+ta AS ({SQL_KG_TURN_ASSEMBLY.strip()})
+SELECT c.conv_id, c.turn_idx, c.concept_id, c.link_score,
+       t.prev_turn_idx, t.next_turn_idx,
+       CAST(1 + CASE WHEN t.prev_turn_idx IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN t.next_turn_idx IS NULL THEN 0 ELSE 1 END
+            AS INT) AS ctx_size
+FROM cm c JOIN ta t ON t.conv_id = c.conv_id AND t.turn_idx = c.turn_idx
+"""
+
+
+DOMAIN_WEIGHT_CAP_PPM = 3_000_000  # max upweight any domain receives
+
+
+def q_curation_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain loss/sampling reweighting table [K: the uniform-
+    target rebalancing every mixture trainer ships]: weight(d) =
+    (corpus_total / (n_domains * count(d))) in exact ppm, capped at
+    DOMAIN_WEIGHT_CAP_PPM so a rare domain can never explode the loss
+    — over-represented domains land below 1e6, under-represented above.
+    Exact BIGINT throughout.
+
+    Shape: one domain hash agg, the corpus totals as a broadcast 1-row
+    aggregate, map-side arithmetic. Nothing else."""
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").alias("total"),
+                  F.count(F.lit(1)).alias("n_domains"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("lang", "n_docs",
+                    F.expr(f"""least(CAST({DOMAIN_WEIGHT_CAP_PPM} AS BIGINT),
+                        total * 1000000 DIV (n_domains * n_docs))""")
+                    .alias("weight_ppm"))
+            .withColumn("capped",
+                        (F.col("weight_ppm") == DOMAIN_WEIGHT_CAP_PPM)
+                        .cast("int")))
+
+
+def _sql_curation_domain_weights() -> str:
+    return f"""
+WITH per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+               count(*) AS n_domains FROM per)
+SELECT lang, n_docs,
+       least(CAST({DOMAIN_WEIGHT_CAP_PPM} AS BIGINT),
+             CAST(t.total * 1000000 // (t.n_domains * n_docs)
+                  AS BIGINT)) AS weight_ppm,
+       CAST(CASE WHEN least(CAST({DOMAIN_WEIGHT_CAP_PPM} AS BIGINT),
+                 CAST(t.total * 1000000 // (t.n_domains * n_docs)
+                      AS BIGINT)) = {DOMAIN_WEIGHT_CAP_PPM}
+            THEN 1 ELSE 0 END AS INT) AS capped
+FROM per CROSS JOIN tot t
 """
