@@ -3449,6 +3449,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_coverage": q_text_vocab_coverage,
         "kg_mention_contexts": q_kg_mention_contexts,
         "curation_domain_weights": q_curation_domain_weights,
+        "kg_neighbor_sampling": q_kg_neighbor_sampling,
+        "stats_bootstrap_ci": q_stats_bootstrap_ci,
     }
 
 
@@ -3702,6 +3704,8 @@ def build_oracle_sql() -> dict[str, str]:
         "text_vocab_coverage": _sql_text_vocab_coverage(),
         "kg_mention_contexts": _sql_kg_mention_contexts(),
         "curation_domain_weights": _sql_curation_domain_weights(),
+        "kg_neighbor_sampling": _sql_kg_neighbor_sampling(),
+        "stats_bootstrap_ci": _sql_stats_bootstrap_ci(),
     }
 
 
@@ -12980,4 +12984,179 @@ SELECT lang, n_docs,
                       AS BIGINT)) = {DOMAIN_WEIGHT_CAP_PPM}
             THEN 1 ELSE 0 END AS INT) AS capped
 FROM per CROSS JOIN tot t
+"""
+
+
+NBR_FANOUT_H1 = 3  # hop-1 sampled neighbors per seed
+NBR_FANOUT_H2 = 2  # hop-2 sampled neighbors per hop-1 node
+
+
+def q_kg_neighbor_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style bounded-fanout neighborhood sampler [K: the
+    minibatch constructor every GNN trainer runs over a graph]: for
+    each seed concept, sample <=NBR_FANOUT_H1 hop-1 neighbors, then
+    <=NBR_FANOUT_H2 hop-2 neighbors per hop-1 node (never stepping
+    straight back to the seed). The "random" draw is the repo's
+    md5-replay convention — rank neighbors by
+    md5(seed:hop:[src:]dst) — so any engine, at any parallelism, draws
+    the identical neighborhood. One edge row per sampled step.
+
+    Shape: two frontier⋈edges equi-joins; rank windows keyed by seed
+    (hop 1) / (seed, src) (hop 2) — bounded by node degree, never
+    global. Output <= |seeds| * F1 * (1 + F2) rows by construction:
+    the fanout caps are exactly what makes 10^12-edge GNN minibatch
+    sampling tractable (the joins stay equi-keyed and the expansion is
+    a constant factor, not a degree power)."""
+    from ..operators.graph import undirected_edges
+    tr = q_kg_triples(spark, sf_dir)
+    e = undirected_edges(tr)
+    seeds = (tr.filter(F.col("pred") == "mentions")
+             .select(F.col("obj").alias("seed")).distinct())
+    s1 = F.md5(F.concat(F.col("seed"), F.lit(":1:"), F.col("dst")))
+    w1 = Window.partitionBy("seed").orderBy(s1.asc(), F.col("dst").asc())
+    hop1 = (seeds.join(e, seeds.seed == e.src)
+            .withColumn("rk", F.row_number().over(w1))
+            .filter(F.col("rk") <= NBR_FANOUT_H1)
+            .select("seed", "src", "dst", "rk"))
+    h1n = hop1.select("seed", F.col("dst").alias("node"))
+    e2 = e.select(F.col("src").alias("node"), F.col("dst").alias("dst2"))
+    s2 = F.md5(F.concat(F.col("seed"), F.lit(":2:"), F.col("node"),
+                        F.lit(":"), F.col("dst2")))
+    w2 = Window.partitionBy("seed", "node").orderBy(s2.asc(),
+                                                    F.col("dst2").asc())
+    hop2 = (h1n.join(e2, "node")
+            .filter(F.col("dst2") != F.col("seed"))
+            .withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= NBR_FANOUT_H2)
+            .select("seed", F.col("node").alias("src"),
+                    F.col("dst2").alias("dst"), "rk"))
+    return (hop1.select("seed", F.lit(1).alias("hop"), "src", "dst", "rk")
+            .unionByName(hop2.select("seed", F.lit(2).alias("hop"),
+                                     "src", "dst", "rk"))
+            .select("seed", F.col("hop").cast("int").alias("hop"),
+                    "src", "dst", F.col("rk").cast("int").alias("rk")))
+
+
+def _sql_kg_neighbor_sampling() -> str:
+    return f"""
+WITH triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+e AS MATERIALIZED (
+  SELECT subj AS src, obj AS dst FROM (SELECT DISTINCT subj, obj FROM triples)
+  UNION
+  SELECT obj, subj FROM (SELECT DISTINCT subj, obj FROM triples)),
+seeds AS (SELECT DISTINCT obj AS seed FROM triples WHERE pred = 'mentions'),
+h1 AS (
+  SELECT seed, src, dst, rk FROM (
+    SELECT s.seed, e.src, e.dst,
+           row_number() OVER (PARTITION BY s.seed
+                              ORDER BY md5(s.seed || ':1:' || e.dst) ASC,
+                                       e.dst ASC) AS rk
+    FROM seeds s JOIN e ON e.src = s.seed)
+  WHERE rk <= {NBR_FANOUT_H1}),
+h2 AS (
+  SELECT seed, src, dst, rk FROM (
+    SELECT h.seed, e.src, e.dst,
+           row_number() OVER (PARTITION BY h.seed, e.src
+                              ORDER BY md5(h.seed || ':2:' || e.src
+                                           || ':' || e.dst) ASC,
+                                       e.dst ASC) AS rk
+    FROM h1 h JOIN e ON e.src = h.dst
+    WHERE e.dst <> h.seed)
+  WHERE rk <= {NBR_FANOUT_H2})
+SELECT seed, CAST(1 AS INT) AS hop, src, dst, CAST(rk AS INT) AS rk FROM h1
+UNION ALL
+SELECT seed, CAST(2 AS INT) AS hop, src, dst, CAST(rk AS INT) AS rk FROM h2
+"""
+
+
+BOOT_REPLICATES = 48
+# floor(CDF_Poisson(lambda=1)(k) * 2^24) for k = 0..6; a draw whose
+# 24-bit hash point falls below threshold[k] gets weight k (ELSE 7
+# caps the tail). Integer thresholds make the inverse-CDF comparison
+# EXACT on every engine — no float CDF evaluation at query time.
+BOOT_POISSON_THRESH = (6171992, 12343985, 15429982, 16458647,
+                       16715813, 16767247, 16775819)
+
+
+def q_stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the corpus mean doc
+    length [K: the resampling scheme for CIs over datasets too large
+    to multinomial-resample — each element enters each replicate
+    Poisson(1) times, so replicates stream in one scan with no global
+    coordination]. Replicate weights come from a 24-bit md5 point per
+    (doc, replicate) pushed through integer inverse-CDF thresholds
+    (BOOT_POISSON_THRESH), per-replicate means use exact BIGINT
+    sum(w*x)/sum(w) arithmetic, and the interval is the rank-2 /
+    rank-(B-1) order statistics of the B=48 replicate means (the
+    (1/48, 47/48) empirical quantiles, a ~95.8% interval).
+
+    Shape: one documents scan exploded by the constant replicate
+    dimension (48x, map-side), one 48-group hash agg (partial agg
+    collapses each task to <=48 rows before the shuffle), then the
+    order statistics via orderBy+limit(48) — a TakeOrdered, after
+    which the rank window runs over a plan-provably bounded input."""
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    b = BOOT_REPLICATES
+    rep = d.select(
+        "doc_id", "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("r"))
+    v = F.conv(F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                       F.col("r").cast("string"))), 1, 6), 16, 10)
+    cases = "CASE " + " ".join(
+        f"WHEN v < {t} THEN {k}"
+        for k, t in enumerate(BOOT_POISSON_THRESH)
+    ) + f" ELSE {len(BOOT_POISSON_THRESH)} END"
+    rep = (rep.withColumn("v", v.cast("long"))
+           .withColumn("w", F.expr(cases).cast("long")))
+    per = rep.groupBy("r").agg(
+        F.sum(F.col("w") * F.col("n_chars")).alias("wx"),
+        F.sum("w").alias("wn"))
+    means = per.select(
+        "r", F.round(F.col("wx").cast("double") / F.col("wn"), 6)
+        .alias("m"))
+    wrk = Window.orderBy(F.col("m").asc(), F.col("r").asc())
+    ranked = (means.orderBy(F.col("m").asc(), F.col("r").asc()).limit(b)
+              .withColumn("rk", F.row_number().over(wrk)))
+    ci = ranked.agg(
+        F.max(F.when(F.col("rk") == 2, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == b - 1, F.col("m"))).alias("ci_hi"))
+    point = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6)
+        .alias("point_mean"))
+    return (point.crossJoin(F.broadcast(ci))
+            .select("n_docs",
+                    F.lit(b).cast("int").alias("b_replicates"),
+                    "point_mean", "ci_lo", "ci_hi"))
+
+
+def _sql_stats_bootstrap_ci() -> str:
+    b = BOOT_REPLICATES
+    cases = "CASE " + " ".join(
+        f"WHEN v < {t} THEN {k}"
+        for k, t in enumerate(BOOT_POISSON_THRESH)
+    ) + f" ELSE {len(BOOT_POISSON_THRESH)} END"
+    return f"""
+WITH rep AS (
+  SELECT d.n_chars,
+         r.rv AS r,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                  || CAST(r.rv AS VARCHAR)), 1, 6))
+              AS BIGINT) AS v
+  FROM documents d CROSS JOIN range({b}) r(rv)),
+wrep AS (SELECT r, n_chars, CAST({cases} AS BIGINT) AS w FROM rep),
+per AS (SELECT r, sum(w * n_chars) AS wx, sum(w) AS wn
+        FROM wrep GROUP BY r),
+means AS (SELECT r, round(CAST(wx AS DOUBLE) / wn, 6) AS m FROM per),
+ranked AS (SELECT m, row_number() OVER (ORDER BY m ASC, r ASC) AS rk
+           FROM means),
+pt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6)
+              AS point_mean
+       FROM documents)
+SELECT pt.n_docs, CAST({b} AS INT) AS b_replicates, pt.point_mean,
+       (SELECT m FROM ranked WHERE rk = 2) AS ci_lo,
+       (SELECT m FROM ranked WHERE rk = {b - 1}) AS ci_hi
+FROM pt
 """
