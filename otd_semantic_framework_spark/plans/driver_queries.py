@@ -3451,6 +3451,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_domain_weights": q_curation_domain_weights,
         "kg_neighbor_sampling": q_kg_neighbor_sampling,
         "stats_bootstrap_ci": q_stats_bootstrap_ci,
+        "dedup_threshold_sweep": q_dedup_threshold_sweep,
+        "kg_degree_anomaly": q_kg_degree_anomaly,
+        "kg_calibration": q_kg_calibration,
+        "sim_centroid_drift": q_sim_centroid_drift,
     }
 
 
@@ -3706,6 +3710,10 @@ def build_oracle_sql() -> dict[str, str]:
         "curation_domain_weights": _sql_curation_domain_weights(),
         "kg_neighbor_sampling": _sql_kg_neighbor_sampling(),
         "stats_bootstrap_ci": _sql_stats_bootstrap_ci(),
+        "dedup_threshold_sweep": _sql_dedup_threshold_sweep(),
+        "kg_degree_anomaly": _sql_kg_degree_anomaly(),
+        "kg_calibration": _sql_kg_calibration(),
+        "sim_centroid_drift": _sql_sim_centroid_drift(),
     }
 
 
@@ -13159,4 +13167,291 @@ SELECT pt.n_docs, CAST({b} AS INT) AS b_replicates, pt.point_mean,
        (SELECT m FROM ranked WHERE rk = 2) AS ci_lo,
        (SELECT m FROM ranked WHERE rk = {b - 1}) AS ci_hi
 FROM pt
+"""
+
+
+SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold calibration sweep [K: the curve every team plots
+    before committing to a near-dup cutoff — too low deletes real
+    content, too high ships duplicates]: score the Jaccard candidate
+    pairs ONCE (threshold 0 = keep every verified candidate), then for
+    each grid threshold report surviving pair count and the number of
+    distinct documents touched by >=1 surviving pair (the upper bound
+    on removals a downstream canonical-survivor pass could make).
+
+    Shape: the one posting-list candidate join + exact verify from
+    dedup_jaccard (df-capped hot-token hygiene included), then a
+    constant 5-wide threshold explode over the SCORED PAIRS (not the
+    corpus) and two tiny hash aggs keyed by threshold. The expensive
+    pair scoring is shared across all grid points — the whole point of
+    sweeping offline instead of re-running dedup per threshold."""
+    from ..operators.dedup import jaccard_near_dup_pairs
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < JACCARD_MAX_DOC)
+    pairs = jaccard_near_dup_pairs(d, 0.0, df_cap=JACCARD_DF_CAP)
+    grid_col = F.explode(F.array(*[F.lit(float(t))
+                                   for t in SWEEP_THRESHOLDS]))
+    surv = (pairs.select("doc_a", "doc_b", "jaccard",
+                         grid_col.alias("threshold"))
+            .filter(F.col("jaccard") >= F.col("threshold")))
+    per_pairs = surv.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    docs_in = (surv.select(
+        "threshold", F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .groupBy("threshold")
+        .agg(F.countDistinct("doc_id").cast("long")
+             .alias("n_docs_in_pairs")))
+    base = spark.createDataFrame([(float(t),) for t in SWEEP_THRESHOLDS],
+                                 "threshold double")
+    return (base.join(per_pairs, "threshold", "left")
+            .join(docs_in, "threshold", "left")
+            .select("threshold",
+                    F.coalesce("n_pairs", F.lit(0)).cast("long")
+                    .alias("n_pairs"),
+                    F.coalesce("n_docs_in_pairs", F.lit(0)).cast("long")
+                    .alias("n_docs_in_pairs")))
+
+
+def _sql_dedup_threshold_sweep() -> str:
+    grid = ", ".join(f"CAST({t} AS DOUBLE)" for t in SWEEP_THRESHOLDS)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND doc_id < {JACCARD_MAX_DOC}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+rare AS (
+  SELECT tok FROM toks GROUP BY tok HAVING count(*) <= {JACCARD_DF_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT t.* FROM toks t JOIN rare r ON r.tok = t.tok) a
+  JOIN (SELECT t.* FROM toks t JOIN rare r ON r.tok = t.tok) b
+    ON a.tok = b.tok AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN toks a ON a.doc_id = c.doc_a
+  JOIN toks b ON b.doc_id = c.doc_b AND b.tok = a.tok
+  GROUP BY c.doc_a, c.doc_b),
+scored AS (
+  SELECT i.doc_a, i.doc_b,
+         round(cast(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6)
+           AS jaccard
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id),
+grid AS (SELECT unnest([{grid}]) AS threshold),
+surv AS (
+  SELECT g.threshold, s.doc_a, s.doc_b
+  FROM grid g JOIN scored s ON s.jaccard >= g.threshold),
+pp AS (SELECT threshold, count(*) AS n_pairs FROM surv GROUP BY 1),
+di AS (
+  SELECT threshold, count(DISTINCT doc_id) AS n_docs_in_pairs
+  FROM (SELECT threshold, doc_a AS doc_id FROM surv
+        UNION ALL SELECT threshold, doc_b FROM surv)
+  GROUP BY 1)
+SELECT g.threshold,
+       CAST(coalesce(pp.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(di.n_docs_in_pairs, 0) AS BIGINT) AS n_docs_in_pairs
+FROM grid g
+LEFT JOIN pp ON pp.threshold = g.threshold
+LEFT JOIN di ON di.threshold = g.threshold
+"""
+
+
+def q_kg_degree_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-anomaly QA over the constructed KG [K: bot/spam sweep — a
+    subject whose per-predicate out-degree is a robust outlier is a
+    runaway conversation or a scraper, and KG QA flags it before the
+    graph ships]: per predicate, compute the median and MAD of subject
+    out-degree in exact doubled/quadrupled integer units (the
+    rel_outliers idiom — interpolated medians of even bigints stay
+    integral) and emit every subject beyond the 3-sigma-equivalent
+    |deg - med| > 3*1.4826*MAD fence, cross-multiplied so no division
+    ever leaves integers. Degenerate MAD=0 (over half the subjects
+    share the median degree) falls back to flagging any deviation —
+    the standard MAD behavior, documented rather than patched.
+
+    Shape: one (pred, subj) hash agg over the deduped triple set, two
+    pred-keyed percentile aggs broadcast back (|preds| rows), one
+    map-side filter. No windows, no self-joins; at 100 TB swap
+    percentile for approx_percentile and keep the shape."""
+    tr = q_kg_triples(spark, sf_dir)
+    deg = (tr.groupBy("pred", "subj")
+           .agg(F.count(F.lit(1)).alias("deg")))
+    v = deg.withColumn("v2", (F.col("deg") * 2).cast("long"))
+    g1 = v.groupBy("pred").agg(
+        F.expr("CAST(percentile(v2, 0.5) AS BIGINT)").alias("med2"),
+        F.count(F.lit(1)).cast("long").alias("n_subj"))
+    dv = (v.join(F.broadcast(g1), "pred")
+          .withColumn("dev2", F.abs(F.col("v2") - F.col("med2"))))
+    g2 = dv.groupBy("pred").agg(
+        F.expr("CAST(percentile(2 * dev2, 0.5) AS BIGINT)").alias("mad4"))
+    return (dv.join(F.broadcast(g2), "pred")
+            .filter(F.expr("dev2 * 10000 > 22239 * mad4"))
+            .select("pred", "subj", F.col("deg").cast("long").alias("deg"),
+                    F.col("med2").cast("long").alias("med_deg2"),
+                    F.col("mad4").cast("long").alias("mad4"),
+                    "n_subj"))
+
+
+def _sql_kg_degree_anomaly() -> str:
+    return f"""
+WITH triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+deg AS (
+  SELECT pred, subj, count(*) AS deg FROM triples GROUP BY 1, 2),
+v AS (SELECT pred, subj, deg, CAST(deg * 2 AS BIGINT) AS v2 FROM deg),
+g1 AS (
+  SELECT pred, CAST(quantile_cont(v2, 0.5) AS BIGINT) AS med2,
+         CAST(count(*) AS BIGINT) AS n_subj
+  FROM v GROUP BY 1),
+dv AS (
+  SELECT v.pred, v.subj, v.deg, abs(v2 - med2) AS dev2, med2, n_subj
+  FROM v JOIN g1 USING (pred)),
+g2 AS (
+  SELECT pred, CAST(quantile_cont(2 * dev2, 0.5) AS BIGINT) AS mad4
+  FROM dv GROUP BY 1)
+SELECT dv.pred, dv.subj, CAST(dv.deg AS BIGINT) AS deg,
+       CAST(dv.med2 AS BIGINT) AS med_deg2,
+       CAST(g2.mad4 AS BIGINT) AS mad4, dv.n_subj
+FROM dv JOIN g2 USING (pred)
+WHERE dev2 * 10000 > 22239 * mad4
+"""
+
+
+def q_kg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the Wu-Palmer metric [K: the calibration
+    diagram every ML eval ships — here: does a higher WuP score
+    actually mean two concepts sit in the same taxonomy branch?]: bin
+    every concept pair of the P8 all-pairs matrix by WuP in 0.2-wide
+    bins and report, per bin, how many pairs share a depth-2 branch,
+    the same-branch rate, and the mean in-bin WuP — all in exact ppm
+    integers so the table replays bit-identically on any engine. A
+    well-calibrated metric shows the rate rising with the bin; pairs
+    involving the root (outside the branch map) are excluded by the
+    inner joins, which is the honest denominator.
+
+    Shape: the wup matrix (ontology-sized) joined twice against the
+    broadcast (concept -> branch) map, one <=5-row hash agg on the
+    bin. Everything after P8 is broadcast-sized."""
+    wup = q_kg_wup_matrix(spark, sf_dir)
+    bmap = spark.createDataFrame(_branch_map_pdf())
+    ba = bmap.select(F.col("concept_id").alias("concept_a"),
+                     F.col("branch").alias("branch_a"))
+    bb = bmap.select(F.col("concept_id").alias("concept_b"),
+                     F.col("branch").alias("branch_b"))
+    j = (wup.join(F.broadcast(ba), "concept_a")
+         .join(F.broadcast(bb), "concept_b"))
+    binned = j.select(
+        F.least(F.lit(4), F.floor(F.col("wup") * 5).cast("int"))
+        .alias("bin"),
+        F.floor(F.col("wup") * 1000000).cast("long").alias("wup_ppm"),
+        (F.col("branch_a") == F.col("branch_b")).cast("int").alias("same"))
+    return (binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.sum("same").cast("long").alias("n_same_branch"),
+                 F.expr("sum(same) * 1000000 DIV count(1)").cast("long")
+                 .alias("same_rate_ppm"),
+                 F.expr("sum(wup_ppm) DIV count(1)").cast("long")
+                 .alias("mean_wup_ppm")))
+
+
+def _sql_kg_calibration() -> str:
+    bv = values_sql(_branch_map_pdf(), "m")
+    return f"""
+WITH wup AS ({_sql_kg_wup_matrix()}),
+bmap AS (SELECT concept_id, branch FROM {bv}),
+j AS (
+  SELECT least(4, CAST(floor(w.wup * 5) AS INT)) AS bin,
+         CAST(floor(w.wup * 1000000) AS BIGINT) AS wup_ppm,
+         CASE WHEN a.branch = b.branch THEN 1 ELSE 0 END AS same
+  FROM wup w
+  JOIN bmap a ON a.concept_id = w.concept_a
+  JOIN bmap b ON b.concept_id = w.concept_b)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(same) AS BIGINT) AS n_same_branch,
+       CAST(sum(same) * 1000000 // count(*) AS BIGINT) AS same_rate_ppm,
+       CAST(sum(wup_ppm) // count(*) AS BIGINT) AS mean_wup_ppm
+FROM j GROUP BY bin
+"""
+
+
+DRIFT_SCALE = 1000  # fixed-point quantization for centroid sums: small
+# enough that per-(label, half) component sums and their squared dots
+# stay far inside BIGINT at the test scales (re-scale when a single
+# stratum exceeds ~10^8 rows), large enough that a drift metric loses
+# nothing that matters.
+
+
+def q_sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor [K: the snapshot-vs-snapshot
+    centroid check a feature-store QA job runs — if a class centroid
+    rotates, the upstream encoder or the data mix changed]: split each
+    label's vectors into two deterministic halves (vec_id parity),
+    quantize components to DRIFT_SCALE fixed-point integers, and report
+    the cosine between the two half-centroids per label. Cosine is
+    scale-invariant, so the component SUMS stand in for the centroids
+    and no division ever happens before the final double cosine of
+    exact integers — bit-identical on any engine, any row order.
+
+    Shape: one posexplode scan -> one (label, half, pos) hash agg
+    (64*2*|labels| rows) -> one pos-keyed self-join of that tiny table
+    -> one |labels|-row agg. The explode is the standard columnar
+    unpivot for component-wise math; everything after the first agg is
+    broadcast-sized."""
+    e = _tbl(spark, sf_dir, "embeddings")
+    q = (e.select("vec_id", "label",
+                  F.posexplode(F.col("embedding")).alias("pos", "x"))
+         .select("label", (F.col("vec_id") % 2).cast("int").alias("half"),
+                 "pos",
+                 F.floor(F.col("x").cast("double") * DRIFT_SCALE)
+                 .cast("long").alias("qv")))
+    s = q.groupBy("label", "half", "pos").agg(
+        F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+    a = (s.filter(F.col("half") == 0)
+         .select("label", "pos", F.col("s").alias("sa"),
+                 F.col("n").alias("na_rows")))
+    b = (s.filter(F.col("half") == 1)
+         .select("label", "pos", F.col("s").alias("sb"),
+                 F.col("n").alias("nb_rows")))
+    j = a.join(b, ["label", "pos"])
+    agg = j.groupBy("label").agg(
+        F.sum(F.col("sa") * F.col("sb")).alias("dot"),
+        F.sum(F.col("sa") * F.col("sa")).alias("na"),
+        F.sum(F.col("sb") * F.col("sb")).alias("nb"),
+        F.max("na_rows").cast("long").alias("n_a"),
+        F.max("nb_rows").cast("long").alias("n_b"))
+    return agg.select(
+        F.col("label").cast("int").alias("label"), "n_a", "n_b",
+        F.round(F.col("dot").cast("double")
+                / (F.sqrt(F.col("na").cast("double"))
+                   * F.sqrt(F.col("nb").cast("double"))), 6)
+        .alias("drift_cos"))
+
+
+def _sql_sim_centroid_drift() -> str:
+    return f"""
+WITH q AS (
+  SELECT label, CAST(vec_id % 2 AS INT) AS half,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {DRIFT_SCALE})
+              AS BIGINT) AS qv
+  FROM embeddings),
+s AS (
+  SELECT label, half, pos, sum(qv) AS s, count(*) AS n
+  FROM q GROUP BY 1, 2, 3),
+j AS (
+  SELECT a.label, a.s AS sa, b.s AS sb, a.n AS na_rows, b.n AS nb_rows
+  FROM (SELECT * FROM s WHERE half = 0) a
+  JOIN (SELECT * FROM s WHERE half = 1) b
+    ON a.label = b.label AND a.pos = b.pos)
+SELECT CAST(label AS INT) AS label,
+       CAST(max(na_rows) AS BIGINT) AS n_a,
+       CAST(max(nb_rows) AS BIGINT) AS n_b,
+       round(CAST(sum(sa * sb) AS DOUBLE)
+             / (sqrt(CAST(sum(sa * sa) AS DOUBLE))
+                * sqrt(CAST(sum(sb * sb) AS DOUBLE))), 6) AS drift_cos
+FROM j GROUP BY label
 """
