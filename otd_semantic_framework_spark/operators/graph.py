@@ -1059,3 +1059,44 @@ def transitive_reduction(edges: DataFrame,
     return (e.join(witnessed, ["src", "dst"], "left_anti")
             .select(F.col("src").alias(src_col),
                     F.col("dst").alias(dst_col)))
+
+
+def edge_triangle_support(triples: DataFrame) -> DataFrame:
+    """Per-edge triangle support over the simple undirected KG graph —
+    the k-truss primitive [K: Cohen's trusses; support(u,v) =
+    |N(u) ∩ N(v)|, and an edge can sit in the k-truss only if
+    support >= k-2, so the one-shot support table IS the first peel
+    round and the standard dense-subgraph signal KG QA reads (a
+    mention edge with no triangle support is an isolated assertion;
+    high-support edges anchor concept communities)].
+
+    Output: one row per canonical (src < dst) undirected edge with its
+    exact support plus the k=3 / k=4 pre-peel membership flags.
+
+    Shape: symmetrize + self-loop-drop the deduped edge set, then the
+    standard distributed wedge closure — canonical edges equi-joined
+    to the adjacency on BOTH endpoints with the common-neighbor key
+    matched, one (src, dst) hash agg, and a left join back so
+    zero-support edges keep their row. No windows, no driver state.
+    At 100 TB: bucket the adjacency by src so both wedge joins
+    co-partition, and orient wedges from the lower-degree endpoint
+    (degree ordering) to bound the per-task wedge count on hub nodes.
+    """
+    und = (undirected_edges(triples)
+           .filter(F.col("src") != F.col("dst")))
+    canon = und.filter(F.col("src") < F.col("dst"))
+    sup = (canon.alias("e")
+           .join(und.alias("a"), F.col("e.src") == F.col("a.src"))
+           .join(und.alias("b"), (F.col("e.dst") == F.col("b.src"))
+                 & (F.col("a.dst") == F.col("b.dst")))
+           .groupBy(F.col("e.src").alias("src"),
+                    F.col("e.dst").alias("dst"))
+           .agg(F.count(F.lit(1)).cast("long").alias("support")))
+    return (canon.join(sup, ["src", "dst"], "left")
+            .select("src", "dst",
+                    F.coalesce("support", F.lit(0)).cast("long")
+                    .alias("support"))
+            .withColumn("in_truss3",
+                        (F.col("support") >= 1).cast("int"))
+            .withColumn("in_truss4",
+                        (F.col("support") >= 2).cast("int")))

@@ -3455,6 +3455,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_anomaly": q_kg_degree_anomaly,
         "kg_calibration": q_kg_calibration,
         "sim_centroid_drift": q_sim_centroid_drift,
+        "kg_truss": q_kg_truss,
+        "rel_abtest": q_rel_abtest,
     }
 
 
@@ -3714,6 +3716,8 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_degree_anomaly": _sql_kg_degree_anomaly(),
         "kg_calibration": _sql_kg_calibration(),
         "sim_centroid_drift": _sql_sim_centroid_drift(),
+        "kg_truss": _sql_kg_truss(),
+        "rel_abtest": _sql_rel_abtest(),
     }
 
 
@@ -13454,4 +13458,163 @@ SELECT CAST(label AS INT) AS label,
              / (sqrt(CAST(sum(sa * sa) AS DOUBLE))
                 * sqrt(CAST(sum(sb * sb) AS DOUBLE))), 6) AS drift_cos
 FROM j GROUP BY label
+"""
+
+
+def q_kg_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge triangle support / k-truss pre-peel over the constructed
+    KG (operators/graph.py:edge_triangle_support) [K: support(u,v) =
+    common-neighbor count; k-truss membership needs support >= k-2].
+    One row per canonical undirected edge with exact support and the
+    k=3/k=4 flags — the dense-subgraph QA read and the first round of
+    the truss peel.
+
+    Shape: wedge-closure equi-joins + one hash agg; see the operator
+    docstring for the 100-TB orientation/bucketing notes."""
+    from ..operators.graph import edge_triangle_support
+    return edge_triangle_support(q_kg_triples(spark, sf_dir))
+
+
+def _sql_kg_truss() -> str:
+    return f"""
+WITH triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+e0 AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples),
+und AS (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION
+  SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst),
+canon AS (SELECT src, dst FROM und WHERE src < dst),
+sup AS (
+  SELECT e.src, e.dst, count(*) AS support
+  FROM canon e
+  JOIN und a ON a.src = e.src
+  JOIN und b ON b.src = e.dst AND b.dst = a.dst
+  GROUP BY 1, 2)
+SELECT c.src, c.dst,
+       CAST(coalesce(s.support, 0) AS BIGINT) AS support,
+       CAST(CASE WHEN coalesce(s.support, 0) >= 1 THEN 1 ELSE 0 END
+            AS INT) AS in_truss3,
+       CAST(CASE WHEN coalesce(s.support, 0) >= 2 THEN 1 ELSE 0 END
+            AS INT) AS in_truss4
+FROM canon c LEFT JOIN sup s ON s.src = c.src AND s.dst = c.dst
+"""
+
+
+def q_rel_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B experiment readout [K: Deng et al.'s
+    controlled-experiment variance reduction — adjust the metric by a
+    pre-experiment covariate, Y' = Y - theta*(X - mean(X)) with
+    theta = cov(X,Y)/var(X), shrinking the variance by the squared
+    X-Y correlation at zero bias]: unit = customer (units with no
+    orders are unexposed and excluded, documented), variant = md5
+    parity of the customer key (the deterministic hash assignment a
+    real experiment platform uses), metric Y = the customer's total
+    order value in floored dollars, covariate X = the pre-experiment
+    account balance in floored dollars. All SUMS (n, Sx, Sy, Sxx,
+    Sxy, Syy) are exact BIGINTs; theta and the adjusted means are
+    computed from those sums through an IDENTICAL double expression
+    tree on both engines, so the rounded outputs replay bit-identically
+    (the drift_cos convention). Per variant: unit count, raw mean,
+    CUPED-adjusted mean, the pooled theta, and the pooled variance
+    reduction rho^2 — the fraction of metric variance the covariate
+    removes.
+
+    Shape: one orders hash agg (map-side partial) + one broadcast-able
+    customer join -> one global 1-row agg crossJoined back + one
+    2-row variant agg. No windows, no driver state; the 1-row global
+    is the only barrier and it is O(1)."""
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
+    bucket = F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")),
+                                1, 2), 16, 10).cast("long")
+    units = (o.groupBy("o_custkey")
+             .agg(F.sum(F.floor("o_totalprice")).cast("long").alias("y"))
+             .join(c.select(
+                 "c_custkey",
+                 F.floor("c_acctbal").cast("long").alias("x"),
+                 (bucket % 2).cast("int").alias("variant")),
+                 F.col("o_custkey") == F.col("c_custkey")))
+    gl = units.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
+    pv = units.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("x").cast("long").alias("sx_v"),
+        F.sum("y").cast("long").alias("sy_v"))
+    d = F.col  # noqa: E741 - local alias for the double expression tree
+    num = (d("n").cast("double") * d("sxy").cast("double")
+           - d("sx").cast("double") * d("sy").cast("double"))
+    den = (d("n").cast("double") * d("sxx").cast("double")
+           - d("sx").cast("double") * d("sx").cast("double"))
+    vy = (d("n").cast("double") * d("syy").cast("double")
+          - d("sy").cast("double") * d("sy").cast("double"))
+    theta = num / den
+    j = pv.crossJoin(F.broadcast(gl))
+    return (j.select(
+        "variant", "n_units",
+        F.round(d("sy_v").cast("double") / d("n_units").cast("double"), 6)
+        .alias("mean_y"),
+        F.round(d("sy_v").cast("double") / d("n_units").cast("double")
+                - theta * (d("sx_v").cast("double")
+                           / d("n_units").cast("double")
+                           - d("sx").cast("double")
+                           / d("n").cast("double")), 6)
+        .alias("mean_y_adj"),
+        F.round(theta, 6).alias("theta"),
+        F.round(num * num / (den * vy), 6).alias("var_reduction")))
+
+
+def _sql_rel_abtest() -> str:
+    bucket = ("(strpos('0123456789abcdef',"
+              " substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) - 1) * 16"
+              " + strpos('0123456789abcdef',"
+              " substr(md5(CAST(c_custkey AS VARCHAR)), 2, 1)) - 1")
+    return f"""
+WITH ou AS (
+  SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
+                         AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+units AS (
+  SELECT CAST(floor(c_acctbal) AS BIGINT) AS x, ou.y,
+         CAST(({bucket}) % 2 AS INT) AS variant
+  FROM ou JOIN customer ON c_custkey = o_custkey),
+gl AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM units),
+pv AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n_units,
+         CAST(sum(x) AS BIGINT) AS sx_v, CAST(sum(y) AS BIGINT) AS sy_v
+  FROM units GROUP BY 1)
+SELECT variant, n_units,
+       round(CAST(sy_v AS DOUBLE) / CAST(n_units AS DOUBLE), 6) AS mean_y,
+       round(CAST(sy_v AS DOUBLE) / CAST(n_units AS DOUBLE)
+             - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+               * (CAST(sx_v AS DOUBLE) / CAST(n_units AS DOUBLE)
+                  - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         AS mean_y_adj,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS theta,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS var_reduction
+FROM pv CROSS JOIN gl
 """
