@@ -635,3 +635,48 @@ def pq_adc_topk(queries: DataFrame, encoded: DataFrame,
     return (scored.withColumn("rk", F.row_number().over(wr))
             .filter(F.col("rk") <= k)
             .select(q_id, c_id, "adc_dist", "rk"))
+
+
+def knn_graph(vecs: DataFrame, k: int = 5, n_planes: int = 3,
+              dim: int = 64, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Approximate k-NN graph construction [K: the edge-list artifact
+    GNN trainers, label-propagation clusterers and semantic-dedup
+    passes consume — NN-Descent/LSH-based kNN-graph building is the
+    standard scale path, all-pairs being quadratic]: every node's
+    top-k cosine neighbors WITHIN its LSH sign-bucket, plus the
+    mutuality flag (mutual kNN edges are the high-precision subset a
+    clustering pass keeps).
+
+    Shape: bucket once (one vectorized matmul pandas_udf), bucket-key
+    self-join (never all-pairs), exact cosine on candidates, top-k by
+    a src-partitioned rank window (bounded by bucket size), and one
+    (src,dst)-keyed self-join for the mutual flag. At 10^9 vectors:
+    more planes (smaller buckets) + multi-probe for recall, and
+    bucket-bucket co-partitioning makes the self-join shuffle-local.
+    Approximate by design — cross-bucket true neighbors are missed;
+    recall/compute trades via n_planes exactly as ann_lsh_topk."""
+    planes = hyperplanes(n_planes, dim)
+    b = lsh_bucket(vecs.select(F.col(id_col).alias("nid"),
+                               F.col(vec_col).alias("nv")),
+                   "nv", planes)
+    a = b.select(F.col("nid").alias("src"), F.col("nv").alias("sv"),
+                 "bucket")
+    c = b.select(F.col("nid").alias("dst"), F.col("nv").alias("dv"),
+                 "bucket")
+    sim = (a.join(c, "bucket")
+           .filter(F.col("src") != F.col("dst"))
+           .withColumn("cos", F.round(
+               _dot(_as_double(F.col("sv")), _as_double(F.col("dv")))
+               / (_norm(_as_double(F.col("sv")))
+                  * _norm(_as_double(F.col("dv")))), 6)))
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    topk = (sim.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k).select("src", "dst", "cos", "rk"))
+    rev = topk.select(F.col("dst").alias("src"),
+                      F.col("src").alias("dst"),
+                      F.lit(1).alias("mutual"))
+    return (topk.join(rev, ["src", "dst"], "left")
+            .select("src", "dst", "cos", "rk",
+                    F.coalesce("mutual", F.lit(0)).cast("int")
+                    .alias("mutual")))

@@ -3457,6 +3457,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_centroid_drift": q_sim_centroid_drift,
         "kg_truss": q_kg_truss,
         "rel_abtest": q_rel_abtest,
+        "sim_knn_graph": q_sim_knn_graph,
+        "text_gini": q_text_gini,
     }
 
 
@@ -3718,6 +3720,8 @@ def build_oracle_sql() -> dict[str, str]:
         "sim_centroid_drift": _sql_sim_centroid_drift(),
         "kg_truss": _sql_kg_truss(),
         "rel_abtest": _sql_rel_abtest(),
+        "sim_knn_graph": _sql_sim_knn_graph(),
+        "text_gini": _sql_text_gini(),
     }
 
 
@@ -13617,4 +13621,140 @@ SELECT variant, n_units,
                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
          AS var_reduction
 FROM pv CROSS JOIN gl
+"""
+
+
+KNNG_K = 5
+KNNG_N_PLANES = 3
+
+
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph over the embedding corpus
+    (operators/simsearch.py:knn_graph) [K: LSH-bucketed kNN-graph
+    construction — the edge artifact GNN training / semantic clustering
+    consumes]. Paired: the 3 hyperplanes are deterministic constants,
+    so DuckDB recomputes identical sign buckets and the identical
+    (cos DESC, dst ASC) rank; the mutual flag replays as a reversed
+    self-join of the top-k set."""
+    from ..operators.simsearch import knn_graph
+    return knn_graph(_tbl(spark, sf_dir, "embeddings"),
+                     k=KNNG_K, n_planes=KNNG_N_PLANES)
+
+
+def _sql_sim_knn_graph() -> str:
+    from ..operators.simsearch import hyperplanes
+    planes = hyperplanes(KNNG_N_PLANES, 64)
+
+    def bucket(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({col}, {_sql_vec_lit(p)}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes))
+
+    return f"""
+WITH v AS (SELECT vec_id AS nid, cast(embedding AS DOUBLE[]) AS nv
+           FROM embeddings),
+b AS (SELECT nid, nv, {bucket('nv')} AS bucket FROM v),
+pairs AS (
+  SELECT a.nid AS src, c.nid AS dst,
+         round(list_cosine_similarity(a.nv, c.nv), 6) AS cos
+  FROM b a JOIN b c USING (bucket)
+  WHERE a.nid <> c.nid),
+topk AS (
+  SELECT src, dst, cos, rk FROM (
+    SELECT src, dst, cos,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cos DESC, dst ASC) AS rk
+    FROM pairs) WHERE rk <= {KNNG_K})
+SELECT t.src, t.dst, t.cos, t.rk,
+       CAST(CASE WHEN r.src IS NULL THEN 0 ELSE 1 END AS INT) AS mutual
+FROM topk t
+LEFT JOIN (SELECT dst AS src, src AS dst FROM topk) r
+  ON r.src = t.src AND r.dst = t.dst
+"""
+
+
+def q_text_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mass-concentration profile: binned Lorenz curve + Gini
+    coefficient over per-document character mass [K: the concentration
+    read a curation team does before sampling — if 1% of documents
+    hold 50% of the corpus mass, uniform-by-document sampling and
+    uniform-by-token sampling are very different datasets]. Bins are
+    power-of-two mass buckets computed WITHOUT libm — bin =
+    len(bin(mass+1)) - 1, exact integer bit-length on both engines —
+    because floor(log2(x)) through two different libm builds is a
+    cross-engine hash hazard. Per bin (ascending = Lorenz order):
+    doc count, mass, exact cumulative counts and ppm shares, plus the
+    trapezoid Gini of the binned curve with an EXACT BIGINT numerator
+    (sum n_i*(2*cumM_i - m_i)) over an exact n*S denominator — one
+    double division at the very end. Binned-not-exact is the honest
+    scale contract: exact Gini needs a global value sort (one
+    partition at 10^12 rows); the histogram approximation is what a
+    scan-shaped pipeline ships, and the bin width is the documented
+    error bound.
+
+    Shape: one map-side bin projection -> one <=40-row hash agg ->
+    triangular self-join of that tiny table for cumulatives -> two
+    1-row aggs crossJoined back. Everything after the first agg is
+    broadcast-sized."""
+    d = _docs(spark, sf_dir)
+    b = d.select(
+        (F.length(F.bin(F.length(F.coalesce(F.col("text"), F.lit("")))
+                        .cast("long") + 1)) - 1).cast("int").alias("bin"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+        .alias("mass"))
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("mass").cast("long").alias("bin_mass"))
+    cum = (g.alias("a").join(F.broadcast(g.alias("c")),
+                             F.col("c.bin") <= F.col("a.bin"))
+           .groupBy(F.col("a.bin").alias("bin"))
+           .agg(F.max(F.col("a.n_docs")).cast("long").alias("n_docs"),
+                F.max(F.col("a.bin_mass")).cast("long").alias("bin_mass"),
+                F.sum(F.col("c.n_docs")).cast("long").alias("cum_docs"),
+                F.sum(F.col("c.bin_mass")).cast("long").alias("cum_mass")))
+    tot = g.agg(F.sum("n_docs").cast("long").alias("n"),
+                F.sum("bin_mass").cast("long").alias("s"))
+    gn = cum.agg(F.sum(F.col("n_docs")
+                       * (2 * F.col("cum_mass") - F.col("bin_mass")))
+                 .cast("long").alias("bsum"))
+    return (cum.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(gn))
+            .select("bin", "n_docs", "bin_mass", "cum_docs", "cum_mass",
+                    F.expr("cum_docs * 1000000L DIV n").cast("long")
+                    .alias("cum_pop_ppm"),
+                    F.expr("cum_mass * 1000000L DIV s").cast("long")
+                    .alias("cum_mass_ppm"),
+                    F.round(F.lit(1.0) - F.col("bsum").cast("double")
+                            / (F.col("n").cast("double")
+                               * F.col("s").cast("double")), 6)
+                    .alias("gini")))
+
+
+def _sql_text_gini() -> str:
+    return """
+WITH m AS (
+  SELECT length(coalesce(text, '')) AS mass,
+         CAST(length(bin(CAST(length(coalesce(text, '')) AS BIGINT) + 1))
+              - 1 AS INT) AS bin
+  FROM documents),
+g AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(mass) AS BIGINT) AS bin_mass
+  FROM m GROUP BY 1),
+cum AS (
+  SELECT a.bin, max(a.n_docs) AS n_docs, max(a.bin_mass) AS bin_mass,
+         CAST(sum(c.n_docs) AS BIGINT) AS cum_docs,
+         CAST(sum(c.bin_mass) AS BIGINT) AS cum_mass
+  FROM g a JOIN g c ON c.bin <= a.bin
+  GROUP BY a.bin),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+               CAST(sum(bin_mass) AS BIGINT) AS s FROM g),
+gn AS (SELECT CAST(sum(n_docs * (2 * cum_mass - bin_mass)) AS BIGINT)
+         AS bsum FROM cum)
+SELECT bin, n_docs, bin_mass, cum_docs, cum_mass,
+       CAST(cum_docs * 1000000 // n AS BIGINT) AS cum_pop_ppm,
+       CAST(cum_mass * 1000000 // s AS BIGINT) AS cum_mass_ppm,
+       round(1.0 - CAST(bsum AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS gini
+FROM cum CROSS JOIN tot CROSS JOIN gn
 """
