@@ -3459,6 +3459,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_abtest": q_rel_abtest,
         "sim_knn_graph": q_sim_knn_graph,
         "text_gini": q_text_gini,
+        "kg_pathsim": q_kg_pathsim,
+        "stats_welch": q_stats_welch,
     }
 
 
@@ -3722,6 +3724,8 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_abtest": _sql_rel_abtest(),
         "sim_knn_graph": _sql_sim_knn_graph(),
         "text_gini": _sql_text_gini(),
+        "kg_pathsim": _sql_kg_pathsim(),
+        "stats_welch": _sql_stats_welch(),
     }
 
 
@@ -13757,4 +13761,156 @@ SELECT bin, n_docs, bin_mass, cum_docs, cum_mass,
        round(1.0 - CAST(bsum AS DOUBLE)
              / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS gini
 FROM cum CROSS JOIN tot CROSS JOIN gn
+"""
+
+
+def q_kg_pathsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PathSim metapath similarity over the heterogeneous KG [K: Sun
+    et al., VLDB'11 — similarity of two same-typed nodes along a
+    symmetric metapath; here concept-turn-concept: s(a,b) =
+    2*|paths a~t~b| / (|a~t~a| + |b~t~b|), which for binary incidence
+    is 2*co-mentions / (n_turns_a + n_turns_b). The normalization is
+    what distinguishes it from raw co-occurrence: a hub concept that
+    co-occurs with everything is discounted by its own path mass].
+    Exact-ppm integers; only co-mentioning pairs (co > 0) are emitted
+    — the equi-join on the shared turn IS the sparsity, never
+    all-pairs.
+
+    Shape: one distinct (turn, concept) projection, one turn-keyed
+    self-join (a < b) + pair hash agg, one per-concept count agg
+    joined back twice (broadcast — ontology-sized). At 100 TB the
+    turn-keyed join salts hot turns (bounded: a turn mentions <=
+    |ontology| concepts), and the per-concept side is always tiny."""
+    tags = (_mentions_df(spark, sf_dir)
+            .select("conv_id", "turn_idx", "concept_id").distinct())
+    co = (tags.alias("a")
+          .join(tags.alias("b"),
+                (F.col("a.conv_id") == F.col("b.conv_id"))
+                & (F.col("a.turn_idx") == F.col("b.turn_idx"))
+                & (F.col("a.concept_id") < F.col("b.concept_id")))
+          .groupBy(F.col("a.concept_id").alias("concept_a"),
+                   F.col("b.concept_id").alias("concept_b"))
+          .agg(F.count(F.lit(1)).cast("long").alias("co_turns")))
+    n = tags.groupBy("concept_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"))
+    na = n.select(F.col("concept_id").alias("concept_a"),
+                  F.col("n_turns").alias("n_a"))
+    nb = n.select(F.col("concept_id").alias("concept_b"),
+                  F.col("n_turns").alias("n_b"))
+    return (co.join(F.broadcast(na), "concept_a")
+            .join(F.broadcast(nb), "concept_b")
+            .select("concept_a", "concept_b", "co_turns", "n_a", "n_b",
+                    F.expr("2 * co_turns * 1000000L DIV (n_a + n_b)")
+                    .cast("long").alias("pathsim_ppm")))
+
+
+def _sql_kg_pathsim() -> str:
+    return f"""
+WITH {_MENTIONS_CTE},
+tags AS (SELECT DISTINCT conv_id, turn_idx, concept_id FROM mentions),
+co AS (
+  SELECT a.concept_id AS concept_a, b.concept_id AS concept_b,
+         CAST(count(*) AS BIGINT) AS co_turns
+  FROM tags a JOIN tags b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND a.concept_id < b.concept_id
+  GROUP BY 1, 2),
+n AS (SELECT concept_id, CAST(count(*) AS BIGINT) AS n_turns
+      FROM tags GROUP BY 1)
+SELECT co.concept_a, co.concept_b, co.co_turns,
+       na.n_turns AS n_a, nb.n_turns AS n_b,
+       CAST(2 * co.co_turns * 1000000 // (na.n_turns + nb.n_turns)
+            AS BIGINT) AS pathsim_ppm
+FROM co
+JOIN n na ON na.concept_id = co.concept_a
+JOIN n nb ON nb.concept_id = co.concept_b
+"""
+
+
+def q_stats_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test, each source vs the rest of the
+    corpus [K: the two-sample location test that doesn't assume equal
+    variances — the standard "is this source's doc-length distribution
+    shifted?" QA read; Welch-Satterthwaite approximates the degrees of
+    freedom]. Metric = per-document character mass. All per-source
+    sums (n, S, SS) are exact BIGINTs; the rest-group sums are exact
+    differences against the 1-row global; t and df are computed from
+    those integers through an identical double expression tree on both
+    engines (the drift_cos convention).
+
+    Shape: one map-side projection -> one |sources|-row hash agg ->
+    crossJoin against the 1-row global -> map arithmetic. No windows,
+    no self-joins; the only barrier is the O(1) global row."""
+    d = _docs(spark, sf_dir)
+    m = d.select("source",
+                 F.length(F.coalesce(F.col("text"), F.lit("")))
+                 .cast("long").alias("mass"))
+    g = m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.sum("mass").cast("long").alias("s1"),
+        F.sum(F.col("mass") * F.col("mass")).cast("long").alias("ss1"))
+    tot = g.agg(F.sum("n1").cast("long").alias("nt"),
+                F.sum("s1").cast("long").alias("st"),
+                F.sum("ss1").cast("long").alias("sst"))
+    j = (g.crossJoin(F.broadcast(tot))
+         .withColumn("n2", (F.col("nt") - F.col("n1")).cast("long"))
+         .withColumn("s2", (F.col("st") - F.col("s1")).cast("long"))
+         .withColumn("ss2", (F.col("sst") - F.col("ss1")).cast("long")))
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    v1 = ((n1d * F.col("ss1").cast("double")
+           - F.col("s1").cast("double") * F.col("s1").cast("double"))
+          / (n1d * (n1d - 1)))
+    v2 = ((n2d * F.col("ss2").cast("double")
+           - F.col("s2").cast("double") * F.col("s2").cast("double"))
+          / (n2d * (n2d - 1)))
+    se1, se2 = v1 / n1d, v2 / n2d
+    t = ((F.col("s1").cast("double") / n1d
+          - F.col("s2").cast("double") / n2d)
+         / F.sqrt(se1 + se2))
+    df = ((se1 + se2) * (se1 + se2)
+          / (se1 * se1 / (n1d - 1) + se2 * se2 / (n2d - 1)))
+    return j.select(
+        "source", F.col("n1").alias("n_docs"),
+        F.round(F.col("s1").cast("double") / n1d, 6).alias("mean_mass"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("welch_df"))
+
+
+def _sql_stats_welch() -> str:
+    v1 = ("(CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)"
+          " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+          " / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1))")
+    v2 = ("(CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)"
+          " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+          " / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1))")
+    se1 = f"(({v1}) / CAST(n1 AS DOUBLE))"
+    se2 = f"(({v2}) / CAST(n2 AS DOUBLE))"
+    return f"""
+WITH m AS (
+  SELECT source, CAST(length(coalesce(text, '')) AS BIGINT) AS mass
+  FROM documents),
+g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n1,
+         CAST(sum(mass) AS BIGINT) AS s1,
+         CAST(sum(mass * mass) AS BIGINT) AS ss1
+  FROM m GROUP BY 1),
+tot AS (SELECT CAST(sum(n1) AS BIGINT) AS nt,
+               CAST(sum(s1) AS BIGINT) AS st,
+               CAST(sum(ss1) AS BIGINT) AS sst FROM g),
+j AS (
+  SELECT source, n1, s1, ss1,
+         CAST(nt - n1 AS BIGINT) AS n2,
+         CAST(st - s1 AS BIGINT) AS s2,
+         CAST(sst - ss1 AS BIGINT) AS ss2
+  FROM g CROSS JOIN tot)
+SELECT source, n1 AS n_docs,
+       round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS mean_mass,
+       round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / sqrt({se1} + {se2}), 6) AS t_stat,
+       round(({se1} + {se2}) * ({se1} + {se2})
+             / ({se1} * {se1} / (CAST(n1 AS DOUBLE) - 1)
+                + {se2} * {se2} / (CAST(n2 AS DOUBLE) - 1)), 6)
+         AS welch_df
+FROM j
 """
