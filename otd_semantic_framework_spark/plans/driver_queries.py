@@ -3461,6 +3461,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gini": q_text_gini,
         "kg_pathsim": q_kg_pathsim,
         "stats_welch": q_stats_welch,
+        "stats_autocorr": q_stats_autocorr,
+        "curation_anneal": q_curation_anneal,
     }
 
 
@@ -3726,6 +3728,8 @@ def build_oracle_sql() -> dict[str, str]:
         "text_gini": _sql_text_gini(),
         "kg_pathsim": _sql_kg_pathsim(),
         "stats_welch": _sql_stats_welch(),
+        "stats_autocorr": _sql_stats_autocorr(),
+        "curation_anneal": _sql_curation_anneal(),
     }
 
 
@@ -13913,4 +13917,161 @@ SELECT source, n1 AS n_docs,
                 + {se2} * {se2} / (CAST(n2 AS DOUBLE) - 1)), 6)
          AS welch_df
 FROM j
+"""
+
+
+ACF_MAX_LAG = 7
+
+
+def q_stats_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily order-count series at
+    lags 1..ACF_MAX_LAG [K: the ACF diagnostic behind seasonality /
+    ingest-anomaly detection — a weekly pipeline rhythm shows as a
+    lag-7 peak]. Uses the full-series mean and variance as the
+    normalizer (the textbook biased-denominator ACF); missing calendar
+    days simply contribute no pair, which is documented rather than
+    gap-filled (rel_gapfill is the composition point). All pair sums
+    (n_k, Sxy_k, Sa_k, Sb_k) and the global (n, S, SS) are exact
+    BIGINTs; r_k is assembled in one identical double expression on
+    both engines.
+
+    Shape: one day hash agg (map-side partial over the orders scan),
+    one constant 7-wide lag explode of that tiny daily table, one
+    date-keyed equi-join of daily vs daily, one 7-row agg + the O(1)
+    global crossJoined back. Nothing here grows with row count except
+    the first agg."""
+    o = _tbl(spark, sf_dir, "orders")
+    daily = (o.select(F.to_date("o_orderdate").alias("day"))
+             .groupBy("day")
+             .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    tot = daily.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("x").cast("long").alias("s"),
+                    F.sum(F.col("x") * F.col("x")).cast("long")
+                    .alias("ss"))
+    lags = F.explode(F.array(*[F.lit(k)
+                               for k in range(1, ACF_MAX_LAG + 1)]))
+    a = daily.select("day", F.col("x").alias("xa"), lags.alias("lag")) \
+        .withColumn("day_b", F.expr("date_add(day, lag)"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("x").alias("xb"))
+    pairs = a.join(b, "day_b")
+    g = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sxy"),
+        F.sum("xa").cast("long").alias("sa"),
+        F.sum("xb").cast("long").alias("sb"))
+    nd = F.col("n").cast("double")
+    m = F.col("s").cast("double") / nd
+    denom = F.col("ss").cast("double") - nd * m * m
+    num = (F.col("sxy").cast("double")
+           - m * (F.col("sa").cast("double") + F.col("sb").cast("double"))
+           + F.col("n_pairs").cast("double") * m * m)
+    return (g.crossJoin(F.broadcast(tot))
+            .select(F.col("lag").cast("int").alias("lag"), "n_pairs",
+                    F.round(num / denom, 6).alias("acf")))
+
+
+def _sql_stats_autocorr() -> str:
+    lag_rows = ", ".join(f"({k})" for k in range(1, ACF_MAX_LAG + 1))
+    return f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS ss FROM daily),
+lags(lag) AS (VALUES {lag_rows}),
+pairs AS (
+  SELECT l.lag, a.x AS xa, b.x AS xb
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.day = a.day + l.lag),
+g AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(xa * xb) AS BIGINT) AS sxy,
+         CAST(sum(xa) AS BIGINT) AS sa,
+         CAST(sum(xb) AS BIGINT) AS sb
+  FROM pairs GROUP BY 1)
+SELECT CAST(lag AS INT) AS lag, n_pairs,
+       round((CAST(sxy AS DOUBLE)
+              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+              + CAST(n_pairs AS DOUBLE)
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(ss AS DOUBLE)
+                - CAST(n AS DOUBLE)
+                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS acf
+FROM g CROSS JOIN tot
+"""
+
+
+ANNEAL_EPOCHS = 4
+ANNEAL_WEIGHT_SCALE = 1000
+
+
+def q_curation_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch mixture-annealing schedule over LANGUAGES [K: the
+    two-phase data schedule multilingual pretraining runs use — start
+    at a uniform language mix, anneal to the sqrt-smoothed target by
+    the final epoch, so early training sees diversity and late
+    training sees the deployment distribution]: for each (epoch 0..3,
+    domain), weight_ppm interpolates uniform -> sqrt-smoothed target
+    in EXACT integer arithmetic — uniform_ppm = 1e6 div D, target_ppm
+    = w_d * 1e6 div W with w_d = floor(sqrt(c_d) * 1000) (sqrt is
+    IEEE correctly-rounded, identical on every engine — the
+    mixture_sample convention), and the interpolation is the
+    NONNEGATIVE convex combination ((E-1-e)*uniform + e*target) div
+    (E-1) — a signed delta*epoch form would hit the Spark-DIV
+    (truncate) vs DuckDB-// (floor) divergence on negative deltas,
+    and every term here stays >= 0 by construction. Per-epoch sums
+    may differ from 1e6 by <= D ppm of floor slack — documented, the
+    loader renormalizes.
+
+    Shape: one |domains|-row hash agg, crossJoined against a constant
+    4-row epoch spine and the O(1) totals row; pure map arithmetic
+    after the agg."""
+    d = _docs(spark, sf_dir)
+    g = (d.groupBy("lang")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+         .withColumn("w", F.floor(F.sqrt(F.col("n_docs").cast("double"))
+                                  * ANNEAL_WEIGHT_SCALE).cast("long")))
+    tot = g.agg(F.count(F.lit(1)).cast("long").alias("n_domains"),
+                F.sum("w").cast("long").alias("w_total"))
+    epochs = F.explode(F.array(*[F.lit(e)
+                                 for e in range(ANNEAL_EPOCHS)]))
+    j = (g.crossJoin(F.broadcast(tot))
+         .select("lang", "n_docs", "w", "n_domains", "w_total",
+                 epochs.alias("epoch")))
+    return (j.select(
+        F.col("epoch").cast("int").alias("epoch"), "lang", "n_docs",
+        F.expr("1000000L DIV n_domains").cast("long")
+        .alias("uniform_ppm"),
+        F.expr("w * 1000000L DIV w_total").cast("long")
+        .alias("target_ppm"),
+        F.expr(f"(({ANNEAL_EPOCHS - 1} - epoch)"
+               " * (1000000L DIV n_domains)"
+               " + epoch * (w * 1000000L DIV w_total))"
+               f" DIV {ANNEAL_EPOCHS - 1}").cast("long")
+        .alias("weight_ppm")))
+
+
+def _sql_curation_anneal() -> str:
+    epoch_rows = ", ".join(f"({e})" for e in range(ANNEAL_EPOCHS))
+    return f"""
+WITH g AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE))
+                    * {ANNEAL_WEIGHT_SCALE}) AS BIGINT) AS w
+  FROM documents GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_domains,
+               CAST(sum(w) AS BIGINT) AS w_total FROM g),
+epochs(epoch) AS (VALUES {epoch_rows})
+SELECT CAST(epoch AS INT) AS epoch, lang, n_docs,
+       CAST(1000000 // n_domains AS BIGINT) AS uniform_ppm,
+       CAST(w * 1000000 // w_total AS BIGINT) AS target_ppm,
+       CAST((({ANNEAL_EPOCHS - 1} - epoch) * (1000000 // n_domains)
+             + epoch * (w * 1000000 // w_total))
+            // {ANNEAL_EPOCHS - 1} AS BIGINT) AS weight_ppm
+FROM g CROSS JOIN tot CROSS JOIN epochs
 """
