@@ -3463,6 +3463,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_welch": q_stats_welch,
         "stats_autocorr": q_stats_autocorr,
         "curation_anneal": q_curation_anneal,
+        "sim_semantic_clusters": q_sim_semantic_clusters,
+        "stats_runs": q_stats_runs,
     }
 
 
@@ -3730,6 +3732,8 @@ def build_oracle_sql() -> dict[str, str]:
         "stats_welch": _sql_stats_welch(),
         "stats_autocorr": _sql_stats_autocorr(),
         "curation_anneal": _sql_curation_anneal(),
+        "sim_semantic_clusters": _sql_sim_semantic_clusters(),
+        "stats_runs": _sql_stats_runs(),
     }
 
 
@@ -14074,4 +14078,161 @@ SELECT CAST(epoch AS INT) AS epoch, lang, n_docs,
              + epoch * (w * 1000000 // w_total))
             // {ANNEAL_EPOCHS - 1} AS BIGINT) AS weight_ppm
 FROM g CROSS JOIN tot CROSS JOIN epochs
+"""
+
+
+def q_sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering of the embedding corpus [K: the SemDeDup /
+    semantic-dedup family — build a mutual-kNN graph, take connected
+    components, treat each component as one semantic group]: the
+    mutual subset of the wave-41 kNN graph (high-precision edges —
+    both endpoints chose each other) fed through the iterative
+    min-label connected-components operator, with each vector's
+    cluster id (= min reachable vec_id) and cluster size. Isolated
+    vectors form singletons — the honest denominator for "how much
+    would semantic dedup collapse".
+
+    Shape: the kNN graph's bucketed self-join, a map-side mutual
+    filter, then O(diameter) rounds of join + min-agg (mutual-kNN
+    components are near-cliques, so the diameter is tiny), and one
+    broadcast size join back. Oracle: DuckDB recursive-CTE transitive
+    closure + min label (the dedup_components convention)."""
+    from ..operators.dedup import connected_components
+    g = q_sim_knn_graph(spark, sf_dir)
+    pairs = (g.filter((F.col("mutual") == 1)
+                      & (F.col("src") < F.col("dst")))
+             .select(F.col("src").alias("doc_a"),
+                     F.col("dst").alias("doc_b")))
+    nodes = _tbl(spark, sf_dir, "embeddings").select("vec_id")
+    comp = connected_components(pairs, nodes)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return (comp.select(F.col("doc_id").alias("vec_id"),
+                        F.col("component").cast("long").alias("cluster"))
+            .join(F.broadcast(sizes.select(
+                F.col("component").cast("long").alias("cluster"),
+                "cluster_size")), "cluster")
+            .select("vec_id", "cluster", "cluster_size"))
+
+
+def _sql_sim_semantic_clusters() -> str:
+    knn = _sql_sim_knn_graph().strip().rstrip(";")
+    return f"""
+WITH RECURSIVE knn AS MATERIALIZED ({knn}),
+medges AS (
+  SELECT src, dst FROM knn WHERE mutual = 1
+  UNION
+  SELECT dst AS src, src AS dst FROM knn WHERE mutual = 1),
+nodes AS (SELECT vec_id FROM embeddings),
+reach(a, b) AS (
+  SELECT vec_id, vec_id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN medges e ON e.src = r.b),
+comp AS (SELECT a AS vec_id, min(b) AS cluster FROM reach GROUP BY a),
+sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY 1)
+SELECT c.vec_id, CAST(c.cluster AS BIGINT) AS cluster, s.cluster_size
+FROM comp c JOIN sizes s USING (cluster)
+"""
+
+
+def q_stats_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily order-count series [K:
+    the nonparametric randomness check — too FEW runs of above/below-
+    median days means positive serial dependence (trend/regime), too
+    MANY means oscillation; the companion read to the ACF]: days are
+    signed by an above/below-GLOBAL-MEDIAN cut (exact doubled-integer
+    MEAN cut — cross-multiplied exact integers x*n_days vs sum(x), so
+    no division; the mean variant instead of the median one because a
+    discrete low-count series can put over half its days AT the
+    median, emptying one side (observed on the fixture); at-mean days
+    are dropped — the standard treatment, documented), runs are
+    counted WITHOUT a global
+    sort as 1 + sign-changes over calendar-consecutive day pairs
+    (missing-day gaps conservatively count as a boundary, documented),
+    and the z-statistic against the exact run-count mean/variance
+    formula is one identical double expression on both engines.
+
+    Shape: one daily hash agg, one O(1) median agg, one map-side sign
+    projection, one calendar-keyed self-join (day+1) + O(1) counts —
+    no windows, no global sort, nothing single-partition."""
+    o = _tbl(spark, sf_dir, "orders")
+    daily = (o.select(F.to_date("o_orderdate").alias("day"))
+             .groupBy("day")
+             .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    tot0 = daily.agg(F.count(F.lit(1)).cast("long").alias("nd"),
+                     F.sum("x").cast("long").alias("sx"))
+    signed = (daily.crossJoin(F.broadcast(tot0))
+              .filter(F.col("x") * F.col("nd") != F.col("sx"))
+              .select("day",
+                      (F.col("x") * F.col("nd") > F.col("sx"))
+                      .cast("int").alias("sgn")))
+    cnt = signed.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("sgn").cast("long").alias("n_plus"))
+    b = signed.select(F.col("day").alias("day_b"),
+                      F.col("sgn").alias("sgn_b"))
+    adj = (signed.withColumn("day_b", F.expr("date_add(day, 1)"))
+           .join(b, "day_b"))
+    trans = adj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_adj"),
+        F.sum((F.col("sgn") != F.col("sgn_b")).cast("long"))
+        .cast("long").alias("n_changes"))
+    j = cnt.crossJoin(trans)
+    nd = F.col("n").cast("double")
+    p = F.col("n_plus").cast("double")
+    q = nd - p
+    # runs = segments over the adjacency graph: N nodes minus the
+    # same-sign consecutive links (gaps break runs by construction)
+    runs = (F.col("n") - (F.col("n_adj") - F.col("n_changes"))) \
+        .cast("double")
+    mu = 2.0 * p * q / nd + 1.0
+    var = (2.0 * p * q * (2.0 * p * q - nd)) / (nd * nd * (nd - 1.0))
+    return j.select(
+        "n", "n_plus", F.col("n_changes").alias("n_sign_changes"),
+        runs.cast("long").alias("n_runs"),
+        F.round(mu, 6).alias("expected_runs"),
+        F.round((runs - mu) / F.sqrt(var), 6).alias("z"))
+
+
+def _sql_stats_runs() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+tot0 AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                CAST(sum(x) AS BIGINT) AS sx FROM daily),
+signed AS (
+  SELECT day, CAST(CASE WHEN x * nd > sx THEN 1 ELSE 0 END AS INT)
+           AS sgn
+  FROM daily CROSS JOIN tot0
+  WHERE x * nd <> sx),
+cnt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(sgn) AS BIGINT) AS n_plus FROM signed),
+adj AS (
+  SELECT a.sgn, b.sgn AS sgn_b
+  FROM signed a JOIN signed b ON b.day = a.day + 1),
+trans AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_adj,
+         CAST(sum(CASE WHEN sgn <> sgn_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changes
+  FROM adj)
+SELECT n, n_plus, n_changes AS n_sign_changes,
+       CAST(n - (n_adj - n_changes) AS BIGINT) AS n_runs,
+       round(2.0 * CAST(n_plus AS DOUBLE)
+             * (CAST(n AS DOUBLE) - CAST(n_plus AS DOUBLE))
+             / CAST(n AS DOUBLE) + 1.0, 6) AS expected_runs,
+       round((CAST(n - (n_adj - n_changes) AS DOUBLE)
+              - (2.0 * CAST(n_plus AS DOUBLE)
+                 * (CAST(n AS DOUBLE) - CAST(n_plus AS DOUBLE))
+                 / CAST(n AS DOUBLE) + 1.0))
+             / sqrt((2.0 * CAST(n_plus AS DOUBLE)
+                     * (CAST(n AS DOUBLE) - CAST(n_plus AS DOUBLE))
+                     * (2.0 * CAST(n_plus AS DOUBLE)
+                        * (CAST(n AS DOUBLE) - CAST(n_plus AS DOUBLE))
+                        - CAST(n AS DOUBLE)))
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * (CAST(n AS DOUBLE) - 1.0))), 6) AS z
+FROM cnt CROSS JOIN trans
 """
