@@ -3465,6 +3465,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_anneal": q_curation_anneal,
         "sim_semantic_clusters": q_sim_semantic_clusters,
         "stats_runs": q_stats_runs,
+        "rel_ltv": q_rel_ltv,
+        "stats_seasonality": q_stats_seasonality,
     }
 
 
@@ -3734,6 +3736,8 @@ def build_oracle_sql() -> dict[str, str]:
         "curation_anneal": _sql_curation_anneal(),
         "sim_semantic_clusters": _sql_sim_semantic_clusters(),
         "stats_runs": _sql_stats_runs(),
+        "rel_ltv": _sql_rel_ltv(),
+        "stats_seasonality": _sql_stats_seasonality(),
     }
 
 
@@ -14235,4 +14239,167 @@ SELECT n, n_plus, n_changes AS n_sign_changes,
                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                        * (CAST(n AS DOUBLE) - 1.0))), 6) AS z
 FROM cnt CROSS JOIN trans
+"""
+
+
+def q_rel_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve [K: the (cohort, age) -> cumulative
+    revenue triangle behind every retention-economics dashboard;
+    rel_retention's revenue twin]: cohort = calendar month of the
+    customer's FIRST order (min-agg, no window), age = exact integer
+    month index delta (year*12+month arithmetic, no date subtraction
+    semantics to disagree on), revenue in floored dollars. Emits per
+    (cohort, age): active customers, period revenue, exact cumulative
+    revenue (triangular self-join over the tiny cohort-age agg — never
+    over raw orders), and cumulative revenue per cohort customer in
+    exact ppm-free integer division (whole dollars).
+
+    Shape: one orders hash agg for first-order months (map-side
+    partial), one broadcast-able join back, one (cohort, age) hash
+    agg, then the triangular join + final agg over the agg's ~(months
+    x ages) rows. At 100 TB only the first two steps touch data; the
+    triangle is always tiny."""
+    o = _tbl(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long").alias("m"),
+        F.floor("o_totalprice").cast("long").alias("rev"))
+    first = om.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    j = om.join(first, "o_custkey")
+    g = (j.groupBy(F.col("cohort_m"),
+                   (F.col("m") - F.col("cohort_m")).alias("age_months"))
+         .agg(F.count_distinct("o_custkey").cast("long")
+              .alias("n_active"),
+              F.sum("rev").cast("long").alias("revenue")))
+    cohort_n = (first.groupBy("cohort_m")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_cohort")))
+    cum = (g.alias("a")
+           .join(F.broadcast(g.alias("c")),
+                 (F.col("c.cohort_m") == F.col("a.cohort_m"))
+                 & (F.col("c.age_months") <= F.col("a.age_months")))
+           .groupBy(F.col("a.cohort_m").alias("cohort_m"),
+                    F.col("a.age_months").alias("age_months"))
+           .agg(F.max(F.col("a.n_active")).cast("long").alias("n_active"),
+                F.max(F.col("a.revenue")).cast("long").alias("revenue"),
+                F.sum(F.col("c.revenue")).cast("long")
+                .alias("cum_revenue")))
+    return (cum.join(F.broadcast(cohort_n), "cohort_m")
+            .select(F.col("cohort_m").cast("long").alias("cohort_month"),
+                    F.col("age_months").cast("long").alias("age_months"),
+                    "n_active", "revenue", "cum_revenue", "n_cohort",
+                    F.expr("cum_revenue DIV n_cohort").cast("long")
+                    .alias("cum_rev_per_customer")))
+
+
+def _sql_rel_ltv() -> str:
+    return """
+WITH om AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+              AS BIGINT) AS m,
+         CAST(floor(o_totalprice) AS BIGINT) AS rev
+  FROM orders),
+first AS (SELECT o_custkey, min(m) AS cohort_m FROM om GROUP BY 1),
+g AS (
+  SELECT f.cohort_m, om.m - f.cohort_m AS age_months,
+         CAST(count(DISTINCT om.o_custkey) AS BIGINT) AS n_active,
+         CAST(sum(om.rev) AS BIGINT) AS revenue
+  FROM om JOIN first f ON f.o_custkey = om.o_custkey
+  GROUP BY 1, 2),
+cohort_n AS (SELECT cohort_m, CAST(count(*) AS BIGINT) AS n_cohort
+             FROM first GROUP BY 1),
+cum AS (
+  SELECT a.cohort_m, a.age_months,
+         max(a.n_active) AS n_active, max(a.revenue) AS revenue,
+         CAST(sum(c.revenue) AS BIGINT) AS cum_revenue
+  FROM g a JOIN g c
+    ON c.cohort_m = a.cohort_m AND c.age_months <= a.age_months
+  GROUP BY 1, 2)
+SELECT CAST(cum.cohort_m AS BIGINT) AS cohort_month,
+       CAST(cum.age_months AS BIGINT) AS age_months,
+       cum.n_active, cum.revenue, cum.cum_revenue, cn.n_cohort,
+       CAST(cum.cum_revenue // cn.n_cohort AS BIGINT)
+         AS cum_rev_per_customer
+FROM cum JOIN cohort_n cn ON cn.cohort_m = cum.cohort_m
+"""
+
+
+def q_stats_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality decomposition of the daily order-count
+    series [K: the additive-profile read that pairs with the ACF —
+    how much of the series' variance is explained by the weekly
+    profile alone, i.e. the R^2 of the 7-level dow-mean model]: per
+    dow (1=Mon..7=Sun, ISO — computed portably from the epoch-day
+    number, NOT from engine-specific dayofweek() conventions): day
+    count, order sum, mean, and the corpus-constant variance_explained
+    = 1 - SSE/SST where SSE = SS_total - sum_d(S_d^2/n_d). All sums
+    exact BIGINTs; the one cross-row rational sum (fit_ss) is
+    quantized per-dow to micro-unit integers BEFORE summing so no
+    engine-dependent double-addition order exists, and the final
+    ratio is one identical double expression on both engines.
+
+    Shape: one daily hash agg -> one 7-row dow agg -> two O(1)
+    crossJoins. The dow-mean model needs no window and no sort."""
+    o = _tbl(spark, sf_dir, "orders")
+    daily = (o.select(F.to_date("o_orderdate").alias("day"))
+             .groupBy("day")
+             .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    # epoch day 0 = 1970-01-01 = a Thursday = ISO dow 4
+    dowed = daily.select(
+        ((F.datediff(F.col("day"), F.lit("1970-01-01")) + 3) % 7 + 1)
+        .cast("int").alias("dow"), "x")
+    g = dowed.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"))
+    tot = g.agg(F.sum("n_days").cast("long").alias("n"),
+                F.sum("s").cast("long").alias("st"),
+                F.sum("ss").cast("long").alias("sst"))
+    # fit_ss = sum_d S_d^2/n_d is a cross-row sum of RATIONALS — as
+    # doubles its engine-dependent summation order could flip round(),
+    # so each term is quantized to an exact micro-unit integer first
+    # (S_d^2*1e6 DIV n_d) and the BIGINT sum is order-invariant.
+    fit = g.agg(F.sum(F.expr("s * s * 1000000L DIV n_days"))
+                .cast("long").alias("fit_ss_u"))
+    sse_u = F.col("sst") * F.lit(1000000) - F.col("fit_ss_u")
+    sst_u = (F.col("sst") * F.lit(1000000)
+             - F.expr("st * st * 1000000L DIV n"))
+    return (g.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(fit))
+            .select("dow", "n_days", F.col("s").alias("n_orders"),
+                    F.round(F.col("s").cast("double")
+                            / F.col("n_days").cast("double"), 6)
+                    .alias("mean_orders"),
+                    F.round(F.lit(1.0)
+                            - sse_u.cast("double") / sst_u.cast("double"),
+                            6).alias("variance_explained")))
+
+
+def _sql_stats_seasonality() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+dowed AS (
+  SELECT CAST((datediff('day', DATE '1970-01-01', day) + 3) % 7 + 1
+              AS INT) AS dow, x
+  FROM daily),
+g AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS ss
+  FROM dowed GROUP BY 1),
+tot AS (SELECT CAST(sum(n_days) AS BIGINT) AS n,
+               CAST(sum(s) AS BIGINT) AS st,
+               CAST(sum(ss) AS BIGINT) AS sst FROM g),
+fit AS (SELECT CAST(sum(s * s * 1000000 // n_days) AS BIGINT)
+                 AS fit_ss_u FROM g)
+SELECT dow, n_days, s AS n_orders,
+       round(CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+         AS mean_orders,
+       round(1.0 - CAST(sst * 1000000 - fit_ss_u AS DOUBLE)
+             / CAST(sst * 1000000 - st * st * 1000000 // n AS DOUBLE),
+             6) AS variance_explained
+FROM g CROSS JOIN tot CROSS JOIN fit
 """
