@@ -680,3 +680,57 @@ def knn_graph(vecs: DataFrame, k: int = 5, n_planes: int = 3,
             .select("src", "dst", "cos", "rk",
                     F.coalesce("mutual", F.lit(0)).cast("int")
                     .alias("mutual")))
+
+
+def knn_outliers(vecs: DataFrame, k: int = 5, n_planes: int = 3,
+                 dim: int = 64, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """kNN-distance embedding outlier detection [K: the classic
+    distance-based outlier score — a vector whose top-k neighbors are
+    all far away is mislabeled, corrupted, or out-of-distribution;
+    embedding-space QA runs this before training on the vectors]:
+    per node, the mean cosine to its knn_graph neighbors, robust-
+    fenced with the median/MAD idiom (|dev| > 3*1.4826*MAD, one-sided
+    — only BELOW-median scores flag, far-from-neighbors is the
+    outlier direction). The per-node mean is computed over EXACT
+    integer ppm cosines (cos is already round6, so cos*1e6 rounds to
+    an exact BIGINT) — summing raw doubles across neighbors would be
+    engine-order-dependent. MAD=0 degenerate falls back to flagging
+    any deviation (standard MAD behavior, documented). Nodes with no
+    in-bucket neighbor are emitted with score NULL and flagged — an
+    isolated node is the strongest outlier signal the graph has.
+
+    Shape: the kNN graph's bucketed join, one per-node hash agg, two
+    O(1) percentile aggs broadcast back, one map-side fence. Bounded
+    by the graph's |V|*k edges; at 100 TB swap percentile for
+    approx_percentile and keep the shape."""
+    g = knn_graph(vecs, k=k, n_planes=n_planes, dim=dim,
+                  id_col=id_col, vec_col=vec_col)
+    score = (g.groupBy("src")
+             .agg(F.count(F.lit(1)).cast("long").alias("k_used"),
+                  F.expr("sum(CAST(round(cos * 1000000, 0) AS BIGINT))"
+                         " DIV count(1)").cast("long")
+                  .alias("mean_cos_ppm")))
+    nodes = vecs.select(F.col(id_col).alias("src"))
+    s = nodes.join(score, "src", "left")
+    have = s.filter(F.col("mean_cos_ppm").isNotNull())
+    m1 = have.agg(F.expr(
+        "CAST(percentile(mean_cos_ppm * 2, 0.5) AS BIGINT)")
+        .alias("med2"))
+    dv = (have.crossJoin(F.broadcast(m1))
+          .withColumn("dev2",
+                      F.abs(F.col("mean_cos_ppm") * 2 - F.col("med2"))))
+    m2 = dv.agg(F.expr(
+        "CAST(percentile(2 * dev2, 0.5) AS BIGINT)").alias("mad4"))
+    fenced = (dv.crossJoin(F.broadcast(m2))
+              .select("src", "k_used", "mean_cos_ppm",
+                      (F.expr("dev2 * 10000 > 22239 * mad4")
+                       & (F.col("mean_cos_ppm") * 2 < F.col("med2")))
+                      .cast("int").alias("is_outlier")))
+    isolated = (s.filter(F.col("mean_cos_ppm").isNull())
+                .select("src", F.lit(0).cast("long").alias("k_used"),
+                        F.lit(None).cast("long").alias("mean_cos_ppm"),
+                        F.lit(1).cast("int").alias("is_outlier")))
+    return (fenced.unionByName(isolated)
+            .select(F.col("src").alias(id_col), "k_used",
+                    "mean_cos_ppm", "is_outlier"))

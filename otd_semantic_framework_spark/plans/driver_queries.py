@@ -3467,6 +3467,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_runs": q_stats_runs,
         "rel_ltv": q_rel_ltv,
         "stats_seasonality": q_stats_seasonality,
+        "sim_outliers": q_sim_outliers,
+        "stats_evt": q_stats_evt,
     }
 
 
@@ -3738,6 +3740,8 @@ def build_oracle_sql() -> dict[str, str]:
         "stats_runs": _sql_stats_runs(),
         "rel_ltv": _sql_rel_ltv(),
         "stats_seasonality": _sql_stats_seasonality(),
+        "sim_outliers": _sql_sim_outliers(),
+        "stats_evt": _sql_stats_evt(),
     }
 
 
@@ -14402,4 +14406,131 @@ SELECT dow, n_days, s AS n_orders,
              / CAST(sst * 1000000 - st * st * 1000000 // n AS DOUBLE),
              6) AS variance_explained
 FROM g CROSS JOIN tot CROSS JOIN fit
+"""
+
+
+def q_sim_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-distance embedding outlier detection
+    (operators/simsearch.py:knn_outliers) over the corpus embeddings:
+    per-node mean cosine to its wave-41 kNN-graph neighbors, robust
+    MAD-fenced one-sided (far-from-neighbors only); isolated nodes
+    (no in-bucket neighbor) are flagged with a NULL score. See the
+    operator docstring for the determinism and scale notes."""
+    from ..operators.simsearch import knn_outliers
+    return knn_outliers(_tbl(spark, sf_dir, "embeddings"),
+                        k=KNNG_K, n_planes=KNNG_N_PLANES)
+
+
+def _sql_sim_outliers() -> str:
+    knn = _sql_sim_knn_graph().strip().rstrip(";")
+    return f"""
+WITH knn AS MATERIALIZED ({knn}),
+score AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS k_used,
+         CAST(sum(CAST(round(cos * 1000000, 0) AS BIGINT))
+              // count(*) AS BIGINT) AS mean_cos_ppm
+  FROM knn GROUP BY 1),
+s AS (
+  SELECT e.vec_id AS src, score.k_used, score.mean_cos_ppm
+  FROM embeddings e LEFT JOIN score ON score.src = e.vec_id),
+have AS (SELECT * FROM s WHERE mean_cos_ppm IS NOT NULL),
+m1 AS (SELECT CAST(quantile_cont(mean_cos_ppm * 2, 0.5) AS BIGINT)
+         AS med2 FROM have),
+dv AS (
+  SELECT src, k_used, mean_cos_ppm,
+         abs(mean_cos_ppm * 2 - med2) AS dev2, med2
+  FROM have CROSS JOIN m1),
+m2 AS (SELECT CAST(quantile_cont(2 * dev2, 0.5) AS BIGINT) AS mad4
+       FROM dv)
+SELECT src AS vec_id, k_used, mean_cos_ppm,
+       CAST(CASE WHEN dev2 * 10000 > 22239 * mad4
+                  AND mean_cos_ppm * 2 < med2
+                 THEN 1 ELSE 0 END AS INT) AS is_outlier
+FROM dv CROSS JOIN m2
+UNION ALL
+SELECT src AS vec_id, CAST(0 AS BIGINT) AS k_used,
+       CAST(NULL AS BIGINT) AS mean_cos_ppm, CAST(1 AS INT) AS is_outlier
+FROM s WHERE mean_cos_ppm IS NULL
+"""
+
+
+GUMBEL_EULER = 0.5772156649015329
+
+
+def q_stats_evt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value capacity estimate for the daily order load [K:
+    Gumbel block-maxima with method-of-moments fit — the capacity-
+    planning read "what daily peak should the system be sized for":
+    monthly maxima of the daily series, mu/beta from the maxima's
+    mean and standard deviation (beta = sd*sqrt(6)/pi, mu = mean -
+    Euler*beta), and the 99% / 99.9% return levels mu -
+    beta*ln(-ln(p))]. Block maxima and their (n, S, SS) are exact
+    BIGINTs; the fit and return levels are one identical double
+    expression tree on both engines (sqrt is IEEE-exact; ln at these
+    magnitudes is ulp-stable under round6 — the text_perplexity
+    precedent).
+
+    Shape: one daily hash agg -> one monthly max agg -> one O(1)
+    moments agg. One summary row; nothing unbounded anywhere."""
+    o = _tbl(spark, sf_dir, "orders")
+    daily = (o.select(F.to_date("o_orderdate").alias("day"))
+             .groupBy("day")
+             .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    blocks = (daily.groupBy(
+        (F.year("day") * 12 + F.month("day") - 1).cast("long")
+        .alias("block_m"))
+        .agg(F.max("x").cast("long").alias("mx")))
+    mom = blocks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("mx").cast("long").alias("s"),
+        F.sum(F.col("mx") * F.col("mx")).cast("long").alias("ss"),
+        F.max("mx").cast("long").alias("observed_max"))
+    nd = F.col("n_blocks").cast("double")
+    mean = F.col("s").cast("double") / nd
+    var = ((nd * F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double"))
+           / (nd * (nd - 1.0)))
+    beta = F.sqrt(var) * _math.sqrt(6.0) / _math.pi
+    mu = mean - GUMBEL_EULER * beta
+    lvl99 = mu - beta * F.log(-F.log(F.lit(0.99)))
+    lvl999 = mu - beta * F.log(-F.log(F.lit(0.999)))
+    return mom.select(
+        "n_blocks", "observed_max",
+        F.round(mean, 6).alias("block_max_mean"),
+        F.round(mu, 6).alias("gumbel_mu"),
+        F.round(beta, 6).alias("gumbel_beta"),
+        F.round(lvl99, 6).alias("return_level_99"),
+        F.round(lvl999, 6).alias("return_level_999"))
+
+
+def _sql_stats_evt() -> str:
+    nd = "CAST(n_blocks AS DOUBLE)"
+    mean = f"(CAST(s AS DOUBLE) / {nd})"
+    var = (f"(({nd} * CAST(ss AS DOUBLE)"
+           f" - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+           f" / ({nd} * ({nd} - 1.0)))")
+    beta = f"(sqrt({var}) * sqrt(6.0) / pi())"
+    mu = f"({mean} - {GUMBEL_EULER} * {beta})"
+    return f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+blocks AS (
+  SELECT CAST(year(day) * 12 + month(day) - 1 AS BIGINT) AS block_m,
+         CAST(max(x) AS BIGINT) AS mx
+  FROM daily GROUP BY 1),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(mx) AS BIGINT) AS s,
+         CAST(sum(mx * mx) AS BIGINT) AS ss,
+         CAST(max(mx) AS BIGINT) AS observed_max
+  FROM blocks)
+SELECT n_blocks, observed_max,
+       round({mean}, 6) AS block_max_mean,
+       round({mu}, 6) AS gumbel_mu,
+       round({beta}, 6) AS gumbel_beta,
+       round({mu} - {beta} * ln(-ln(0.99)), 6) AS return_level_99,
+       round({mu} - {beta} * ln(-ln(0.999)), 6) AS return_level_999
+FROM mom
 """
