@@ -3469,6 +3469,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_seasonality": q_stats_seasonality,
         "sim_outliers": q_sim_outliers,
         "stats_evt": q_stats_evt,
+        "rel_ri_audit": q_rel_ri_audit,
+        "kg_rank_corr": q_kg_rank_corr,
     }
 
 
@@ -3742,6 +3744,8 @@ def build_oracle_sql() -> dict[str, str]:
         "stats_seasonality": _sql_stats_seasonality(),
         "sim_outliers": _sql_sim_outliers(),
         "stats_evt": _sql_stats_evt(),
+        "rel_ri_audit": _sql_rel_ri_audit(),
+        "kg_rank_corr": _sql_kg_rank_corr(),
     }
 
 
@@ -14533,4 +14537,172 @@ SELECT n_blocks, observed_max,
        round({mu} - {beta} * ln(-ln(0.99)), 6) AS return_level_99,
        round({mu} - {beta} * ln(-ln(0.999)), 6) AS return_level_999
 FROM mom
+"""
+
+
+def q_rel_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the warehouse FK surface
+    [K: the orphan scan every DQ framework ships — an orphaned fact
+    row silently vanishes from every inner-join report, so the audit
+    quantifies the blast radius BEFORE analysts hit it]: for each
+    declared child->parent relation, the child row count, orphan
+    count (left-anti against the parent key), and orphan share in
+    exact ppm. A 0-orphan table is the PASS record, not a skipped
+    check.
+
+    Shape: per relation one map-side child projection + one anti-join
+    against the (usually broadcast-able) parent key set + one 1-row
+    count agg; the union of the per-relation rows is constant-sized.
+    At 100 TB each anti-join shuffles only the child keys (project
+    first), and dimension parents broadcast."""
+    o = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
+    c = _tbl(spark, sf_dir, "customer")
+    su = _tbl(spark, sf_dir, "supplier")
+    pa = _tbl(spark, sf_dir, "part")
+    na = _tbl(spark, sf_dir, "nation")
+
+    def audit(name, child, ck, parent, pk):
+        ch = child.select(F.col(ck).alias("k"))
+        orphans = ch.join(F.broadcast(parent.select(
+            F.col(pk).alias("k")).distinct()), "k", "left_anti")
+        return (ch.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+                .crossJoin(orphans.agg(F.count(F.lit(1)).cast("long")
+                                       .alias("n_orphans")))
+                .select(F.lit(name).alias("relation"), "n_child",
+                        "n_orphans",
+                        F.expr("n_orphans * 1000000L DIV n_child")
+                        .cast("long").alias("orphan_ppm")))
+
+    parts = [
+        audit("orders->customer", o, "o_custkey", c, "c_custkey"),
+        audit("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        audit("lineitem->part", li, "l_partkey", pa, "p_partkey"),
+        audit("lineitem->supplier", li, "l_suppkey", su, "s_suppkey"),
+        audit("customer->nation", c, "c_nationkey", na, "n_nationkey"),
+        audit("supplier->nation", su, "s_nationkey", na, "n_nationkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _sql_rel_ri_audit() -> str:
+    def block(name, child, ck, parent, pk):
+        return f"""
+SELECT '{name}' AS relation,
+       CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child,
+       CAST((SELECT count(*) FROM {child}
+             WHERE {ck} NOT IN (SELECT {pk} FROM {parent})) AS BIGINT)
+         AS n_orphans,
+       CAST((SELECT count(*) FROM {child}
+             WHERE {ck} NOT IN (SELECT {pk} FROM {parent}))
+            * 1000000 // (SELECT count(*) FROM {child}) AS BIGINT)
+         AS orphan_ppm"""
+    blocks = [
+        block("orders->customer", "orders", "o_custkey",
+              "customer", "c_custkey"),
+        block("lineitem->orders", "lineitem", "l_orderkey",
+              "orders", "o_orderkey"),
+        block("lineitem->part", "lineitem", "l_partkey",
+              "part", "p_partkey"),
+        block("lineitem->supplier", "lineitem", "l_suppkey",
+              "supplier", "s_suppkey"),
+        block("customer->nation", "customer", "c_nationkey",
+              "nation", "n_nationkey"),
+        block("supplier->nation", "supplier", "s_nationkey",
+              "nation", "n_nationkey"),
+    ]
+    return "\nUNION ALL\n".join(blocks)
+
+
+def q_kg_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank agreement between PageRank and raw degree over the KG's
+    concept layer [K: the Kendall-tau sanity read behind "can we use
+    the cheap degree proxy instead of iterating PageRank" — high tau
+    means degree-based pruning is safe, low tau means the link
+    structure carries information degree misses]: exact integer
+    Kendall counts (concordant / discordant / ties) over all concept
+    pairs, tau-a as one double division at the end. Restricted to the
+    ontology-sized concept layer ON PURPOSE: all-pairs over every KG
+    node is a banned BNL shape at scale, while |ontology|^2 is a
+    constant; the rank_ppm and degree inputs are both exact BIGINTs
+    so every comparison is engine-invariant.
+
+    Shape: the pagerank fixed point + one degree hash agg, both
+    filtered to 'dq:' concept nodes (tiny), one broadcast inequality
+    self-join over that tiny table, one O(1) count agg."""
+    pr = q_kg_pagerank(spark, sf_dir) \
+        .filter(F.col("node").startswith("dq:"))
+    tr = q_kg_triples(spark, sf_dir)
+    deg = (tr.select(F.col("subj").alias("node"))
+           .unionByName(tr.select(F.col("obj").alias("node")))
+           .filter(F.col("node").startswith("dq:"))
+           .groupBy("node")
+           .agg(F.count(F.lit(1)).cast("long").alias("degree")))
+    t = pr.join(deg, "node", "left") \
+        .select("node", "rank_ppm",
+                F.coalesce("degree", F.lit(0)).cast("long")
+                .alias("degree"))
+    pairs = (t.alias("a")
+             .join(F.broadcast(t.alias("b")),
+                   F.col("a.node") < F.col("b.node"))
+             .select(
+                 ((F.col("a.rank_ppm") > F.col("b.rank_ppm"))
+                  & (F.col("a.degree") > F.col("b.degree"))
+                  | (F.col("a.rank_ppm") < F.col("b.rank_ppm"))
+                  & (F.col("a.degree") < F.col("b.degree")))
+                 .cast("long").alias("conc"),
+                 ((F.col("a.rank_ppm") > F.col("b.rank_ppm"))
+                  & (F.col("a.degree") < F.col("b.degree"))
+                  | (F.col("a.rank_ppm") < F.col("b.rank_ppm"))
+                  & (F.col("a.degree") > F.col("b.degree")))
+                 .cast("long").alias("disc")))
+    n = t.agg(F.count(F.lit(1)).cast("long").alias("n_concepts"))
+    g = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                  F.sum("conc").cast("long").alias("concordant"),
+                  F.sum("disc").cast("long").alias("discordant"))
+    return (g.crossJoin(F.broadcast(n))
+            .select("n_concepts", "n_pairs", "concordant", "discordant",
+                    (F.col("n_pairs") - F.col("concordant")
+                     - F.col("discordant")).cast("long").alias("ties"),
+                    F.round((F.col("concordant").cast("double")
+                             - F.col("discordant").cast("double"))
+                            / F.col("n_pairs").cast("double"), 6)
+                    .alias("tau_a")))
+
+
+def _sql_kg_rank_corr() -> str:
+    pr = _sql_kg_pagerank().strip().rstrip(";")
+    return f"""
+WITH pr_all AS MATERIALIZED ({pr}),
+pr AS (SELECT node, rank_ppm FROM pr_all WHERE node LIKE 'dq:%'),
+triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT subj AS node FROM triples
+    UNION ALL SELECT obj AS node FROM triples)
+  WHERE node LIKE 'dq:%' GROUP BY 1),
+t AS (
+  SELECT pr.node, pr.rank_ppm,
+         CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree
+  FROM pr LEFT JOIN deg USING (node)),
+pairs AS (
+  SELECT CAST(CASE WHEN (a.rank_ppm > b.rank_ppm AND a.degree > b.degree)
+                    OR (a.rank_ppm < b.rank_ppm AND a.degree < b.degree)
+              THEN 1 ELSE 0 END AS BIGINT) AS conc,
+         CAST(CASE WHEN (a.rank_ppm > b.rank_ppm AND a.degree < b.degree)
+                    OR (a.rank_ppm < b.rank_ppm AND a.degree > b.degree)
+              THEN 1 ELSE 0 END AS BIGINT) AS disc
+  FROM t a JOIN t b ON a.node < b.node),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_concepts FROM t),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(conc) AS BIGINT) AS concordant,
+             CAST(sum(disc) AS BIGINT) AS discordant FROM pairs)
+SELECT n_concepts, n_pairs, concordant, discordant,
+       CAST(n_pairs - concordant - discordant AS BIGINT) AS ties,
+       round((CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+             / CAST(n_pairs AS DOUBLE), 6) AS tau_a
+FROM g CROSS JOIN n
 """
