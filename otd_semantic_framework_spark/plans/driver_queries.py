@@ -3471,6 +3471,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_evt": q_stats_evt,
         "rel_ri_audit": q_rel_ri_audit,
         "kg_rank_corr": q_kg_rank_corr,
+        "sim_ann_sweep": q_sim_ann_sweep,
+        "kg_diameter_est": q_kg_diameter_est,
     }
 
 
@@ -3746,6 +3748,8 @@ def build_oracle_sql() -> dict[str, str]:
         "stats_evt": _sql_stats_evt(),
         "rel_ri_audit": _sql_rel_ri_audit(),
         "kg_rank_corr": _sql_kg_rank_corr(),
+        "sim_ann_sweep": _sql_sim_ann_sweep(),
+        "kg_diameter_est": _sql_kg_diameter_est(),
     }
 
 
@@ -14705,4 +14709,181 @@ SELECT n_concepts, n_pairs, concordant, discordant,
        round((CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
              / CAST(n_pairs AS DOUBLE), 6) AS tau_a
 FROM g CROSS JOIN n
+"""
+
+
+ANN_SWEEP_PLANES = (2, 3, 4, 5)
+
+
+def q_sim_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH plane-count tuning sweep [K: the recall-vs-cost curve every
+    ANN deployment plots before fixing its index parameters — more
+    hyperplanes mean smaller buckets, fewer candidates, lower recall]:
+    for each plane count in the grid, the candidate-pair count (the
+    cost axis) and recall@k of the bucketed ANN against the exact
+    brute-force top-k (the quality axis), as one row per grid point
+    in exact ppm. The expensive exact truth is computed ONCE and
+    shared across the grid (the dedup_threshold_sweep philosophy).
+
+    Shape: per grid point one bucket pandas_udf pass + one bucket
+    equi-join + the standard per-query rank; the grid is a compile-
+    time constant so the union is a fixed-width plan. Nothing beyond
+    the ann_lsh_topk machinery itself."""
+    from ..operators.simsearch import ann_lsh_topk, hyperplanes, \
+        lsh_bucket
+    e = _tbl(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    c = (e.filter(F.col("vec_id") >= N_QUERY_VECS)
+         .select(F.col("vec_id").alias("cid"),
+                 F.col("embedding").alias("cv")))
+    bf = q_sim_topk_cosine(spark, sf_dir).select("qid", "cid")
+    parts = []
+    for np_ in ANN_SWEEP_PLANES:
+        planes = hyperplanes(np_, 64)
+        cand = (lsh_bucket(q, "qv", planes)
+                .join(lsh_bucket(c, "cv", planes), "bucket"))
+        n_cand = cand.agg(F.count(F.lit(1)).cast("long")
+                          .alias("n_candidates"))
+        topk = ann_lsh_topk(q, c, k=ANN_K, n_planes=np_) \
+            .select(F.col("qid").alias("aqid"),
+                    F.col("cid").alias("acid"))
+        hits = (bf.join(topk, (F.col("qid") == F.col("aqid"))
+                        & (F.col("cid") == F.col("acid")))
+                .agg(F.count(F.lit(1)).cast("long").alias("total_hits")))
+        parts.append(
+            n_cand.crossJoin(hits).select(
+                F.lit(np_).cast("int").alias("n_planes"),
+                "n_candidates", "total_hits",
+                F.expr(f"total_hits * 1000000L"
+                       f" DIV {N_QUERY_VECS * ANN_K}").cast("long")
+                .alias("recall_ppm")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _sql_sim_ann_sweep() -> str:
+    from ..operators.simsearch import hyperplanes
+    bf = SQL_SIM_TOPK.strip().rstrip(";")
+    blocks = []
+    for np_ in ANN_SWEEP_PLANES:
+        planes = hyperplanes(np_, 64)
+
+        def bucket(col):
+            return " + ".join(
+                f"(CASE WHEN list_dot_product({col}, {_sql_vec_lit(p)})"
+                f" >= 0 THEN {1 << i} ELSE 0 END)"
+                for i, p in enumerate(planes))
+
+        blocks.append(f"""
+SELECT {np_} AS n_planes,
+  (SELECT CAST(count(*) AS BIGINT)
+   FROM (SELECT qid, qv, {bucket('qv')} AS bucket FROM q) qb
+   JOIN (SELECT cid, cv, {bucket('cv')} AS bucket FROM c) cb
+     USING (bucket)) AS n_candidates,
+  (SELECT CAST(count(*) AS BIGINT) FROM bf
+   JOIN (
+     SELECT qid, cid FROM (
+       SELECT qb.qid, cb.cid,
+              row_number() OVER (
+                PARTITION BY qb.qid
+                ORDER BY round(list_cosine_similarity(qb.qv, cb.cv), 6)
+                  DESC, cb.cid ASC) AS rk
+       FROM (SELECT qid, qv, {bucket('qv')} AS bucket FROM q) qb
+       JOIN (SELECT cid, cv, {bucket('cv')} AS bucket FROM c) cb
+         USING (bucket))
+     WHERE rk <= {ANN_K}) ann
+   ON ann.qid = bf.qid AND ann.cid = bf.cid) AS total_hits""")
+    body = "\nUNION ALL\n".join(
+        f"SELECT n_planes, n_candidates, total_hits,"
+        f" CAST(total_hits * 1000000 // {N_QUERY_VECS * ANN_K}"
+        f" AS BIGINT) AS recall_ppm FROM ({b})" for b in blocks)
+    return f"""
+WITH q AS (SELECT vec_id AS qid, cast(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+c AS (SELECT vec_id AS cid, cast(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id >= {N_QUERY_VECS}),
+bf AS MATERIALIZED (SELECT qid, cid FROM ({bf}))
+{body}
+"""
+
+
+DIAM_MAX_HOPS = 12
+
+
+def q_kg_diameter_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph diameter lower bound by double-BFS [K: the standard
+    2-sweep heuristic — BFS from an arbitrary node, then BFS from the
+    farthest node found; the second eccentricity is a (often tight)
+    diameter lower bound]: seed = lexicographically smallest KG node
+    (deterministic), both sweeps capped at DIAM_MAX_HOPS (the bound
+    stays a valid LOWER bound under the cap, documented), farthest-
+    node ties broken by smallest node id so both engines pick the
+    identical endpoint. Reports the seed, its eccentricity, the
+    peripheral node, and the second-sweep diameter bound. Reads the
+    seed's component only — unreachable nodes can't contribute to a
+    path through the seed anyway.
+
+    Shape: two bounded level-synchronous BFS passes (the bfs_depths
+    operator: per-hop equi-join + anti-join, localCheckpoint per
+    level) and two O(1) argmax collects (TakeOrdered over the depth
+    table) to choose the next seed — 1-row driver actions, the
+    convergence-probe convention, not data movement."""
+    from ..operators.graph import bfs_depths
+    tr = q_kg_triples(spark, sf_dir)
+    nodes = (tr.select(F.col("subj").alias("node"))
+             .unionByName(tr.select(F.col("obj").alias("node"))))
+    seed = nodes.agg(F.min("node").alias("node")).collect()[0].node
+    b1 = bfs_depths(tr, spark.createDataFrame([(seed,)], "node string"),
+                    max_hops=DIAM_MAX_HOPS)
+    far = b1.orderBy(F.desc("depth"), F.asc("node")).limit(1) \
+        .collect()[0]
+    b2 = bfs_depths(tr,
+                    spark.createDataFrame([(far.node,)], "node string"),
+                    max_hops=DIAM_MAX_HOPS)
+    end = b2.orderBy(F.desc("depth"), F.asc("node")).limit(1) \
+        .collect()[0]
+    return spark.createDataFrame(
+        [(seed, int(far.depth), far.node, int(end.depth), end.node)],
+        "seed string, ecc_seed bigint, peripheral string,"
+        " diameter_lb bigint, endpoint string")
+
+
+def _sql_kg_diameter_est() -> str:
+    return f"""
+WITH RECURSIVE triples AS MATERIALIZED ({_sql_kg_triples_body()}),
+e AS MATERIALIZED (
+  SELECT subj AS src, obj AS dst
+  FROM (SELECT DISTINCT subj, obj FROM triples)
+  UNION
+  SELECT obj, subj FROM (SELECT DISTINCT subj, obj FROM triples)),
+seed AS (SELECT min(node) AS node FROM (
+  SELECT subj AS node FROM triples
+  UNION ALL SELECT obj FROM triples)),
+r1(node, depth) AS (
+  SELECT node, 0 FROM seed
+  UNION
+  SELECT e.dst, r1.depth + 1 FROM r1 JOIN e ON e.src = r1.node
+  WHERE r1.depth < {DIAM_MAX_HOPS}),
+d1 AS (SELECT node, CAST(min(depth) AS BIGINT) AS depth
+       FROM r1 GROUP BY node),
+far1 AS (SELECT node, depth FROM d1
+         ORDER BY depth DESC, node ASC LIMIT 1),
+r2(node, depth) AS (
+  SELECT node, 0 FROM far1
+  UNION
+  SELECT e.dst, r2.depth + 1 FROM r2 JOIN e ON e.src = r2.node
+  WHERE r2.depth < {DIAM_MAX_HOPS}),
+d2 AS (SELECT node, CAST(min(depth) AS BIGINT) AS depth
+       FROM r2 GROUP BY node),
+far2 AS (SELECT node, depth FROM d2
+         ORDER BY depth DESC, node ASC LIMIT 1)
+SELECT (SELECT node FROM seed) AS seed,
+       (SELECT depth FROM far1) AS ecc_seed,
+       (SELECT node FROM far1) AS peripheral,
+       (SELECT depth FROM far2) AS diameter_lb,
+       (SELECT node FROM far2) AS endpoint
 """
