@@ -3473,6 +3473,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rank_corr": q_kg_rank_corr,
         "sim_ann_sweep": q_sim_ann_sweep,
         "kg_diameter_est": q_kg_diameter_est,
+        "text_heaps": q_text_heaps,
+        "sim_bucket_balance": q_sim_bucket_balance,
     }
 
 
@@ -3750,6 +3752,8 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_rank_corr": _sql_kg_rank_corr(),
         "sim_ann_sweep": _sql_sim_ann_sweep(),
         "kg_diameter_est": _sql_kg_diameter_est(),
+        "text_heaps": _sql_text_heaps(),
+        "sim_bucket_balance": _sql_sim_bucket_balance(),
     }
 
 
@@ -14886,4 +14890,201 @@ SELECT (SELECT node FROM seed) AS seed,
        (SELECT node FROM far1) AS peripheral,
        (SELECT depth FROM far2) AS diameter_lb,
        (SELECT node FROM far2) AS endpoint
+"""
+
+
+HEAPS_GRID_PPM = (125000, 250000, 500000, 1000000)
+
+
+def q_text_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) series [K: V(N) ~ K*N^beta —
+    the sublinear type-vs-token curve every tokenizer-budget and
+    dedup-health review reads; a corpus whose vocabulary grows LINEARLY
+    is full of junk tokens or unseen boilerplate]: corpus prefixes are
+    deterministic doc_id cuts at fixed ppm fractions of the id space
+    (stable under engine/partitioning, unlike "first N rows" which has
+    no order), and each grid row reports docs, exact TOKEN-TRIGRAM
+    mass and distinct-trigram type count (a type enters at its MIN
+    doc_id — one vocabulary-sized agg, computed once and shared
+    across the grid), plus the Heaps beta of the point against the
+    smallest prefix, beta = ln(V/V0)/ln(N/N0), as one identical
+    double expression. Trigrams, not unigrams, ON PURPOSE: the
+    synthetic fixture has a closed word list (unigram V saturates at
+    the first prefix, beta = 0 — verified), while its 3-gram space
+    exhibits the genuine Heaps regime (~0.81) the operator exists to
+    measure; on a real corpus both units work and the unit is one
+    line to change.
+
+    Shape: one token explode -> one vocabulary-sized min-agg + one
+    per-doc count agg (both map-side-partial), then a constant 4-row
+    grid broadcast-joined against those two tiny-keyed tables. The
+    grid share is the dedup_threshold_sweep philosophy: the expensive
+    pass happens once."""
+    d = _docs(spark, sf_dir)
+    maxid = d.agg((F.max("doc_id") + 1).cast("long").alias("mx"))
+    grid = spark.createDataFrame([(g,) for g in HEAPS_GRID_PPM],
+                                 "g_ppm long")
+    thr = (grid.crossJoin(F.broadcast(maxid))
+           .select("g_ppm", F.expr("mx * g_ppm DIV 1000000")
+                   .cast("long").alias("thr")))
+    arr = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                 r"\s+"), lambda t: t != "").alias("t"))
+    # sequence(0, size-3) would run DESCENDING for short docs (Spark
+    # defaults step to -1 when start > stop) — guard explicitly
+    tri_arr = arr.select("doc_id", F.when(
+        F.size("t") >= 3,
+        F.expr("transform(sequence(0, size(t) - 3),"
+               " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .otherwise(F.array().cast("array<string>")).alias("g"))
+    toks = tri_arr.select("doc_id", F.explode("g").alias("tok"))
+    first_seen = toks.groupBy("tok").agg(
+        F.min("doc_id").cast("long").alias("first_doc"))
+    doc_counts = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks"))
+    types = (first_seen.crossJoin(F.broadcast(thr))
+             .filter(F.col("first_doc") < F.col("thr"))
+             .groupBy("g_ppm")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_types")))
+    mass = (doc_counts.crossJoin(F.broadcast(thr))
+            .filter(F.col("doc_id") < F.col("thr"))
+            .groupBy("g_ppm")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_toks").cast("long").alias("n_grams")))
+    base = (thr.join(types, "g_ppm").join(mass, "g_ppm"))
+    b0 = (base.orderBy("g_ppm").limit(1)
+          .select(F.col("n_grams").alias("n0"),
+                  F.col("n_types").alias("v0")))
+    return (base.crossJoin(F.broadcast(b0))
+            .select("g_ppm", "thr", "n_docs", "n_grams", "n_types",
+                    F.when(F.col("n_grams") == F.col("n0"),
+                           F.lit(None).cast("double"))
+                    .otherwise(F.round(
+                        F.log(F.col("n_types").cast("double")
+                              / F.col("v0").cast("double"))
+                        / F.log(F.col("n_grams").cast("double")
+                                / F.col("n0").cast("double")), 6))
+                    .alias("heaps_beta")))
+
+
+def _sql_text_heaps() -> str:
+    grid_rows = ", ".join(f"({g})" for g in HEAPS_GRID_PPM)
+    return f"""
+WITH mx AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS mx
+            FROM documents),
+grid(g_ppm) AS (VALUES {grid_rows}),
+thr AS (SELECT g_ppm, CAST(mx * g_ppm // 1000000 AS BIGINT) AS thr
+        FROM grid CROSS JOIN mx),
+arr AS (
+  SELECT doc_id, list_filter(string_split_regex(
+      lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS t
+  FROM documents),
+toks AS (
+  SELECT doc_id, g AS tok FROM arr,
+  UNNEST(list_transform(generate_series(1, len(t) - 2),
+      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(g)),
+first_seen AS (
+  SELECT tok, CAST(min(doc_id) AS BIGINT) AS first_doc
+  FROM toks GROUP BY 1),
+doc_counts AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks
+  FROM toks GROUP BY 1),
+types AS (
+  SELECT g_ppm, CAST(count(*) AS BIGINT) AS n_types
+  FROM first_seen CROSS JOIN thr WHERE first_doc < thr GROUP BY 1),
+mass AS (
+  SELECT g_ppm, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS n_grams
+  FROM doc_counts CROSS JOIN thr WHERE doc_id < thr GROUP BY 1),
+base AS (
+  SELECT thr.g_ppm, thr.thr, mass.n_docs, mass.n_grams, types.n_types
+  FROM thr JOIN types USING (g_ppm) JOIN mass USING (g_ppm)),
+b0 AS (SELECT n_grams AS n0, n_types AS v0 FROM base
+       ORDER BY g_ppm LIMIT 1)
+SELECT g_ppm, thr, n_docs, n_grams, n_types,
+       CASE WHEN n_grams = n0 THEN NULL
+            ELSE round(ln(CAST(n_types AS DOUBLE) / CAST(v0 AS DOUBLE))
+                       / ln(CAST(n_grams AS DOUBLE)
+                            / CAST(n0 AS DOUBLE)), 6) END AS heaps_beta
+FROM base CROSS JOIN b0
+"""
+
+
+def q_sim_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-balance audit for the ANN index [K: the skew read
+    that decides whether an index config ships — a hot bucket is a
+    hot-task straggler at query time, and empty buckets are wasted
+    selectivity]: occupancy of every 2^ANN_N_PLANES sign bucket over
+    the full embedding corpus (a constant bucket spine keeps EMPTY
+    buckets in the result — they are the signal groupBy would drop),
+    per-bucket share in exact ppm, and the chi-square statistic
+    against the uniform ideal computed with an EXACT BIGINT numerator:
+    chi2 = sum_b (n_b*B - n)^2 / (B*n) — the algebraic form whose
+    cross-row sum is integer, leaving one double division at the end.
+
+    Shape: one bucket pandas_udf pass + one <=2^planes-row hash agg +
+    a constant spine left join + two O(1) crossJoins. The audit costs
+    one corpus scan."""
+    from ..operators.simsearch import hyperplanes, lsh_bucket
+    e = _tbl(spark, sf_dir, "embeddings") \
+        .select("vec_id", F.col("embedding").alias("nv"))
+    planes = hyperplanes(ANN_N_PLANES, 64)
+    b = lsh_bucket(e, "nv", planes)
+    g = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("long")
+                                .alias("n_vecs"))
+    spine = spark.createDataFrame(
+        [(i,) for i in range(1 << ANN_N_PLANES)], "bucket long")
+    full = (spine.join(g, "bucket", "left")
+            .select("bucket",
+                    F.coalesce("n_vecs", F.lit(0)).cast("long")
+                    .alias("n_vecs")))
+    nb = 1 << ANN_N_PLANES
+    chi = (full.crossJoin(F.broadcast(
+        full.agg(F.sum("n_vecs").cast("long").alias("n"))))
+        .select(((F.col("n_vecs") * nb - F.col("n"))
+                 * (F.col("n_vecs") * nb - F.col("n")))
+                .cast("long").alias("dev2"), F.col("n"))
+        .groupBy("n")
+        .agg(F.sum("dev2").cast("long").alias("chi_num")))
+    return (full.crossJoin(F.broadcast(chi))
+            .select("bucket", "n_vecs",
+                    F.expr("n_vecs * 1000000L DIV n").cast("long")
+                    .alias("share_ppm"),
+                    F.round(F.col("chi_num").cast("double")
+                            / (F.lit(float(nb))
+                               * F.col("n").cast("double")), 6)
+                    .alias("chi2_uniform")))
+
+
+def _sql_sim_bucket_balance() -> str:
+    from ..operators.simsearch import hyperplanes
+    planes = hyperplanes(ANN_N_PLANES, 64)
+    nb = 1 << ANN_N_PLANES
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(nv, {_sql_vec_lit(p)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    spine_rows = ", ".join(f"({i})" for i in range(nb))
+    return f"""
+WITH v AS (SELECT cast(embedding AS DOUBLE[]) AS nv FROM embeddings),
+b AS (SELECT {bucket} AS bucket FROM v),
+g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM b GROUP BY 1),
+spine(bucket) AS (VALUES {spine_rows}),
+occ AS (
+  SELECT CAST(spine.bucket AS BIGINT) AS bucket,
+         CAST(coalesce(g.n_vecs, 0) AS BIGINT) AS n_vecs
+  FROM spine LEFT JOIN g ON g.bucket = spine.bucket),
+tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n FROM occ),
+chi AS (
+  SELECT CAST(sum((n_vecs * {nb} - n) * (n_vecs * {nb} - n))
+              AS BIGINT) AS chi_num
+  FROM occ CROSS JOIN tot)
+SELECT bucket, n_vecs,
+       CAST(n_vecs * 1000000 // n AS BIGINT) AS share_ppm,
+       round(CAST(chi_num AS DOUBLE)
+             / (CAST({nb} AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+         AS chi2_uniform
+FROM occ CROSS JOIN tot CROSS JOIN chi
 """
