@@ -3475,6 +3475,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_diameter_est": q_kg_diameter_est,
         "text_heaps": q_text_heaps,
         "sim_bucket_balance": q_sim_bucket_balance,
+        "stats_chao1": q_stats_chao1,
+        "kg_topic_focus": q_kg_topic_focus,
     }
 
 
@@ -3754,6 +3756,8 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_diameter_est": _sql_kg_diameter_est(),
         "text_heaps": _sql_text_heaps(),
         "sim_bucket_balance": _sql_sim_bucket_balance(),
+        "stats_chao1": _sql_stats_chao1(),
+        "kg_topic_focus": _sql_kg_topic_focus(),
     }
 
 
@@ -15087,4 +15091,134 @@ SELECT bucket, n_vecs,
              / (CAST({nb} AS DOUBLE) * CAST(n AS DOUBLE)), 6)
          AS chi2_uniform
 FROM occ CROSS JOIN tot CROSS JOIN chi
+"""
+
+
+def q_stats_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimate of the unseen vocabulary [K:
+    the capture-recapture estimator — from the counts of singleton
+    (f1) and doubleton (f2) types, estimate how many types the FULL
+    population holds: Chao1 = V + f1*(f1-1)/(2*(f2+1)), the
+    bias-corrected form that stays defined at f2=0 — plus Good-Turing
+    coverage 1 - f1/N, the "what mass of the next shard will be
+    unseen types" read a tokenizer/vocab planner wants before
+    committing]. Types are token TRIGRAMS (the same unit and
+    rationale as text_heaps: the fixture's unigram space is closed).
+    V, f1, f2, N are exact BIGINTs from two nested aggs; the two
+    estimates are one double expression each.
+
+    Shape: token explode -> type hash agg -> frequency-of-frequency
+    hash agg (tiny) -> one O(1) summary row. The classic two-level
+    agg; nothing unbounded."""
+    d = _docs(spark, sf_dir)
+    arr = d.select(
+        F.filter(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                 r"\s+"), lambda t: t != "").alias("t"))
+    tri = arr.select(F.when(
+        F.size("t") >= 3,
+        F.expr("transform(sequence(0, size(t) - 3),"
+               " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .otherwise(F.array().cast("array<string>")).alias("g"))
+    toks = tri.select(F.explode("g").alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long")
+                                   .alias("c"))
+    summ = freq.agg(
+        F.count(F.lit(1)).cast("long").alias("v_obs"),
+        F.sum("c").cast("long").alias("n_grams"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).cast("long").alias("f2"))
+    f1d = F.col("f1").cast("double")
+    return summ.select(
+        "v_obs", "n_grams", "f1", "f2",
+        F.round(F.col("v_obs").cast("double")
+                + f1d * (f1d - 1.0)
+                / (2.0 * (F.col("f2").cast("double") + 1.0)), 6)
+        .alias("chao1"),
+        F.round(F.lit(1.0) - f1d / F.col("n_grams").cast("double"), 6)
+        .alias("coverage_gt"))
+
+
+def _sql_stats_chao1() -> str:
+    return """
+WITH arr AS (
+  SELECT list_filter(string_split_regex(
+      lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS t
+  FROM documents),
+toks AS (
+  SELECT g AS tok FROM arr,
+  UNNEST(list_transform(generate_series(1, len(t) - 2),
+      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(g)),
+freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+         FROM toks GROUP BY 1),
+summ AS (
+  SELECT CAST(count(*) AS BIGINT) AS v_obs,
+         CAST(sum(c) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM freq)
+SELECT v_obs, n_grams, f1, f2,
+       round(CAST(v_obs AS DOUBLE)
+             + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+               / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6) AS chao1,
+       round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+         AS coverage_gt
+FROM summ
+"""
+
+
+HHI_SCALE = 1000
+
+
+def q_kg_topic_focus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation topical-concentration profile [K: the
+    Herfindahl-Hirschman / inverse-Simpson read a topic router and a
+    curation mixer both consume — effective_topics = 1/HHI is "how
+    many topics is this conversation REALLY about"; 1.0 = laser
+    focus, near the concept count = diffuse]: CDS scores quantized to
+    exact milli-integers (round-stable), HHI = sum(s_i^2) over
+    (sum s_i)^2 with BOTH sums exact BIGINTs (the milli scale keeps
+    sum(s^2)*1e6 far inside int64 — a ppm scale would overflow at
+    ontology fan-outs), hhi_ppm by integer cross-multiplied division,
+    and one double reciprocal at the end. A margin-style top1-top2
+    read is degenerate on this pipeline (max-propagated CDS ties the
+    head at 1.0 corpus-wide — verified), so concentration over the
+    WHOLE score mass is the read with signal.
+
+    Shape: one (conv) hash agg over the P14 table + map arithmetic.
+    Nothing beyond the CDS plan itself."""
+    cds = q_kg_cds(spark, sf_dir)
+    q = cds.select("subj_key",
+                   F.expr(f"CAST(round(score * {HHI_SCALE}, 0)"
+                          " AS BIGINT)").alias("s"))
+    g = q.groupBy("subj_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_concepts"),
+        F.sum("s").cast("long").alias("mass"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("mass2"))
+    return g.select(
+        "subj_key", "n_concepts", "mass",
+        F.expr("mass2 * 1000000L DIV (mass * mass)").cast("long")
+        .alias("hhi_ppm"),
+        F.round(F.col("mass").cast("double")
+                * F.col("mass").cast("double")
+                / F.col("mass2").cast("double"), 6)
+        .alias("effective_topics"))
+
+
+def _sql_kg_topic_focus() -> str:
+    return f"""
+WITH cds AS ({_sql_kg_cds_body()}),
+q AS (
+  SELECT subj_key,
+         CAST(round(score * {HHI_SCALE}, 0) AS BIGINT) AS s
+  FROM cds),
+g AS (
+  SELECT subj_key, CAST(count(*) AS BIGINT) AS n_concepts,
+         CAST(sum(s) AS BIGINT) AS mass,
+         CAST(sum(s * s) AS BIGINT) AS mass2
+  FROM q GROUP BY 1)
+SELECT subj_key, n_concepts, mass,
+       CAST(mass2 * 1000000 // (mass * mass) AS BIGINT) AS hhi_ppm,
+       round(CAST(mass AS DOUBLE) * CAST(mass AS DOUBLE)
+             / CAST(mass2 AS DOUBLE), 6) AS effective_topics
+FROM g
 """
