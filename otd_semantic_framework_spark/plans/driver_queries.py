@@ -3477,6 +3477,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_bucket_balance": q_sim_bucket_balance,
         "stats_chao1": q_stats_chao1,
         "kg_topic_focus": q_kg_topic_focus,
+        "dedup_cluster_quality": q_dedup_cluster_quality,
+        "stats_jackknife": q_stats_jackknife,
     }
 
 
@@ -3758,6 +3760,8 @@ def build_oracle_sql() -> dict[str, str]:
         "sim_bucket_balance": _sql_sim_bucket_balance(),
         "stats_chao1": _sql_stats_chao1(),
         "kg_topic_focus": _sql_kg_topic_focus(),
+        "dedup_cluster_quality": _sql_dedup_cluster_quality(),
+        "stats_jackknife": _sql_stats_jackknife(),
     }
 
 
@@ -15221,4 +15225,158 @@ SELECT subj_key, n_concepts, mass,
        round(CAST(mass AS DOUBLE) * CAST(mass AS DOUBLE)
              / CAST(mass2 AS DOUBLE), 6) AS effective_topics
 FROM g
+"""
+
+
+def q_dedup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster quality audit [K: the post-clustering check an
+    ER/dedup pipeline ships before deleting anything — transitive
+    closure can chain A~B~C into one cluster even when A and C are
+    dissimilar, and the per-cluster MINIMUM pair similarity is exactly
+    the chaining-damage signal]: the verified Jaccard pairs joined to
+    their connected component, then per multi-doc cluster: member
+    count, in-cluster verified-pair count, pair density vs the
+    complete graph in exact ppm, and min / mean pair similarity as
+    exact ppm integers (jaccard is round6, so *1e6 rounds exactly; the
+    mean is an integer DIV — no cross-row double sums).
+
+    Shape: the jaccard posting-list join + the iterative components
+    (both existing paired plans), one broadcast-able component-id join
+    onto the pairs, two hash aggs. Singleton components carry no pair
+    and are excluded (nothing to audit)."""
+    pairs = q_dedup_jaccard(spark, sf_dir)
+    comp = q_dedup_components(spark, sf_dir)
+    ca = comp.select(F.col("doc_id").alias("doc_a"),
+                     F.col("component").alias("cluster"))
+    j = (pairs.join(F.broadcast(ca), "doc_a")
+         .select("cluster",
+                 F.expr("CAST(round(jaccard * 1000000, 0) AS BIGINT)")
+                 .alias("jac_ppm")))
+    pg = j.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("jac_ppm").cast("long").alias("min_jac_ppm"),
+        F.expr("sum(jac_ppm) DIV count(1)").cast("long")
+        .alias("mean_jac_ppm"))
+    sizes = (comp.groupBy("component")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+             .filter(F.col("n_docs") > 1)
+             .select(F.col("component").alias("cluster"), "n_docs"))
+    return (sizes.join(pg, "cluster", "left")
+            .select("cluster", "n_docs",
+                    F.coalesce("n_pairs", F.lit(0)).cast("long")
+                    .alias("n_pairs"),
+                    F.expr("coalesce(n_pairs, 0) * 2000000L"
+                           " DIV (n_docs * (n_docs - 1))").cast("long")
+                    .alias("density_ppm"),
+                    "min_jac_ppm", "mean_jac_ppm"))
+
+
+def _sql_dedup_cluster_quality() -> str:
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({SQL_DEDUP_JACCARD}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+nodes AS (SELECT doc_id FROM documents WHERE doc_id < {JACCARD_MAX_DOC}),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+j AS (
+  SELECT c.component AS cluster,
+         CAST(round(p.jaccard * 1000000, 0) AS BIGINT) AS jac_ppm
+  FROM pairs p JOIN comp c ON c.doc_id = p.doc_a),
+pg AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(min(jac_ppm) AS BIGINT) AS min_jac_ppm,
+         CAST(sum(jac_ppm) // count(*) AS BIGINT) AS mean_jac_ppm
+  FROM j GROUP BY 1),
+sizes AS (
+  SELECT component AS cluster, CAST(count(*) AS BIGINT) AS n_docs
+  FROM comp GROUP BY 1 HAVING count(*) > 1)
+SELECT s.cluster, s.n_docs,
+       CAST(coalesce(pg.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(pg.n_pairs, 0) * 2000000
+            // (s.n_docs * (s.n_docs - 1)) AS BIGINT) AS density_ppm,
+       pg.min_jac_ppm, pg.mean_jac_ppm
+FROM sizes s LEFT JOIN pg ON pg.cluster = s.cluster
+"""
+
+
+def q_stats_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-source jackknife for the corpus mean doc length [K:
+    the grouped-jackknife SE — when observations cluster by source,
+    resampling DOCUMENTS understates the variance; deleting whole
+    sources measures the between-source sensitivity a mixture change
+    would actually cause]: per source the leave-that-source-out mean
+    (exact global minus per-source sums), then the jackknife variance
+    (g-1)/g * sum((m_i - mean(m_i))^2) assembled WITHOUT a cross-row
+    double sum — the loo means are quantized to exact MILLI-unit
+    integers before the final g-row sum (the stats_seasonality
+    convention; milli not micro so sum(m^2) stays inside int64).
+
+    Shape: one |sources|-row hash agg, one O(1) global crossJoin, one
+    g-row agg. Emits the corpus mean, the jackknife SE, and g."""
+    d = _docs(spark, sf_dir)
+    g = (d.groupBy("source")
+         .agg(F.count(F.lit(1)).cast("long").alias("n1"),
+              F.sum(F.length(F.coalesce(F.col("text"), F.lit(""))))
+              .cast("long").alias("s1")))
+    tot = g.agg(F.count(F.lit(1)).cast("long").alias("gs"),
+                F.sum("n1").cast("long").alias("nt"),
+                F.sum("s1").cast("long").alias("st"))
+    # loo mean in MILLI-units, exact: (st - s1)*1e3 DIV (nt - n1) —
+    # micro-units would push sum(m^2) past int64 at ~20 sources
+    loo = (g.crossJoin(F.broadcast(tot))
+           .select("gs", "nt", "st",
+                   F.expr("(st - s1) * 1000L DIV (nt - n1)")
+                   .cast("long").alias("m_u")))
+    # jackknife: var = (g-1)/g * sum((m_i - mbar)^2); mbar over the
+    # loo means, all in exact micro-unit integers (mbar floor-DIV —
+    # identical on both engines, documented quantization)
+    agg = loo.groupBy("gs", "nt", "st").agg(
+        F.count(F.lit(1)).cast("long").alias("g_rows"),
+        F.sum("m_u").cast("long").alias("sm"),
+        F.sum(F.col("m_u") * F.col("m_u")).cast("long").alias("sm2"))
+    gd = F.col("gs").cast("double")
+    var_u2 = ((gd * F.col("sm2").cast("double")
+               - F.col("sm").cast("double") * F.col("sm").cast("double"))
+              / gd) * ((gd - 1.0) / gd)
+    return agg.select(
+        F.col("gs").alias("n_sources"),
+        F.col("nt").alias("n_docs"),
+        F.round(F.col("st").cast("double") / F.col("nt").cast("double"),
+                6).alias("mean_len"),
+        F.round(F.sqrt(var_u2) / F.lit(1000.0), 6)
+        .alias("jackknife_se"))
+
+
+def _sql_stats_jackknife() -> str:
+    return """
+WITH g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n1,
+         CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS s1
+  FROM documents GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS gs,
+               CAST(sum(n1) AS BIGINT) AS nt,
+               CAST(sum(s1) AS BIGINT) AS st FROM g),
+loo AS (
+  SELECT gs, nt, st,
+         CAST((st - s1) * 1000 // (nt - n1) AS BIGINT) AS m_u
+  FROM g CROSS JOIN tot),
+agg AS (
+  SELECT gs, nt, st, CAST(count(*) AS BIGINT) AS g_rows,
+         CAST(sum(m_u) AS BIGINT) AS sm,
+         CAST(sum(m_u * m_u) AS BIGINT) AS sm2
+  FROM loo GROUP BY 1, 2, 3)
+SELECT gs AS n_sources, nt AS n_docs,
+       round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS mean_len,
+       round(sqrt(((CAST(gs AS DOUBLE) * CAST(sm2 AS DOUBLE)
+                    - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+                   / CAST(gs AS DOUBLE))
+                  * ((CAST(gs AS DOUBLE) - 1.0) / CAST(gs AS DOUBLE)))
+             / 1000.0, 6) AS jackknife_se
+FROM agg
 """
