@@ -3479,6 +3479,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_topic_focus": q_kg_topic_focus,
         "dedup_cluster_quality": q_dedup_cluster_quality,
         "stats_jackknife": q_stats_jackknife,
+        "sim_pq_recall": q_sim_pq_recall,
+        "curation_fertility": q_curation_fertility,
     }
 
 
@@ -3762,6 +3764,8 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_topic_focus": _sql_kg_topic_focus(),
         "dedup_cluster_quality": _sql_dedup_cluster_quality(),
         "stats_jackknife": _sql_stats_jackknife(),
+        "sim_pq_recall": _sql_sim_pq_recall(),
+        "curation_fertility": _sql_curation_fertility(),
     }
 
 
@@ -15379,4 +15383,106 @@ SELECT gs AS n_sources, nt AS n_docs,
                   * ((CAST(gs AS DOUBLE) - 1.0) / CAST(gs AS DOUBLE)))
              / 1000.0, 6) AS jackknife_se
 FROM agg
+"""
+
+
+def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ANN self-evaluation: recall@k of the product-quantized ADC
+    path against the exact brute-force cosine top-k, per query, exact
+    ppm [K: the eval that decides whether the memory-bound PQ serving
+    shape is accurate enough to ship — the sim_recall read for the PQ
+    index instead of the LSH one]. Pure composition of two paired
+    queries; the truth and the approximate path each keep their own
+    plan."""
+    bf = q_sim_topk_cosine(spark, sf_dir).select("qid", "cid")
+    pq = q_sim_pq_topk(spark, sf_dir).select(
+        F.col("qid").alias("aqid"), F.col("cid").alias("acid"))
+    hits = (bf.join(pq, (F.col("qid") == F.col("aqid"))
+                    & (F.col("cid") == F.col("acid")))
+            .groupBy("qid").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (bf.select("qid").distinct()
+            .join(hits, "qid", "left")
+            .select("qid",
+                    F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+                    .cast("long").alias("n_hits"))
+            .withColumn("recall_ppm",
+                        F.expr(f"n_hits * 1000000L DIV {SIM_TOP_K}")
+                        .cast("long")))
+
+
+def _sql_sim_pq_recall() -> str:
+    bf = SQL_SIM_TOPK.strip().rstrip(";")
+    pq = SQL_SIM_PQ_TOPK_TMPL.format(
+        n_query=N_QUERY_VECS, K=PQ_CODES, M=PQ_SUBS,
+        w=64 // PQ_SUBS, k=SIM_TOP_K).strip().rstrip(";")
+    return f"""
+WITH bf AS MATERIALIZED (SELECT qid, cid FROM ({bf})),
+pq AS MATERIALIZED (SELECT qid, cid FROM ({pq})),
+hits AS (
+  SELECT bf.qid, CAST(count(*) AS BIGINT) AS n_hits
+  FROM bf JOIN pq ON pq.qid = bf.qid AND pq.cid = bf.cid
+  GROUP BY 1)
+SELECT q.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 1000000 // {SIM_TOP_K} AS BIGINT)
+         AS recall_ppm
+FROM (SELECT DISTINCT qid FROM bf) q
+LEFT JOIN hits h ON h.qid = q.qid
+"""
+
+
+def q_curation_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-fertility table [K: the chars-per-token
+    and token-share read a multilingual budget plan starts from — a
+    language whose script packs more chars per whitespace token will
+    claim a different subword budget than its raw char share
+    suggests]: per lang — doc count, exact char mass, exact
+    whitespace-token mass, chars-per-token in exact ppm (cross-
+    multiplied integer division), and the language's share of the
+    corpus TOKEN budget in exact ppm.
+
+    Shape: one map-side projection (size(split()) needs no explode —
+    the cheapest token count there is) -> one |langs|-row hash agg ->
+    one O(1) total crossJoined back."""
+    d = _docs(spark, sf_dir)
+    m = d.select(
+        "lang",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+        .alias("n_chars"),
+        F.size(F.filter(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                    r"\s+"), lambda t: t != "")).cast("long")
+        .alias("n_toks"))
+    g = m.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.sum("n_toks").cast("long").alias("tokens"))
+    tot = g.agg(F.sum("tokens").cast("long").alias("t_total"))
+    return (g.crossJoin(F.broadcast(tot))
+            .select("lang", "n_docs", "chars", "tokens",
+                    F.expr("chars * 1000000L DIV tokens").cast("long")
+                    .alias("chars_per_token_ppm"),
+                    F.expr("tokens * 1000000L DIV t_total").cast("long")
+                    .alias("token_share_ppm")))
+
+
+def _sql_curation_fertility() -> str:
+    return """
+WITH m AS (
+  SELECT lang,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(string_split_regex(
+             lower(coalesce(text, '')), '\\s+'), x -> x <> ''))
+              AS BIGINT) AS n_toks
+  FROM documents),
+g AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS chars,
+         CAST(sum(n_toks) AS BIGINT) AS tokens
+  FROM m GROUP BY 1),
+tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS t_total FROM g)
+SELECT lang, n_docs, chars, tokens,
+       CAST(chars * 1000000 // tokens AS BIGINT)
+         AS chars_per_token_ppm,
+       CAST(tokens * 1000000 // t_total AS BIGINT) AS token_share_ppm
+FROM g CROSS JOIN tot
 """
