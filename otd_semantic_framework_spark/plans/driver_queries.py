@@ -3481,6 +3481,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_jackknife": q_stats_jackknife,
         "sim_pq_recall": q_sim_pq_recall,
         "curation_fertility": q_curation_fertility,
+        "rel_new_returning": q_rel_new_returning,
+        "sim_label_calibration": q_sim_label_calibration,
     }
 
 
@@ -3766,6 +3768,8 @@ def build_oracle_sql() -> dict[str, str]:
         "stats_jackknife": _sql_stats_jackknife(),
         "sim_pq_recall": _sql_sim_pq_recall(),
         "curation_fertility": _sql_curation_fertility(),
+        "rel_new_returning": _sql_rel_new_returning(),
+        "sim_label_calibration": _sql_sim_label_calibration(),
     }
 
 
@@ -15485,4 +15489,117 @@ SELECT lang, n_docs, chars, tokens,
          AS chars_per_token_ppm,
        CAST(tokens * 1000000 // t_total AS BIGINT) AS token_share_ppm
 FROM g CROSS JOIN tot
+"""
+
+
+def q_rel_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly new-vs-returning customer mix [K: the acquisition-vs-
+    retention read on every growth dashboard — a month's demand is
+    healthy only if returning demand holds while new demand adds]:
+    an order is NEW iff its calendar month equals its customer's
+    first-order month (exact integer month index, min-agg — no
+    window), per month: order counts and distinct-customer counts on
+    both sides plus the new share in exact ppm.
+
+    Shape: one per-customer min-agg (map-side partial), one broadcast-
+    able join back, one per-month hash agg. Nothing sorted, nothing
+    single-partition."""
+    o = _tbl(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long").alias("m"))
+    first = om.groupBy("o_custkey").agg(F.min("m").alias("first_m"))
+    j = om.join(first, "o_custkey") \
+        .withColumn("is_new", (F.col("m") == F.col("first_m"))
+                    .cast("int"))
+    return (j.groupBy(F.col("m").alias("month_idx"))
+            .agg(F.sum("is_new").cast("long").alias("new_orders"),
+                 F.sum(1 - F.col("is_new")).cast("long")
+                 .alias("returning_orders"),
+                 F.count_distinct(
+                     F.when(F.col("is_new") == 1, F.col("o_custkey")))
+                 .cast("long").alias("new_customers"),
+                 F.count_distinct(
+                     F.when(F.col("is_new") == 0, F.col("o_custkey")))
+                 .cast("long").alias("returning_customers"),
+                 F.expr("sum(is_new) * 1000000L DIV count(1)")
+                 .cast("long").alias("new_share_ppm")))
+
+
+def _sql_rel_new_returning() -> str:
+    return """
+WITH om AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+              AS BIGINT) AS m
+  FROM orders),
+first AS (SELECT o_custkey, min(m) AS first_m FROM om GROUP BY 1),
+j AS (
+  SELECT om.m, om.o_custkey,
+         CASE WHEN om.m = f.first_m THEN 1 ELSE 0 END AS is_new
+  FROM om JOIN first f ON f.o_custkey = om.o_custkey)
+SELECT m AS month_idx,
+       CAST(sum(is_new) AS BIGINT) AS new_orders,
+       CAST(sum(1 - is_new) AS BIGINT) AS returning_orders,
+       CAST(count(DISTINCT CASE WHEN is_new = 1 THEN o_custkey END)
+            AS BIGINT) AS new_customers,
+       CAST(count(DISTINCT CASE WHEN is_new = 0 THEN o_custkey END)
+            AS BIGINT) AS returning_customers,
+       CAST(sum(is_new) * 1000000 // count(*) AS BIGINT)
+         AS new_share_ppm
+FROM j GROUP BY 1
+"""
+
+
+CAL_BIN_W = 1  # cosine bin width in tenths: [-1,1] -> 20 bins of 0.1
+
+
+def q_sim_label_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-metric calibration against labels [K: the kg_
+    calibration read for the VECTOR space — if higher cosine between
+    neighbors doesn't raise the same-label rate, the embedding
+    carries no class signal and every cosine-thresholded pipeline
+    downstream is noise]: the wave-41 kNN edges joined to both
+    endpoints' labels, binned by cosine (exact integer binning over
+    the round6 ppm cosine), per bin: edge count, same-label count and
+    rate in exact ppm.
+
+    Shape: the kNN graph + two broadcast label joins + one <=8-row
+    hash agg. Nothing beyond the graph build itself."""
+    g = q_sim_knn_graph(spark, sf_dir)
+    e = _tbl(spark, sf_dir, "embeddings")
+    la = e.select(F.col("vec_id").alias("src"),
+                  F.col("label").alias("label_a"))
+    lb = e.select(F.col("vec_id").alias("dst"),
+                  F.col("label").alias("label_b"))
+    j = (g.join(F.broadcast(la), "src").join(F.broadcast(lb), "dst")
+         .select(
+             F.expr(f"CAST(floor((round(cos * 1000000, 0) + 1000000)"
+                    f" / ({CAL_BIN_W} * 100000)) AS INT)").alias("bin"),
+             (F.col("label_a") == F.col("label_b")).cast("long")
+             .alias("same")))
+    return (j.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_edges"),
+                 F.sum("same").cast("long").alias("n_same_label"),
+                 F.expr("sum(same) * 1000000 DIV count(1)")
+                 .cast("long").alias("same_rate_ppm")))
+
+
+def _sql_sim_label_calibration() -> str:
+    knn = _sql_sim_knn_graph().strip().rstrip(";")
+    return f"""
+WITH knn AS MATERIALIZED ({knn}),
+j AS (
+  SELECT CAST(floor((round(k.cos * 1000000, 0) + 1000000)
+              / ({CAL_BIN_W} * 100000)) AS INT) AS bin,
+         CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS same
+  FROM knn k
+  JOIN embeddings a ON a.vec_id = k.src
+  JOIN embeddings b ON b.vec_id = k.dst)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(same) AS BIGINT) AS n_same_label,
+       CAST(sum(same) * 1000000 // count(*) AS BIGINT)
+         AS same_rate_ppm
+FROM j GROUP BY 1
 """
