@@ -3483,6 +3483,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_fertility": q_curation_fertility,
         "rel_new_returning": q_rel_new_returning,
         "sim_label_calibration": q_sim_label_calibration,
+        "text_code_detect": q_text_code_detect,
+        "stats_ewma": q_stats_ewma,
     }
 
 
@@ -3770,6 +3772,8 @@ def build_oracle_sql() -> dict[str, str]:
         "curation_fertility": _sql_curation_fertility(),
         "rel_new_returning": _sql_rel_new_returning(),
         "sim_label_calibration": _sql_sim_label_calibration(),
+        "text_code_detect": _sql_text_code_detect(),
+        "stats_ewma": _sql_stats_ewma(),
     }
 
 
@@ -15602,4 +15606,175 @@ SELECT bin, CAST(count(*) AS BIGINT) AS n_edges,
        CAST(sum(same) * 1000000 // count(*) AS BIGINT)
          AS same_rate_ppm
 FROM j GROUP BY 1
+"""
+
+
+CODE_SYMBOLS = "{}();=<>[]"
+
+
+def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection heuristics [K: the classifier every
+    pretraining curation pipeline runs to route text into the code or
+    the prose mix — symbol density, indented-line share, and keyword
+    hits are the standard cheap signals (the fasttext classifier's
+    feature floor)]: per document — exact symbol count (one pass per
+    symbol char via length-difference, pure JVM), indented and total
+    line counts, a code-keyword hit count (word-boundary regexp), the
+    two densities in exact ppm, and the routing flag (symbol density
+    > 3% OR >= 2 keywords AND >= 1 indented line — thresholds are
+    demo constants, documented). Per-doc rows so downstream mixes can
+    join directly.
+
+    Shape: map-only projection over the documents scan — no shuffle
+    at all; the cheapest full-corpus filter shape there is."""
+    d = _docs(spark, sf_dir)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    sym = sum((F.length(txt)
+               - F.length(F.replace(txt, F.lit(c), F.lit(""))))
+              for c in CODE_SYMBOLS)
+    lines = F.split(txt, "\n")
+    n_lines = F.size(lines)
+    indented = F.size(F.filter(lines, lambda x: x.startswith(" ")))
+    kw = F.size(F.filter(
+        F.split(F.lower(txt), r"\s+"),
+        lambda t: t.isin("def", "class", "import", "return", "function",
+                         "var", "const", "if", "else", "for")))
+    base = d.select(
+        "doc_id", "lang",
+        F.length(txt).cast("long").alias("n_chars"),
+        sym.cast("long").alias("n_symbols"),
+        n_lines.cast("long").alias("n_lines"),
+        indented.cast("long").alias("n_indented"),
+        kw.cast("long").alias("n_keywords"))
+    return base.select(
+        "doc_id", "lang", "n_chars", "n_symbols", "n_lines",
+        "n_indented", "n_keywords",
+        F.expr("n_symbols * 1000000L DIV greatest(n_chars, 1)")
+        .cast("long").alias("symbol_ppm"),
+        F.expr("n_indented * 1000000L DIV greatest(n_lines, 1)")
+        .cast("long").alias("indent_ppm"),
+        F.expr("CAST(n_symbols * 1000000L DIV greatest(n_chars, 1)"
+               " > 30000 OR (n_keywords >= 2 AND n_indented >= 1)"
+               " AS INT)").alias("is_code"))
+
+
+def _sql_text_code_detect() -> str:
+    sym = " + ".join(
+        "(length(t) - length(replace(t, '{}', '')))".format(c)
+        for c in CODE_SYMBOLS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, coalesce(text, '') AS t FROM documents),
+feat AS (
+  SELECT doc_id, lang,
+         CAST(length(t) AS BIGINT) AS n_chars,
+         CAST({sym} AS BIGINT) AS n_symbols,
+         CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(string_split(t, chr(10)),
+                              x -> x LIKE ' %')) AS BIGINT)
+           AS n_indented,
+         CAST(len(list_filter(string_split_regex(lower(t), '\\s+'),
+              x -> x IN ('def', 'class', 'import', 'return',
+                         'function', 'var', 'const', 'if', 'else',
+                         'for'))) AS BIGINT) AS n_keywords
+  FROM base)
+SELECT doc_id, lang, n_chars, n_symbols, n_lines, n_indented,
+       n_keywords,
+       CAST(n_symbols * 1000000 // greatest(n_chars, 1) AS BIGINT)
+         AS symbol_ppm,
+       CAST(n_indented * 1000000 // greatest(n_lines, 1) AS BIGINT)
+         AS indent_ppm,
+       CAST(CASE WHEN n_symbols * 1000000 // greatest(n_chars, 1)
+                      > 30000
+                  OR (n_keywords >= 2 AND n_indented >= 1)
+            THEN 1 ELSE 0 END AS INT) AS is_code
+FROM feat
+"""
+
+
+EWMA_HORIZON = 30  # days; weights below 2^-30 are exactly zero
+
+
+def q_stats_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-decayed daily-load smoother, half-life = 1 day [K:
+    the EWMA-style monitor read — recent days dominate, every past
+    day contributes 2^-age]: per event_type the decayed load
+    sum_t x_t * 2^-age_t and the decay-weighted mean rate. The
+    cross-row weighted sum — normally an engine-order double hazard —
+    is EXACT here by construction: each term is the INTEGER
+    x_t * 2^(H - age_t) (H = EWMA_HORIZON, ages beyond H contribute
+    exactly zero, documented), the BIGINT sum is order-invariant, and
+    one division by 2^H at the end recovers the dyadic value with no
+    rounding at all. Also reports the final-day raw count and the
+    plain mean for contrast.
+
+    Shape: one (type, day) hash agg -> per-type max-day broadcast
+    back -> map-side integer weight -> one per-type agg. No windows,
+    no recursion at runtime — the closed form is the whole point."""
+    e = _tbl(spark, sf_dir, "events")
+    daily = (e.select("event_type", F.to_date("ts").alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    rng = daily.groupBy("event_type").agg(
+        F.max("day").alias("dT"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("total"))
+    j = (daily.join(F.broadcast(rng), "event_type")
+         .withColumn("age", F.datediff(F.col("dT"), F.col("day"))
+                     .cast("int"))
+         .filter(F.col("age") <= EWMA_HORIZON)
+         .withColumn("scale",
+                     F.expr(f"shiftleft(CAST(1 AS BIGINT),"
+                            f" {EWMA_HORIZON} - age)")))
+    g = j.groupBy("event_type").agg(
+        F.sum(F.col("x") * F.col("scale")).cast("long").alias("num"),
+        F.sum("scale").cast("long").alias("den"),
+        F.max(F.when(F.col("age") == 0, F.col("x"))).cast("long")
+        .alias("last_day"))
+    two_h = float(1 << EWMA_HORIZON)
+    return (g.join(F.broadcast(rng), "event_type")
+            .select("event_type", "n_days", "total", "last_day",
+                    F.round(F.col("total").cast("double")
+                            / F.col("n_days").cast("double"), 6)
+                    .alias("mean_daily"),
+                    F.round(F.col("num").cast("double") / two_h, 6)
+                    .alias("decayed_load"),
+                    F.round(F.col("num").cast("double")
+                            / F.col("den").cast("double"), 6)
+                    .alias("decayed_rate")))
+
+
+def _sql_stats_ewma() -> str:
+    h = EWMA_HORIZON
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+rng AS (
+  SELECT event_type, max(day) AS dT,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(x) AS BIGINT) AS total
+  FROM daily GROUP BY 1),
+j AS (
+  SELECT d.event_type, d.x,
+         datediff('day', d.day, r.dT) AS age,
+         CAST(1 AS BIGINT) << ({h} - datediff('day', d.day, r.dT))
+           AS scale
+  FROM daily d JOIN rng r USING (event_type)
+  WHERE datediff('day', d.day, r.dT) <= {h}),
+g AS (
+  SELECT event_type,
+         CAST(sum(x * scale) AS BIGINT) AS num,
+         CAST(sum(scale) AS BIGINT) AS den,
+         CAST(max(CASE WHEN age = 0 THEN x END) AS BIGINT) AS last_day
+  FROM j GROUP BY 1)
+SELECT g.event_type, r.n_days, r.total, g.last_day,
+       round(CAST(r.total AS DOUBLE) / CAST(r.n_days AS DOUBLE), 6)
+         AS mean_daily,
+       round(CAST(g.num AS DOUBLE) / {float(1 << h)}, 6)
+         AS decayed_load,
+       round(CAST(g.num AS DOUBLE) / CAST(g.den AS DOUBLE), 6)
+         AS decayed_rate
+FROM g JOIN rng r USING (event_type)
 """
