@@ -3485,6 +3485,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_label_calibration": q_sim_label_calibration,
         "text_code_detect": q_text_code_detect,
         "stats_ewma": q_stats_ewma,
+        "stats_backtest": q_stats_backtest,
+        "sim_dim_variance": q_sim_dim_variance,
     }
 
 
@@ -3774,6 +3776,8 @@ def build_oracle_sql() -> dict[str, str]:
         "sim_label_calibration": _sql_sim_label_calibration(),
         "text_code_detect": _sql_text_code_detect(),
         "stats_ewma": _sql_stats_ewma(),
+        "stats_backtest": _sql_stats_backtest(),
+        "sim_dim_variance": _sql_sim_dim_variance(),
     }
 
 
@@ -15777,4 +15781,137 @@ SELECT g.event_type, r.n_days, r.total, g.last_day,
        round(CAST(g.num AS DOUBLE) / CAST(g.den AS DOUBLE), 6)
          AS decayed_rate
 FROM g JOIN rng r USING (event_type)
+"""
+
+
+def q_stats_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest [K: the baseline every
+    forecasting effort must beat — predict month t with month t-12 —
+    and the backtest table that says whether fancier models earn
+    their keep]: per month with a year-ago observation, actual vs
+    predicted order counts, absolute error, and error in exact ppm of
+    the actual; plus the corpus sMAPE assembled from EXACT integer
+    sums (sum|a-p| and sum(a+p) — the ratio-of-sums sMAPE variant is
+    chosen PRECISELY because it needs no cross-row double sum; the
+    per-row-mean variant would, documented).
+
+    Shape: one monthly hash agg -> one self-join on month-12 (tiny
+    keyed table) -> one O(1) summary crossJoined back."""
+    o = _tbl(spark, sf_dir, "orders")
+    monthly = (o.select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long").alias("m"))
+        .groupBy("m").agg(F.count(F.lit(1)).cast("long").alias("x")))
+    prev = monthly.select((F.col("m") + 12).alias("m"),
+                          F.col("x").alias("pred"))
+    j = monthly.join(prev, "m") \
+        .withColumn("abs_err", F.abs(F.col("x") - F.col("pred")))
+    summ = j.agg(F.sum("abs_err").cast("long").alias("sae"),
+                 F.sum(F.col("x") + F.col("pred")).cast("long")
+                 .alias("sap"))
+    return (j.crossJoin(F.broadcast(summ))
+            .select(F.col("m").alias("month_idx"),
+                    F.col("x").alias("actual"), "pred",
+                    F.col("abs_err").cast("long").alias("abs_err"),
+                    F.expr("abs_err * 1000000L DIV x").cast("long")
+                    .alias("err_ppm"),
+                    F.expr("2 * sae * 1000000L DIV sap").cast("long")
+                    .alias("smape_ppm")))
+
+
+def _sql_stats_backtest() -> str:
+    return """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+              AS BIGINT) AS m,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+j AS (
+  SELECT a.m, a.x, p.x AS pred, abs(a.x - p.x) AS abs_err
+  FROM monthly a JOIN monthly p ON p.m = a.m - 12),
+summ AS (SELECT CAST(sum(abs_err) AS BIGINT) AS sae,
+                CAST(sum(x + pred) AS BIGINT) AS sap FROM j)
+SELECT m AS month_idx, x AS actual, pred,
+       CAST(abs_err AS BIGINT) AS abs_err,
+       CAST(abs_err * 1000000 // x AS BIGINT) AS err_ppm,
+       CAST(2 * sae * 1000000 // sap AS BIGINT) AS smape_ppm
+FROM j CROSS JOIN summ
+"""
+
+
+DIMVAR_SCALE = 1000
+DIMVAR_DEAD_PPM = 100000  # flag dims with < 10% of the mean variance
+
+
+def q_sim_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding variance profile [K: the dead-unit /
+    collapsed-dimension check an embedding QA job runs — a dimension
+    whose variance is a tiny fraction of the mean carries no signal
+    and hints at training collapse or a truncation bug]: components
+    quantized to DIMVAR_SCALE fixed-point integers (the centroid-
+    drift convention), per-position exact (n, S, SS) BIGINTs, sample
+    variance in micro-units via integer cross-multiplied division so
+    the 64-row mean-variance reference is itself an exact integer
+    mean, and the dead flag compares each dim against
+    DIMVAR_DEAD_PPM of that reference without ever leaving integers.
+
+    Shape: one posexplode scan -> one 64-row hash agg -> one O(1)
+    reference agg crossJoined back. The columnar unpivot is the whole
+    cost."""
+    e = _tbl(spark, sf_dir, "embeddings")
+    q = (e.select(F.posexplode(F.col("embedding")).alias("pos", "v"))
+         .select("pos",
+                 F.floor(F.col("v").cast("double") * DIMVAR_SCALE)
+                 .cast("long").alias("qv")))
+    g = q.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qv").cast("long").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).cast("long").alias("ss"))
+    # sample variance in exact micro-units of DIMVAR_SCALE^2:
+    # var_u = (n*SS - S^2) * 1e6 DIV (n*(n-1))
+    gv = g.select("pos", "n",
+                  F.expr("(n * ss - s * s) * 1000000L"
+                         " DIV (n * (n - 1))").cast("long")
+                  .alias("var_u"))
+    ref = gv.agg(F.count(F.lit(1)).cast("long").alias("dims"),
+                 F.expr("sum(var_u) DIV count(1)").cast("long")
+                 .alias("mean_var_u"))
+    return (gv.crossJoin(F.broadcast(ref))
+            .select(F.col("pos").cast("int").alias("pos"),
+                    "var_u", "mean_var_u",
+                    F.expr("var_u * 1000000L DIV greatest(mean_var_u, 1)")
+                    .cast("long").alias("var_share_ppm"),
+                    F.expr(f"CAST(var_u * 1000000L"
+                           f" DIV greatest(mean_var_u, 1)"
+                           f" < {DIMVAR_DEAD_PPM} AS INT)")
+                    .alias("is_dead")))
+
+
+def _sql_sim_dim_variance() -> str:
+    return f"""
+WITH q AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {DIMVAR_SCALE})
+              AS BIGINT) AS qv
+  FROM embeddings),
+g AS (
+  SELECT pos, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qv) AS BIGINT) AS s,
+         CAST(sum(qv * qv) AS BIGINT) AS ss
+  FROM q GROUP BY 1),
+gv AS (
+  SELECT pos, n,
+         CAST((n * ss - s * s) * 1000000 // (n * (n - 1)) AS BIGINT)
+           AS var_u
+  FROM g),
+ref AS (SELECT CAST(count(*) AS BIGINT) AS dims,
+               CAST(sum(var_u) // count(*) AS BIGINT) AS mean_var_u
+        FROM gv)
+SELECT CAST(pos AS INT) AS pos, var_u, mean_var_u,
+       CAST(var_u * 1000000 // greatest(mean_var_u, 1) AS BIGINT)
+         AS var_share_ppm,
+       CAST(CASE WHEN var_u * 1000000 // greatest(mean_var_u, 1)
+                      < {DIMVAR_DEAD_PPM}
+            THEN 1 ELSE 0 END AS INT) AS is_dead
+FROM gv CROSS JOIN ref
 """
