@@ -3487,6 +3487,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ewma": q_stats_ewma,
         "stats_backtest": q_stats_backtest,
         "sim_dim_variance": q_sim_dim_variance,
+        "text_blocklist": q_text_blocklist,
+        "stats_anomaly_days": q_stats_anomaly_days,
     }
 
 
@@ -3778,6 +3780,8 @@ def build_oracle_sql() -> dict[str, str]:
         "stats_ewma": _sql_stats_ewma(),
         "stats_backtest": _sql_stats_backtest(),
         "sim_dim_variance": _sql_sim_dim_variance(),
+        "text_blocklist": _sql_text_blocklist(),
+        "stats_anomaly_days": _sql_stats_anomaly_days(),
     }
 
 
@@ -15914,4 +15918,121 @@ SELECT CAST(pos AS INT) AS pos, var_u, mean_var_u,
                       < {DIMVAR_DEAD_PPM}
             THEN 1 ELSE 0 END AS INT) AS is_dead
 FROM gv CROSS JOIN ref
+"""
+
+
+BLOCKLIST_TERMS = ("casino", "lottery", "viagra", "warez", "xxx")
+LEET_SRC = "013457@$"
+LEET_DST = "oieastas"
+
+
+def q_text_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Obfuscation-resistant blocklist filter [K: the safety/spam
+    gate every web-corpus pipeline runs — naive term matching misses
+    'c4sino' and 'v1agra', so terms are matched on a LEET-NORMALIZED
+    shadow of the text (0->o, 1->i, 3->e, 4->a, 5->s, 7->t, @->a,
+    $->s — the standard substitution table), while the reported
+    surface stays the original token]: per document the blocklist hit
+    count, the distinct terms hit, and the keep/drop flag; the terms
+    ship as a broadcast list and matching is one translate + token
+    scan, map-only.
+
+    Shape: pure map-side projection (translate + split + filter-HOF)
+    — no shuffle, no UDF; the gate costs one corpus scan. The demo
+    list is tiny; a real deployment swaps in a broadcast DataFrame
+    exactly like the curation keep-list gate."""
+    d = _docs(spark, sf_dir)
+    norm = F.translate(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                       LEET_SRC, LEET_DST)
+    toks = F.filter(F.split(norm, r"\s+"), lambda t: t != "")
+    hits = F.filter(toks, lambda t: t.isin(*BLOCKLIST_TERMS))
+    return d.select(
+        "doc_id",
+        F.size(hits).cast("long").alias("n_hits"),
+        F.array_sort(F.array_distinct(hits)).alias("terms_hit"),
+        (F.size(hits) == 0).cast("int").alias("keep"))
+
+
+def _sql_text_blocklist() -> str:
+    terms = ", ".join(f"'{t}'" for t in BLOCKLIST_TERMS)
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         translate(lower(coalesce(text, '')),
+                   '{LEET_SRC}', '{LEET_DST}') AS t
+  FROM documents),
+hits AS (
+  SELECT doc_id,
+         list_filter(list_filter(string_split_regex(t, '\\s+'),
+                                 x -> x <> ''),
+                     x -> x IN ({terms})) AS h
+  FROM norm)
+SELECT doc_id, CAST(len(h) AS BIGINT) AS n_hits,
+       list_sort(list_distinct(h)) AS terms_hit,
+       CAST(CASE WHEN len(h) = 0 THEN 1 ELSE 0 END AS INT) AS keep
+FROM hits
+"""
+
+
+def q_stats_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous-day detection over the daily order series [K: the
+    median/MAD robust fence applied to the TIME axis — the ops read
+    that catches ingest outages (collapsed days) and bot storms
+    (spiked days) that a mean/stddev fence misses because the anomaly
+    itself inflates the stddev]: exact doubled/quadrupled-integer
+    median and MAD (the rel_outliers idiom), a cross-multiplied
+    |x - med| > 3*1.4826*MAD fence, and per flagged day the direction
+    (spike/collapse) plus the deviation in exact per-mille of the
+    median. The kg_degree_anomaly shape pointed at the calendar.
+
+    Shape: one daily hash agg, two O(1) percentile aggs broadcast
+    back, one map-side fence. No windows, no sort."""
+    o = _tbl(spark, sf_dir, "orders")
+    daily = (o.select(F.to_date("o_orderdate").alias("day"))
+             .groupBy("day")
+             .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    v = daily.withColumn("v2", (F.col("x") * 2).cast("long"))
+    m1 = v.agg(F.expr("CAST(percentile(v2, 0.5) AS BIGINT)")
+               .alias("med2"),
+               F.count(F.lit(1)).cast("long").alias("n_days"))
+    dv = (v.crossJoin(F.broadcast(m1))
+          .withColumn("dev2", F.abs(F.col("v2") - F.col("med2"))))
+    m2 = dv.agg(F.expr("CAST(percentile(2 * dev2, 0.5) AS BIGINT)")
+                .alias("mad4"))
+    return (dv.crossJoin(F.broadcast(m2))
+            .filter(F.expr("dev2 * 10000 > 22239 * mad4"))
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "x",
+                    F.col("med2").cast("long").alias("med2"),
+                    F.col("mad4").cast("long").alias("mad4"),
+                    F.when(F.col("v2") > F.col("med2"), F.lit("spike"))
+                    .otherwise(F.lit("collapse")).alias("direction"),
+                    F.expr("dev2 * 1000 DIV med2").cast("long")
+                    .alias("dev_permille"),
+                    "n_days"))
+
+
+def _sql_stats_anomaly_days() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+v AS (SELECT day, x, CAST(x * 2 AS BIGINT) AS v2 FROM daily),
+m1 AS (SELECT CAST(quantile_cont(v2, 0.5) AS BIGINT) AS med2,
+              CAST(count(*) AS BIGINT) AS n_days FROM v),
+dv AS (
+  SELECT day, x, v2, abs(v2 - med2) AS dev2, med2, n_days
+  FROM v CROSS JOIN m1),
+m2 AS (SELECT CAST(quantile_cont(2 * dev2, 0.5) AS BIGINT) AS mad4
+       FROM dv)
+SELECT strftime(day, '%Y-%m-%d') AS day, x,
+       CAST(med2 AS BIGINT) AS med2,
+       CAST(mad4 AS BIGINT) AS mad4,
+       CASE WHEN v2 > med2 THEN 'spike' ELSE 'collapse' END
+         AS direction,
+       CAST(dev2 * 1000 // med2 AS BIGINT) AS dev_permille,
+       n_days
+FROM dv CROSS JOIN m2
+WHERE dev2 * 10000 > 22239 * mad4
 """
