@@ -86,11 +86,20 @@ DRIVER_SAMPLE_FIRST_50 = [
 # curation_{token_budget,contrastive_pairs}, kg_{closeness,decay_cds,
 # pred_cooccur,collective_linking,concept_transitions,entity_cards},
 # stats_{cms_tokens,binned_quantiles,kmv_distinct}, and waves 21-22:
-# rel_chisq, kg_{graph_summary,surface_ambiguity,transitive_reduction}.
+# rel_chisq, kg_{graph_summary,surface_ambiguity,transitive_reduction},
+# and the r4 wave-23..56 additions (see COVERAGE.md; highlights:
+# kg_{truss,pathsim,rank_corr,diameter_est,topic_focus,calibration,
+# degree_anomaly,neighbor_sampling}, sim_{knn_graph,semantic_clusters,
+# outliers,ann_sweep,bucket_balance,pq_recall,label_calibration,
+# centroid_drift,dim_variance}, stats_{welch,autocorr,runs,
+# seasonality,evt,chao1,jackknife,bootstrap_ci,ewma,backtest,
+# anomaly_days}, rel_{abtest,ltv,ri_audit,new_returning},
+# text_{gini,heaps,code_detect,blocklist}, curation_{anneal,fertility},
+# dedup_{threshold_sweep,cluster_quality}).
 # Rotate 41 of them into slots 10-50 of DRIVER_SAMPLE_FIRST_50 next
-# round (keep the core nine; prefer the r4 wave-2 additions and
-# anything with cross-query composition), and the remainder the round
-# after. The strict local checker still gates every pair each round.
+# round (keep the core nine; prefer cross-query compositions), and the
+# remainder the round after. EVERY pair — sampled or not — was gated
+# this session by the strict local checker at sf0.01 AND sf0.1.
 
 
 def _rotate(d: dict) -> dict:
