@@ -59,10 +59,10 @@ class TestSimOutliers:
         u = np.asarray([1.0 if i % 2 == 0 else -1.0 for i in range(64)])
         u -= (u @ v0) / (v0 @ v0) * v0
         d0, du = P @ v0, P @ u
-        # largest b keeping every plane sign: flip happens where the
-        # u-contribution opposes and exceeds the v0 margin
-        b_max = min(abs(d0[i] / du[i]) for i in range(3)
-                    if np.sign(du[i]) != np.sign(d0[i]) or True)
+        # conservative bound: any plane flips no earlier than when the
+        # u-contribution reaches the v0 margin, so min over ALL planes
+        # keeps every sign (the assertion below re-checks explicitly)
+        b_max = min(abs(d0[i] / du[i]) for i in range(3))
         w = v0 + 0.8 * b_max * u
         assert ((P @ w >= 0) == (d0 >= 0)).all(), "w must share bucket"
         anti = -v0
