@@ -734,3 +734,76 @@ def knn_outliers(vecs: DataFrame, k: int = 5, n_planes: int = 3,
     return (fenced.unionByName(isolated)
             .select(F.col("src").alias(id_col), "k_used",
                     "mean_cos_ppm", "is_outlier"))
+
+
+def triplet_mining(vecs: DataFrame, n_planes: int = 3, dim: int = 64,
+                   margin_ppm: int = 50000, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Hard-example triplet mining over a labeled embedding corpus
+    [K: the batch-hard mining step of metric-learning / contrastive
+    fine-tuning (FaceNet-style): per anchor, the hardest POSITIVE
+    (same label, LOWEST cosine — the most distant example the model
+    must still pull in) and the hardest NEGATIVE (different label,
+    HIGHEST cosine — the impostor it must push away), plus the margin
+    violation flag that selects which triplets carry gradient].
+    Candidates come from the anchor's LSH sign-bucket only — mining
+    against the full corpus is quadratic; in-bucket mining is the
+    standard scale shape and biases toward NEAR candidates, which is
+    exactly where hard negatives live (hard positives are mined
+    within whatever the bucket retains — approximate by design,
+    same recall/compute trade as ann_lsh_topk via n_planes).
+
+    Per anchor: (pos_id, cos_pos), (neg_id, cos_neg), in-bucket
+    candidate counts, and violation = cos_neg + margin > cos_pos on
+    EXACT ppm integers (cosines are round6, so *1e6 re-rounded is an
+    exact BIGINT — a raw double compare would be a cross-engine hash
+    hazard). Anchors lacking a same-label or different-label bucket
+    mate are dropped (inner semantics — no gradient without both).
+
+    Shape: one vectorized bucket matmul pandas_udf, bucket-key
+    equi-self-join (never all-pairs), then ONE hash agg per anchor —
+    the hardest pos/neg fall out of min/max over (cos, id) structs,
+    no rank window at all. Deterministic ties: lowest candidate id.
+    At 10^9 vectors: more planes + multi-probe, and co-partition the
+    two join sides by bucket."""
+    planes = hyperplanes(n_planes, dim)
+    b = lsh_bucket(vecs.select(F.col(id_col).alias("aid"),
+                               F.col(vec_col).alias("av"),
+                               F.col(label_col).alias("albl")),
+                   "av", planes)
+    a = b.select("aid", "av", "albl", "bucket")
+    c = b.select(F.col("aid").alias("cid"), F.col("av").alias("cv"),
+                 F.col("albl").alias("clbl"), "bucket")
+    sim = (a.join(c, "bucket")
+           .filter(F.col("aid") != F.col("cid"))
+           .withColumn("cos", F.round(
+               _dot(_as_double(F.col("av")), _as_double(F.col("cv")))
+               / (_norm(_as_double(F.col("av")))
+                  * _norm(_as_double(F.col("cv")))), 6))
+           .withColumn("cos_ppm", F.expr(
+               "CAST(round(cos * 1000000, 0) AS BIGINT)")))
+    same = F.col("albl") == F.col("clbl")
+    agg = (sim.groupBy("aid", "albl")
+           .agg(F.min(F.when(same, F.struct(F.col("cos_ppm"),
+                                            F.col("cid"))))
+                .alias("pos"),
+                F.max(F.when(~same, F.struct(F.col("cos_ppm"),
+                                             (-F.col("cid"))
+                                             .alias("cid"))))
+                .alias("neg"),
+                F.sum(same.cast("long")).alias("n_pos_cand"),
+                F.sum((~same).cast("long")).alias("n_neg_cand")))
+    return (agg.filter(F.col("pos").isNotNull()
+                       & F.col("neg").isNotNull())
+            .select(F.col("aid").alias(id_col),
+                    F.col("albl").alias(label_col),
+                    F.col("pos.cid").cast("long").alias("pos_id"),
+                    F.col("pos.cos_ppm").cast("long").alias("pos_ppm"),
+                    (-F.col("neg.cid")).cast("long").alias("neg_id"),
+                    F.col("neg.cos_ppm").cast("long").alias("neg_ppm"),
+                    F.col("n_pos_cand").cast("long").alias("n_pos_cand"),
+                    F.col("n_neg_cand").cast("long").alias("n_neg_cand"),
+                    (F.col("neg.cos_ppm") + F.lit(margin_ppm)
+                     > F.col("pos.cos_ppm")).cast("int")
+                    .alias("violation")))

@@ -3489,6 +3489,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_dim_variance": q_sim_dim_variance,
         "text_blocklist": q_text_blocklist,
         "stats_anomaly_days": q_stats_anomaly_days,
+        "sim_triplet_mining": q_sim_triplet_mining,
+        "stats_mannwhitney": q_stats_mannwhitney,
     }
 
 
@@ -3782,6 +3784,8 @@ def build_oracle_sql() -> dict[str, str]:
         "sim_dim_variance": _sql_sim_dim_variance(),
         "text_blocklist": _sql_text_blocklist(),
         "stats_anomaly_days": _sql_stats_anomaly_days(),
+        "sim_triplet_mining": _sql_sim_triplet_mining(),
+        "stats_mannwhitney": _sql_stats_mannwhitney(),
     }
 
 
@@ -16035,4 +16039,193 @@ SELECT strftime(day, '%Y-%m-%d') AS day, x,
        n_days
 FROM dv CROSS JOIN m2
 WHERE dev2 * 10000 > 22239 * mad4
+"""
+
+
+TRIPLET_MARGIN_PPM = 50000
+TRIPLET_N_PLANES = 3
+
+
+def q_sim_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-example triplet mining over the labeled embedding corpus
+    (operators/simsearch.py:triplet_mining) [K: batch-hard mining of
+    metric-learning — per anchor the hardest same-label positive
+    (lowest cosine) and hardest different-label negative (highest
+    cosine) within the anchor's LSH bucket, plus the margin-violation
+    flag that selects gradient-carrying triplets]. Paired: the 3
+    hyperplanes are deterministic constants, so DuckDB recomputes the
+    identical sign buckets, round-6 cosines, exact ppm integers, and
+    the identical (cos, id) tiebreaks."""
+    from ..operators.simsearch import triplet_mining
+    return triplet_mining(_tbl(spark, sf_dir, "embeddings"),
+                          n_planes=TRIPLET_N_PLANES,
+                          margin_ppm=TRIPLET_MARGIN_PPM)
+
+
+def _sql_sim_triplet_mining() -> str:
+    from ..operators.simsearch import hyperplanes
+    planes = hyperplanes(TRIPLET_N_PLANES, 64)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(nv, {_sql_vec_lit(p)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    return f"""
+WITH v AS (SELECT vec_id AS nid, cast(embedding AS DOUBLE[]) AS nv,
+                  label FROM embeddings),
+b AS (SELECT nid, nv, label, {bucket} AS bucket FROM v),
+pairs AS (
+  SELECT a.nid AS aid, a.label AS albl, c.nid AS cid,
+         c.label AS clbl,
+         CAST(round(round(list_cosine_similarity(a.nv, c.nv), 6)
+                    * 1000000, 0) AS BIGINT) AS cos_ppm
+  FROM b a JOIN b c USING (bucket)
+  WHERE a.nid <> c.nid),
+pos AS (
+  SELECT aid, cid AS pos_id, cos_ppm AS pos_ppm FROM (
+    SELECT aid, cid, cos_ppm,
+           row_number() OVER (PARTITION BY aid
+                              ORDER BY cos_ppm ASC, cid ASC) AS rk
+    FROM pairs WHERE albl = clbl) WHERE rk = 1),
+neg AS (
+  SELECT aid, cid AS neg_id, cos_ppm AS neg_ppm FROM (
+    SELECT aid, cid, cos_ppm,
+           row_number() OVER (PARTITION BY aid
+                              ORDER BY cos_ppm DESC, cid ASC) AS rk
+    FROM pairs WHERE albl <> clbl) WHERE rk = 1),
+cnt AS (
+  SELECT aid, max(albl) AS label,
+         CAST(sum(CASE WHEN albl = clbl THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos_cand,
+         CAST(sum(CASE WHEN albl <> clbl THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_neg_cand
+  FROM pairs GROUP BY aid)
+SELECT cnt.aid AS vec_id, cnt.label, pos.pos_id, pos.pos_ppm,
+       neg.neg_id, neg.neg_ppm, cnt.n_pos_cand, cnt.n_neg_cand,
+       CAST(CASE WHEN neg.neg_ppm + {TRIPLET_MARGIN_PPM} > pos.pos_ppm
+            THEN 1 ELSE 0 END AS INT) AS violation
+FROM cnt JOIN pos USING (aid) JOIN neg USING (aid)
+"""
+
+
+def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: weekday vs weekend daily order
+    volume [K: the standard nonparametric two-sample test — unlike
+    stats_welch's t-test it makes no normality assumption, which is
+    the right tool for heavy-tailed daily counts; ops teams run it to
+    answer 'is weekend traffic a genuinely different distribution or
+    just noisier?']. Exact DOUBLED integer rank sums (average ranks
+    are half-integers, so everything carries a factor 2), the exact
+    tie-correction term sum(t^3 - t), and the normal-approximation
+    z-score with ONE double sqrt + division at the very end (round 6)
+    — identical integer inputs make the double math engine-identical.
+    Weekend = ISO day-of-week in {6, 7} (Spark weekday() >= 5,
+    DuckDB isodow >= 6 — both Monday-anchored, no locale hazard).
+
+    Shape: one distributed daily hash agg (calendar-bounded output),
+    one distinct-count-value hash agg, a triangular broadcast
+    self-join of that tiny value table for cumulative below-counts
+    (the text_gini idiom — no partitionless window anywhere), and a
+    1-row final agg. At 10^12 turns only the first agg touches the
+    corpus."""
+    o = _tbl(spark, sf_dir, "orders")
+    daily = (o.select(F.to_date("o_orderdate").alias("day"))
+             .groupBy("day")
+             .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    lab = daily.select(
+        "x", (F.expr("weekday(day)") >= 5).cast("int").alias("wk"))
+    g = lab.groupBy("x").agg(
+        F.sum(F.when(F.col("wk") == 0, 1).otherwise(0)).cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("wk") == 1, 1).otherwise(0)).cast("long")
+        .alias("c2"))
+    cum = (g.alias("a").join(F.broadcast(g.alias("c")),
+                             F.col("c.x") < F.col("a.x"), "left")
+           .groupBy(F.col("a.x").alias("x"))
+           .agg(F.max(F.col("a.c1")).cast("long").alias("c1"),
+                F.max(F.col("a.c2")).cast("long").alias("c2"),
+                F.coalesce(F.sum(F.col("c.c1") + F.col("c.c2")),
+                           F.lit(0)).cast("long").alias("below")))
+    # doubled avg rank for value x: 2*below + t + 1, t = c1 + c2
+    stats = cum.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("below") + F.col("c1")
+                             + F.col("c2") + 1)).cast("long")
+        .alias("r1_x2"),
+        F.sum((F.col("c1") + F.col("c2")) * (F.col("c1") + F.col("c2"))
+              * (F.col("c1") + F.col("c2"))
+              - (F.col("c1") + F.col("c2"))).cast("long")
+        .alias("tie_term"))
+    return stats.select(
+        "n1", "n2",
+        (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).cast("long")
+        .alias("u1_x2"),
+        (2 * F.col("n1") * F.col("n2")
+         - (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)))
+        .cast("long").alias("u2_x2"),
+        F.col("tie_term").alias("tie_term"),
+        F.round(F.when(
+            F.col("n1") * F.col("n2")
+            * ((F.col("n1") + F.col("n2") + 1)
+               * (F.col("n1") + F.col("n2"))
+               * (F.col("n1") + F.col("n2") - 1) - F.col("tie_term"))
+            > 0,
+            ((F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1))
+             .cast("double") - (F.col("n1") * F.col("n2"))
+             .cast("double"))
+            / (F.lit(2.0) * F.sqrt(
+                (F.col("n1") * F.col("n2")
+                 * ((F.col("n1") + F.col("n2") + 1)
+                    * (F.col("n1") + F.col("n2"))
+                    * (F.col("n1") + F.col("n2") - 1)
+                    - F.col("tie_term"))).cast("double")
+                / (F.lit(12.0)
+                   * (F.col("n1") + F.col("n2")).cast("double")
+                   * (F.col("n1") + F.col("n2") - 1).cast("double"))))
+        ), 6).alias("z"))
+
+
+def _sql_stats_mannwhitney() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+lab AS (
+  SELECT x, CAST(CASE WHEN isodow(day) >= 6 THEN 1 ELSE 0 END AS INT)
+           AS wk
+  FROM daily),
+g AS (
+  SELECT x,
+         CAST(sum(CASE WHEN wk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN wk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM lab GROUP BY 1),
+cum AS (
+  SELECT a.x, max(a.c1) AS c1, max(a.c2) AS c2,
+         CAST(coalesce(sum(c.c1 + c.c2), 0) AS BIGINT) AS below
+  FROM g a LEFT JOIN g c ON c.x < a.x
+  GROUP BY a.x),
+s AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(sum(c1 * (2 * below + c1 + c2 + 1)) AS BIGINT) AS r1_x2,
+         CAST(sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2))
+              AS BIGINT) AS tie_term
+  FROM cum)
+SELECT n1, n2,
+       CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+       CAST(2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2,
+       tie_term,
+       round(CASE WHEN n1 * n2 * ((n1 + n2 + 1) * (n1 + n2)
+                                  * (n1 + n2 - 1) - tie_term) > 0
+             THEN (CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE)
+                   - CAST(n1 * n2 AS DOUBLE))
+                  / (2.0 * sqrt(
+                      CAST(n1 * n2 * ((n1 + n2 + 1) * (n1 + n2)
+                                      * (n1 + n2 - 1) - tie_term)
+                           AS DOUBLE)
+                      / (12.0 * CAST(n1 + n2 AS DOUBLE)
+                         * CAST(n1 + n2 - 1 AS DOUBLE))))
+             ELSE NULL END, 6) AS z
+FROM s
 """
