@@ -3491,6 +3491,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_anomaly_days": q_stats_anomaly_days,
         "sim_triplet_mining": q_sim_triplet_mining,
         "stats_mannwhitney": q_stats_mannwhitney,
+        "stats_trend": q_stats_trend,
+        "text_class_entropy": q_text_class_entropy,
     }
 
 
@@ -3786,6 +3788,8 @@ def build_oracle_sql() -> dict[str, str]:
         "stats_anomaly_days": _sql_stats_anomaly_days(),
         "sim_triplet_mining": _sql_sim_triplet_mining(),
         "stats_mannwhitney": _sql_stats_mannwhitney(),
+        "stats_trend": _sql_stats_trend(),
+        "text_class_entropy": _sql_text_class_entropy(),
     }
 
 
@@ -16228,4 +16232,227 @@ SELECT n1, n2,
                          * CAST(n1 + n2 - 1 AS DOUBLE))))
              ELSE NULL END, 6) AS z
 FROM s
+"""
+
+
+def q_stats_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope over the daily order
+    series [K: THE standard monotonic-trend pair for noisy time
+    series — MK gives a distribution-free 'is there a trend' z-score,
+    Theil-Sen a slope robust to 29% outliers; capacity planners run
+    exactly this pair on daily volume]. S = #concordant - #discordant
+    pairs (exact BIGINT), tie-corrected variance numerator
+    n(n-1)(2n+5) - sum t(t-1)(2t+5) (exact, /18 deferred into the one
+    final double sqrt), continuity-corrected z (round 6), and the
+    doubled-integer median (percentile idiom) of per-pair slopes
+    quantized to exact ppm-per-day BIGINTs — the quantization is the
+    documented honesty trade: exact rational medians need cross-
+    multiplied comparisons, and 1e-6/day resolution is far below any
+    actionable trend.
+
+    Shape: one distributed daily hash agg (calendar-bounded output),
+    one triangular self-join of that tiny table (n^2/2 pairs of a
+    ~thousand-row series — broadcast-sized, NOT corpus-sized), two
+    O(1) aggs. At 10^12 turns only the first agg touches the corpus."""
+    o = _tbl(spark, sf_dir, "orders")
+    daily = (o.select(F.to_date("o_orderdate").alias("day"))
+             .groupBy("day")
+             .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    d = daily.select(
+        F.datediff("day", F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("d"), "x")
+    pr = (d.alias("a").join(F.broadcast(d.alias("b")),
+                            F.col("a.d") < F.col("b.d"))
+          .select((F.col("b.x") - F.col("a.x")).alias("dx"),
+                  (F.col("b.d") - F.col("a.d")).alias("dd")))
+    slope = pr.select(F.expr(
+        "CAST(round(CAST(dx AS DOUBLE) * 1000000.0"
+        " / CAST(dd AS DOUBLE), 0) AS BIGINT)").alias("s_ppm"))
+    med = slope.agg(F.expr(
+        "CAST(percentile(s_ppm * 2, 0.5) AS BIGINT)")
+        .alias("slope_med2_ppm"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    sstat = pr.agg(
+        (F.sum(F.when(F.col("dx") > 0, 1).otherwise(0))
+         - F.sum(F.when(F.col("dx") < 0, 1).otherwise(0)))
+        .cast("long").alias("s"))
+    ties = (d.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("t"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_values"),
+                 F.sum("t").cast("long").alias("n_days"),
+                 F.sum(F.col("t") * (F.col("t") - 1)
+                       * (2 * F.col("t") + 5)).cast("long")
+                 .alias("tie18")))
+    base = (ties.crossJoin(F.broadcast(sstat))
+            .crossJoin(F.broadcast(med))
+            .withColumn("var18",
+                        (F.col("n_days") * (F.col("n_days") - 1)
+                         * (2 * F.col("n_days") + 5)
+                         - F.col("tie18")).cast("long")))
+    return base.select(
+        "n_days", "n_values", "n_pairs", "s", "var18",
+        "slope_med2_ppm",
+        F.round(F.when(F.col("var18") <= 0, None)
+                .when(F.col("s") > 0,
+                      (F.col("s") - 1).cast("double")
+                      / F.sqrt(F.col("var18").cast("double") / 18.0))
+                .when(F.col("s") < 0,
+                      (F.col("s") + 1).cast("double")
+                      / F.sqrt(F.col("var18").cast("double") / 18.0))
+                .otherwise(0.0), 6).alias("z"))
+
+
+def _sql_stats_trend() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+d AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS d,
+         x
+  FROM daily),
+pr AS (
+  SELECT b.x - a.x AS dx, b.d - a.d AS dd
+  FROM d a JOIN d b ON a.d < b.d),
+slope AS (
+  SELECT CAST(round(CAST(dx AS DOUBLE) * 1000000.0
+                    / CAST(dd AS DOUBLE), 0) AS BIGINT) AS s_ppm
+  FROM pr),
+med AS (
+  SELECT CAST(quantile_cont(s_ppm * 2, 0.5) AS BIGINT)
+           AS slope_med2_ppm,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM slope),
+sstat AS (
+  SELECT CAST(sum(CASE WHEN dx > 0 THEN 1 ELSE 0 END)
+              - sum(CASE WHEN dx < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS s
+  FROM pr),
+ties AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_values,
+         CAST(sum(t) AS BIGINT) AS n_days,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+  FROM (SELECT x, CAST(count(*) AS BIGINT) AS t FROM d GROUP BY 1)),
+base AS (
+  SELECT n_days, n_values, n_pairs, s,
+         CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie18
+              AS BIGINT) AS var18,
+         slope_med2_ppm
+  FROM ties CROSS JOIN sstat CROSS JOIN med)
+SELECT n_days, n_values, n_pairs, s, var18, slope_med2_ppm,
+       round(CASE WHEN var18 <= 0 THEN NULL
+             WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                             / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+             WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                             / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+             ELSE 0.0 END, 6) AS z
+FROM base
+"""
+
+
+# ASCII punctuation, brackets escaped for both RE2 (DuckDB) and Java
+# (Spark) character-class syntax.
+_PUNCT_CC = r"[!-/:-@\[-`{-~]"
+
+
+def q_text_class_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-CLASS Shannon entropy per document [K: the gibberish
+    / keyboard-mash / base64-blob detector quality pipelines run —
+    natural prose mixes lowercase, spaces and punctuation at a
+    characteristic ~0.9-1.6 bits over the 6 ASCII classes, while
+    hex dumps, minified JS and repeated-char spam collapse toward one
+    class]: per doc the 6 class counts (lower / upper / digit /
+    whitespace / ASCII-punct / other), the class entropy in bits, the
+    dominant-class ratio in exact ppm, and a deterministic suspect
+    flag (entropy < 0.6 bits over >= 20 chars — prose sits well above, one-class collapse well below). The entropy is a
+    FIXED-ORDER sum of 6 closed-form terms — no fold over a variable-
+    length aggregation, so there is no cross-engine float-order
+    hazard; class counts come from regexp_replace lengths (JVM regex,
+    map-only).
+
+    Shape: pure map-side projection — one corpus scan, zero shuffle,
+    zero UDF. The 100-TB cost is the scan itself."""
+    d = _docs(spark, sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+
+    def cnt(rx: str):
+        return (F.length(t)
+                - F.length(F.regexp_replace(t, rx, ""))).cast("long")
+
+    e = (d.select(
+        "doc_id", F.length(t).cast("long").alias("n_chars"),
+        cnt("[a-z]").alias("n_lower"), cnt("[A-Z]").alias("n_upper"),
+        cnt("[0-9]").alias("n_digit"),
+        cnt(r"[ \t\n\r]").alias("n_space"),
+        cnt(_PUNCT_CC).alias("n_punct"))
+        .withColumn("n_other",
+                    (F.col("n_chars") - F.col("n_lower")
+                     - F.col("n_upper") - F.col("n_digit")
+                     - F.col("n_space") - F.col("n_punct"))
+                    .cast("long")))
+
+    def term(c: str):
+        p = F.col(c).cast("double") / F.col("n_chars").cast("double")
+        return F.when(F.col(c) > 0, -p * F.log2(p)).otherwise(0.0)
+
+    classes = ["n_lower", "n_upper", "n_digit", "n_space", "n_punct",
+               "n_other"]
+    ent = term(classes[0])
+    for c in classes[1:]:
+        ent = ent + term(c)
+    return (e.withColumn(
+        "entropy",
+        F.when(F.col("n_chars") > 0, F.round(ent, 6)))
+        .withColumn(
+            "dom_ppm",
+            F.when(F.col("n_chars") > 0, F.expr(
+                "greatest(n_lower, n_upper, n_digit, n_space,"
+                " n_punct, n_other) * 1000000 DIV n_chars"))
+            .cast("long"))
+        .withColumn(
+            "is_suspect",
+            ((F.col("n_chars") >= 20) & (F.col("entropy") < 0.6))
+            .cast("int")))
+
+
+def _sql_text_class_entropy() -> str:
+    punct = _PUNCT_CC.replace("'", "''")
+    terms = " + ".join(
+        f"(CASE WHEN {c} > 0 THEN -(CAST({c} AS DOUBLE)"
+        f" / CAST(n_chars AS DOUBLE))"
+        f" * log2(CAST({c} AS DOUBLE) / CAST(n_chars AS DOUBLE))"
+        f" ELSE 0.0 END)"
+        for c in ("n_lower", "n_upper", "n_digit", "n_space",
+                  "n_punct", "n_other"))
+    return f"""
+WITH t AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+c AS (
+  SELECT doc_id, CAST(length(s) AS BIGINT) AS n_chars,
+         CAST(length(s) - length(regexp_replace(s, '[a-z]', '', 'g'))
+              AS BIGINT) AS n_lower,
+         CAST(length(s) - length(regexp_replace(s, '[A-Z]', '', 'g'))
+              AS BIGINT) AS n_upper,
+         CAST(length(s) - length(regexp_replace(s, '[0-9]', '', 'g'))
+              AS BIGINT) AS n_digit,
+         CAST(length(s) - length(regexp_replace(s, '[ \\t\\n\\r]', '',
+                                                'g'))
+              AS BIGINT) AS n_space,
+         CAST(length(s) - length(regexp_replace(s, '{punct}', '', 'g'))
+              AS BIGINT) AS n_punct
+  FROM t),
+e AS (
+  SELECT doc_id, n_chars, n_lower, n_upper, n_digit, n_space, n_punct,
+         CAST(n_chars - n_lower - n_upper - n_digit - n_space - n_punct
+              AS BIGINT) AS n_other
+  FROM c)
+SELECT doc_id, n_chars, n_lower, n_upper, n_digit, n_space, n_punct,
+       n_other,
+       CASE WHEN n_chars > 0 THEN round({terms}, 6) END AS entropy,
+       CASE WHEN n_chars > 0 THEN CAST(
+         greatest(n_lower, n_upper, n_digit, n_space, n_punct, n_other)
+         * 1000000 // n_chars AS BIGINT) END AS dom_ppm,
+       CAST(CASE WHEN n_chars >= 20
+                  AND round({terms}, 6) < 0.6
+            THEN 1 ELSE 0 END AS INT) AS is_suspect
+FROM e
 """
