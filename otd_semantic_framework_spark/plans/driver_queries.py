@@ -3493,6 +3493,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_mannwhitney": q_stats_mannwhitney,
         "stats_trend": q_stats_trend,
         "text_class_entropy": q_text_class_entropy,
+        "kg_cardinality_profile": q_kg_cardinality_profile,
+        "curation_curriculum": q_curation_curriculum,
     }
 
 
@@ -3790,6 +3792,8 @@ def build_oracle_sql() -> dict[str, str]:
         "stats_mannwhitney": _sql_stats_mannwhitney(),
         "stats_trend": _sql_stats_trend(),
         "text_class_entropy": _sql_text_class_entropy(),
+        "kg_cardinality_profile": _sql_kg_cardinality_profile(),
+        "curation_curriculum": _sql_curation_curriculum(),
     }
 
 
@@ -16455,4 +16459,172 @@ SELECT doc_id, n_chars, n_lower, n_upper, n_digit, n_space, n_punct,
                   AND round({terms}, 6) < 0.6
             THEN 1 ELSE 0 END AS INT) AS is_suspect
 FROM e
+"""
+
+
+def q_kg_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate cardinality profile of the materialized KG [K:
+    the OWL-flavored schema QA every KG consumer runs before writing
+    queries — is `mentions` one-to-many? is `replies_to` functional
+    (<=1 object per subject)? is anything inverse-functional (a
+    natural key)? — plus the fan-out maxima that predict join skew]:
+    per predicate the triple / distinct-subject / distinct-object
+    counts, max out-fan and in-fan, exact mean out-fan in ppm, and
+    the functional / inverse_functional flags.
+
+    Shape: one (pred,subj) and one (pred,obj) hash agg (both partial-
+    aggregating map-side), re-aggregated per predicate, joined on the
+    tiny predicate key — output is predicate-cardinality-sized. The
+    fan maxima are exactly the skew signal rel_salted_agg defuses at
+    execution time; this op is how you DISCOVER which predicate needs
+    the salt at 10^12 triples."""
+    t = q_kg_triples(spark, sf_dir)
+    out = (t.groupBy("pred", "subj")
+           .agg(F.count(F.lit(1)).cast("long").alias("fan"))
+           .groupBy("pred")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_subj"),
+                F.sum("fan").cast("long").alias("n_triples"),
+                F.max("fan").cast("long").alias("max_out")))
+    inn = (t.groupBy("pred", "obj")
+           .agg(F.count(F.lit(1)).cast("long").alias("fan"))
+           .groupBy("pred")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_obj"),
+                F.max("fan").cast("long").alias("max_in")))
+    return (out.join(inn, "pred")
+            .select("pred", "n_triples", "n_subj", "n_obj",
+                    "max_out", "max_in",
+                    F.expr("n_triples * 1000000 DIV n_subj")
+                    .cast("long").alias("mean_out_ppm"),
+                    (F.col("max_out") == 1).cast("int")
+                    .alias("functional"),
+                    (F.col("max_in") == 1).cast("int")
+                    .alias("inverse_functional")))
+
+
+def _sql_kg_cardinality_profile() -> str:
+    return f"""
+WITH triples AS ({_sql_kg_triples_body()}),
+o AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n_subj,
+         CAST(sum(fan) AS BIGINT) AS n_triples,
+         CAST(max(fan) AS BIGINT) AS max_out
+  FROM (SELECT pred, subj, CAST(count(*) AS BIGINT) AS fan
+        FROM triples GROUP BY 1, 2) GROUP BY pred),
+i AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n_obj,
+         CAST(max(fan) AS BIGINT) AS max_in
+  FROM (SELECT pred, obj, CAST(count(*) AS BIGINT) AS fan
+        FROM triples GROUP BY 1, 2) GROUP BY pred)
+SELECT pred, n_triples, n_subj, n_obj, max_out, max_in,
+       CAST(n_triples * 1000000 // n_subj AS BIGINT) AS mean_out_ppm,
+       CAST(CASE WHEN max_out = 1 THEN 1 ELSE 0 END AS INT)
+         AS functional,
+       CAST(CASE WHEN max_in = 1 THEN 1 ELSE 0 END AS INT)
+         AS inverse_functional
+FROM o JOIN i USING (pred)
+"""
+
+
+def q_curation_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment over the document corpus
+    [K: curriculum training feeds easy documents first — the standard
+    proxy orders by surface difficulty; phases are corpus quartiles
+    of that score]: difficulty = mean-word-length ppm + digit-ratio
+    ppm (exact integers, map-only), quartile boundaries via EXACT
+    NESTED MEDIANS (doubled-integer percentile of the full corpus,
+    then of the <=median and >=median halves — three O(1)-row aggs,
+    no interpolating quantile at .25/.75 whose lerp formula is a
+    cross-engine float hazard), and per doc the 1..4 phase plus the
+    phase's doc/token totals a scheduler needs.
+
+    Shape: one map-side score projection, three 1-row percentile
+    aggs broadcast back, one map-side CASE, one 4-row phase agg
+    broadcast-joined back. Only the score projection touches the
+    corpus; nothing shuffles by doc."""
+    d = _docs(spark, sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x)).alias("tok_chars"),
+        F.length(t).cast("long").alias("n_chars"),
+        (F.length(t) - F.length(F.regexp_replace(t, "[0-9]", "")))
+        .cast("long").alias("n_digit"))
+    sc = base.select(
+        "doc_id", "n_tokens",
+        (F.when(F.col("n_tokens") > 0,
+                F.expr("tok_chars * 1000000 DIV n_tokens"))
+         .otherwise(F.lit(0))
+         + F.when(F.col("n_chars") > 0,
+                  F.expr("n_digit * 1000000 DIV n_chars"))
+         .otherwise(F.lit(0))).cast("long").alias("difficulty"))
+    v = sc.withColumn("v", (F.col("difficulty") * 2).cast("long"))
+    m = v.agg(F.expr("CAST(percentile(v, 0.5) AS BIGINT)").alias("m"))
+    vm = v.crossJoin(F.broadcast(m))
+    q13 = vm.agg(
+        F.expr("CAST(percentile(CASE WHEN v <= m THEN v END, 0.5)"
+               " AS BIGINT)").alias("q1"),
+        F.expr("CAST(percentile(CASE WHEN v >= m THEN v END, 0.5)"
+               " AS BIGINT)").alias("q3"))
+    ph = (vm.crossJoin(F.broadcast(q13))
+          .select("doc_id", "n_tokens", "difficulty",
+                  (F.lit(1) + (F.col("v") > F.col("q1")).cast("int")
+                   + (F.col("v") > F.col("m")).cast("int")
+                   + (F.col("v") > F.col("q3")).cast("int"))
+                  .cast("int").alias("phase")))
+    tot = (ph.groupBy("phase")
+           .agg(F.count(F.lit(1)).cast("long").alias("phase_docs"),
+                F.sum("n_tokens").cast("long").alias("phase_tokens")))
+    return (ph.join(F.broadcast(tot), "phase")
+            .select("doc_id", "n_tokens", "difficulty", "phase",
+                    "phase_docs", "phase_tokens"))
+
+
+def _sql_curation_curriculum() -> str:
+    return """
+WITH d AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(s, '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform(
+               list_filter(string_split_regex(s, '\\s+'),
+                           x -> x <> ''),
+               x -> CAST(length(x) AS BIGINT))), 0) AS BIGINT)
+           AS tok_chars,
+         CAST(length(s) AS BIGINT) AS n_chars,
+         CAST(length(s) - length(regexp_replace(s, '[0-9]', '', 'g'))
+              AS BIGINT) AS n_digit
+  FROM d),
+sc AS (
+  SELECT doc_id, n_tokens,
+         CAST((CASE WHEN n_tokens > 0
+                    THEN tok_chars * 1000000 // n_tokens ELSE 0 END)
+              + (CASE WHEN n_chars > 0
+                      THEN n_digit * 1000000 // n_chars ELSE 0 END)
+              AS BIGINT) AS difficulty
+  FROM base),
+v AS (SELECT doc_id, n_tokens, difficulty,
+             CAST(difficulty * 2 AS BIGINT) AS v FROM sc),
+m AS (SELECT CAST(quantile_cont(v, 0.5) AS BIGINT) AS m FROM v),
+q13 AS (
+  SELECT CAST(quantile_cont(CASE WHEN v <= m THEN v END, 0.5)
+              AS BIGINT) AS q1,
+         CAST(quantile_cont(CASE WHEN v >= m THEN v END, 0.5)
+              AS BIGINT) AS q3
+  FROM v CROSS JOIN m),
+ph AS (
+  SELECT doc_id, n_tokens, difficulty,
+         CAST(1 + (CASE WHEN v > q1 THEN 1 ELSE 0 END)
+                + (CASE WHEN v > m THEN 1 ELSE 0 END)
+                + (CASE WHEN v > q3 THEN 1 ELSE 0 END) AS INT) AS phase
+  FROM v CROSS JOIN m CROSS JOIN q13),
+tot AS (
+  SELECT phase, CAST(count(*) AS BIGINT) AS phase_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS phase_tokens
+  FROM ph GROUP BY 1)
+SELECT doc_id, n_tokens, difficulty, phase, phase_docs, phase_tokens
+FROM ph JOIN tot USING (phase)
 """
