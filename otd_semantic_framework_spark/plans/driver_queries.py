@@ -3495,6 +3495,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_class_entropy": q_text_class_entropy,
         "kg_cardinality_profile": q_kg_cardinality_profile,
         "curation_curriculum": q_curation_curriculum,
+        "stats_friedman": q_stats_friedman,
+        "sim_hubness": q_sim_hubness,
     }
 
 
@@ -3794,6 +3796,8 @@ def build_oracle_sql() -> dict[str, str]:
         "text_class_entropy": _sql_text_class_entropy(),
         "kg_cardinality_profile": _sql_kg_cardinality_profile(),
         "curation_curriculum": _sql_curation_curriculum(),
+        "stats_friedman": _sql_stats_friedman(),
+        "sim_hubness": _sql_sim_hubness(),
     }
 
 
@@ -16627,4 +16631,230 @@ tot AS (
   FROM ph GROUP BY 1)
 SELECT doc_id, n_tokens, difficulty, phase, phase_docs, phase_tokens
 FROM ph JOIN tot USING (phase)
+"""
+
+
+def q_stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test across day-of-week treatments in weekly
+    blocks [K: the repeated-measures nonparametric ANOVA — 'does
+    day-of-week matter once week-to-week level shifts are blocked
+    out?'; the blocked design removes the trend/seasonality that
+    would contaminate a pooled Kruskal-Wallis]. The daily series is
+    CALENDAR GAP-FILLED (zero-order days count 0 — sequence() /
+    generate_series, calendar-bounded) so every interior 7-day block
+    is complete; edge-partial blocks are dropped. Ranks within each
+    block are DOUBLED average midranks (2*minrank + ties - 1, exact
+    integers from two block-partitioned windows — bounded partitions
+    of 7, the gate-safe window shape). Emits one row per weekday:
+    doubled rank sum, mean rank in exact ppm, plus the classic
+    Q = 12/(nk(k+1)) * sum R_j^2 - 3n(k+1) (computed from exact
+    integer sums, one double division, round 6) and the tie-
+    correction factor C = 1 - sum(t^3-t)/(n k(k^3-k)) as exact ppm.
+
+    Shape: one distributed daily hash agg, a calendar-bounded
+    gap-fill explode, two bounded-partition windows, one k-row agg.
+    Only the first agg touches the corpus. Block key is epoch-day DIV
+    7 (deterministic 7-day windows anchored 1970-01-01, a Thursday —
+    no ISO week-year cross-engine hazard)."""
+    o = _tbl(spark, sf_dir, "orders")
+    daily = (o.select(F.to_date("o_orderdate").alias("day"))
+             .groupBy("day")
+             .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = span.select(F.explode(F.expr("sequence(d0, d1)")).alias("day"))
+    filled = (cal.join(daily, "day", "left")
+              .select("day", F.coalesce("x", F.lit(0)).cast("long")
+                      .alias("x"),
+                      (F.datediff("day",
+                                  F.lit("1970-01-01").cast("date"))
+                       .cast("long")).alias("ed"))
+              .withColumn("blk", F.expr("ed DIV 7").cast("long"))
+              .withColumn("wd", F.expr("ed % 7").cast("int")))
+    full = (filled.groupBy("blk")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .filter(F.col("c") == 7).select("blk"))
+    fb = filled.join(full, "blk")
+    wmin = Window.partitionBy("blk").orderBy("x")
+    wtie = Window.partitionBy("blk", "x")
+    ranked = (fb.withColumn("minrk", F.rank().over(wmin))
+              .withColumn("t", F.count(F.lit(1)).over(wtie))
+              .withColumn("r2", (2 * F.col("minrk") + F.col("t") - 1)
+                          .cast("long")))
+    tie = (fb.groupBy("blk", "x")
+           .agg(F.count(F.lit(1)).cast("long").alias("t"))
+           .agg(F.sum(F.col("t") * F.col("t") * F.col("t")
+                      - F.col("t")).cast("long").alias("tie_sum"),
+                F.countDistinct("blk").cast("long").alias("n_blocks")))
+    per = (ranked.groupBy("wd")
+           .agg(F.sum("r2").cast("long").alias("r2_sum")))
+    qsum = per.agg(F.sum(F.col("r2_sum") * F.col("r2_sum"))
+                   .cast("long").alias("sq"))
+    return (per.crossJoin(F.broadcast(tie))
+            .crossJoin(F.broadcast(qsum))
+            .select("wd", "r2_sum",
+                    F.expr("r2_sum * 1000000 DIV (2 * n_blocks)")
+                    .cast("long").alias("mean_rank_ppm"),
+                    F.col("n_blocks"),
+                    F.round(F.lit(3.0) * F.col("sq").cast("double")
+                            / (F.col("n_blocks") * 56).cast("double")
+                            - (3 * F.col("n_blocks") * 8).cast("double"),
+                            6).alias("q_stat"),
+                    (F.lit(1000000)
+                     - F.expr("tie_sum * 1000000"
+                              " DIV (n_blocks * 7 * 336)"))
+                    .cast("long").alias("tie_c_ppm")))
+
+
+def _sql_stats_friedman() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+cal AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+           AS day
+  FROM span),
+filled AS (
+  SELECT c.day, CAST(coalesce(d.x, 0) AS BIGINT) AS x,
+         CAST(datediff('day', DATE '1970-01-01', c.day) AS BIGINT)
+           AS ed
+  FROM cal c LEFT JOIN daily d ON d.day = c.day),
+blocked AS (
+  SELECT x, ed // 7 AS blk, CAST(ed % 7 AS INT) AS wd FROM filled),
+full_blocks AS (
+  SELECT blk FROM blocked GROUP BY blk HAVING count(*) = 7),
+fb AS (SELECT b.* FROM blocked b JOIN full_blocks USING (blk)),
+ranked AS (
+  SELECT wd,
+         CAST(2 * rank() OVER (PARTITION BY blk ORDER BY x)
+              + count(*) OVER (PARTITION BY blk, x) - 1 AS BIGINT)
+           AS r2
+  FROM fb),
+tie AS (
+  SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum,
+         CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks
+  FROM (SELECT blk, x, CAST(count(*) AS BIGINT) AS t
+        FROM fb GROUP BY 1, 2)),
+per AS (
+  SELECT wd, CAST(sum(r2) AS BIGINT) AS r2_sum
+  FROM ranked GROUP BY wd),
+qsum AS (SELECT CAST(sum(r2_sum * r2_sum) AS BIGINT) AS sq FROM per)
+SELECT wd, r2_sum,
+       CAST(r2_sum * 1000000 // (2 * n_blocks) AS BIGINT)
+         AS mean_rank_ppm,
+       n_blocks,
+       round(3.0 * CAST(sq AS DOUBLE)
+             / CAST(n_blocks * 56 AS DOUBLE)
+             - CAST(3 * n_blocks * 8 AS DOUBLE), 6) AS q_stat,
+       CAST(1000000 - tie_sum * 1000000 // (n_blocks * 7 * 336)
+            AS BIGINT) AS tie_c_ppm
+FROM per CROSS JOIN tie CROSS JOIN qsum
+"""
+
+
+def q_sim_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the kNN graph [K: the curse-of-dimensionality
+    read — in high-dim embedding spaces a few 'hub' points appear in
+    everyone's top-k while antihubs appear in nobody's; a right-skewed
+    k-occurrence distribution degrades kNN search/cluster quality and
+    is THE standard diagnostic (Radovanovic et al.)]: the k-occurrence
+    histogram (in-degree over kNN edges, zero-in-degree nodes
+    included) with the distribution's mean in exact ppm and its
+    moment skewness from EXACT integer power sums (n^2*S3 - 3n*S1*S2
+    + 2*S1^3 over the variance^1.5, written v*sqrt(v) — sqrt is
+    IEEE-correctly-rounded where libm pow(x,1.5) is not, a
+    cross-engine hash hazard — round 6).
+
+    Shape: the kNN graph's bucketed join, one in-degree hash agg, a
+    left join from the node list (antihubs count), one histogram agg,
+    two O(1)-row moment aggs broadcast back. Never all-pairs."""
+    from ..operators.simsearch import knn_graph
+    vecs = _tbl(spark, sf_dir, "embeddings")
+    g = knn_graph(vecs, k=KNNG_K, n_planes=KNNG_N_PLANES)
+    indeg = g.groupBy("dst").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("k_occ"))
+    occ = (vecs.select(F.col("vec_id").alias("dst"))
+           .join(indeg, "dst", "left")
+           .select(F.coalesce("k_occ", F.lit(0)).cast("long")
+                   .alias("k_occ")))
+    mom = occ.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k_occ").cast("long").alias("s1"),
+        F.sum(F.col("k_occ") * F.col("k_occ")).cast("long").alias("s2"),
+        F.sum(F.col("k_occ") * F.col("k_occ") * F.col("k_occ"))
+        .cast("long").alias("s3"),
+        F.max("k_occ").cast("long").alias("max_k_occ"))
+    hist = occ.groupBy("k_occ").agg(F.count(F.lit(1)).cast("long")
+                                    .alias("n_nodes"))
+    return (hist.crossJoin(F.broadcast(mom))
+            .select("k_occ", "n_nodes",
+                    F.expr("s1 * 1000000 DIV n").cast("long")
+                    .alias("mean_ppm"),
+                    "max_k_occ", "n",
+                    F.round(F.when(
+                        F.col("n") * F.col("s2") - F.col("s1")
+                        * F.col("s1") > 0,
+                        (F.col("n") * F.col("n") * F.col("s3")
+                         - 3 * F.col("n") * F.col("s1") * F.col("s2")
+                         + 2 * F.col("s1") * F.col("s1") * F.col("s1"))
+                        .cast("double")
+                        / (F.col("n").cast("double")
+                           * ((F.col("n") * F.col("s2")
+                               - F.col("s1") * F.col("s1"))
+                              .cast("double")
+                              * F.sqrt((F.col("n") * F.col("s2")
+                                        - F.col("s1") * F.col("s1"))
+                                       .cast("double"))))),
+                        6).alias("skew_g")))
+
+
+def _sql_sim_hubness() -> str:
+    from ..operators.simsearch import hyperplanes
+    planes = hyperplanes(KNNG_N_PLANES, 64)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(nv, {_sql_vec_lit(p)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    return f"""
+WITH v AS (SELECT vec_id AS nid, cast(embedding AS DOUBLE[]) AS nv
+           FROM embeddings),
+b AS (SELECT nid, nv, {bucket} AS bucket FROM v),
+pairs AS (
+  SELECT a.nid AS src, c.nid AS dst,
+         round(list_cosine_similarity(a.nv, c.nv), 6) AS cos
+  FROM b a JOIN b c USING (bucket)
+  WHERE a.nid <> c.nid),
+topk AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cos DESC, dst ASC) AS rk
+    FROM pairs) WHERE rk <= {KNNG_K}),
+occ AS (
+  SELECT CAST(coalesce(i.k_occ, 0) AS BIGINT) AS k_occ
+  FROM v LEFT JOIN (SELECT dst, CAST(count(*) AS BIGINT) AS k_occ
+                    FROM topk GROUP BY dst) i ON i.dst = v.nid),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(k_occ) AS BIGINT) AS s1,
+         CAST(sum(k_occ * k_occ) AS BIGINT) AS s2,
+         CAST(sum(k_occ * k_occ * k_occ) AS BIGINT) AS s3,
+         CAST(max(k_occ) AS BIGINT) AS max_k_occ
+  FROM occ),
+hist AS (
+  SELECT k_occ, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM occ GROUP BY 1)
+SELECT k_occ, n_nodes,
+       CAST(s1 * 1000000 // n AS BIGINT) AS mean_ppm,
+       max_k_occ, n,
+       round(CASE WHEN n * s2 - s1 * s1 > 0 THEN
+             CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+                  AS DOUBLE)
+             / (CAST(n AS DOUBLE)
+                * (CAST(n * s2 - s1 * s1 AS DOUBLE)
+                   * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))))
+             END, 6) AS skew_g
+FROM hist CROSS JOIN mom
 """
