@@ -3497,6 +3497,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_curriculum": q_curation_curriculum,
         "stats_friedman": q_stats_friedman,
         "sim_hubness": q_sim_hubness,
+        "stats_dispersion": q_stats_dispersion,
+        "rel_user_entropy": q_rel_user_entropy,
     }
 
 
@@ -3798,6 +3800,8 @@ def build_oracle_sql() -> dict[str, str]:
         "curation_curriculum": _sql_curation_curriculum(),
         "stats_friedman": _sql_stats_friedman(),
         "sim_hubness": _sql_sim_hubness(),
+        "stats_dispersion": _sql_stats_dispersion(),
+        "rel_user_entropy": _sql_rel_user_entropy(),
     }
 
 
@@ -16857,4 +16861,159 @@ SELECT k_occ, n_nodes,
                    * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))))
              END, 6) AS skew_g
 FROM hist CROSS JOIN mom
+"""
+
+
+def q_stats_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-of-dispersion (Fano factor) per event stream [K: the
+    Poisson-ness test for arrival processes — VMR = 1 under Poisson,
+    >1 means bursty (retry storms, bot bursts), <1 means regularized
+    (rate-limited); capacity models assume Poisson, so this is the
+    check that licenses them]: hourly arrival counts per event_type,
+    GAP-FILLED over the observed span (zero-event hours count — a
+    dispersion statistic over only-nonempty hours is biased low),
+    then VMR = (n*S2 - S1^2) / ((n-1)*S1) and the chi-square
+    dispersion statistic (n-1)*VMR from EXACT integer sums, one
+    double division each (round 6).
+
+    Shape: one distributed (type, hour) hash agg, a calendar-bounded
+    hour sequence explode cross-joined with the tiny type dimension,
+    a broadcast left join, and one per-type agg. Only the first agg
+    touches the corpus."""
+    e = _tbl(spark, sf_dir, "events")
+    hourly = (e.select(F.col("event_type").alias("et"),
+                       F.date_trunc("hour", F.col("ts")).alias("h"))
+              .groupBy("et", "h")
+              .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    span = e.agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
+                 F.date_trunc("hour", F.max("ts")).alias("h1"))
+    hours = span.select(F.explode(F.expr(
+        "sequence(h0, h1, interval 1 hour)")).alias("h"))
+    types = e.select(F.col("event_type").alias("et")).distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    filled = (grid.join(hourly, ["et", "h"], "left")
+              .select("et", F.coalesce("x", F.lit(0)).cast("long")
+                      .alias("x")))
+    agg = (filled.groupBy("et")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_hours"),
+                F.sum("x").cast("long").alias("s1"),
+                F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+                F.max("x").cast("long").alias("max_hour")))
+    return agg.select(
+        F.col("et").alias("event_type"), "n_hours", "s1", "max_hour",
+        F.expr("s1 * 1000000 DIV n_hours").cast("long")
+        .alias("mean_ppm"),
+        F.round((F.col("n_hours") * F.col("s2")
+                 - F.col("s1") * F.col("s1")).cast("double")
+                / ((F.col("n_hours") - 1) * F.col("s1")).cast("double"),
+                6).alias("vmr"),
+        F.round((F.col("n_hours") * F.col("s2")
+                 - F.col("s1") * F.col("s1")).cast("double")
+                / F.col("s1").cast("double"), 6).alias("chi_stat"),
+        ((F.col("n_hours") * F.col("s2") - F.col("s1") * F.col("s1"))
+         > (F.col("n_hours") - 1) * F.col("s1")).cast("int")
+        .alias("overdispersed"))
+
+
+def _sql_stats_dispersion() -> str:
+    return """
+WITH e AS (SELECT event_type AS et, date_trunc('hour', ts) AS h
+           FROM events),
+hourly AS (
+  SELECT et, h, CAST(count(*) AS BIGINT) AS x FROM e GROUP BY 1, 2),
+span AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM span),
+grid AS (SELECT t.et, hours.h
+         FROM hours CROSS JOIN (SELECT DISTINCT et FROM e) t),
+filled AS (
+  SELECT g.et, CAST(coalesce(hourly.x, 0) AS BIGINT) AS x
+  FROM grid g LEFT JOIN hourly ON hourly.et = g.et
+                              AND hourly.h = g.h),
+agg AS (
+  SELECT et, CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(x) AS BIGINT) AS s1,
+         CAST(sum(x * x) AS BIGINT) AS s2,
+         CAST(max(x) AS BIGINT) AS max_hour
+  FROM filled GROUP BY 1)
+SELECT et AS event_type, n_hours, s1, max_hour,
+       CAST(s1 * 1000000 // n_hours AS BIGINT) AS mean_ppm,
+       round(CAST(n_hours * s2 - s1 * s1 AS DOUBLE)
+             / CAST((n_hours - 1) * s1 AS DOUBLE), 6) AS vmr,
+       round(CAST(n_hours * s2 - s1 * s1 AS DOUBLE)
+             / CAST(s1 AS DOUBLE), 6) AS chi_stat,
+       CAST(CASE WHEN n_hours * s2 - s1 * s1
+                      > (n_hours - 1) * s1
+            THEN 1 ELSE 0 END AS INT) AS overdispersed
+FROM agg
+"""
+
+
+def q_rel_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral entropy per user [K: the user-segmentation signal —
+    a user whose events are all one type (a bot hammering 'view', a
+    crawler looping 'error') has entropy ~0 bits, an organic user
+    mixes types; fraud/abuse triage ranks by exactly this]: per user
+    the event count, distinct-type count, Shannon entropy over the
+    type distribution, and the dominant type with its share in exact
+    ppm. The entropy sum folds over the user's per-type counts in
+    DETERMINISTIC event_type order (Spark: aggregate over
+    sort_array(collect_list(struct)); DuckDB: list_reduce over
+    list(... ORDER BY type)) — per-user type cardinality is bounded
+    by the tiny type vocabulary, and the fixed fold order removes the
+    cross-engine float-sum-order hazard.
+
+    Shape: one (user, type) hash agg (map-side partial), one per-user
+    agg over <=|type| element arrays. Shuffles only by user key."""
+    e = _tbl(spark, sf_dir, "events")
+    c = (e.groupBy("user_id", "event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    per = (c.groupBy("user_id")
+           .agg(F.sum("c").cast("long").alias("n_events"),
+                F.count(F.lit(1)).cast("long").alias("n_types"),
+                F.aggregate(
+                    F.sort_array(F.collect_list(
+                        F.struct(F.col("event_type").alias("t"),
+                                 F.col("c").alias("c")))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s.c.cast("double")
+                    * F.log2(s.c.cast("double"))).alias("clogc"),
+                F.min(F.struct((-F.col("c")).alias("nc"),
+                               F.col("event_type").alias("t")))
+                .alias("dom")))
+    return per.select(
+        "user_id", "n_events", "n_types",
+        F.round(F.log2(F.col("n_events").cast("double"))
+                - F.col("clogc") / F.col("n_events").cast("double"), 6)
+        .alias("entropy"),
+        F.col("dom.t").alias("dominant_type"),
+        F.expr("(-dom.nc) * 1000000 DIV n_events").cast("long")
+        .alias("dom_ppm"))
+
+
+def _sql_rel_user_entropy() -> str:
+    return """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+per AS (
+  SELECT user_id,
+         CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_types,
+         coalesce(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list(c ORDER BY event_type),
+                            x -> CAST(x AS DOUBLE)
+                                 * log2(CAST(x AS DOUBLE)))),
+           (a, b) -> a + b), 0.0) AS clogc,
+         first(event_type ORDER BY c DESC, event_type ASC) AS dom_t,
+         CAST(max(c) AS BIGINT) AS dom_c
+  FROM c GROUP BY user_id)
+SELECT user_id, n_events, n_types,
+       round(log2(CAST(n_events AS DOUBLE))
+             - clogc / CAST(n_events AS DOUBLE), 6) AS entropy,
+       dom_t AS dominant_type,
+       CAST(dom_c * 1000000 // n_events AS BIGINT) AS dom_ppm
+FROM per
 """
