@@ -3499,6 +3499,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_hubness": q_sim_hubness,
         "stats_dispersion": q_stats_dispersion,
         "rel_user_entropy": q_rel_user_entropy,
+        "rel_velocity": q_rel_velocity,
+        "curation_dataset_card": q_curation_dataset_card,
     }
 
 
@@ -3802,6 +3804,8 @@ def build_oracle_sql() -> dict[str, str]:
         "sim_hubness": _sql_sim_hubness(),
         "stats_dispersion": _sql_stats_dispersion(),
         "rel_user_entropy": _sql_rel_user_entropy(),
+        "rel_velocity": _sql_rel_velocity(),
+        "curation_dataset_card": _sql_curation_dataset_card(),
     }
 
 
@@ -17016,4 +17020,130 @@ SELECT user_id, n_events, n_types,
        dom_t AS dominant_type,
        CAST(dom_c * 1000000 // n_events AS BIGINT) AS dom_ppm
 FROM per
+"""
+
+
+VELOCITY_WINDOW_S = 600
+VELOCITY_FENCE = 5
+
+
+def q_rel_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity fence per user [K: the rate-based abuse check every
+    fraud/abuse system runs — 'more than N events inside any sliding
+    10-minute window' catches card-testing runs, scraping loops and
+    credential stuffing that per-day totals smear out]: per user the
+    event count, the MAXIMUM number of events inside any trailing
+    600-second window (an exact sliding count via a RANGE frame over
+    epoch seconds — every event is its own window anchor, which is
+    exactly the set of maxima candidates), and the fence flag.
+
+    Shape: one user-partitioned range-frame window (bounded by the
+    user's own event count — the gate-safe shape; hot users are the
+    skew to salt at 10^12 events) and one per-user agg. No self-join,
+    no explode."""
+    e = _tbl(spark, sf_dir, "events")
+    s = e.select("user_id",
+                 F.unix_timestamp("ts").cast("long").alias("es"))
+    w = (Window.partitionBy("user_id").orderBy("es")
+         .rangeBetween(-(VELOCITY_WINDOW_S - 1), 0))
+    burst = s.withColumn("b", F.count(F.lit(1)).over(w))
+    return (burst.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.max("b").cast("long").alias("max_burst_10m"))
+            .withColumn("is_velocity_suspect",
+                        (F.col("max_burst_10m") >= VELOCITY_FENCE)
+                        .cast("int")))
+
+
+def _sql_rel_velocity() -> str:
+    return f"""
+WITH s AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+  FROM events),
+burst AS (
+  SELECT user_id,
+         CAST(count(*) OVER (PARTITION BY user_id ORDER BY es
+                             RANGE BETWEEN {VELOCITY_WINDOW_S - 1}
+                             PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS b
+  FROM s)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(b) AS BIGINT) AS max_burst_10m,
+       CAST(CASE WHEN max(b) >= {VELOCITY_FENCE} THEN 1 ELSE 0 END
+            AS INT) AS is_velocity_suspect
+FROM burst GROUP BY user_id
+"""
+
+
+def q_curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card for the document corpus [K: the datasheet
+    / dataset-card summary a curation team publishes with every
+    training corpus — sizes, diversity, emptiness, exact-dup rate —
+    and the first sanity read a consumer does before training]:
+    document and whitespace-token counts, distinct sources and
+    languages, empty-doc count and ppm, char-mass totals and mean,
+    the longest document, exact-duplicate text rate via md5 distinct
+    (the dedup_exact key), all exact integers.
+
+    Shape: one corpus scan with map-side partial aggs; the distinct
+    counts are hash-agg distincts (expressed so Spark's Expand-based
+    multi-distinct handles them in one pass). O(1) output."""
+    d = _docs(spark, sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    base = d.select(
+        "doc_id", "source", "lang",
+        F.length(t).cast("long").alias("nc"),
+        F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+        .cast("long").alias("nt"),
+        F.md5(t).alias("h"))
+    return base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("h").cast("long").alias("n_unique_texts"),
+        F.sum("nc").cast("long").alias("total_chars"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+        F.max("nc").cast("long").alias("max_chars"),
+        F.sum((F.col("nc") == 0).cast("long")).cast("long")
+        .alias("n_empty")).select(
+        "n_docs", "n_sources", "n_langs", "n_unique_texts",
+        "total_chars", "total_tokens", "max_chars", "n_empty",
+        F.expr("total_chars * 1000000 DIV n_docs").cast("long")
+        .alias("mean_chars_ppm"),
+        F.expr("n_empty * 1000000 DIV n_docs").cast("long")
+        .alias("empty_ppm"),
+        F.expr("(n_docs - n_unique_texts) * 1000000 DIV n_docs")
+        .cast("long").alias("exact_dup_ppm"))
+
+
+def _sql_curation_dataset_card() -> str:
+    return """
+WITH base AS (
+  SELECT doc_id, source, lang,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS nc,
+         CAST(len(list_filter(
+               string_split_regex(coalesce(text, ''), '\\s+'),
+               x -> x <> '')) AS BIGINT) AS nt,
+         md5(coalesce(text, '')) AS h
+  FROM documents),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT h) AS BIGINT) AS n_unique_texts,
+         CAST(sum(nc) AS BIGINT) AS total_chars,
+         CAST(sum(nt) AS BIGINT) AS total_tokens,
+         CAST(max(nc) AS BIGINT) AS max_chars,
+         CAST(sum(CASE WHEN nc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_empty
+  FROM base)
+SELECT n_docs, n_sources, n_langs, n_unique_texts, total_chars,
+       total_tokens, max_chars, n_empty,
+       CAST(total_chars * 1000000 // n_docs AS BIGINT)
+         AS mean_chars_ppm,
+       CAST(n_empty * 1000000 // n_docs AS BIGINT) AS empty_ppm,
+       CAST((n_docs - n_unique_texts) * 1000000 // n_docs AS BIGINT)
+         AS exact_dup_ppm
+FROM agg
 """
