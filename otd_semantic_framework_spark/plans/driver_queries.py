@@ -3501,6 +3501,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_user_entropy": q_rel_user_entropy,
         "rel_velocity": q_rel_velocity,
         "curation_dataset_card": q_curation_dataset_card,
+        "rel_stickiness": q_rel_stickiness,
+        "dedup_population_est": q_dedup_population_est,
     }
 
 
@@ -3806,6 +3808,8 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_user_entropy": _sql_rel_user_entropy(),
         "rel_velocity": _sql_rel_velocity(),
         "curation_dataset_card": _sql_curation_dataset_card(),
+        "rel_stickiness": _sql_rel_stickiness(),
+        "dedup_population_est": _sql_dedup_population_est(),
     }
 
 
@@ -17146,4 +17150,158 @@ SELECT n_docs, n_sources, n_langs, n_unique_texts, total_chars,
        CAST((n_docs - n_unique_texts) * 1000000 // n_docs AS BIGINT)
          AS exact_dup_ppm
 FROM agg
+"""
+
+
+def q_rel_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU stickiness per day [K: the product-analytics
+    engagement headline — what share of the week's actives showed up
+    today; the standard scale trick is that COUNT(DISTINCT user) over
+    a sliding 7-day frame is NOT window-computable, so each (user,
+    day) activity contributes itself to the 7 forward window anchors
+    via a bounded explode and the distinct lands in an ordinary hash
+    agg]: per day (full-history days only, gap-filled calendar) the
+    DAU, trailing-7-day WAU, and stickiness in exact ppm.
+
+    Shape: one (user, day) distinct hash agg on the corpus, a 7x
+    bounded explode, one per-day distinct agg, a calendar-bounded
+    gap-fill left join. The explode factor IS the window length —
+    at 10^12 events the dedup agg dominates and partial-aggregates
+    map-side."""
+    e = _tbl(spark, sf_dir, "events")
+    ud = (e.select("user_id", F.to_date("ts").alias("day"))
+          .distinct())
+    span = ud.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id")
+                                .cast("long").alias("dau"))
+    wau = (ud.select("user_id", F.explode(F.expr(
+        "sequence(day, date_add(day, 6))")).alias("wday"))
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau")))
+    cal = span.select(
+        F.explode(F.expr("sequence(date_add(d0, 6), d1)")).alias("day"))
+    return (cal.join(dau, "day", "left")
+            .join(wau, cal["day"] == wau["wday"], "left")
+            .select(F.date_format(cal["day"], "yyyy-MM-dd")
+                    .alias("day"),
+                    F.coalesce("dau", F.lit(0)).cast("long")
+                    .alias("dau"),
+                    F.coalesce("wau", F.lit(0)).cast("long")
+                    .alias("wau"))
+            .withColumn("stickiness_ppm",
+                        F.when(F.col("wau") > 0,
+                               F.expr("dau * 1000000 DIV wau"))
+                        .otherwise(F.lit(0)).cast("long")))
+
+
+def _sql_rel_stickiness() -> str:
+    return """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+dau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM ud GROUP BY 1),
+contrib AS (
+  SELECT user_id, day + CAST(o AS INT) AS wday
+  FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o)),
+wau AS (
+  SELECT wday, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM contrib GROUP BY 1),
+cal AS (
+  SELECT CAST(unnest(generate_series(d0 + 6, d1, INTERVAL 1 DAY))
+              AS DATE) AS day
+  FROM span)
+SELECT strftime(cal.day, '%Y-%m-%d') AS day,
+       CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,
+       CAST(coalesce(wau.wau, 0) AS BIGINT) AS wau,
+       CAST(CASE WHEN coalesce(wau.wau, 0) > 0
+                 THEN coalesce(dau.dau, 0) * 1000000 // wau.wau
+                 ELSE 0 END AS BIGINT) AS stickiness_ppm
+FROM cal LEFT JOIN dau ON dau.day = cal.day
+         LEFT JOIN wau ON wau.wday = cal.day
+"""
+
+
+def q_dedup_population_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimate per source pair [K: the
+    Lincoln-Petersen/Chapman estimator applied to corpus coverage —
+    treat each source as a 'capture' of the underlying document
+    population; the cross-source overlap of exact-dup hashes
+    estimates how many unique documents EXIST, telling a crawl team
+    how much of the web segment their union has actually covered]:
+    for every unordered source pair the per-source distinct-text
+    counts, the overlap, the observed union, the Chapman estimate
+    (nA+1)(nB+1)/(m+1) - 1 (floored — exact integer DIV, documented),
+    and observed coverage of that estimate in ppm.
+
+    Shape: one (source, md5) distinct hash agg, a self-equi-join on
+    the hash key (bounded by the tiny source vocabulary per hash —
+    never all-pairs across docs), two small aggs, a broadcast join of
+    source-level totals. Output is source-pair-sized."""
+    d = _docs(spark, sf_dir)
+    sh = (d.select("source",
+                   F.md5(F.coalesce(F.col("text"), F.lit("")))
+                   .alias("h"))
+          .distinct())
+    per = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long")
+                                   .alias("n"))
+    a = sh.select(F.col("source").alias("sa"), "h")
+    b = sh.select(F.col("source").alias("sb"), "h")
+    ov = (a.join(b, "h")
+          .filter(F.col("sa") < F.col("sb"))
+          .groupBy("sa", "sb")
+          .agg(F.count(F.lit(1)).cast("long").alias("overlap")))
+    pairs = (per.alias("pa").crossJoin(F.broadcast(per.alias("pb")))
+             .filter(F.col("pa.source") < F.col("pb.source"))
+             .select(F.col("pa.source").alias("sa"),
+                     F.col("pb.source").alias("sb"),
+                     F.col("pa.n").alias("n_a"),
+                     F.col("pb.n").alias("n_b")))
+    j = (pairs.join(ov, ["sa", "sb"], "left")
+         .select("sa", "sb", "n_a", "n_b",
+                 F.coalesce("overlap", F.lit(0)).cast("long")
+                 .alias("overlap")))
+    return (j.withColumn("union_obs",
+                         (F.col("n_a") + F.col("n_b")
+                          - F.col("overlap")).cast("long"))
+            .withColumn("chapman_est", F.expr(
+                "(n_a + 1) * (n_b + 1) DIV (overlap + 1) - 1")
+                .cast("long"))
+            .withColumn("coverage_ppm", F.expr(
+                "union_obs * 1000000 DIV chapman_est").cast("long"))
+            .select(F.col("sa").alias("source_a"),
+                    F.col("sb").alias("source_b"),
+                    "n_a", "n_b", "overlap", "union_obs",
+                    "chapman_est", "coverage_ppm"))
+
+
+def _sql_dedup_population_est() -> str:
+    return """
+WITH sh AS (
+  SELECT DISTINCT source, md5(coalesce(text, '')) AS h
+  FROM documents),
+per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+ov AS (
+  SELECT a.source AS sa, b.source AS sb,
+         CAST(count(*) AS BIGINT) AS overlap
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT pa.source AS sa, pb.source AS sb, pa.n AS n_a, pb.n AS n_b
+  FROM per pa CROSS JOIN per pb
+  WHERE pa.source < pb.source),
+j AS (
+  SELECT sa, sb, n_a, n_b,
+         CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap
+  FROM pairs LEFT JOIN ov USING (sa, sb))
+SELECT sa AS source_a, sb AS source_b, n_a, n_b, overlap,
+       CAST(n_a + n_b - overlap AS BIGINT) AS union_obs,
+       CAST((n_a + 1) * (n_b + 1) // (overlap + 1) - 1 AS BIGINT)
+         AS chapman_est,
+       CAST((n_a + n_b - overlap) * 1000000
+            // ((n_a + 1) * (n_b + 1) // (overlap + 1) - 1)
+            AS BIGINT) AS coverage_ppm
+FROM j
 """
