@@ -3503,6 +3503,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_dataset_card": q_curation_dataset_card,
         "rel_stickiness": q_rel_stickiness,
         "dedup_population_est": q_dedup_population_est,
+        "stats_control_chart": q_stats_control_chart,
+        "curation_pii_audit": q_curation_pii_audit,
     }
 
 
@@ -3810,6 +3812,8 @@ def build_oracle_sql() -> dict[str, str]:
         "curation_dataset_card": _sql_curation_dataset_card(),
         "rel_stickiness": _sql_rel_stickiness(),
         "dedup_population_est": _sql_dedup_population_est(),
+        "stats_control_chart": _sql_stats_control_chart(),
+        "curation_pii_audit": _sql_curation_pii_audit(),
     }
 
 
@@ -17304,4 +17308,141 @@ SELECT sa AS source_a, sb AS source_b, n_a, n_b, overlap,
             // ((n_a + 1) * (n_b + 1) // (overlap + 1) - 1)
             AS BIGINT) AS coverage_ppm
 FROM j
+"""
+
+
+def q_stats_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p-chart over the daily error rate [K: the SPC control chart an
+    SRE/data-quality team keeps on a failure proportion — daily
+    errors out of daily events against 3-sigma binomial limits around
+    the corpus-wide center line, with VARYING daily n (each day gets
+    its own limit width)]. The out-of-control test is EXACT INTEGER
+    arithmetic end to end: |x/n - S/N| > 3*sqrt(pbar*(1-pbar)/n)
+    cross-multiplies to (x*N - S*n)^2 > 9*S*(N-S)*n — no sqrt, no
+    division, no float anywhere; the reported rates are exact ppm.
+
+    Shape: one daily conditional hash agg on the corpus, one 1-row
+    center-line agg broadcast back, one map-side integer fence.
+    Nothing after the first agg is bigger than the calendar."""
+    e = _tbl(spark, sf_dir, "events")
+    daily = (e.select(F.to_date("ts").alias("day"),
+                      (F.col("event_type") == "error").cast("long")
+                      .alias("is_err"))
+             .groupBy("day")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum("is_err").cast("long").alias("x")))
+    tot = daily.agg(F.sum("n").cast("long").alias("big_n"),
+                    F.sum("x").cast("long").alias("s"))
+    j = daily.crossJoin(F.broadcast(tot))
+    return (j.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "n", "x",
+        F.expr("x * 1000000 DIV n").cast("long").alias("rate_ppm"),
+        F.expr("s * 1000000 DIV big_n").cast("long")
+        .alias("center_ppm"),
+        F.expr("CASE WHEN (x * big_n - s * n) * (x * big_n - s * n)"
+               " > 9 * s * (big_n - s) * n THEN 1 ELSE 0 END")
+        .cast("int").alias("out_of_control"),
+        F.expr("CASE WHEN x * big_n > s * n THEN 'high'"
+               " WHEN x * big_n < s * n THEN 'low'"
+               " ELSE 'center' END").alias("side")))
+
+
+def _sql_stats_control_chart() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS big_n,
+         CAST(sum(x) AS BIGINT) AS s
+  FROM daily)
+SELECT strftime(day, '%Y-%m-%d') AS day, n, x,
+       CAST(x * 1000000 // n AS BIGINT) AS rate_ppm,
+       CAST(s * 1000000 // big_n AS BIGINT) AS center_ppm,
+       CAST(CASE WHEN (x * big_n - s * n) * (x * big_n - s * n)
+                      > 9 * s * (big_n - s) * n
+            THEN 1 ELSE 0 END AS INT) AS out_of_control,
+       CASE WHEN x * big_n > s * n THEN 'high'
+            WHEN x * big_n < s * n THEN 'low'
+            ELSE 'center' END AS side
+FROM daily CROSS JOIN tot
+"""
+
+
+def q_curation_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure audit per source [K: the compliance rollup a
+    curation team publishes before release — which ingest sources
+    leak emails / URLs / phone numbers, at what per-document density
+    — reusing the EXACT redaction patterns of text_redact so the
+    audit counts what the scrubber would scrub]: per source the doc
+    count, per-category hit totals, documents-with-any-PII count, and
+    exposure in exact ppm of docs.
+
+    Shape: map-only regexp_extract_all counting (JVM regex, no UDF)
+    + one per-source hash agg. One corpus scan."""
+    from ..operators.textstats import RX_EMAIL, RX_PHONE, RX_URL
+    d = _docs(spark, sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    base = d.select(
+        "source",
+        F.size(F.regexp_extract_all(t, F.lit(RX_EMAIL), F.lit(0)))
+        .cast("long").alias("em"),
+        F.size(F.regexp_extract_all(t, F.lit(RX_URL), F.lit(0)))
+        .cast("long").alias("ur"),
+        F.size(F.regexp_extract_all(t, F.lit(RX_PHONE), F.lit(0)))
+        .cast("long").alias("ph"),
+        F.length(t).cast("long").alias("nc"))
+    return (base.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("em").cast("long").alias("n_emails"),
+                 F.sum("ur").cast("long").alias("n_urls"),
+                 F.sum("ph").cast("long").alias("n_phones"),
+                 F.sum(((F.col("em") + F.col("ur") + F.col("ph")) > 0)
+                       .cast("long")).cast("long")
+                 .alias("docs_with_pii"),
+                 F.sum("nc").cast("long").alias("total_chars"))
+            .select("source", "n_docs", "n_emails", "n_urls",
+                    "n_phones", "docs_with_pii",
+                    F.expr("docs_with_pii * 1000000 DIV n_docs")
+                    .cast("long").alias("exposure_ppm"),
+                    F.expr("CASE WHEN total_chars > 0 THEN"
+                           " (n_emails + n_urls + n_phones)"
+                           " * 1000000000 DIV total_chars"
+                           " ELSE 0 END").cast("long")
+                    .alias("hits_per_gchar")))
+
+
+def _sql_curation_pii_audit() -> str:
+    from ..operators.textstats import RX_EMAIL, RX_PHONE, RX_URL
+    return f"""
+WITH base AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(coalesce(text, ''),
+                                     '{RX_EMAIL}')) AS BIGINT) AS em,
+         CAST(len(regexp_extract_all(coalesce(text, ''),
+                                     '{RX_URL}')) AS BIGINT) AS ur,
+         CAST(len(regexp_extract_all(coalesce(text, ''),
+                                     '{RX_PHONE}')) AS BIGINT) AS ph,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS nc
+  FROM documents),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(em) AS BIGINT) AS n_emails,
+         CAST(sum(ur) AS BIGINT) AS n_urls,
+         CAST(sum(ph) AS BIGINT) AS n_phones,
+         CAST(sum(CASE WHEN em + ur + ph > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS docs_with_pii,
+         CAST(sum(nc) AS BIGINT) AS total_chars
+  FROM base GROUP BY 1)
+SELECT source, n_docs, n_emails, n_urls, n_phones, docs_with_pii,
+       CAST(docs_with_pii * 1000000 // n_docs AS BIGINT)
+         AS exposure_ppm,
+       CAST(CASE WHEN total_chars > 0
+                 THEN (n_emails + n_urls + n_phones) * 1000000000
+                      // total_chars
+                 ELSE 0 END AS BIGINT) AS hits_per_gchar
+FROM agg
 """
