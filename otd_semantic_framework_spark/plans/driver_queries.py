@@ -3505,6 +3505,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_population_est": q_dedup_population_est,
         "stats_control_chart": q_stats_control_chart,
         "curation_pii_audit": q_curation_pii_audit,
+        "kg_join_cardinality": q_kg_join_cardinality,
+        "stats_ccf": q_stats_ccf,
     }
 
 
@@ -3814,6 +3816,8 @@ def build_oracle_sql() -> dict[str, str]:
         "dedup_population_est": _sql_dedup_population_est(),
         "stats_control_chart": _sql_stats_control_chart(),
         "curation_pii_audit": _sql_curation_pii_audit(),
+        "kg_join_cardinality": _sql_kg_join_cardinality(),
+        "stats_ccf": _sql_stats_ccf(),
     }
 
 
@@ -17445,4 +17449,207 @@ SELECT source, n_docs, n_emails, n_urls, n_phones, docs_with_pii,
                       // total_chars
                  ELSE 0 END AS BIGINT) AS hits_per_gchar
 FROM agg
+"""
+
+
+def q_kg_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimator calibration per predicate pair [K:
+    the optimizer-engineering read — the textbook uniformity estimate
+    |A||B|/max(V(A,obj),V(B,subj)) against the TRUE size of the
+    obj=subj join for every ordered predicate pair, with the q-error
+    every cardinality-estimation paper reports; pairs with big
+    q-error are exactly where a 10^12-triple engine mis-plans join
+    order]: true size computed scale-correctly as sum over join keys
+    of out-degree x in-degree (a key-keyed equi-join of two degree
+    tables — never materializing the join), estimate from per-pred
+    totals, q-error = max(act,est)/max(min(act,est),1) in exact ppm.
+
+    Shape: two (pred,key) hash aggs, a key-keyed equi-join + per-pair
+    agg, a tiny pred-pair cross of broadcast per-pred stats. Output
+    is |preds|^2-sized."""
+    t = q_kg_triples(spark, sf_dir)
+    outd = (t.groupBy("pred", F.col("obj").alias("k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("d1")))
+    ind = (t.groupBy("pred", F.col("subj").alias("k"))
+           .agg(F.count(F.lit(1)).cast("long").alias("d2")))
+    act = (outd.select(F.col("pred").alias("pa"), "k", "d1")
+           .join(ind.select(F.col("pred").alias("pb"), "k", "d2"), "k")
+           .groupBy("pa", "pb")
+           .agg(F.sum(F.col("d1") * F.col("d2")).cast("long")
+                .alias("actual")))
+    stats = t.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("obj").cast("long").alias("v_obj"),
+        F.countDistinct("subj").cast("long").alias("v_subj"))
+    pairs = (stats.alias("a").crossJoin(F.broadcast(stats.alias("b")))
+             .select(F.col("a.pred").alias("pa"),
+                     F.col("b.pred").alias("pb"),
+                     F.col("a.n").alias("n_a"),
+                     F.col("b.n").alias("n_b"),
+                     F.greatest(F.col("a.v_obj"), F.col("b.v_subj"))
+                     .alias("v")))
+    j = (pairs.join(act, ["pa", "pb"], "left")
+         .select("pa", "pb", "n_a", "n_b",
+                 F.coalesce("actual", F.lit(0)).cast("long")
+                 .alias("actual"),
+                 F.expr("n_a * n_b DIV v").cast("long").alias("est")))
+    return j.select(
+        F.col("pa").alias("pred_a"), F.col("pb").alias("pred_b"),
+        "n_a", "n_b", "actual", "est",
+        F.expr("greatest(actual, est) * 1000000"
+               " DIV greatest(least(actual, est), 1)").cast("long")
+        .alias("q_error_ppm"),
+        (F.col("est") >= F.col("actual")).cast("int")
+        .alias("overestimate"))
+
+
+def _sql_kg_join_cardinality() -> str:
+    return f"""
+WITH triples AS ({_sql_kg_triples_body()}),
+outd AS (
+  SELECT pred AS pa, obj AS k, CAST(count(*) AS BIGINT) AS d1
+  FROM triples GROUP BY 1, 2),
+ind AS (
+  SELECT pred AS pb, subj AS k, CAST(count(*) AS BIGINT) AS d2
+  FROM triples GROUP BY 1, 2),
+act AS (
+  SELECT pa, pb, CAST(sum(d1 * d2) AS BIGINT) AS actual
+  FROM outd JOIN ind USING (k) GROUP BY 1, 2),
+stats AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT obj) AS BIGINT) AS v_obj,
+         CAST(count(DISTINCT subj) AS BIGINT) AS v_subj
+  FROM triples GROUP BY 1),
+pairs AS (
+  SELECT a.pred AS pa, b.pred AS pb, a.n AS n_a, b.n AS n_b,
+         greatest(a.v_obj, b.v_subj) AS v
+  FROM stats a CROSS JOIN stats b),
+j AS (
+  SELECT pa, pb, n_a, n_b,
+         CAST(coalesce(act.actual, 0) AS BIGINT) AS actual,
+         CAST(n_a * n_b // v AS BIGINT) AS est
+  FROM pairs LEFT JOIN act USING (pa, pb))
+SELECT pa AS pred_a, pb AS pred_b, n_a, n_b, actual, est,
+       CAST(greatest(actual, est) * 1000000
+            // greatest(least(actual, est), 1) AS BIGINT)
+         AS q_error_ppm,
+       CAST(CASE WHEN est >= actual THEN 1 ELSE 0 END AS INT)
+         AS overestimate
+FROM j
+"""
+
+
+CCF_MAX_LAG = 7
+CCF_TYPE_X = "error"
+CCF_TYPE_Y = "purchase"
+
+
+def q_stats_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between two event streams at lags
+    -7..+7 days [K: the lead/lag discovery read — 'do purchases drop
+    N days AFTER error spikes?'; the CCF peak's lag is the causal-
+    direction hint every ops postmortem wants]: daily error and
+    purchase counts gap-filled over the common span, Pearson r at
+    each lag from EXACT integer sums (n*Sxy - Sx*Sy over the two
+    exact variance numerators, one double sqrt each at the end,
+    round 6), the per-lag overlap length, and the is_peak flag
+    (max r, ties allowed).
+
+    Shape: one daily conditional agg on the corpus, a calendar-
+    bounded gap-fill, a 15x bounded lag explode + self-join on the
+    shifted day key, one per-lag agg. Only the first agg sees the
+    corpus."""
+    e = _tbl(spark, sf_dir, "events")
+    daily = (e.select(F.to_date("ts").alias("day"), "event_type")
+             .groupBy("day")
+             .agg(F.sum((F.col("event_type") == CCF_TYPE_X)
+                        .cast("long")).cast("long").alias("x"),
+                  F.sum((F.col("event_type") == CCF_TYPE_Y)
+                        .cast("long")).cast("long").alias("y")))
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = span.select(F.explode(F.expr("sequence(d0, d1)"))
+                      .alias("day"))
+    filled = (cal.join(daily, "day", "left")
+              .select("day", F.coalesce("x", F.lit(0)).cast("long")
+                      .alias("x"),
+                      F.coalesce("y", F.lit(0)).cast("long")
+                      .alias("y")))
+    lags = spark.range(-CCF_MAX_LAG, CCF_MAX_LAG + 1) \
+        .select(F.col("id").cast("int").alias("lg"))
+    f1 = filled.select(F.col("day").alias("dx"), "x")
+    f2 = filled.select(F.col("day").alias("dy"), "y")
+    pr = (f1.crossJoin(F.broadcast(lags))
+          .join(f2, F.col("dy") == F.expr("date_add(dx, lg)"))
+          .groupBy("lg")
+          .agg(F.count(F.lit(1)).cast("long").alias("n"),
+               F.sum("x").cast("long").alias("sx"),
+               F.sum("y").cast("long").alias("sy"),
+               F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+               F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+               F.sum(F.col("x") * F.col("y")).cast("long")
+               .alias("sxy")))
+    r = pr.select(
+        "lg", "n",
+        F.round(F.when(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+               > 0),
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / (F.sqrt((F.col("n") * F.col("sxx")
+                       - F.col("sx") * F.col("sx")).cast("double"))
+               * F.sqrt((F.col("n") * F.col("syy")
+                         - F.col("sy") * F.col("sy"))
+                        .cast("double")))), 6).alias("r"))
+    mx = r.agg(F.max("r").alias("r_max"))
+    return (r.crossJoin(F.broadcast(mx))
+            .select(F.col("lg").alias("lag_days"), "n", "r",
+                    (F.col("r") == F.col("r_max")).cast("int")
+                    .alias("is_peak")))
+
+
+def _sql_stats_ccf() -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = '{CCF_TYPE_X}'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = '{CCF_TYPE_Y}'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+cal AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+              AS DATE) AS day
+  FROM span),
+filled AS (
+  SELECT c.day, CAST(coalesce(d.x, 0) AS BIGINT) AS x,
+         CAST(coalesce(d.y, 0) AS BIGINT) AS y
+  FROM cal c LEFT JOIN daily d ON d.day = c.day),
+lags AS (SELECT CAST(unnest(generate_series(-{CCF_MAX_LAG},
+                                            {CCF_MAX_LAG})) AS INT)
+           AS lg),
+pr AS (
+  SELECT lg, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(f1.x) AS BIGINT) AS sx,
+         CAST(sum(f2.y) AS BIGINT) AS sy,
+         CAST(sum(f1.x * f1.x) AS BIGINT) AS sxx,
+         CAST(sum(f2.y * f2.y) AS BIGINT) AS syy,
+         CAST(sum(f1.x * f2.y) AS BIGINT) AS sxy
+  FROM filled f1 CROSS JOIN lags
+  JOIN filled f2 ON f2.day = f1.day + CAST(lg AS INT)
+  GROUP BY lg),
+r AS (
+  SELECT lg, n,
+         round(CASE WHEN n * sxx - sx * sx > 0
+                     AND n * syy - sy * sy > 0 THEN
+               CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+               END, 6) AS r
+  FROM pr),
+mx AS (SELECT max(r) AS r_max FROM r)
+SELECT lg AS lag_days, n, r,
+       CAST(CASE WHEN r = r_max THEN 1 ELSE 0 END AS INT) AS is_peak
+FROM r CROSS JOIN mx
 """
