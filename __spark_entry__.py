@@ -87,15 +87,19 @@ DRIVER_SAMPLE_FIRST_50 = [
 # pred_cooccur,collective_linking,concept_transitions,entity_cards},
 # stats_{cms_tokens,binned_quantiles,kmv_distinct}, and waves 21-22:
 # rel_chisq, kg_{graph_summary,surface_ambiguity,transitive_reduction},
-# and the r4 wave-23..56 additions (see COVERAGE.md; highlights:
+# and the r4 wave-23..65 additions (see COVERAGE.md; highlights:
 # kg_{truss,pathsim,rank_corr,diameter_est,topic_focus,calibration,
 # degree_anomaly,neighbor_sampling}, sim_{knn_graph,semantic_clusters,
 # outliers,ann_sweep,bucket_balance,pq_recall,label_calibration,
 # centroid_drift,dim_variance}, stats_{welch,autocorr,runs,
 # seasonality,evt,chao1,jackknife,bootstrap_ci,ewma,backtest,
 # anomaly_days}, rel_{abtest,ltv,ri_audit,new_returning},
-# text_{gini,heaps,code_detect,blocklist}, curation_{anneal,fertility},
-# dedup_{threshold_sweep,cluster_quality}).
+# text_{gini,heaps,code_detect,blocklist,class_entropy},
+# curation_{anneal,fertility,curriculum,dataset_card,pii_audit},
+# dedup_{threshold_sweep,cluster_quality,population_est},
+# sim_{triplet_mining,hubness}, stats_{mannwhitney,trend,friedman,
+# dispersion,control_chart,ccf}, rel_{user_entropy,velocity,
+# stickiness}, kg_{cardinality_profile,join_cardinality}).
 # Rotate 41 of them into slots 10-50 of DRIVER_SAMPLE_FIRST_50 next
 # round (keep the core nine; prefer cross-query compositions), and the
 # remainder the round after. EVERY pair — sampled or not — was gated
