@@ -3507,6 +3507,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pii_audit": q_curation_pii_audit,
         "kg_join_cardinality": q_kg_join_cardinality,
         "stats_ccf": q_stats_ccf,
+        "curation_apportion": q_curation_apportion,
+        "stats_interarrival": q_stats_interarrival,
     }
 
 
@@ -3818,6 +3820,8 @@ def build_oracle_sql() -> dict[str, str]:
         "curation_pii_audit": _sql_curation_pii_audit(),
         "kg_join_cardinality": _sql_kg_join_cardinality(),
         "stats_ccf": _sql_stats_ccf(),
+        "curation_apportion": _sql_curation_apportion(),
+        "stats_interarrival": _sql_stats_interarrival(),
     }
 
 
@@ -17652,4 +17656,163 @@ mx AS (SELECT max(r) AS r_max FROM r)
 SELECT lg AS lag_days, n, r,
        CAST(CASE WHEN r = r_max THEN 1 ELSE 0 END AS INT) AS is_peak
 FROM r CROSS JOIN mx
+"""
+
+
+APPORTION_BUDGET = 100000
+
+
+def q_curation_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a token budget
+    across sources [K: the sampling-budget allocator — 'spend exactly
+    N tokens across sources proportionally to their mass' sounds
+    trivial until rounding: floors under-spend, naive rounding over-
+    spends; Hamilton's method gives EVERY source its floor and hands
+    the leftover units to the largest fractional remainders, so the
+    total is exactly N by construction]: per source the token mass,
+    the floor share, the exact remainder numerator, the +1 bonus
+    flag, and the final allocation (sums to the budget precisely —
+    pytest-pinned).
+
+    Shape: one corpus token agg, then everything is source-
+    cardinality-sized: a triangular broadcast self-join ranks the
+    remainders (no window at all), a 1-row leftover agg broadcast
+    back. Deterministic ties by source name."""
+    d = _docs(spark, sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    mass = (d.select("source",
+                     F.size(F.filter(F.split(t, r"\s+"),
+                                     lambda x: x != ""))
+                     .cast("long").alias("nt"))
+            .groupBy("source")
+            .agg(F.sum("nt").cast("long").alias("mass")))
+    tot = mass.agg(F.sum("mass").cast("long").alias("m_tot"))
+    q = (mass.crossJoin(F.broadcast(tot))
+         .select("source", "mass", "m_tot",
+                 F.expr(f"{APPORTION_BUDGET}L * mass DIV m_tot")
+                 .cast("long").alias("floor_share"),
+                 F.expr(f"({APPORTION_BUDGET}L * mass) % m_tot")
+                 .cast("long").alias("rem")))
+    left = q.agg((F.lit(APPORTION_BUDGET)
+                  - F.sum("floor_share")).cast("long").alias("l"))
+    rk = (q.alias("a").join(
+        F.broadcast(q.alias("b")),
+        (F.col("b.rem") > F.col("a.rem"))
+        | ((F.col("b.rem") == F.col("a.rem"))
+           & (F.col("b.source") < F.col("a.source"))), "left")
+        .groupBy(F.col("a.source").alias("source"))
+        .agg(F.max(F.col("a.mass")).cast("long").alias("mass"),
+             F.max(F.col("a.floor_share")).cast("long")
+             .alias("floor_share"),
+             F.max(F.col("a.rem")).cast("long").alias("rem"),
+             F.count(F.col("b.source")).cast("long").alias("ahead")))
+    return (rk.crossJoin(F.broadcast(left))
+            .select("source", "mass", "floor_share", "rem",
+                    (F.col("ahead") < F.col("l")).cast("int")
+                    .alias("bonus"),
+                    (F.col("floor_share")
+                     + (F.col("ahead") < F.col("l")).cast("long"))
+                    .cast("long").alias("alloc")))
+
+
+def _sql_curation_apportion() -> str:
+    return f"""
+WITH mass AS (
+  SELECT source,
+         CAST(sum(len(list_filter(
+               string_split_regex(coalesce(text, ''), '\\s+'),
+               x -> x <> ''))) AS BIGINT) AS mass
+  FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(mass) AS BIGINT) AS m_tot FROM mass),
+q AS (
+  SELECT source, mass,
+         CAST({APPORTION_BUDGET} * mass // m_tot AS BIGINT)
+           AS floor_share,
+         CAST(({APPORTION_BUDGET} * mass) % m_tot AS BIGINT) AS rem
+  FROM mass CROSS JOIN tot),
+lft AS (
+  SELECT CAST({APPORTION_BUDGET} - sum(floor_share) AS BIGINT) AS l
+  FROM q),
+rk AS (
+  SELECT a.source, max(a.mass) AS mass,
+         max(a.floor_share) AS floor_share, max(a.rem) AS rem,
+         CAST(count(b.source) AS BIGINT) AS ahead
+  FROM q a LEFT JOIN q b
+    ON b.rem > a.rem OR (b.rem = a.rem AND b.source < a.source)
+  GROUP BY a.source)
+SELECT source, mass, floor_share, rem,
+       CAST(CASE WHEN ahead < l THEN 1 ELSE 0 END AS INT) AS bonus,
+       CAST(floor_share + CASE WHEN ahead < l THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM rk CROSS JOIN lft
+"""
+
+
+def q_stats_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-day inter-arrival statistics per event stream [K: the
+    queueing read under the capacity model — exponential arrivals
+    have mean ~= 1.44x median; heavy right tails (mean >> median)
+    mean batching/retry storms]: per event_type the same-day gap
+    count, exact doubled-integer MEDIAN gap in microseconds (the
+    percentile idiom — no .9-interpolation, whose lerp formula
+    differs across engines), exact mean (DIV), max, and the
+    mean/median burstiness ratio in ppm. Gaps are computed WITHIN
+    each (type, day) — the bounded-partition window shape; the
+    cross-midnight gap is documented out of scope (at 10^12 events a
+    per-day reduce is the only shape that doesn't totally order a
+    whole stream).
+
+    Shape: one (type, day)-partitioned lag window (bounded by a
+    day's arrivals per type), one per-type agg. Deterministic
+    ordering ties broken by event_id."""
+    e = _tbl(spark, sf_dir, "events")
+    s = e.select("event_type", F.to_date("ts").alias("day"),
+                 F.unix_micros(F.col("ts").cast("timestamp"))
+                 .alias("us"), "event_id")
+    w = Window.partitionBy("event_type", "day") \
+        .orderBy("us", "event_id")
+    g = (s.withColumn("prev", F.lag("us").over(w))
+         .filter(F.col("prev").isNotNull())
+         .select("event_type",
+                 (F.col("us") - F.col("prev")).cast("long")
+                 .alias("gap")))
+    agg = (g.groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"),
+                F.expr("CAST(percentile(gap * 2, 0.5) AS BIGINT)")
+                .alias("med2_us"),
+                F.sum("gap").cast("long").alias("s_gap"),
+                F.max("gap").cast("long").alias("max_us")))
+    return agg.select(
+        "event_type", "n_gaps", "med2_us",
+        F.expr("s_gap DIV n_gaps").cast("long").alias("mean_us"),
+        "max_us",
+        F.expr("(s_gap DIV n_gaps) * 2000000"
+               " DIV greatest(med2_us, 1)").cast("long")
+        .alias("burstiness_ppm"))
+
+
+def _sql_stats_interarrival() -> str:
+    return """
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         epoch_us(ts) AS us, event_id
+  FROM events),
+g AS (
+  SELECT event_type,
+         CAST(us - lag(us) OVER (PARTITION BY event_type, day
+                                 ORDER BY us, event_id) AS BIGINT)
+           AS gap
+  FROM s),
+gg AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(quantile_cont(gap * 2, 0.5) AS BIGINT) AS med2_us,
+         CAST(sum(gap) AS BIGINT) AS s_gap,
+         CAST(max(gap) AS BIGINT) AS max_us
+  FROM gg GROUP BY 1)
+SELECT event_type, n_gaps, med2_us,
+       CAST(s_gap // n_gaps AS BIGINT) AS mean_us, max_us,
+       CAST((s_gap // n_gaps) * 2000000 // greatest(med2_us, 1)
+            AS BIGINT) AS burstiness_ppm
+FROM agg
 """
