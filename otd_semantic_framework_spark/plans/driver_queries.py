@@ -3509,6 +3509,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ccf": q_stats_ccf,
         "curation_apportion": q_curation_apportion,
         "stats_interarrival": q_stats_interarrival,
+        "stats_psi": q_stats_psi,
+        "rel_dormancy": q_rel_dormancy,
     }
 
 
@@ -3822,6 +3824,8 @@ def build_oracle_sql() -> dict[str, str]:
         "stats_ccf": _sql_stats_ccf(),
         "curation_apportion": _sql_curation_apportion(),
         "stats_interarrival": _sql_stats_interarrival(),
+        "stats_psi": _sql_stats_psi(),
+        "rel_dormancy": _sql_rel_dormancy(),
     }
 
 
@@ -17815,4 +17819,198 @@ SELECT event_type, n_gaps, med2_us,
        CAST((s_gap // n_gaps) * 2000000 // greatest(med2_us, 1)
             AS BIGINT) AS burstiness_ppm
 FROM agg
+"""
+
+
+PSI_DORMANT_DAYS = 14
+
+
+def q_stats_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half
+    of the event span [K: PSI is THE industry drift metric for scored
+    populations (credit, fraud, ranking features) — <0.1 stable,
+    0.1-0.2 watch, >0.2 act; here applied to the event-value
+    distribution so the monitor catches a payments mix shift]:
+    power-of-two cent bins (exact bit-length, no libm log in the
+    binning), Laplace +1 smoothing over the union bin set (the
+    standard zero-cell guard, documented), per-bin contributions
+    (pa-pb)*ln(pa/pb) from exact integer counts (round 6), and the
+    total PSI as a DETERMINISTIC-ORDER fold over the bin-sorted
+    contribution array (the rel_user_entropy idiom) with the >0.2
+    action flag.
+
+    Shape: one map-side bin projection + (half, bin) hash agg on the
+    corpus; everything after is bin-cardinality-sized (<=64 rows).
+    The midpoint split is a pure column predicate — one scan."""
+    e = _tbl(spark, sf_dir, "events")
+    span = e.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    s = (e.crossJoin(F.broadcast(span))
+         .select(
+             (F.unix_timestamp(F.col("ts").cast("timestamp"))
+              * 2 >= F.unix_timestamp(F.col("t0").cast("timestamp"))
+              + F.unix_timestamp(F.col("t1").cast("timestamp")))
+             .cast("int").alias("half"),
+             F.expr("CAST(round(coalesce(value, 0.0) * 100, 0)"
+                    " AS BIGINT)").alias("cents"))
+         .select("half",
+                 (F.length(F.bin(F.greatest(F.col("cents"), F.lit(0))
+                                 + 1)) - 1).cast("int").alias("bin")))
+    c = (s.groupBy("bin")
+         .agg(F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+              .cast("long").alias("c_a"),
+              F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+              .cast("long").alias("c_b")))
+    tot = c.agg(F.sum("c_a").cast("long").alias("na"),
+                F.sum("c_b").cast("long").alias("nb"),
+                F.count(F.lit(1)).cast("long").alias("n_bins"))
+    k = (c.crossJoin(F.broadcast(tot))
+         .withColumn("na_s", (F.col("na") + F.col("n_bins"))
+                     .cast("long"))
+         .withColumn("nb_s", (F.col("nb") + F.col("n_bins"))
+                     .cast("long"))
+         .withColumn("contrib", F.round(
+             ((F.col("c_a") + 1).cast("double")
+              / F.col("na_s").cast("double")
+              - (F.col("c_b") + 1).cast("double")
+              / F.col("nb_s").cast("double"))
+             * F.log(((F.col("c_a") + 1).cast("double")
+                      * F.col("nb_s").cast("double"))
+                     / ((F.col("c_b") + 1).cast("double")
+                        * F.col("na_s").cast("double"))), 6)))
+    psi = k.agg(F.round(F.aggregate(
+        F.sort_array(F.collect_list(
+            F.struct(F.col("bin").alias("b"),
+                     F.col("contrib").alias("ct")))),
+        F.lit(0.0), lambda acc, x: acc + x.ct), 6).alias("psi"))
+    return (k.crossJoin(F.broadcast(psi))
+            .select("bin", "c_a", "c_b",
+                    F.expr("(c_a + 1) * 1000000 DIV na_s")
+                    .cast("long").alias("pa_ppm"),
+                    F.expr("(c_b + 1) * 1000000 DIV nb_s")
+                    .cast("long").alias("pb_ppm"),
+                    "contrib", "psi",
+                    (F.col("psi") > 0.2).cast("int")
+                    .alias("action_flag")))
+
+
+def _sql_stats_psi() -> str:
+    return """
+WITH span AS (SELECT min(ts) AS t0, max(ts) AS t1 FROM events),
+s AS (
+  SELECT CAST(CASE WHEN CAST(epoch(date_trunc('second', ts))
+                        AS BIGINT) * 2
+                   >= CAST(epoch(date_trunc('second', t0)) AS BIGINT)
+                    + CAST(epoch(date_trunc('second', t1)) AS BIGINT)
+              THEN 1 ELSE 0 END AS INT) AS half,
+         CAST(length(bin(greatest(
+               CAST(round(coalesce(value, 0.0) * 100, 0) AS BIGINT),
+               0) + 1)) - 1 AS INT) AS bin
+  FROM events CROSS JOIN span),
+c AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_a,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_b
+  FROM s GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(c_a) AS BIGINT) AS na,
+         CAST(sum(c_b) AS BIGINT) AS nb,
+         CAST(count(*) AS BIGINT) AS n_bins
+  FROM c),
+k AS (
+  SELECT bin, c_a, c_b,
+         CAST(na + n_bins AS BIGINT) AS na_s,
+         CAST(nb + n_bins AS BIGINT) AS nb_s,
+         round((CAST(c_a + 1 AS DOUBLE) / CAST(na + n_bins AS DOUBLE)
+                - CAST(c_b + 1 AS DOUBLE) / CAST(nb + n_bins AS DOUBLE))
+               * ln((CAST(c_a + 1 AS DOUBLE)
+                     * CAST(nb + n_bins AS DOUBLE))
+                    / (CAST(c_b + 1 AS DOUBLE)
+                       * CAST(na + n_bins AS DOUBLE))), 6) AS contrib
+  FROM c CROSS JOIN tot),
+psi AS (
+  SELECT round(coalesce(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list(contrib ORDER BY bin),
+                            x -> CAST(x AS DOUBLE))),
+           (a, b) -> a + b), 0.0), 6) AS psi
+  FROM k)
+SELECT bin, c_a, c_b,
+       CAST((c_a + 1) * 1000000 // na_s AS BIGINT) AS pa_ppm,
+       CAST((c_b + 1) * 1000000 // nb_s AS BIGINT) AS pb_ppm,
+       contrib, psi,
+       CAST(CASE WHEN psi > 0.2 THEN 1 ELSE 0 END AS INT)
+         AS action_flag
+FROM k CROSS JOIN psi
+"""
+
+
+def q_rel_dormancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormancy / resurrection profile per user [K: lifecycle
+    analytics beyond monthly new-vs-returning — the gap structure of
+    a user's active days tells retention teams who churned silently
+    (long trailing dormancy), who resurrects (gap > 14 days then
+    returns), and who is steady]: per user the active-day count,
+    span, maximum inter-activity gap, resurrection count (gaps >
+    14 days), and the currently-dormant flag against the corpus-wide
+    last observed day.
+
+    Shape: one (user, day) distinct agg, one user-partitioned lag
+    window (bounded by the user's own active days), one per-user agg,
+    a 1-row global-max broadcast. Exact integers throughout."""
+    e = _tbl(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = (ud.withColumn("gap",
+                       F.datediff(F.col("day"),
+                                  F.lag("day").over(w)).cast("long")))
+    per = (g.groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_active_days"),
+                F.min("day").alias("first_day"),
+                F.max("day").alias("last_day"),
+                F.max(F.coalesce("gap", F.lit(0))).cast("long")
+                .alias("max_gap_days"),
+                F.sum((F.coalesce("gap", F.lit(0))
+                       > PSI_DORMANT_DAYS).cast("long")).cast("long")
+                .alias("n_resurrections")))
+    gmax = ud.agg(F.max("day").alias("gday"))
+    return (per.crossJoin(F.broadcast(gmax))
+            .select("user_id", "n_active_days",
+                    F.datediff("last_day", "first_day").cast("long")
+                    .alias("span_days"),
+                    "max_gap_days", "n_resurrections",
+                    (F.datediff("gday", "last_day")
+                     > PSI_DORMANT_DAYS).cast("int")
+                    .alias("currently_dormant")))
+
+
+def _sql_rel_dormancy() -> str:
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+g AS (
+  SELECT user_id, day,
+         CAST(datediff('day',
+                       lag(day) OVER (PARTITION BY user_id
+                                      ORDER BY day), day) AS BIGINT)
+           AS gap
+  FROM ud),
+per AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_active_days,
+         min(day) AS first_day, max(day) AS last_day,
+         CAST(max(coalesce(gap, 0)) AS BIGINT) AS max_gap_days,
+         CAST(sum(CASE WHEN coalesce(gap, 0) > {PSI_DORMANT_DAYS}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrections
+  FROM g GROUP BY 1),
+gmax AS (SELECT max(day) AS gday FROM ud)
+SELECT user_id, n_active_days,
+       CAST(datediff('day', first_day, last_day) AS BIGINT)
+         AS span_days,
+       max_gap_days, n_resurrections,
+       CAST(CASE WHEN datediff('day', last_day, gday)
+                      > {PSI_DORMANT_DAYS}
+            THEN 1 ELSE 0 END AS INT) AS currently_dormant
+FROM per CROSS JOIN gmax
 """
