@@ -3511,6 +3511,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_interarrival": q_stats_interarrival,
         "stats_psi": q_stats_psi,
         "rel_dormancy": q_rel_dormancy,
+        "rel_growth_accounting": q_rel_growth_accounting,
+        "stats_records": q_stats_records,
     }
 
 
@@ -3826,6 +3828,8 @@ def build_oracle_sql() -> dict[str, str]:
         "stats_interarrival": _sql_stats_interarrival(),
         "stats_psi": _sql_stats_psi(),
         "rel_dormancy": _sql_rel_dormancy(),
+        "rel_growth_accounting": _sql_rel_growth_accounting(),
+        "stats_records": _sql_stats_records(),
     }
 
 
@@ -18013,4 +18017,184 @@ SELECT user_id, n_active_days,
                       > {PSI_DORMANT_DAYS}
             THEN 1 ELSE 0 END AS INT) AS currently_dormant
 FROM per CROSS JOIN gmax
+"""
+
+
+def q_rel_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly growth accounting over the event user base [K: the
+    standard MAU decomposition (popularized by Social Capital) every
+    growth team reports — this month's actives split into NEW (first
+    month ever), RETAINED (active last month too) and RESURRECTED
+    (returning after a gap), churn counted against the month the user
+    went missing, and the quick ratio (new+resurrected)/churned that
+    summarizes whether growth outruns leakage]: per month the four
+    counts, MAU, and quick ratio in exact ppm (churn floor 1,
+    documented). Months carry as exact integers y*12+(m-1); the last
+    observed month cannot yet churn anyone later, handled by joining
+    churn events only into observed months.
+
+    Shape: one (user, month) distinct agg, one user-partitioned
+    lag/lead window (bounded by a user's active months), two monthly
+    hash aggs and a tiny month-keyed join. Exact integers
+    throughout."""
+    e = _tbl(spark, sf_dir, "events")
+    um = (e.select("user_id",
+                   (F.year("ts") * 12 + F.month("ts") - 1)
+                   .cast("long").alias("mn"))
+          .distinct())
+    w = Window.partitionBy("user_id").orderBy("mn")
+    s = (um.withColumn("prev", F.lag("mn").over(w))
+         .withColumn("nxt", F.lead("mn").over(w)))
+    status = s.select(
+        "mn",
+        F.when(F.col("prev").isNull(), F.lit("new"))
+        .when(F.col("prev") == F.col("mn") - 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected")).alias("st"),
+        # the user churns OUT of month mn+1 unless next month is mn+1
+        (F.col("nxt").isNull() | (F.col("nxt") > F.col("mn") + 1))
+        .cast("int").alias("churns_after"))
+    monthly = (status.groupBy("mn")
+               .agg(F.count(F.lit(1)).cast("long").alias("mau"),
+                    F.sum((F.col("st") == "new").cast("long"))
+                    .cast("long").alias("n_new"),
+                    F.sum((F.col("st") == "retained").cast("long"))
+                    .cast("long").alias("n_retained"),
+                    F.sum((F.col("st") == "resurrected").cast("long"))
+                    .cast("long").alias("n_resurrected")))
+    churn = (status.filter(F.col("churns_after") == 1)
+             .select((F.col("mn") + 1).alias("mn"))
+             .groupBy("mn")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_churned")))
+    out = (monthly.join(churn, "mn", "left")
+           .select("mn", "mau", "n_new", "n_retained", "n_resurrected",
+                   F.coalesce("n_churned", F.lit(0)).cast("long")
+                   .alias("n_churned")))
+    return out.select(
+        F.format_string("%04d-%02d", F.expr("mn DIV 12").cast("int"),
+                        (F.col("mn") % 12 + 1).cast("int"))
+        .alias("month"),
+        "mau", "n_new", "n_retained", "n_resurrected", "n_churned",
+        F.expr("(n_new + n_resurrected) * 1000000"
+               " DIV greatest(n_churned, 1)").cast("long")
+        .alias("quick_ratio_ppm"))
+
+
+def _sql_rel_growth_accounting() -> str:
+    return """
+WITH um AS (
+  SELECT DISTINCT user_id,
+         CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT) AS mn
+  FROM events),
+s AS (
+  SELECT user_id, mn,
+         lag(mn) OVER (PARTITION BY user_id ORDER BY mn) AS prev,
+         lead(mn) OVER (PARTITION BY user_id ORDER BY mn) AS nxt
+  FROM um),
+status AS (
+  SELECT mn,
+         CASE WHEN prev IS NULL THEN 'new'
+              WHEN prev = mn - 1 THEN 'retained'
+              ELSE 'resurrected' END AS st,
+         CAST(CASE WHEN nxt IS NULL OR nxt > mn + 1
+              THEN 1 ELSE 0 END AS INT) AS churns_after
+  FROM s),
+monthly AS (
+  SELECT mn, CAST(count(*) AS BIGINT) AS mau,
+         CAST(sum(CASE WHEN st = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(sum(CASE WHEN st = 'retained' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_retained,
+         CAST(sum(CASE WHEN st = 'resurrected' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_resurrected
+  FROM status GROUP BY 1),
+churn AS (
+  SELECT mn + 1 AS mn, CAST(count(*) AS BIGINT) AS n_churned
+  FROM status WHERE churns_after = 1 GROUP BY 1)
+SELECT printf('%04d-%02d', CAST(monthly.mn // 12 AS INT),
+              CAST(monthly.mn % 12 + 1 AS INT)) AS month,
+       mau, n_new, n_retained, n_resurrected,
+       CAST(coalesce(churn.n_churned, 0) AS BIGINT) AS n_churned,
+       CAST((n_new + n_resurrected) * 1000000
+            // greatest(coalesce(churn.n_churned, 0), 1) AS BIGINT)
+         AS quick_ratio_ppm
+FROM monthly LEFT JOIN churn ON churn.mn = monthly.mn
+"""
+
+
+def q_stats_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-highs/lows test on the daily order series [K: the
+    records test — under an exchangeable (trendless) series the
+    expected number of running records is the harmonic number H_n
+    (~ln n); materially more up-records means upward drift, more
+    down-records means decay; it needs NO distributional assumption
+    at all]: the observed strict record-high and record-low day
+    counts (a day is a record iff it strictly beats every earlier
+    day — integer ties kill records, documented), H_n computed by a
+    DETERMINISTIC ascending fold over 1..n, and the up/down ratios
+    in exact ppm.
+
+    Shape: one distributed daily hash agg, a triangular broadcast
+    self-join of the calendar-bounded daily table (the text_gini
+    idiom — no running-max window), two O(1) aggs. Only the first
+    agg sees the corpus."""
+    o = _tbl(spark, sf_dir, "orders")
+    daily = (o.select(F.to_date("o_orderdate").alias("day"))
+             .groupBy("day")
+             .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    rec = (daily.alias("a").join(
+        F.broadcast(daily.alias("b")),
+        F.col("b.day") < F.col("a.day"), "left")
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(F.max(F.col("a.x")).cast("long").alias("x"),
+             F.sum((F.col("b.x") >= F.col("a.x")).cast("long"))
+             .alias("n_ge"),
+             F.sum((F.col("b.x") <= F.col("a.x")).cast("long"))
+             .alias("n_le")))
+    cnt = rec.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum((F.coalesce("n_ge", F.lit(0)) == 0).cast("long"))
+        .cast("long").alias("n_up_records"),
+        F.sum((F.coalesce("n_le", F.lit(0)) == 0).cast("long"))
+        .cast("long").alias("n_down_records"))
+    return cnt.select(
+        "n_days", "n_up_records", "n_down_records",
+        F.round(F.aggregate(
+            F.sequence(F.lit(1), F.col("n_days").cast("int")),
+            F.lit(0.0),
+            lambda acc, k: acc + F.lit(1.0) / k.cast("double")), 6)
+        .alias("h_n"),
+        F.expr("n_up_records * 1000000 DIV n_days").cast("long")
+        .alias("up_ppm"),
+        F.expr("n_down_records * 1000000 DIV n_days").cast("long")
+        .alias("down_ppm"))
+
+
+def _sql_stats_records() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+rec AS (
+  SELECT a.day, max(a.x) AS x,
+         sum(CASE WHEN b.x >= a.x THEN 1 ELSE 0 END) AS n_ge,
+         sum(CASE WHEN b.x <= a.x THEN 1 ELSE 0 END) AS n_le
+  FROM daily a LEFT JOIN daily b ON b.day < a.day
+  GROUP BY a.day),
+cnt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(CASE WHEN coalesce(n_ge, 0) = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_up_records,
+         CAST(sum(CASE WHEN coalesce(n_le, 0) = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_down_records
+  FROM rec)
+SELECT n_days, n_up_records, n_down_records,
+       round(coalesce(list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(generate_series(1, CAST(n_days AS INT)),
+                          k -> 1.0 / CAST(k AS DOUBLE))),
+         (a, b) -> a + b), 0.0), 6) AS h_n,
+       CAST(n_up_records * 1000000 // n_days AS BIGINT) AS up_ppm,
+       CAST(n_down_records * 1000000 // n_days AS BIGINT) AS down_ppm
+FROM cnt
 """
