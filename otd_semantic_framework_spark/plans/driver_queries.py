@@ -3513,6 +3513,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_dormancy": q_rel_dormancy,
         "rel_growth_accounting": q_rel_growth_accounting,
         "stats_records": q_stats_records,
+        "stats_mix_shift": q_stats_mix_shift,
+        "sim_norm_audit": q_sim_norm_audit,
     }
 
 
@@ -3830,6 +3832,8 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_dormancy": _sql_rel_dormancy(),
         "rel_growth_accounting": _sql_rel_growth_accounting(),
         "stats_records": _sql_stats_records(),
+        "stats_mix_shift": _sql_stats_mix_shift(),
+        "sim_norm_audit": _sql_sim_norm_audit(),
     }
 
 
@@ -18197,4 +18201,218 @@ SELECT n_days, n_up_records, n_down_records,
        CAST(n_up_records * 1000000 // n_days AS BIGINT) AS up_ppm,
        CAST(n_down_records * 1000000 // n_days AS BIGINT) AS down_ppm
 FROM cnt
+"""
+
+
+def q_stats_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-MIX anomaly detection [K: volume monitors
+    (stats_dispersion, stats_anomaly_days) miss days where the total
+    held but the composition flipped — an outage that converts
+    purchases into errors keeps the count and breaks the mix; the
+    divergence of each day's event-type distribution from the corpus
+    mix is the composition alarm]: per day the event count, the mix
+    entropy in bits, the Jensen-Shannon divergence to the corpus mix
+    (base-2, bounded [0,1]), and a >0.1-bit shift flag. Every
+    cross-type sum folds in DETERMINISTIC event_type order (the
+    rel_user_entropy idiom) — type cardinality is tiny, and the fixed
+    order kills the float-sum-order hazard.
+
+    Shape: one (day, type) hash agg on the corpus, one tiny type agg
+    broadcast back, per-day bounded-array folds. Only the first agg
+    sees the corpus."""
+    e = _tbl(spark, sf_dir, "events")
+    dt = (e.select(F.to_date("ts").alias("day"), "event_type")
+          .groupBy("day", "event_type")
+          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    tot = (dt.groupBy("event_type")
+           .agg(F.sum("c").cast("long").alias("tc")))
+    ntot = tot.agg(F.sum("tc").cast("long").alias("n_all"))
+    j = (dt.join(F.broadcast(tot), "event_type")
+         .crossJoin(F.broadcast(ntot)))
+    per = (j.groupBy("day")
+           .agg(F.sum("c").cast("long").alias("n_day"),
+                F.sort_array(F.collect_list(F.struct(
+                    F.col("event_type").alias("t"),
+                    F.col("c").alias("c"),
+                    F.col("tc").alias("tc"),
+                    F.col("n_all").alias("n_all")))).alias("arr")))
+    # H(day) = log2(n) - (1/n) * sum c*log2(c), deterministic fold
+    ent = F.round(
+        F.log2(F.col("n_day").cast("double"))
+        - F.aggregate(F.col("arr"), F.lit(0.0),
+                      lambda a, x: a + x.c.cast("double")
+                      * F.log2(x.c.cast("double")))
+        / F.col("n_day").cast("double"), 6)
+
+    # JSD(P_day || P_corpus), base 2: sum over the day's types of
+    # p/2*log2(p/m) + corpus-side q/2*log2(q/m) with m=(p+q)/2 —
+    # corpus types absent today contribute via the q-only branch.
+    def _pq(x):
+        p = x.c.cast("double") / F.col("n_day").cast("double")
+        q = x.tc.cast("double") / x.n_all.cast("double")
+        m = (p + q) / F.lit(2.0)
+        return (p / F.lit(2.0) * F.log2(p / m)
+                + q / F.lit(2.0) * F.log2(q / m))
+
+    # types with c=0 today (q-only): handled by folding over ALL
+    # corpus types — arr contains only present types, so add the
+    # missing-type correction from a second fold over the corpus
+    # type table joined as an array.
+    jsd_present = F.aggregate(F.col("arr"), F.lit(0.0),
+                              lambda a, x: a + _pq(x))
+    per2 = (per.crossJoin(F.broadcast(
+        tot.crossJoin(F.broadcast(ntot))
+        .agg(F.sort_array(F.collect_list(F.struct(
+            F.col("event_type").alias("t"),
+            F.col("tc").alias("tc"),
+            F.col("n_all").alias("n_all")))).alias("all_types")))))
+    missing = F.filter(
+        F.col("all_types"),
+        lambda y: ~F.exists(F.col("arr"), lambda x: x.t == y.t))
+    jsd_missing = F.aggregate(
+        missing, F.lit(0.0),
+        lambda a, y: a + (y.tc.cast("double")
+                          / y.n_all.cast("double")) / F.lit(2.0)
+        * F.lit(1.0))
+    jsd = F.round(jsd_present + jsd_missing, 6)
+    return (per2.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_day"), ent.alias("mix_entropy"),
+        jsd.alias("jsd_bits"))
+        .withColumn("shifted", (F.col("jsd_bits") > 0.1).cast("int")))
+
+
+def _sql_stats_mix_shift() -> str:
+    return """
+WITH dt AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS tc FROM dt GROUP BY 1),
+ntot AS (SELECT CAST(sum(tc) AS BIGINT) AS n_all FROM tot),
+j AS (
+  SELECT dt.day, dt.event_type, dt.c, tot.tc, ntot.n_all
+  FROM dt JOIN tot USING (event_type) CROSS JOIN ntot),
+per AS (
+  SELECT day, CAST(sum(c) AS BIGINT) AS n_day,
+         list(struct_pack(t := event_type, c := c, tc := tc,
+                          n_all := n_all)
+              ORDER BY event_type) AS arr
+  FROM j GROUP BY day),
+alltypes AS (
+  SELECT list(struct_pack(t := event_type, tc := tc, n_all := n_all)
+              ORDER BY event_type) AS all_types
+  FROM tot CROSS JOIN ntot),
+calc AS (
+  SELECT day, n_day,
+         round(log2(CAST(n_day AS DOUBLE))
+               - coalesce(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(arr, x ->
+                     CAST(x.c AS DOUBLE)
+                     * log2(CAST(x.c AS DOUBLE)))),
+                   (a, b) -> a + b), 0.0)
+                 / CAST(n_day AS DOUBLE), 6) AS mix_entropy,
+         round(coalesce(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(arr, x ->
+                   (CAST(x.c AS DOUBLE) / CAST(n_day AS DOUBLE)) / 2.0
+                   * log2((CAST(x.c AS DOUBLE) / CAST(n_day AS DOUBLE))
+                          / ((CAST(x.c AS DOUBLE)
+                              / CAST(n_day AS DOUBLE)
+                              + CAST(x.tc AS DOUBLE)
+                                / CAST(x.n_all AS DOUBLE)) / 2.0))
+                   + (CAST(x.tc AS DOUBLE) / CAST(x.n_all AS DOUBLE))
+                     / 2.0
+                   * log2((CAST(x.tc AS DOUBLE) / CAST(x.n_all AS DOUBLE))
+                          / ((CAST(x.c AS DOUBLE)
+                              / CAST(n_day AS DOUBLE)
+                              + CAST(x.tc AS DOUBLE)
+                                / CAST(x.n_all AS DOUBLE)) / 2.0)))),
+                 (a, b) -> a + b), 0.0)
+               + coalesce(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(
+                     list_filter(all_types, y ->
+                       NOT list_has_any(
+                         list_transform(arr, x -> x.t), [y.t])),
+                     y -> (CAST(y.tc AS DOUBLE)
+                           / CAST(y.n_all AS DOUBLE)) / 2.0 * 1.0)),
+                   (a, b) -> a + b), 0.0), 6) AS jsd_bits
+  FROM per CROSS JOIN alltypes)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_day, mix_entropy, jsd_bits,
+       CAST(CASE WHEN jsd_bits > 0.1 THEN 1 ELSE 0 END AS INT)
+         AS shifted
+FROM calc
+"""
+
+
+def q_sim_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding norm-hygiene audit [K: the vector-store intake check
+    — zero vectors poison cosine (0/0), near-zero norms amplify
+    quantization error, NaN components corrupt every distance; and a
+    multimodal norm histogram reveals mixed encoder versions sharing
+    one table]: the power-of-two histogram of squared norms in exact
+    micro-units (bit-length binning, no libm), with corpus-wide
+    zero / near-zero / NaN counts and the extreme norms attached.
+    The squared norm folds over the vector's OWN component order
+    (deterministic on both engines — arrays are ordered; no sort, no
+    cross-engine sum-order hazard).
+
+    Shape: map-only per-vector fold + one bin histogram agg + one
+    O(1) corpus agg broadcast back. One scan, no shuffle beyond the
+    tiny bin agg."""
+    v = _tbl(spark, sf_dir, "embeddings")
+    arr = F.expr("CAST(embedding AS ARRAY<DOUBLE>)")
+    base = v.select(
+        F.expr("CAST(round(aggregate(CAST(embedding AS ARRAY<DOUBLE>),"
+               " CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"
+               " * 1000000, 0) AS BIGINT)").alias("n2_u"),
+        F.exists(arr, lambda x: F.isnan(x)).cast("int").alias("has_nan"))
+    b = base.select(
+        (F.length(F.bin(F.col("n2_u") + 1)) - 1).cast("int")
+        .alias("bin"), "n2_u", "has_nan")
+    hist = b.groupBy("bin").agg(F.count(F.lit(1)).cast("long")
+                                .alias("n_vecs"))
+    tot = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("n2_u") == 0).cast("long")).cast("long")
+        .alias("n_zero"),
+        F.sum((F.col("n2_u") < 1000).cast("long")).cast("long")
+        .alias("n_tiny"),
+        F.sum("has_nan").cast("long").alias("n_nan"),
+        F.min("n2_u").cast("long").alias("min_n2_u"),
+        F.max("n2_u").cast("long").alias("max_n2_u"))
+    return (hist.crossJoin(F.broadcast(tot))
+            .select("bin", "n_vecs", "n", "n_zero", "n_tiny", "n_nan",
+                    "min_n2_u", "max_n2_u"))
+
+
+def _sql_sim_norm_audit() -> str:
+    return """
+WITH base AS (
+  SELECT CAST(round(coalesce(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> x * x)),
+           (a, b) -> a + b), 0.0) * 1000000, 0) AS BIGINT) AS n2_u,
+         CAST(CASE WHEN len(list_filter(CAST(embedding AS DOUBLE[]),
+                                        x -> isnan(x))) > 0
+              THEN 1 ELSE 0 END AS INT) AS has_nan
+  FROM embeddings),
+b AS (
+  SELECT CAST(length(bin(n2_u + 1)) - 1 AS INT) AS bin, n2_u, has_nan
+  FROM base),
+hist AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_vecs FROM b GROUP BY 1),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN n2_u = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero,
+         CAST(sum(CASE WHEN n2_u < 1000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tiny,
+         CAST(sum(has_nan) AS BIGINT) AS n_nan,
+         CAST(min(n2_u) AS BIGINT) AS min_n2_u,
+         CAST(max(n2_u) AS BIGINT) AS max_n2_u
+  FROM b)
+SELECT bin, n_vecs, n, n_zero, n_tiny, n_nan, min_n2_u, max_n2_u
+FROM hist CROSS JOIN tot
 """
