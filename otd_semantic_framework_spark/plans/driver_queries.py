@@ -3515,6 +3515,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_records": q_stats_records,
         "stats_mix_shift": q_stats_mix_shift,
         "sim_norm_audit": q_sim_norm_audit,
+        "kg_rich_club": q_kg_rich_club,
+        "rel_anova": q_rel_anova,
     }
 
 
@@ -3834,6 +3836,8 @@ def build_oracle_sql() -> dict[str, str]:
         "stats_records": _sql_stats_records(),
         "stats_mix_shift": _sql_stats_mix_shift(),
         "sim_norm_audit": _sql_sim_norm_audit(),
+        "kg_rich_club": _sql_kg_rich_club(),
+        "rel_anova": _sql_rel_anova(),
     }
 
 
@@ -18416,3 +18420,181 @@ tot AS (
 SELECT bin, n_vecs, n, n_zero, n_tiny, n_nan, min_n2_u, max_n2_u
 FROM hist CROSS JOIN tot
 """
+
+
+def q_kg_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club connectivity of the KG [K: the network-science read
+    on elite interconnection — do high-degree concepts link to EACH
+    OTHER more densely than chance? a rising phi(k) means hub
+    concepts form a core (one shuffle-hot block at query time), a
+    flat one means hubs spread]: for each power-of-two degree
+    threshold k the surviving node count, the undirected edge count
+    among survivors, and the density phi in exact ppm
+    (2E / (N(N-1))).
+
+    Shape: one degree agg, a broadcast degree join onto the edge
+    list (edges keyed by both endpoints — two joins, never
+    all-pairs), one per-threshold conditional agg over the bounded
+    threshold list. Exact integers throughout."""
+    t = q_kg_triples(spark, sf_dir)
+    edges = (t.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+             .filter(F.col("u") != F.col("v")).distinct()
+             .select(F.least("u", "v").alias("a"),
+                     F.greatest("u", "v").alias("b")).distinct())
+    deg = (edges.select(F.col("a").alias("n_id"))
+           .unionAll(edges.select(F.col("b").alias("n_id")))
+           .groupBy("n_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("deg")))
+    ks = spark.range(0, 7).select(
+        F.expr("shiftleft(1L, CAST(id AS INT))").cast("long")
+        .alias("k"))
+    nodes = (deg.crossJoin(F.broadcast(ks))
+             .filter(F.col("deg") > F.col("k"))
+             .groupBy("k")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
+    da = deg.select(F.col("n_id").alias("a"),
+                    F.col("deg").alias("da"))
+    db = deg.select(F.col("n_id").alias("b"),
+                    F.col("deg").alias("db"))
+    ej = edges.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    ecnt = (ej.crossJoin(F.broadcast(ks))
+            .filter((F.col("da") > F.col("k"))
+                    & (F.col("db") > F.col("k")))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+    return (nodes.join(ecnt, "k", "left")
+            .select("k", "n_nodes",
+                    F.coalesce("n_edges", F.lit(0)).cast("long")
+                    .alias("n_edges"))
+            .filter(F.col("n_nodes") >= 2)
+            .withColumn("phi_ppm", F.expr(
+                "2 * n_edges * 1000000"
+                " DIV (n_nodes * (n_nodes - 1))").cast("long")))
+
+
+def _sql_kg_rich_club() -> str:
+    return f"""
+WITH triples AS ({_sql_kg_triples_body()}),
+edges AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM (SELECT DISTINCT subj AS u, obj AS v FROM triples
+        WHERE subj <> obj)),
+deg AS (
+  SELECT n_id, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT a AS n_id FROM edges
+        UNION ALL SELECT b AS n_id FROM edges)
+  GROUP BY 1),
+ks AS (SELECT CAST(1 << CAST(unnest(generate_series(0, 6)) AS INT)
+              AS BIGINT) AS k),
+nodes AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM deg CROSS JOIN ks WHERE deg > k GROUP BY 1),
+ej AS (
+  SELECT e.a, e.b, da.deg AS da, db.deg AS db
+  FROM edges e JOIN deg da ON da.n_id = e.a
+               JOIN deg db ON db.n_id = e.b),
+ecnt AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+  FROM ej CROSS JOIN ks WHERE da > k AND db > k GROUP BY 1)
+SELECT nodes.k, n_nodes,
+       CAST(coalesce(ecnt.n_edges, 0) AS BIGINT) AS n_edges,
+       CAST(2 * coalesce(ecnt.n_edges, 0) * 1000000
+            // (n_nodes * (n_nodes - 1)) AS BIGINT) AS phi_ppm
+FROM nodes LEFT JOIN ecnt ON ecnt.k = nodes.k
+WHERE n_nodes >= 2
+"""
+
+
+ANOVA_FACTORS = ("o_orderpriority", "o_orderstatus")
+
+
+def q_rel_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way variance decomposition (eta-squared) of order value by
+    categorical factors [K: the 'which dimension explains the
+    variance' triage — eta^2 = SS_between/SS_total tells an analyst
+    whether priority or status structure order values before any
+    modeling; the ANOVA F follows but eta^2 is the effect size that
+    matters at 10^9 rows where everything is 'significant']: per
+    factor the group count, exact integer cent sums, and eta^2 in
+    round-6 — the between-group term folds S_g^2/n_g in
+    DETERMINISTIC group-label order (bounded factor cardinality, the
+    rel_user_entropy idiom).
+
+    Shape: per factor one (group) hash agg + one O(1) fold — the
+    corpus is scanned once per factor (a union keeps it one logical
+    scan; Catalyst reuses the exchange). Exact integers until the
+    final division."""
+    o = _tbl(spark, sf_dir, "orders")
+    outs = []
+    for fac in ANOVA_FACTORS:
+        # whole DOLLARS, not cents: sum(x^2) must stay in BIGINT at
+        # sf0.1+ (cents^2 sums overflow); dollar resolution shifts
+        # eta2 by < 1e-6 on this price scale and is the documented
+        # trade (a 10^12-row build would move to DECIMAL(38) sums).
+        dollars = F.expr("CAST(round(o_totalprice, 0) AS BIGINT)")
+        g = (o.select(F.col(fac).alias("grp"), dollars.alias("c"))
+             .groupBy("grp")
+             .agg(F.count(F.lit(1)).cast("long").alias("ng"),
+                  F.sum("c").cast("long").alias("sg"),
+                  F.sum(F.col("c") * F.col("c")).cast("long")
+                  .alias("ssg")))
+        agg = g.agg(
+            F.lit(fac).alias("factor"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("ng").cast("long").alias("n"),
+            F.sum("sg").cast("long").alias("s"),
+            F.sum("ssg").cast("long").alias("ss"),
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct(
+                    F.col("grp").alias("g"), F.col("sg").alias("sg"),
+                    F.col("ng").alias("ng")))),
+                F.lit(0.0),
+                lambda a, x: a + x.sg.cast("double")
+                * x.sg.cast("double") / x.ng.cast("double"))
+            .alias("between_raw"))
+        outs.append(agg.select(
+            "factor", "n_groups", "n",
+            F.round((F.col("between_raw")
+                     - F.col("s").cast("double")
+                     * F.col("s").cast("double")
+                     / F.col("n").cast("double"))
+                    / (F.col("ss").cast("double")
+                       - F.col("s").cast("double")
+                       * F.col("s").cast("double")
+                       / F.col("n").cast("double")), 6)
+            .alias("eta2")))
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def _sql_rel_anova() -> str:
+    parts = []
+    for fac in ANOVA_FACTORS:
+        parts.append(f"""
+SELECT '{fac}' AS factor,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(ng) AS BIGINT) AS n,
+       round((coalesce(list_reduce(
+                list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(
+                    list(struct_pack(g := grp, sg := sg, ng := ng)
+                         ORDER BY grp),
+                    x -> CAST(x.sg AS DOUBLE) * CAST(x.sg AS DOUBLE)
+                         / CAST(x.ng AS DOUBLE))),
+                (a, b) -> a + b), 0.0)
+              - CAST(sum(sg) AS DOUBLE) * CAST(sum(sg) AS DOUBLE)
+                / CAST(sum(ng) AS DOUBLE))
+             / (CAST(sum(ssg) AS DOUBLE)
+                - CAST(sum(sg) AS DOUBLE) * CAST(sum(sg) AS DOUBLE)
+                  / CAST(sum(ng) AS DOUBLE)), 6) AS eta2
+FROM (
+  SELECT {fac} AS grp, CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT))
+              AS BIGINT) AS sg,
+         CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT)
+                  * CAST(round(o_totalprice, 0) AS BIGINT))
+              AS BIGINT) AS ssg
+  FROM orders GROUP BY 1)""")
+    return "\nUNION ALL\n".join(parts)
