@@ -3517,6 +3517,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_norm_audit": q_sim_norm_audit,
         "kg_rich_club": q_kg_rich_club,
         "rel_anova": q_rel_anova,
+        "rel_error_cascade": q_rel_error_cascade,
+        "rel_fulfillment": q_rel_fulfillment,
     }
 
 
@@ -3838,6 +3840,8 @@ def build_oracle_sql() -> dict[str, str]:
         "sim_norm_audit": _sql_sim_norm_audit(),
         "kg_rich_club": _sql_kg_rich_club(),
         "rel_anova": _sql_rel_anova(),
+        "rel_error_cascade": _sql_rel_error_cascade(),
+        "rel_fulfillment": _sql_rel_fulfillment(),
     }
 
 
@@ -18598,3 +18602,138 @@ FROM (
               AS BIGINT) AS ssg
   FROM orders GROUP BY 1)""")
     return "\nUNION ALL\n".join(parts)
+
+
+def q_rel_error_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error probability conditioned on the PRECEDING event [K: the
+    cascade read — errors cluster behind specific prior actions;
+    P(error | prev=purchase) >> P(error) means the payment path is
+    the fault line, and the lift column ranks exactly that]: per
+    preceding event type the transition count, how many transitioned
+    INTO an error, the conditional error rate in exact ppm, the
+    corpus base error rate, and the lift in exact ppm (rate/base,
+    both exact rationals cross-multiplied into one DIV).
+
+    Shape: one user-partitioned lag window (bounded per user), one
+    per-prev-type hash agg, a 1-row base-rate agg broadcast back.
+    Exact integers end to end."""
+    e = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (e.select("user_id", "ts", "event_id", "event_type")
+         .withColumn("prev", F.lag("event_type").over(w))
+         .filter(F.col("prev").isNotNull()))
+    per = (s.groupBy("prev")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_trans"),
+                F.sum((F.col("event_type") == "error").cast("long"))
+                .cast("long").alias("n_err")))
+    base = per.agg(F.sum("n_trans").cast("long").alias("n_all"),
+                   F.sum("n_err").cast("long").alias("e_all"))
+    return (per.crossJoin(F.broadcast(base))
+            .select(F.col("prev").alias("prev_type"), "n_trans",
+                    "n_err",
+                    F.expr("n_err * 1000000 DIV n_trans").cast("long")
+                    .alias("err_rate_ppm"),
+                    F.expr("e_all * 1000000 DIV n_all").cast("long")
+                    .alias("base_rate_ppm"),
+                    F.expr("CASE WHEN e_all > 0 THEN"
+                           " n_err * n_all * 1000000"
+                           " DIV (n_trans * e_all) ELSE 0 END")
+                    .cast("long").alias("lift_ppm")))
+
+
+def _sql_rel_error_cascade() -> str:
+    return """
+WITH s AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+per AS (
+  SELECT prev, CAST(count(*) AS BIGINT) AS n_trans,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err
+  FROM s WHERE prev IS NOT NULL GROUP BY 1),
+base AS (
+  SELECT CAST(sum(n_trans) AS BIGINT) AS n_all,
+         CAST(sum(n_err) AS BIGINT) AS e_all
+  FROM per)
+SELECT prev AS prev_type, n_trans, n_err,
+       CAST(n_err * 1000000 // n_trans AS BIGINT) AS err_rate_ppm,
+       CAST(e_all * 1000000 // n_all AS BIGINT) AS base_rate_ppm,
+       CAST(CASE WHEN e_all > 0
+                 THEN n_err * n_all * 1000000 // (n_trans * e_all)
+                 ELSE 0 END AS BIGINT) AS lift_ppm
+FROM per CROSS JOIN base
+"""
+
+
+def q_rel_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency profile per month [K: the fulfillment
+    SLA readout — how long after ordering do line items actually
+    ship, tracked monthly so a slipping warehouse shows as a rising
+    median]: per order month the line count, exact doubled-integer
+    MEDIAN ship-delay days, exact mean (DIV), max, and the share
+    shipping within 30/90 days in exact ppm.
+
+    Shape: the orders-lineitem equi-join (the canonical big-fact
+    join — shuffle on orderkey; at 10^12 rows bucket both sides),
+    map-side day arithmetic, one per-month agg. Exact integers end
+    to end."""
+    o = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
+    j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+         .select((F.year("o_orderdate") * 12
+                  + F.month("o_orderdate") - 1).cast("long")
+                 .alias("mn"),
+                 F.datediff(F.to_date("l_shipdate"),
+                            F.to_date("o_orderdate")).cast("long")
+                 .alias("delay")))
+    agg = (j.groupBy("mn")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
+                F.expr("CAST(percentile(delay * 2, 0.5) AS BIGINT)")
+                .alias("med2_days"),
+                F.sum("delay").cast("long").alias("s_delay"),
+                F.max("delay").cast("long").alias("max_days"),
+                F.sum((F.col("delay") <= 30).cast("long")).cast("long")
+                .alias("n_30"),
+                F.sum((F.col("delay") <= 90).cast("long")).cast("long")
+                .alias("n_90")))
+    return agg.select(
+        F.format_string("%04d-%02d", F.expr("mn DIV 12").cast("int"),
+                        (F.col("mn") % 12 + 1).cast("int"))
+        .alias("month"),
+        "n_lines", "med2_days",
+        F.expr("s_delay DIV n_lines").cast("long").alias("mean_days"),
+        "max_days",
+        F.expr("n_30 * 1000000 DIV n_lines").cast("long")
+        .alias("within_30d_ppm"),
+        F.expr("n_90 * 1000000 DIV n_lines").cast("long")
+        .alias("within_90d_ppm"))
+
+
+def _sql_rel_fulfillment() -> str:
+    return """
+WITH j AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+              AS BIGINT) AS mn,
+         CAST(datediff('day', CAST(o_orderdate AS DATE),
+                       CAST(l_shipdate AS DATE)) AS BIGINT) AS delay
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+agg AS (
+  SELECT mn, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(quantile_cont(delay * 2, 0.5) AS BIGINT) AS med2_days,
+         CAST(sum(delay) AS BIGINT) AS s_delay,
+         CAST(max(delay) AS BIGINT) AS max_days,
+         CAST(sum(CASE WHEN delay <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_30,
+         CAST(sum(CASE WHEN delay <= 90 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_90
+  FROM j GROUP BY 1)
+SELECT printf('%04d-%02d', CAST(mn // 12 AS INT),
+              CAST(mn % 12 + 1 AS INT)) AS month,
+       n_lines, med2_days,
+       CAST(s_delay // n_lines AS BIGINT) AS mean_days, max_days,
+       CAST(n_30 * 1000000 // n_lines AS BIGINT) AS within_30d_ppm,
+       CAST(n_90 * 1000000 // n_lines AS BIGINT) AS within_90d_ppm
+FROM agg
+"""
