@@ -3519,6 +3519,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_anova": q_rel_anova,
         "rel_error_cascade": q_rel_error_cascade,
         "rel_fulfillment": q_rel_fulfillment,
+        "sim_knn_label_smooth": q_sim_knn_label_smooth,
+        "rel_hhi_trend": q_rel_hhi_trend,
     }
 
 
@@ -3842,6 +3844,8 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_anova": _sql_rel_anova(),
         "rel_error_cascade": _sql_rel_error_cascade(),
         "rel_fulfillment": _sql_rel_fulfillment(),
+        "sim_knn_label_smooth": _sql_sim_knn_label_smooth(),
+        "rel_hhi_trend": _sql_rel_hhi_trend(),
     }
 
 
@@ -18735,5 +18739,180 @@ SELECT printf('%04d-%02d', CAST(mn // 12 AS INT),
        CAST(s_delay // n_lines AS BIGINT) AS mean_days, max_days,
        CAST(n_30 * 1000000 // n_lines AS BIGINT) AS within_30d_ppm,
        CAST(n_90 * 1000000 // n_lines AS BIGINT) AS within_90d_ppm
+FROM agg
+"""
+
+
+def q_sim_knn_label_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-noise detection [K: the classic Wilson-editing /
+    confident-learning-lite QA on labeled training vectors — if a
+    point's k nearest neighbors vote for a DIFFERENT label by a
+    clear margin, the point's label is suspect; data teams run
+    exactly this before fine-tuning on weak labels]: per node its own
+    label, the neighbor-majority label (deterministic tie -> smallest
+    label id), the vote counts, and the suspect flag (majority
+    disagrees AND wins by >= 2 votes).
+
+    Shape: the kNN graph's bucketed join, one broadcast label join
+    onto the edge list, one (node, neighbor-label) agg, one struct-
+    max per node (no rank window). Never all-pairs."""
+    from ..operators.simsearch import knn_graph
+    vecs = _tbl(spark, sf_dir, "embeddings")
+    g = knn_graph(vecs, k=KNNG_K, n_planes=KNNG_N_PLANES)
+    lbl = vecs.select(F.col("vec_id").alias("dst"),
+                      F.col("label").alias("nlbl"))
+    own = vecs.select("vec_id", "label")
+    votes = (g.join(F.broadcast(lbl), "dst")
+             .groupBy(F.col("src").alias("vec_id"), "nlbl")
+             .agg(F.count(F.lit(1)).cast("long").alias("v")))
+    best = (votes.groupBy("vec_id")
+            .agg(F.max(F.struct(F.col("v"),
+                                (-F.col("nlbl")).alias("nl")))
+                 .alias("top"),
+                 F.sum("v").cast("long").alias("k_used")))
+    j = (own.join(best, "vec_id", "left")
+         .select("vec_id", "label",
+                 (-F.col("top.nl")).cast("int").alias("majority_label"),
+                 F.coalesce(F.col("top.v"), F.lit(0)).cast("long")
+                 .alias("majority_votes"),
+                 F.coalesce("k_used", F.lit(0)).cast("long")
+                 .alias("k_used")))
+    own_votes = (votes.select(F.col("vec_id"),
+                              F.col("nlbl").cast("int").alias("label"),
+                              F.col("v").alias("own_v")))
+    return (j.join(own_votes, ["vec_id", "label"], "left")
+            .select("vec_id", "label", "majority_label",
+                    "majority_votes",
+                    F.coalesce("own_v", F.lit(0)).cast("long")
+                    .alias("own_votes"),
+                    "k_used",
+                    ((F.col("majority_label") != F.col("label"))
+                     & (F.col("majority_votes")
+                        - F.coalesce("own_v", F.lit(0)) >= 2)
+                     & (F.col("k_used") > 0)).cast("int")
+                    .alias("suspect")))
+
+
+def _sql_sim_knn_label_smooth() -> str:
+    from ..operators.simsearch import hyperplanes
+    planes = hyperplanes(KNNG_N_PLANES, 64)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(nv, {_sql_vec_lit(p)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    return f"""
+WITH v AS (SELECT vec_id AS nid, cast(embedding AS DOUBLE[]) AS nv,
+                  label FROM embeddings),
+b AS (SELECT nid, nv, label, {bucket} AS bucket FROM v),
+pairs AS (
+  SELECT a.nid AS src, c.nid AS dst, c.label AS nlbl,
+         round(list_cosine_similarity(a.nv, c.nv), 6) AS cos
+  FROM b a JOIN b c USING (bucket)
+  WHERE a.nid <> c.nid),
+topk AS (
+  SELECT src, dst, nlbl FROM (
+    SELECT src, dst, nlbl,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cos DESC, dst ASC) AS rk
+    FROM pairs) WHERE rk <= {KNNG_K}),
+votes AS (
+  SELECT src AS vec_id, nlbl, CAST(count(*) AS BIGINT) AS vv
+  FROM topk GROUP BY 1, 2),
+best AS (
+  SELECT vec_id,
+         first(nlbl ORDER BY vv DESC, nlbl ASC) AS majority_label,
+         CAST(max(vv) AS BIGINT) AS majority_votes,
+         CAST(sum(vv) AS BIGINT) AS k_used
+  FROM votes GROUP BY vec_id),
+own AS (SELECT nid AS vec_id, label FROM v)
+SELECT own.vec_id, own.label,
+       CAST(best.majority_label AS INT) AS majority_label,
+       CAST(coalesce(best.majority_votes, 0) AS BIGINT)
+         AS majority_votes,
+       CAST(coalesce(ov.vv, 0) AS BIGINT) AS own_votes,
+       CAST(coalesce(best.k_used, 0) AS BIGINT) AS k_used,
+       CAST(CASE WHEN best.majority_label <> own.label
+                  AND coalesce(best.majority_votes, 0)
+                      - coalesce(ov.vv, 0) >= 2
+                  AND coalesce(best.k_used, 0) > 0
+            THEN 1 ELSE 0 END AS INT) AS suspect
+FROM own LEFT JOIN best USING (vec_id)
+LEFT JOIN votes ov ON ov.vec_id = own.vec_id
+                  AND ov.nlbl = own.label
+"""
+
+
+def q_rel_hhi_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue-concentration trend (Herfindahl-Hirschman
+    index over customers) [K: the account-concentration risk read —
+    a rising HHI means revenue consolidates into a few whales (churn
+    risk), a falling one means broadening; antitrust thresholds
+    (0.15/0.25) give the standard bands]: per month the customer
+    count, total revenue in whole dollars, the HHI in ppm computed as
+    sq DIV (R^2 DIV 1e6) — the multiplier inverted into the
+    denominator because sq*1e6 overflows BIGINT (observed at sf0.01;
+    the floor-of-denominator rounding is mirrored in the oracle) —
+    the top-customer share in
+    exact ppm, and the HHI band.
+
+    Shape: one (month, customer) hash agg on the corpus, one
+    per-month agg of squares. Dollars not cents so the square-sums
+    stay in BIGINT at sf0.1+ (the rel_anova trade, documented)."""
+    o = _tbl(spark, sf_dir, "orders")
+    mc = (o.select((F.year("o_orderdate") * 12
+                    + F.month("o_orderdate") - 1).cast("long")
+                   .alias("mn"),
+                   "o_custkey",
+                   F.expr("CAST(round(o_totalprice, 0) AS BIGINT)")
+                   .alias("d"))
+          .groupBy("mn", "o_custkey")
+          .agg(F.sum("d").cast("long").alias("r")))
+    agg = (mc.groupBy("mn")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+                F.sum("r").cast("long").alias("rev"),
+                F.sum(F.col("r") * F.col("r")).cast("long")
+                .alias("sq"),
+                F.max("r").cast("long").alias("top_r")))
+    return agg.select(
+        F.format_string("%04d-%02d", F.expr("mn DIV 12").cast("int"),
+                        (F.col("mn") % 12 + 1).cast("int"))
+        .alias("month"),
+        "n_customers", "rev",
+        F.expr("sq DIV greatest(rev * rev DIV 1000000, 1)")
+        .cast("long").alias("hhi_ppm"),
+        F.expr("top_r * 1000000 DIV rev").cast("long")
+        .alias("top_share_ppm"),
+        F.expr("CASE WHEN sq DIV greatest(rev * rev DIV 1000000, 1)"
+               " >= 250000 THEN 'high'"
+               " WHEN sq DIV greatest(rev * rev DIV 1000000, 1)"
+               " >= 150000 THEN 'moderate' ELSE 'low' END")
+        .alias("band"))
+
+
+def _sql_rel_hhi_trend() -> str:
+    return """
+WITH mc AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+              AS BIGINT) AS mn,
+         o_custkey,
+         CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT)) AS BIGINT)
+           AS r
+  FROM orders GROUP BY 1, 2),
+agg AS (
+  SELECT mn, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(r) AS BIGINT) AS rev,
+         CAST(sum(r * r) AS BIGINT) AS sq,
+         CAST(max(r) AS BIGINT) AS top_r
+  FROM mc GROUP BY 1)
+SELECT printf('%04d-%02d', CAST(mn // 12 AS INT),
+              CAST(mn % 12 + 1 AS INT)) AS month,
+       n_customers, rev,
+       CAST(sq // greatest(rev * rev // 1000000, 1) AS BIGINT)
+         AS hhi_ppm,
+       CAST(top_r * 1000000 // rev AS BIGINT) AS top_share_ppm,
+       CASE WHEN sq // greatest(rev * rev // 1000000, 1) >= 250000
+            THEN 'high'
+            WHEN sq // greatest(rev * rev // 1000000, 1) >= 150000
+            THEN 'moderate' ELSE 'low' END AS band
 FROM agg
 """

@@ -58,9 +58,11 @@ class TestAnova:
         got = {r.factor: r for r in q_rel_anova(spark, SF).collect()}
         assert set(got) == set(ANOVA_FACTORS)
         for fac in ANOVA_FACTORS:
+            import math
             groups = defaultdict(list)
             for r in rows:
-                d = int(round(abs(r.o_totalprice)))
+                # engines round half AWAY from zero
+                d = int(math.floor(abs(r.o_totalprice) + 0.5))
                 groups[getattr(r, fac)].append(d)
             n = sum(len(v) for v in groups.values())
             s = sum(sum(v) for v in groups.values())
