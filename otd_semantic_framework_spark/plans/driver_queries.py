@@ -3521,6 +3521,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_fulfillment": q_rel_fulfillment,
         "sim_knn_label_smooth": q_sim_knn_label_smooth,
         "rel_hhi_trend": q_rel_hhi_trend,
+        "stats_entropy_rate": q_stats_entropy_rate,
+        "stats_transition_drift": q_stats_transition_drift,
     }
 
 
@@ -3846,6 +3848,8 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_fulfillment": _sql_rel_fulfillment(),
         "sim_knn_label_smooth": _sql_sim_knn_label_smooth(),
         "rel_hhi_trend": _sql_rel_hhi_trend(),
+        "stats_entropy_rate": _sql_stats_entropy_rate(),
+        "stats_transition_drift": _sql_stats_transition_drift(),
     }
 
 
@@ -18915,4 +18919,212 @@ SELECT printf('%04d-%02d', CAST(mn // 12 AS INT),
             WHEN sq // greatest(rev * rev // 1000000, 1) >= 150000
             THEN 'moderate' ELSE 'low' END AS band
 FROM agg
+"""
+
+
+def q_stats_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user event process [K: the predictability
+    read — H(next|prev) from the bigram transition matrix vs the
+    marginal H(next); a big gap means behavior is sequence-
+    predictable (prefetch, cache, precompute the next screen), a
+    tiny one means memoryless]: one row with the transition count,
+    marginal next-entropy, prev-entropy, joint bigram entropy,
+    conditional entropy H(next|prev) = H(joint) - H(prev), and the
+    information gain H(next) - H(next|prev). Every entropy folds its
+    c*log2(c) sum in DETERMINISTIC key order (bounded type
+    vocabulary — the rel_user_entropy idiom); the joint key is
+    prev||'|'||next (types contain no '|').
+
+    Shape: one user-partitioned lag window, one (prev,next) hash agg
+    (type-vocabulary-sized output), three ordered folds over that
+    tiny table. Only the window sees the corpus."""
+    e = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (e.select("user_id", "ts", "event_id",
+                   F.col("event_type").alias("nxt"))
+          .withColumn("prev", F.lag("nxt").over(w))
+          .filter(F.col("prev").isNotNull())
+          .groupBy("prev", "nxt")
+          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+
+    def fold_ent(pairs_col):
+        return F.aggregate(pairs_col, F.lit(0.0),
+                           lambda a, x: a + x.c.cast("double")
+                           * F.log2(x.c.cast("double")))
+
+    agg = tr.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sort_array(F.collect_list(F.struct(
+            F.concat_ws("|", "prev", "nxt").alias("k"),
+            F.col("c").alias("c")))).alias("joint"))
+    prev_m = (tr.groupBy("prev").agg(F.sum("c").cast("long").alias("c"))
+              .agg(F.sort_array(F.collect_list(F.struct(
+                  F.col("prev").alias("k"), F.col("c").alias("c"))))
+                  .alias("arr")))
+    nxt_m = (tr.groupBy("nxt").agg(F.sum("c").cast("long").alias("c"))
+             .agg(F.sort_array(F.collect_list(F.struct(
+                 F.col("nxt").alias("k"), F.col("c").alias("c"))))
+                 .alias("arr")))
+    j = (agg.crossJoin(F.broadcast(prev_m.select(
+        F.col("arr").alias("prevm"))))
+        .crossJoin(F.broadcast(nxt_m.select(
+            F.col("arr").alias("nxtm")))))
+    ln = F.log2(F.col("n").cast("double"))
+    nd = F.col("n").cast("double")
+    h_joint = F.round(ln - fold_ent(F.col("joint")) / nd, 6)
+    h_prev = F.round(ln - fold_ent(F.col("prevm")) / nd, 6)
+    h_next = F.round(ln - fold_ent(F.col("nxtm")) / nd, 6)
+    return j.select(
+        F.col("n").alias("n_trans"),
+        h_next.alias("h_next"), h_prev.alias("h_prev"),
+        h_joint.alias("h_joint"),
+        F.round(h_joint - h_prev, 6).alias("h_cond"),
+        F.round(h_next - (h_joint - h_prev), 6).alias("info_gain"))
+
+
+def _sql_stats_entropy_rate() -> str:
+    fold = ("coalesce(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            " list_transform({src}, x -> CAST(x.c AS DOUBLE)"
+            " * log2(CAST(x.c AS DOUBLE)))), (a, b) -> a + b), 0.0)")
+    return f"""
+WITH s AS (
+  SELECT event_type AS nxt,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+tr AS (
+  SELECT prev, nxt, CAST(count(*) AS BIGINT) AS c
+  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+joint AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         list(struct_pack(k := prev || '|' || nxt, c := c)
+              ORDER BY prev || '|' || nxt) AS arr
+  FROM tr),
+prevm AS (
+  SELECT list(struct_pack(k := prev, c := c) ORDER BY prev) AS arr
+  FROM (SELECT prev, CAST(sum(c) AS BIGINT) AS c FROM tr GROUP BY 1)),
+nxtm AS (
+  SELECT list(struct_pack(k := nxt, c := c) ORDER BY nxt) AS arr
+  FROM (SELECT nxt, CAST(sum(c) AS BIGINT) AS c FROM tr GROUP BY 1))
+SELECT joint.n AS n_trans,
+       round(log2(CAST(n AS DOUBLE))
+             - {fold.format(src='nxtm.arr')} / CAST(n AS DOUBLE), 6)
+         AS h_next,
+       round(log2(CAST(n AS DOUBLE))
+             - {fold.format(src='prevm.arr')} / CAST(n AS DOUBLE), 6)
+         AS h_prev,
+       round(log2(CAST(n AS DOUBLE))
+             - {fold.format(src='joint.arr')} / CAST(n AS DOUBLE), 6)
+         AS h_joint,
+       round(round(log2(CAST(n AS DOUBLE))
+                   - {fold.format(src='joint.arr')}
+                     / CAST(n AS DOUBLE), 6)
+             - round(log2(CAST(n AS DOUBLE))
+                     - {fold.format(src='prevm.arr')}
+                       / CAST(n AS DOUBLE), 6), 6) AS h_cond,
+       round(round(log2(CAST(n AS DOUBLE))
+                   - {fold.format(src='nxtm.arr')}
+                     / CAST(n AS DOUBLE), 6)
+             - (round(log2(CAST(n AS DOUBLE))
+                      - {fold.format(src='joint.arr')}
+                        / CAST(n AS DOUBLE), 6)
+                - round(log2(CAST(n AS DOUBLE))
+                        - {fold.format(src='prevm.arr')}
+                          / CAST(n AS DOUBLE), 6)), 6) AS info_gain
+FROM joint CROSS JOIN prevm CROSS JOIN nxtm
+"""
+
+
+def q_stats_transition_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-dynamics drift: exact L1 distance between the bigram
+    transition distributions of the first and second half of the
+    span [K: composition monitors (stats_psi, stats_mix_shift) watch
+    WHAT happens; this watches what-FOLLOWS-what — a bot that keeps
+    the event mix but loops a fixed sequence flips exactly this
+    matrix]: per (prev,next) pair the half-counts and probabilities
+    in exact ppm, and the total L1 computed with ZERO floats — the
+    common-denominator identity sum|c1*N2 - c2*N1| * 1e6 DIV (N1*N2)
+    (BIGINT-safe to ~1e9 transitions per half; beyond that, divide
+    first — documented).
+
+    Shape: one user-partitioned lag window, one (prev,next) hash agg
+    with conditional half-sums (type-vocabulary-sized), one 1-row
+    exact agg broadcast back. Only the window sees the corpus."""
+    e = _tbl(spark, sf_dir, "events")
+    span = e.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (e.crossJoin(F.broadcast(span))
+          .select("user_id", "ts", "event_id",
+                  F.col("event_type").alias("nxt"),
+                  (F.unix_timestamp(F.col("ts").cast("timestamp")) * 2
+                   >= F.unix_timestamp(F.col("t0").cast("timestamp"))
+                   + F.unix_timestamp(F.col("t1").cast("timestamp")))
+                  .cast("int").alias("half"))
+          .withColumn("prev", F.lag("nxt").over(w))
+          .filter(F.col("prev").isNotNull())
+          .groupBy("prev", "nxt")
+          .agg(F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+               .cast("long").alias("c1"),
+               F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+               .cast("long").alias("c2")))
+    tot = tr.agg(F.sum("c1").cast("long").alias("n1"),
+                 F.sum("c2").cast("long").alias("n2"))
+    k = tr.crossJoin(F.broadcast(tot))
+    l1 = k.agg(F.sum(F.abs(F.col("c1") * F.col("n2")
+                           - F.col("c2") * F.col("n1")))
+               .cast("long").alias("num"),
+               F.max(F.col("n1") * F.col("n2")).cast("long")
+               .alias("den"))
+    return (k.crossJoin(F.broadcast(l1))
+            .select("prev", "nxt", "c1", "c2",
+                    F.expr("c1 * 1000000 DIV greatest(n1, 1)")
+                    .cast("long").alias("p1_ppm"),
+                    F.expr("c2 * 1000000 DIV greatest(n2, 1)")
+                    .cast("long").alias("p2_ppm"),
+                    F.expr("num * 1000000 DIV greatest(den, 1)")
+                    .cast("long").alias("l1_ppm"),
+                    F.expr("CASE WHEN num * 1000000"
+                           " DIV greatest(den, 1) > 200000"
+                           " THEN 1 ELSE 0 END").cast("int")
+                    .alias("drifted")))
+
+
+def _sql_stats_transition_drift() -> str:
+    return """
+WITH span AS (SELECT min(ts) AS t0, max(ts) AS t1 FROM events),
+s AS (
+  SELECT user_id, ts, event_id, event_type AS nxt,
+         CAST(CASE WHEN CAST(epoch(date_trunc('second', ts))
+                        AS BIGINT) * 2
+                   >= CAST(epoch(date_trunc('second', t0)) AS BIGINT)
+                    + CAST(epoch(date_trunc('second', t1)) AS BIGINT)
+              THEN 1 ELSE 0 END AS INT) AS half
+  FROM events CROSS JOIN span),
+l AS (
+  SELECT half, nxt,
+         lag(nxt) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev
+  FROM s),
+tr AS (
+  SELECT prev, nxt,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c1,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c2
+  FROM l WHERE prev IS NOT NULL GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c2) AS BIGINT) AS n2
+  FROM tr),
+l1 AS (
+  SELECT CAST(sum(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS num,
+         CAST(max(n1 * n2) AS BIGINT) AS den
+  FROM tr CROSS JOIN tot)
+SELECT prev, nxt, c1, c2,
+       CAST(c1 * 1000000 // greatest(n1, 1) AS BIGINT) AS p1_ppm,
+       CAST(c2 * 1000000 // greatest(n2, 1) AS BIGINT) AS p2_ppm,
+       CAST(num * 1000000 // greatest(den, 1) AS BIGINT) AS l1_ppm,
+       CAST(CASE WHEN num * 1000000 // greatest(den, 1) > 200000
+            THEN 1 ELSE 0 END AS INT) AS drifted
+FROM tr CROSS JOIN tot CROSS JOIN l1
 """
