@@ -3523,6 +3523,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_hhi_trend": q_rel_hhi_trend,
         "stats_entropy_rate": q_stats_entropy_rate,
         "stats_transition_drift": q_stats_transition_drift,
+        "sim_intrinsic_dim": q_sim_intrinsic_dim,
+        "kg_domain_range_audit": q_kg_domain_range_audit,
     }
 
 
@@ -3850,6 +3852,8 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_hhi_trend": _sql_rel_hhi_trend(),
         "stats_entropy_rate": _sql_stats_entropy_rate(),
         "stats_transition_drift": _sql_stats_transition_drift(),
+        "sim_intrinsic_dim": _sql_sim_intrinsic_dim(),
+        "kg_domain_range_audit": _sql_kg_domain_range_audit(),
     }
 
 
@@ -19127,4 +19131,187 @@ SELECT prev, nxt, c1, c2,
        CAST(CASE WHEN num * 1000000 // greatest(den, 1) > 200000
             THEN 1 ELSE 0 END AS INT) AS drifted
 FROM tr CROSS JOIN tot CROSS JOIN l1
+"""
+
+
+def q_sim_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate of the embedding manifold
+    [K: Facco et al.'s two-nearest-neighbor MLE — ID ~= n / sum
+    ln(r2/r1); embeddings that nominally live in 64-d usually
+    concentrate on a much lower-dimensional manifold, and the ID
+    number drives index choice (IVF cell counts, HNSW M) and
+    compression budgets]: per anchor the two nearest in-bucket
+    cosine DISTANCES as exact ppm integers, the log-ratio
+    INTEGERIZED to nano-units per anchor (round(ln(d2/d1)*1e9) —
+    an exact BIGINT sum is order-invariant where a raw double sum is
+    engine-order-dependent), anchors with d1=0 (exact duplicates) or
+    fewer than 2 bucket mates excluded and counted.
+
+    Shape: the kNN graph's bucketed join (never all-pairs), one
+    per-anchor agg, one exact integer 1-row sum. The estimator
+    quality is bucket-local, same recall trade as ann_lsh_topk."""
+    from ..operators.simsearch import knn_graph
+    vecs = _tbl(spark, sf_dir, "embeddings")
+    g = knn_graph(vecs, k=2, n_planes=KNNG_N_PLANES)
+    d = g.select("src", "rk",
+                 (F.lit(1000000)
+                  - F.expr("CAST(round(cos * 1000000, 0) AS BIGINT)"))
+                 .alias("d_ppm"))
+    per = (d.groupBy("src")
+           .agg(F.count(F.lit(1)).cast("long").alias("k_found"),
+                F.min(F.when(F.col("rk") == 1, F.col("d_ppm")))
+                .cast("long").alias("d1"),
+                F.min(F.when(F.col("rk") == 2, F.col("d_ppm")))
+                .cast("long").alias("d2")))
+    usable = per.filter((F.col("k_found") >= 2) & (F.col("d1") > 0))
+    n_all = vecs.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    s = usable.select(F.expr(
+        "CAST(round(ln(CAST(d2 AS DOUBLE) / CAST(d1 AS DOUBLE))"
+        " * 1000000000, 0) AS BIGINT)").alias("ln_nano"))
+    agg = s.agg(F.count(F.lit(1)).cast("long").alias("n_used"),
+                F.sum("ln_nano").cast("long").alias("sum_ln_nano"))
+    return (agg.crossJoin(F.broadcast(n_all))
+            .select("n_used", "sum_ln_nano", "n_vecs",
+                    (F.col("n_vecs") - F.col("n_used")).cast("long")
+                    .alias("n_skipped"),
+                    F.round(F.when(
+                        F.col("sum_ln_nano") > 0,
+                        F.col("n_used").cast("double") * 1.0e9
+                        / F.col("sum_ln_nano").cast("double")), 6)
+                    .alias("id_hat")))
+
+
+def _sql_sim_intrinsic_dim() -> str:
+    from ..operators.simsearch import hyperplanes
+    planes = hyperplanes(KNNG_N_PLANES, 64)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(nv, {_sql_vec_lit(p)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    return f"""
+WITH v AS (SELECT vec_id AS nid, cast(embedding AS DOUBLE[]) AS nv
+           FROM embeddings),
+b AS (SELECT nid, nv, {bucket} AS bucket FROM v),
+pairs AS (
+  SELECT a.nid AS src, c.nid AS dst,
+         round(list_cosine_similarity(a.nv, c.nv), 6) AS cos
+  FROM b a JOIN b c USING (bucket)
+  WHERE a.nid <> c.nid),
+topk AS (
+  SELECT src, rk,
+         CAST(1000000 - CAST(round(cos * 1000000, 0) AS BIGINT)
+              AS BIGINT) AS d_ppm
+  FROM (
+    SELECT src, dst, cos,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cos DESC, dst ASC) AS rk
+    FROM pairs) WHERE rk <= 2),
+per AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS k_found,
+         CAST(min(CASE WHEN rk = 1 THEN d_ppm END) AS BIGINT) AS d1,
+         CAST(min(CASE WHEN rk = 2 THEN d_ppm END) AS BIGINT) AS d2
+  FROM topk GROUP BY 1),
+usable AS (SELECT * FROM per WHERE k_found >= 2 AND d1 > 0),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_used,
+         CAST(coalesce(sum(CAST(round(ln(CAST(d2 AS DOUBLE)
+                                          / CAST(d1 AS DOUBLE))
+                                      * 1000000000, 0) AS BIGINT)),
+                       0) AS BIGINT) AS sum_ln_nano
+  FROM usable),
+na AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM v)
+SELECT n_used, sum_ln_nano, n_vecs,
+       CAST(n_vecs - n_used AS BIGINT) AS n_skipped,
+       round(CASE WHEN sum_ln_nano > 0
+             THEN CAST(n_used AS DOUBLE) * 1.0e9
+                  / CAST(sum_ln_nano AS DOUBLE) END, 6) AS id_hat
+FROM agg CROSS JOIN na
+"""
+
+
+def q_kg_domain_range_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned domain/range conformance audit per predicate [K: the
+    OWL domain/range constraint check WITHOUT a declared schema —
+    learn each predicate's dominant subject and object NAMESPACE
+    (the id prefix before ':'), then count triples that deviate;
+    deviations are either modeling drift or extraction bugs, and
+    this audit is how a KG team finds them at 10^12 triples]: per
+    predicate the dominant domain/range, triple count, conforming
+    count (both ends dominant), and violation ppm.
+
+    Shape: map-side namespace projection, one (pred, ns-pair) hash
+    agg, per-pred struct-max dominants (no window), one broadcast
+    join back. Exact integers end to end."""
+    t = q_kg_triples(spark, sf_dir)
+    ns = t.select(
+        "pred",
+        F.substring_index("subj", ":", 1).alias("sns"),
+        F.substring_index("obj", ":", 1).alias("ons"))
+    cnt = (ns.groupBy("pred", "sns", "ons")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    doms = (ns.groupBy("pred", "sns")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .groupBy("pred")
+            .agg(F.max(F.struct(F.col("c"),
+                                F.col("sns").alias("v"))).alias("t"))
+            .select("pred", F.col("t.v").alias("dom_ns")))
+    rngs = (ns.groupBy("pred", "ons")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .groupBy("pred")
+            .agg(F.max(F.struct(F.col("c"),
+                                F.col("ons").alias("v"))).alias("t"))
+            .select("pred", F.col("t.v").alias("rng_ns")))
+    per = (cnt.groupBy("pred")
+           .agg(F.sum("c").cast("long").alias("n_triples")))
+    conf = (cnt.join(F.broadcast(doms), "pred")
+            .join(F.broadcast(rngs), "pred")
+            .groupBy("pred")
+            .agg(F.sum(F.when((F.col("sns") == F.col("dom_ns"))
+                              & (F.col("ons") == F.col("rng_ns")),
+                              F.col("c")).otherwise(0))
+                 .cast("long").alias("n_conform")))
+    return (per.join(conf, "pred").join(F.broadcast(doms), "pred")
+            .join(F.broadcast(rngs), "pred")
+            .select("pred", "dom_ns", "rng_ns", "n_triples",
+                    "n_conform",
+                    F.expr("(n_triples - n_conform) * 1000000"
+                           " DIV n_triples").cast("long")
+                    .alias("violation_ppm")))
+
+
+def _sql_kg_domain_range_audit() -> str:
+    return f"""
+WITH triples AS ({_sql_kg_triples_body()}),
+ns AS (
+  SELECT pred, split_part(subj, ':', 1) AS sns,
+         split_part(obj, ':', 1) AS ons
+  FROM triples),
+cnt AS (
+  SELECT pred, sns, ons, CAST(count(*) AS BIGINT) AS c
+  FROM ns GROUP BY 1, 2, 3),
+doms AS (
+  SELECT pred, first(sns ORDER BY c DESC, sns ASC) AS dom_ns
+  FROM (SELECT pred, sns, CAST(count(*) AS BIGINT) AS c
+        FROM ns GROUP BY 1, 2)
+  GROUP BY pred),
+rngs AS (
+  SELECT pred, first(ons ORDER BY c DESC, ons ASC) AS rng_ns
+  FROM (SELECT pred, ons, CAST(count(*) AS BIGINT) AS c
+        FROM ns GROUP BY 1, 2)
+  GROUP BY pred),
+per AS (
+  SELECT pred, CAST(sum(c) AS BIGINT) AS n_triples
+  FROM cnt GROUP BY 1),
+conf AS (
+  SELECT cnt.pred,
+         CAST(sum(CASE WHEN cnt.sns = doms.dom_ns
+                        AND cnt.ons = rngs.rng_ns
+                  THEN cnt.c ELSE 0 END) AS BIGINT) AS n_conform
+  FROM cnt JOIN doms USING (pred) JOIN rngs USING (pred)
+  GROUP BY cnt.pred)
+SELECT per.pred, dom_ns, rng_ns, n_triples, n_conform,
+       CAST((n_triples - n_conform) * 1000000 // n_triples AS BIGINT)
+         AS violation_ppm
+FROM per JOIN conf USING (pred) JOIN doms USING (pred)
+JOIN rngs USING (pred)
 """
