@@ -3525,6 +3525,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_transition_drift": q_stats_transition_drift,
         "sim_intrinsic_dim": q_sim_intrinsic_dim,
         "kg_domain_range_audit": q_kg_domain_range_audit,
+        "dedup_hash_collision_audit": q_dedup_hash_collision_audit,
+        "rel_sla_inversion": q_rel_sla_inversion,
     }
 
 
@@ -3854,6 +3856,8 @@ def build_oracle_sql() -> dict[str, str]:
         "stats_transition_drift": _sql_stats_transition_drift(),
         "sim_intrinsic_dim": _sql_sim_intrinsic_dim(),
         "kg_domain_range_audit": _sql_kg_domain_range_audit(),
+        "dedup_hash_collision_audit": _sql_dedup_hash_collision_audit(),
+        "rel_sla_inversion": _sql_rel_sla_inversion(),
     }
 
 
@@ -19314,4 +19318,131 @@ SELECT per.pred, dom_ns, rng_ns, n_triples, n_conform,
          AS violation_ppm
 FROM per JOIN conf USING (pred) JOIN doms USING (pred)
 JOIN rngs USING (pred)
+"""
+
+
+HASH_PREFIX_BITS = (8, 16, 24)
+
+
+def q_dedup_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-prefix collision audit [K: the partition-key QA every
+    hash-sharded system needs — dedup keys, shuffle partitions and
+    LSH buckets all key on hash PREFIXES, and observed collisions
+    far above the birthday bound n(n-1)/2^(k+1) mean a biased hash
+    or adversarial keys (hotspot shards at 10^12 rows)]: for each
+    prefix width k in {8,16,24} bits the distinct-key count, the
+    distinct-prefix count, observed collisions (keys minus
+    prefixes), the exact-integer birthday expectation, and the
+    observed/expected ratio in ppm (floor-guarded).
+
+    Shape: one distinct-hash agg, a 3x bounded explode, per-k
+    distinct aggs. Exact integers end to end."""
+    d = _docs(spark, sf_dir)
+    keys = d.select(F.md5(F.coalesce(F.col("text"), F.lit("")))
+                    .alias("h")).distinct()
+    ks = spark.createDataFrame([(k,) for k in HASH_PREFIX_BITS],
+                               "k int")
+    pref = (keys.crossJoin(F.broadcast(ks))
+            .select("k", F.expr("substring(h, 1, k DIV 4)")
+                    .alias("p")))
+    per = (pref.groupBy("k")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.countDistinct("p").cast("long").alias("n_prefixes")))
+    return per.select(
+        "k", "n_keys", "n_prefixes",
+        (F.col("n_keys") - F.col("n_prefixes")).cast("long")
+        .alias("collisions"),
+        F.expr("n_keys * (n_keys - 1)"
+               " DIV shiftleft(2L, CAST(k AS INT))").cast("long")
+        .alias("expected"),
+        F.expr("(n_keys - n_prefixes) * 1000000"
+               " DIV greatest(n_keys * (n_keys - 1)"
+               " DIV shiftleft(2L, CAST(k AS INT)), 1)").cast("long")
+        .alias("ratio_ppm"))
+
+
+def _sql_dedup_hash_collision_audit() -> str:
+    ks = ", ".join(f"({k})" for k in HASH_PREFIX_BITS)
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT md5(coalesce(text, '')) AS h FROM documents),
+ks(k) AS (VALUES {ks}),
+pref AS (
+  SELECT k, substring(h, 1, k // 4) AS p
+  FROM keys CROSS JOIN ks),
+per AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(count(DISTINCT p) AS BIGINT) AS n_prefixes
+  FROM pref GROUP BY 1)
+SELECT k, n_keys, n_prefixes,
+       CAST(n_keys - n_prefixes AS BIGINT) AS collisions,
+       CAST(n_keys * (n_keys - 1) // (CAST(2 AS BIGINT) << k)
+            AS BIGINT) AS expected,
+       CAST((n_keys - n_prefixes) * 1000000
+            // greatest(n_keys * (n_keys - 1)
+                        // (CAST(2 AS BIGINT) << k), 1) AS BIGINT)
+         AS ratio_ppm
+FROM per
+"""
+
+
+def q_rel_sla_inversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-inversion audit on fulfillment latency [K: the SLA
+    fairness check — URGENT orders must not ship SLOWER than
+    LOW-priority ones; when the medians invert between adjacent
+    priority classes, the scheduler (or the warehouse) is ignoring
+    priority and ops wants the exact pair]: per priority class its
+    urgency rank (the leading digit of the TPC-H priority string),
+    line count, exact doubled-median and mean ship delay, and the
+    inversion flag against the NEXT-less-urgent class.
+
+    Shape: the orders-lineitem join, one per-priority agg (5 rows),
+    a broadcast self-join on adjacent ranks. Exact integers."""
+    o = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
+    j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+         .select(F.col("o_orderpriority").alias("prio"),
+                 F.datediff(F.to_date("l_shipdate"),
+                            F.to_date("o_orderdate")).cast("long")
+                 .alias("delay")))
+    per = (j.groupBy("prio")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
+                F.expr("CAST(percentile(delay * 2, 0.5) AS BIGINT)")
+                .alias("med2_days"),
+                F.expr("sum(delay) DIV count(1)").cast("long")
+                .alias("mean_days"))
+           .withColumn("rank", F.expr(
+               "CAST(substring(prio, 1, 1) AS INT)")))
+    nxt = per.select(F.col("rank").alias("nrank"),
+                     F.col("med2_days").alias("next_med2"))
+    return (per.join(F.broadcast(nxt),
+                     per["rank"] + 1 == nxt["nrank"], "left")
+            .select("prio", "rank", "n_lines", "med2_days",
+                    "mean_days",
+                    F.coalesce("next_med2", F.lit(None)).cast("long")
+                    .alias("next_med2_days"),
+                    F.coalesce(F.col("med2_days") > F.col("next_med2"),
+                               F.lit(False)).cast("int")
+                    .alias("inverted_vs_next")))
+
+
+def _sql_rel_sla_inversion() -> str:
+    return """
+WITH j AS (
+  SELECT o_orderpriority AS prio,
+         CAST(datediff('day', CAST(o_orderdate AS DATE),
+                       CAST(l_shipdate AS DATE)) AS BIGINT) AS delay
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+per AS (
+  SELECT prio, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(quantile_cont(delay * 2, 0.5) AS BIGINT) AS med2_days,
+         CAST(sum(delay) // count(*) AS BIGINT) AS mean_days,
+         CAST(substring(prio, 1, 1) AS INT) AS rank
+  FROM j GROUP BY 1)
+SELECT p.prio, p.rank, p.n_lines, p.med2_days, p.mean_days,
+       CAST(n.med2_days AS BIGINT) AS next_med2_days,
+       CAST(CASE WHEN n.med2_days IS NOT NULL
+                  AND p.med2_days > n.med2_days
+            THEN 1 ELSE 0 END AS INT) AS inverted_vs_next
+FROM per p LEFT JOIN per n ON n.rank = p.rank + 1
 """
