@@ -3527,6 +3527,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_domain_range_audit": q_kg_domain_range_audit,
         "dedup_hash_collision_audit": q_dedup_hash_collision_audit,
         "rel_sla_inversion": q_rel_sla_inversion,
+        "stats_circadian": q_stats_circadian,
+        "curation_sample_audit": q_curation_sample_audit,
     }
 
 
@@ -3858,6 +3860,8 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_domain_range_audit": _sql_kg_domain_range_audit(),
         "dedup_hash_collision_audit": _sql_dedup_hash_collision_audit(),
         "rel_sla_inversion": _sql_rel_sla_inversion(),
+        "stats_circadian": _sql_stats_circadian(),
+        "curation_sample_audit": _sql_curation_sample_audit(),
     }
 
 
@@ -19445,4 +19449,158 @@ SELECT p.prio, p.rank, p.n_lines, p.med2_days, p.mean_days,
                   AND p.med2_days > n.med2_days
             THEN 1 ELSE 0 END AS INT) AS inverted_vs_next
 FROM per p LEFT JOIN per n ON n.rank = p.rank + 1
+"""
+
+
+# cos/sin of 2*pi*h/24 in exact nano-units, h = 0..23 — ONE Python
+# source of truth injected verbatim into both engines so the circular
+# sums are exact BIGINT arithmetic (no per-engine libm trig).
+CIRCADIAN_COS_NANO = (1000000000, 965925826, 866025404, 707106781, 500000000, 258819045, 0, -258819045, -500000000, -707106781, -866025404, -965925826, -1000000000, -965925826, -866025404, -707106781, -500000000, -258819045, 0, 258819045, 500000000, 707106781, 866025404, 965925826)
+CIRCADIAN_SIN_NANO = (0, 258819045, 500000000, 707106781, 866025404, 965925826, 1000000000, 965925826, 866025404, 707106781, 500000000, 258819045, 0, -258819045, -500000000, -707106781, -866025404, -965925826, -1000000000, -965925826, -866025404, -707106781, -500000000, -258819045)
+
+
+def q_stats_circadian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circadian concentration per event stream [K: the bot-vs-human
+    rhythm read — human activity peaks in a daily cycle (high mean
+    resultant length R), scripted traffic is flat (R ~ 0) or
+    hyper-peaked cron spikes; abuse triage reads exactly this
+    circular statistic]: per event_type the event count, the modal
+    hour and its share, and the mean resultant length R in ppm —
+    computed from EXACT nano-unit integer cos/sin sums (the 24 trig
+    constants are Python-generated literals shared verbatim by both
+    engines; only the final sqrt is floating point).
+
+    Shape: one (type, hour) hash agg on the corpus, a 24-entry
+    broadcast trig join, one per-type agg. Exact integers until the
+    last sqrt."""
+    e = _tbl(spark, sf_dir, "events")
+    hh = (e.select(F.col("event_type").alias("et"),
+                   F.hour("ts").cast("int").alias("h"))
+          .groupBy("et", "h")
+          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    trig = spark.createDataFrame(
+        [(h, CIRCADIAN_COS_NANO[h], CIRCADIAN_SIN_NANO[h])
+         for h in range(24)], "h int, cn long, sn long")
+    j = hh.join(F.broadcast(trig), "h")
+    per = (j.groupBy("et")
+           .agg(F.sum("c").cast("long").alias("n"),
+                F.sum(F.col("c") * F.col("cn")).cast("long")
+                .alias("cx"),
+                F.sum(F.col("c") * F.col("sn")).cast("long")
+                .alias("cy"),
+                F.max(F.struct(F.col("c"), (-F.col("h")).alias("nh")))
+                .alias("peak")))
+    return per.select(
+        F.col("et").alias("event_type"), "n",
+        (-F.col("peak.nh")).cast("int").alias("peak_hour"),
+        F.expr("peak.c * 1000000 DIV n").cast("long")
+        .alias("peak_share_ppm"),
+        F.expr("CAST(round(sqrt(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)"
+               " + CAST(cy AS DOUBLE) * CAST(cy AS DOUBLE))"
+               " / (CAST(n AS DOUBLE) * 1000.0), 0) AS BIGINT)")
+        .alias("r_ppm"))
+
+
+def _sql_stats_circadian() -> str:
+    rows = ", ".join(
+        f"({h}, {CIRCADIAN_COS_NANO[h]}, {CIRCADIAN_SIN_NANO[h]})"
+        for h in range(24))
+    return f"""
+WITH trig(h, cn, sn) AS (VALUES {rows}),
+hh AS (
+  SELECT event_type AS et, CAST(hour(ts) AS INT) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+j AS (SELECT et, hh.h, c, cn, sn FROM hh JOIN trig ON trig.h = hh.h),
+per AS (
+  SELECT et, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * cn) AS BIGINT) AS cx,
+         CAST(sum(c * sn) AS BIGINT) AS cy,
+         first(h ORDER BY c DESC, h ASC) AS peak_hour,
+         CAST(max(c) AS BIGINT) AS peak_c
+  FROM j GROUP BY 1)
+SELECT et AS event_type, n, CAST(peak_hour AS INT) AS peak_hour,
+       CAST(peak_c * 1000000 // n AS BIGINT) AS peak_share_ppm,
+       CAST(round(sqrt(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)
+                       + CAST(cy AS DOUBLE) * CAST(cy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * 1000.0), 0) AS BIGINT)
+         AS r_ppm
+FROM per
+"""
+
+
+SAMPLE_AUDIT_PCT = 10
+
+
+def q_curation_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampler-bias audit [K: every pipeline that dev-loops on a
+    'deterministic 10% sample' must prove the sample is UNBIASED —
+    a hash sampler keyed on doc_id is fine, one keyed on content
+    accidentally correlates with dedup keys; this audit compares the
+    sample's source mix against the corpus with the exact
+    common-denominator L1 (zero floats)]: per source the corpus and
+    sample counts, sampling rate in ppm, exact per-source share
+    delta, and the corpus-wide L1 in ppm — the number that should
+    hover near 0 for an unbiased sampler.
+
+    Shape: one map-side md5-bucket flag, one per-source conditional
+    agg, one 1-row exact agg broadcast back. The sampler IS the
+    md5-prefix rule used by curation_split (keyed on doc_id, not
+    text — key independence is the point)."""
+    d = _docs(spark, sf_dir)
+    flag = d.select(
+        "source",
+        (F.expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)),"
+                " 1, 4), 16, 10) AS BIGINT)")
+         * 100 < 65536 * SAMPLE_AUDIT_PCT).cast("int").alias("s"))
+    per = (flag.groupBy("source")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_corpus"),
+                F.sum("s").cast("long").alias("n_sample")))
+    tot = per.agg(F.sum("n_corpus").cast("long").alias("nc"),
+                  F.sum("n_sample").cast("long").alias("ns"))
+    k = per.crossJoin(F.broadcast(tot))
+    l1 = k.agg(F.sum(F.abs(F.col("n_sample") * F.col("nc")
+                           - F.col("n_corpus") * F.col("ns")))
+               .cast("long").alias("num"),
+               F.max(F.col("nc") * F.col("ns")).cast("long")
+               .alias("den"))
+    return (k.crossJoin(F.broadcast(l1))
+            .select("source", "n_corpus", "n_sample",
+                    F.expr("n_sample * 1000000 DIV n_corpus")
+                    .cast("long").alias("rate_ppm"),
+                    F.expr("(n_sample * nc - n_corpus * ns) * 1000000"
+                           " DIV (greatest(ns, 1) * nc)")
+                    .cast("long").alias("share_delta_ppm"),
+                    F.expr("num * 1000000 DIV greatest(den, 1)")
+                    .cast("long").alias("l1_ppm")))
+
+
+def _sql_curation_sample_audit() -> str:
+    return f"""
+WITH flag AS (
+  SELECT source,
+         CAST(CASE WHEN CAST((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 1 AS BIGINT) * 100
+                   < 65536 * {SAMPLE_AUDIT_PCT}
+              THEN 1 ELSE 0 END AS INT) AS s
+  FROM documents),
+per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_corpus,
+         CAST(sum(s) AS BIGINT) AS n_sample
+  FROM flag GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(n_corpus) AS BIGINT) AS nc,
+         CAST(sum(n_sample) AS BIGINT) AS ns
+  FROM per),
+l1 AS (
+  SELECT CAST(sum(abs(n_sample * nc - n_corpus * ns)) AS BIGINT)
+           AS num,
+         CAST(max(nc * ns) AS BIGINT) AS den
+  FROM per CROSS JOIN tot)
+SELECT source, n_corpus, n_sample,
+       CAST(n_sample * 1000000 // n_corpus AS BIGINT) AS rate_ppm,
+       CAST((n_sample * nc - n_corpus * ns) * 1000000
+            // (greatest(ns, 1) * nc) AS BIGINT)
+         AS share_delta_ppm,
+       CAST(num * 1000000 // greatest(den, 1) AS BIGINT) AS l1_ppm
+FROM per CROSS JOIN tot CROSS JOIN l1
 """
