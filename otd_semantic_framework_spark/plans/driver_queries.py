@@ -3529,6 +3529,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sla_inversion": q_rel_sla_inversion,
         "stats_circadian": q_stats_circadian,
         "curation_sample_audit": q_curation_sample_audit,
+        "sim_ivf_sweep": q_sim_ivf_sweep,
+        "kg_reciprocity": q_kg_reciprocity,
     }
 
 
@@ -3862,6 +3864,8 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_sla_inversion": _sql_rel_sla_inversion(),
         "stats_circadian": _sql_stats_circadian(),
         "curation_sample_audit": _sql_curation_sample_audit(),
+        "sim_ivf_sweep": _sql_sim_ivf_sweep(),
+        "kg_reciprocity": _sql_kg_reciprocity(),
     }
 
 
@@ -19603,4 +19607,212 @@ SELECT source, n_corpus, n_sample,
          AS share_delta_ppm,
        CAST(num * 1000000 // greatest(den, 1) AS BIGINT) AS l1_ppm
 FROM per CROSS JOIN tot CROSS JOIN l1
+"""
+
+
+IVF_SWEEP_PROBES = (1, 2, 4, 8)
+
+
+def q_sim_ivf_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe recall/cost sweep [K: the index-tuning curve every
+    vector-store operator reads before fixing nprobe — recall@k
+    climbs with probed cells while scan cost climbs linearly, and
+    the knee of this curve IS the production setting; the LSH analog
+    is sim_ann_sweep, this is the IVF side]: for each nprobe in
+    {1,2,4,8} the mean recall@k vs the exact top-k (exact ppm —
+    integer overlap counts over n_queries*k), the mean candidates
+    scanned per query (exact DIV), and the total overlap.
+
+    Shape: per nprobe one IVF bucketed join (equi-join on probed
+    cell — never all-pairs) plus one broadcast-bounded exact pass
+    shared across the sweep; unions of tiny per-probe aggregates.
+    The exact side is the same N_QUERY_VECS-bounded brute pass
+    sim_recall uses."""
+    from ..operators.simsearch import ann_ivf_topk, cosine_topk
+    e = _tbl(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    c = (e.filter(F.col("vec_id") >= N_QUERY_VECS)
+         .select(F.col("vec_id").alias("cid"),
+                 F.col("embedding").alias("cv")))
+    exact = cosine_topk(q, c, k=ANN_K).select(
+        "qid", F.col("cid").alias("ecid"))
+    outs = []
+    for npb in IVF_SWEEP_PROBES:
+        approx = ann_ivf_topk(q, c, k=ANN_K, n_cells=IVF_N_CELLS,
+                              n_probe=npb)
+        hit = (approx.join(exact,
+                           (approx["qid"] == exact["qid"])
+                           & (approx["cid"] == exact["ecid"]))
+               .agg(F.count(F.lit(1)).cast("long").alias("overlap")))
+        # candidates scanned = candidate rows inside probed cells
+        from ..operators.simsearch import ivf_centroids
+        C = ivf_centroids(IVF_N_CELLS, 64)
+        cent = spark.createDataFrame(
+            [(i, [float(x) for x in C[i]]) for i in range(IVF_N_CELLS)],
+            "cell int, cvec array<double>")
+        dot = F.expr("aggregate(zip_with(CAST(v AS ARRAY<DOUBLE>),"
+                     " cvec, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+                     " (a, x) -> a + x)")
+        ca = (c.select(F.col("cid"), F.col("cv").alias("v"))
+              .crossJoin(F.broadcast(cent)).withColumn("d", dot)
+              .withColumn("rnk", F.row_number().over(
+                  Window.partitionBy("cid")
+                  .orderBy(F.desc("d"), F.asc("cell"))))
+              .filter(F.col("rnk") == 1)
+              .select("cid", "cell"))
+        qa = (q.select(F.col("qid"), F.col("qv").alias("v"))
+              .crossJoin(F.broadcast(cent)).withColumn("d", dot)
+              .withColumn("rnk", F.row_number().over(
+                  Window.partitionBy("qid")
+                  .orderBy(F.desc("d"), F.asc("cell"))))
+              .filter(F.col("rnk") <= npb)
+              .select("qid", "cell"))
+        scan = (qa.join(ca, "cell")
+                .agg(F.count(F.lit(1)).cast("long").alias("scanned")))
+        nq = q.agg(F.count(F.lit(1)).cast("long").alias("nq"))
+        outs.append(
+            hit.crossJoin(F.broadcast(scan)).crossJoin(F.broadcast(nq))
+            .select(F.lit(npb).cast("int").alias("n_probe"),
+                    F.col("nq").cast("long").alias("n_queries"),
+                    "overlap",
+                    F.expr(f"overlap * 1000000 DIV (nq * {ANN_K})")
+                    .cast("long").alias("recall_ppm"),
+                    F.expr("scanned DIV nq").cast("long")
+                    .alias("mean_candidates")))
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def _sql_sim_ivf_sweep() -> str:
+    from ..operators.simsearch import ivf_centroids
+    C = ivf_centroids(IVF_N_CELLS, 64)
+    cent_rows = ",\n    ".join(
+        f"({i}, {_sql_vec_lit(C[i])}::DOUBLE[])"
+        for i in range(IVF_N_CELLS))
+    blocks = []
+    for npb in IVF_SWEEP_PROBES:
+        blocks.append(f"""
+SELECT {npb} AS n_probe,
+       (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_queries,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM (SELECT p.qid, a.cid,
+                     row_number() OVER (PARTITION BY p.qid
+                         ORDER BY round(list_cosine_similarity(
+                             p.qv, a.cv), 6) DESC, a.cid ASC) AS rk
+              FROM (SELECT qid, qv, cell FROM qc
+                    WHERE rnk <= {npb}) p
+              JOIN cassign a USING (cell)) ap
+        JOIN exact ON exact.qid = ap.qid AND exact.ecid = ap.cid
+        WHERE ap.rk <= {ANN_K}) AS overlap,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM (SELECT p.qid, a.cid,
+                     row_number() OVER (PARTITION BY p.qid
+                         ORDER BY round(list_cosine_similarity(
+                             p.qv, a.cv), 6) DESC, a.cid ASC) AS rk
+              FROM (SELECT qid, qv, cell FROM qc
+                    WHERE rnk <= {npb}) p
+              JOIN cassign a USING (cell)) ap
+        JOIN exact ON exact.qid = ap.qid AND exact.ecid = ap.cid
+        WHERE ap.rk <= {ANN_K})
+       * 1000000 // ((SELECT count(*) FROM q) * {ANN_K})
+         AS recall_ppm,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM (SELECT qid, cell FROM qc WHERE rnk <= {npb}) pp
+        JOIN cassign a USING (cell))
+       // (SELECT count(*) FROM q) AS mean_candidates""")
+    body = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH cent(cell, cvec) AS (
+  VALUES
+    {cent_rows}
+),
+q AS (SELECT vec_id AS qid, cast(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+c AS (SELECT vec_id AS cid, cast(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id >= {N_QUERY_VECS}),
+cc AS (
+  SELECT cid, cv, cell,
+         row_number() OVER (PARTITION BY cid
+             ORDER BY list_dot_product(cv, cvec) DESC, cell ASC)
+           AS rnk
+  FROM c CROSS JOIN cent),
+cassign AS (SELECT cid, cv, cell FROM cc WHERE rnk = 1),
+qc AS (
+  SELECT qid, qv, cell,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY list_dot_product(qv, cvec) DESC, cell ASC)
+           AS rnk
+  FROM q CROSS JOIN cent),
+exact AS (
+  SELECT qid, cid AS ecid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+               ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6)
+                        DESC, c.cid ASC) AS rk
+    FROM q CROSS JOIN c) WHERE rk <= {ANN_K})
+{body}
+"""
+
+
+def q_kg_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed reciprocity of the KG [K: the network read that
+    separates conversational graphs (replies reciprocate) from
+    taxonomic ones (mentions don't) — reciprocity r = share of
+    directed edges whose reverse edge also exists, per predicate and
+    pooled; high-reciprocity predicates are the ones worth storing
+    bidirectionally at 10^12 triples]: per predicate the directed
+    edge count, reciprocated count, and r in exact ppm, plus an
+    __all__ pooled row.
+
+    Shape: distinct edge projection, one self-equi-join on the
+    reversed key (hash join on (obj,subj) — never all-pairs), two
+    tiny aggs. Exact integers."""
+    t = q_kg_triples(spark, sf_dir)
+    ed = (t.select("pred", F.col("subj").alias("u"),
+                   F.col("obj").alias("v"))
+          .filter(F.col("u") != F.col("v")).distinct())
+    rev = ed.select("pred", F.col("v").alias("u"),
+                    F.col("u").alias("v"),
+                    F.lit(1).alias("has_rev"))
+    j = (ed.join(rev, ["pred", "u", "v"], "left")
+         .select("pred", F.coalesce("has_rev", F.lit(0)).alias("r")))
+    per = (j.groupBy("pred")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_edges"),
+                F.sum("r").cast("long").alias("n_recip")))
+    allr = (j.groupBy(F.lit("__all__").alias("pred"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_edges"),
+                 F.sum("r").cast("long").alias("n_recip")))
+    return (per.unionByName(allr)
+            .select("pred", "n_edges", "n_recip",
+                    F.expr("n_recip * 1000000 DIV n_edges")
+                    .cast("long").alias("reciprocity_ppm")))
+
+
+def _sql_kg_reciprocity() -> str:
+    return f"""
+WITH triples AS ({_sql_kg_triples_body()}),
+ed AS (
+  SELECT DISTINCT pred, subj AS u, obj AS v
+  FROM triples WHERE subj <> obj),
+j AS (
+  SELECT e.pred,
+         CASE WHEN r.u IS NULL THEN 0 ELSE 1 END AS rr
+  FROM ed e LEFT JOIN ed r
+    ON r.pred = e.pred AND r.u = e.v AND r.v = e.u),
+per AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(rr) AS BIGINT) AS n_recip
+  FROM j GROUP BY 1
+  UNION ALL
+  SELECT '__all__', CAST(count(*) AS BIGINT),
+         CAST(sum(rr) AS BIGINT)
+  FROM j)
+SELECT pred, n_edges, n_recip,
+       CAST(n_recip * 1000000 // n_edges AS BIGINT)
+         AS reciprocity_ppm
+FROM per
 """
