@@ -3531,6 +3531,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_sample_audit": q_curation_sample_audit,
         "sim_ivf_sweep": q_sim_ivf_sweep,
         "kg_reciprocity": q_kg_reciprocity,
+        "kg_salt_planner": q_kg_salt_planner,
+        "text_memorization": q_text_memorization,
     }
 
 
@@ -3866,6 +3868,8 @@ def build_oracle_sql() -> dict[str, str]:
         "curation_sample_audit": _sql_curation_sample_audit(),
         "sim_ivf_sweep": _sql_sim_ivf_sweep(),
         "kg_reciprocity": _sql_kg_reciprocity(),
+        "kg_salt_planner": _sql_kg_salt_planner(),
+        "text_memorization": _sql_text_memorization(),
     }
 
 
@@ -19815,4 +19819,164 @@ SELECT pred, n_edges, n_recip,
        CAST(n_recip * 1000000 // n_edges AS BIGINT)
          AS reciprocity_ppm
 FROM per
+"""
+
+
+SALT_TARGET_PER_KEY = 4096
+
+
+def q_kg_salt_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salt planner [K: closes the loop between skew DISCOVERY
+    and skew HANDLING — kg_cardinality_profile finds the hot keys,
+    rel_salted_agg shows the two-phase fix; this op turns the
+    per-predicate fan maxima into the concrete salt factor a job
+    config needs: the smallest power of two that brings the hottest
+    key under a target rows-per-(key,salt) budget]: per (pred,
+    direction) the hottest key's fan, the p-th largest fans summary
+    (max + total), the recommended salt (power of two, 1 = none) and
+    the post-salt worst-case rows per task.
+
+    Shape: two (pred,key) hash aggs, per-pred maxima, map-side
+    bit-length arithmetic (exact — no logs). Output is tiny."""
+    t = q_kg_triples(spark, sf_dir)
+    outs = []
+    for direction, key in (("out", "subj"), ("in", "obj")):
+        fan = (t.groupBy("pred", F.col(key).alias("k"))
+               .agg(F.count(F.lit(1)).cast("long").alias("fan")))
+        per = (fan.groupBy("pred")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_keys"),
+                    F.sum("fan").cast("long").alias("n_rows"),
+                    F.max("fan").cast("long").alias("max_fan")))
+        # salt = 2^ceil(log2(max_fan / target)) via bit-length:
+        # need = (max_fan + T - 1) DIV T; salt = next pow2 >= need
+        outs.append(per.select(
+            "pred", F.lit(direction).alias("direction"),
+            "n_keys", "n_rows", "max_fan",
+            F.expr(
+                f"CASE WHEN max_fan <= {SALT_TARGET_PER_KEY} THEN 1L "
+                f"ELSE shiftleft(1L, CAST(length(bin("
+                f"(max_fan + {SALT_TARGET_PER_KEY} - 1)"
+                f" DIV {SALT_TARGET_PER_KEY} - 1)) AS INT)) END")
+            .cast("long").alias("salt")))
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out.withColumn(
+        "post_salt_max",
+        F.expr("(max_fan + salt - 1) DIV salt").cast("long"))
+
+
+def _sql_kg_salt_planner() -> str:
+    blocks = []
+    for direction, key in (("out", "subj"), ("in", "obj")):
+        blocks.append(f"""
+SELECT pred, '{direction}' AS direction,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(fan) AS BIGINT) AS n_rows,
+       CAST(max(fan) AS BIGINT) AS max_fan,
+       CAST(CASE WHEN max(fan) <= {SALT_TARGET_PER_KEY} THEN 1
+            ELSE (CAST(1 AS BIGINT) << CAST(length(bin(
+                 (max(fan) + {SALT_TARGET_PER_KEY} - 1)
+                 // {SALT_TARGET_PER_KEY} - 1)) AS INT)) END
+            AS BIGINT) AS salt
+FROM (SELECT pred, {key} AS k, CAST(count(*) AS BIGINT) AS fan
+      FROM triples GROUP BY 1, 2)
+GROUP BY pred""")
+    body = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH triples AS ({_sql_kg_triples_body()}),
+base AS (
+{body})
+SELECT pred, direction, n_keys, n_rows, max_fan, salt,
+       CAST((max_fan + salt - 1) // salt AS BIGINT) AS post_salt_max
+FROM base
+"""
+
+
+MEMO_NGRAM_N = 8
+
+
+def q_text_memorization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document n-gram memorization audit [K: the repeated-
+    8-gram measurement behind dedup decisions in RefinedWeb/Gopher —
+    what share of the corpus's 8-gram MASS is duplicated across
+    documents? high duplicated mass means the model will memorize
+    boilerplate; the doc-frequency histogram head shows how bad]:
+    one row per doc-frequency band (1, 2, 3-4, 5-8, 9+) with the
+    8-gram type and mass counts, plus corpus-wide duplicated-mass
+    ppm on every row.
+
+    Shape: token explode -> 8-gram windows per doc via posexplode
+    over token arrays (map-side slice, no self-join) -> one
+    (gram-hash) hash agg -> a 5-row band agg. The gram kills the
+    raw string early (md5 -> 128-bit key), so the shuffle carries
+    hashes, not text."""
+    d = _docs(spark, sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != "")
+    n = MEMO_NGRAM_N
+    grams = d.select("doc_id", toks.alias("tk")).select(
+        "doc_id",
+        F.explode(F.expr(
+            f"CASE WHEN size(tk) >= {n} THEN transform("
+            f"sequence(0, size(tk) - {n}),"
+            f" i -> md5(concat_ws(' ', slice(tk, i + 1, {n}))))"
+            f" ELSE CAST(array() AS ARRAY<STRING>) END")).alias("g"))
+    per = (grams.groupBy("g")
+           .agg(F.count(F.lit(1)).cast("long").alias("mass"),
+                F.countDistinct("doc_id").cast("long").alias("df")))
+    band = F.expr("CASE WHEN df = 1 THEN '1' WHEN df = 2 THEN '2'"
+                  " WHEN df <= 4 THEN '3-4' WHEN df <= 8 THEN '5-8'"
+                  " ELSE '9+' END")
+    hist = (per.withColumn("band", band)
+            .groupBy("band")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_types"),
+                 F.sum("mass").cast("long").alias("mass")))
+    tot = (per.agg(
+        F.sum("mass").cast("long").alias("total_mass"),
+        F.sum(F.when(F.col("df") > 1, F.col("mass")).otherwise(0))
+        .cast("long").alias("dup_mass")))
+    return (hist.crossJoin(F.broadcast(tot))
+            .select("band", "n_types", "mass", "total_mass",
+                    F.expr("dup_mass * 1000000"
+                           " DIV greatest(total_mass, 1)")
+                    .cast("long").alias("dup_mass_ppm")))
+
+
+def _sql_text_memorization() -> str:
+    n = MEMO_NGRAM_N
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')),
+                                        '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(tk) >= {n} THEN list_transform(
+      generate_series(0, len(tk) - {n}),
+      i -> md5(array_to_string(list_slice(tk, i + 1, i + {n}), ' ')))
+    ELSE [] END) AS g
+  FROM tk),
+per AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS mass,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM grams GROUP BY 1),
+hist AS (
+  SELECT CASE WHEN df = 1 THEN '1' WHEN df = 2 THEN '2'
+              WHEN df <= 4 THEN '3-4' WHEN df <= 8 THEN '5-8'
+              ELSE '9+' END AS band,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(mass) AS BIGINT) AS mass
+  FROM per GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(mass) AS BIGINT) AS total_mass,
+         CAST(sum(CASE WHEN df > 1 THEN mass ELSE 0 END) AS BIGINT)
+           AS dup_mass
+  FROM per)
+SELECT band, n_types, mass, total_mass,
+       CAST(dup_mass * 1000000 // greatest(total_mass, 1) AS BIGINT)
+         AS dup_mass_ppm
+FROM hist CROSS JOIN tot
 """
