@@ -87,7 +87,7 @@ DRIVER_SAMPLE_FIRST_50 = [
 # pred_cooccur,collective_linking,concept_transitions,entity_cards},
 # stats_{cms_tokens,binned_quantiles,kmv_distinct}, and waves 21-22:
 # rel_chisq, kg_{graph_summary,surface_ambiguity,transitive_reduction},
-# and the r4 wave-23..65 additions (see COVERAGE.md; highlights:
+# and the r4 wave-23..78 additions (see COVERAGE.md; highlights:
 # kg_{truss,pathsim,rank_corr,diameter_est,topic_focus,calibration,
 # degree_anomaly,neighbor_sampling}, sim_{knn_graph,semantic_clusters,
 # outliers,ann_sweep,bucket_balance,pq_recall,label_calibration,
@@ -97,9 +97,16 @@ DRIVER_SAMPLE_FIRST_50 = [
 # text_{gini,heaps,code_detect,blocklist,class_entropy},
 # curation_{anneal,fertility,curriculum,dataset_card,pii_audit},
 # dedup_{threshold_sweep,cluster_quality,population_est},
-# sim_{triplet_mining,hubness}, stats_{mannwhitney,trend,friedman,
-# dispersion,control_chart,ccf}, rel_{user_entropy,velocity,
-# stickiness}, kg_{cardinality_profile,join_cardinality}).
+# sim_{triplet_mining,hubness,norm_audit,knn_label_smooth,
+# intrinsic_dim,ivf_sweep}, stats_{mannwhitney,trend,friedman,
+# dispersion,control_chart,ccf,psi,mix_shift,entropy_rate,
+# transition_drift,records,circadian,interarrival}, rel_{user_entropy,
+# velocity,stickiness,dormancy,growth_accounting,error_cascade,
+# fulfillment,hhi_trend,anova,sla_inversion}, kg_{cardinality_profile,
+# join_cardinality,rich_club,domain_range_audit,reciprocity,
+# salt_planner}, curation_{apportion,sample_audit,curriculum,
+# dataset_card,pii_audit}, dedup_{population_est,hash_collision_audit},
+# text_{class_entropy,memorization}).
 # Rotate 41 of them into slots 10-50 of DRIVER_SAMPLE_FIRST_50 next
 # round (keep the core nine; prefer cross-query compositions), and the
 # remainder the round after. EVERY pair — sampled or not — was gated
