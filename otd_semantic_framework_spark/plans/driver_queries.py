@@ -3533,6 +3533,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reciprocity": q_kg_reciprocity,
         "kg_salt_planner": q_kg_salt_planner,
         "text_memorization": q_text_memorization,
+        "stats_survival": q_stats_survival,
+        "dedup_attribution": q_dedup_attribution,
     }
 
 
@@ -3870,6 +3872,8 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_reciprocity": _sql_kg_reciprocity(),
         "kg_salt_planner": _sql_kg_salt_planner(),
         "text_memorization": _sql_text_memorization(),
+        "stats_survival": _sql_stats_survival(),
+        "dedup_attribution": _sql_dedup_attribution(),
     }
 
 
@@ -19979,4 +19983,167 @@ SELECT band, n_types, mass, total_mass,
        CAST(dup_mass * 1000000 // greatest(total_mass, 1) AS BIGINT)
          AS dup_mass_ppm
 FROM hist CROSS JOIN tot
+"""
+
+
+SURVIVAL_CENSOR_DAYS = 14
+
+
+def q_stats_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes [K: THE
+    censoring-aware retention curve — naive 'average lifetime'
+    understates retention because users still active at the
+    observation edge haven't died yet; KM multiplies (1 - d/n) over
+    event times and handles exactly that]: lifetime = days between a
+    user's first and last active day, DEATH if the user has been
+    silent for > 14 days at corpus end, CENSORED otherwise; per
+    distinct lifetime the at-risk count, deaths, censored, and the
+    KM survival estimate S(t) — a DETERMINISTIC ascending-time fold
+    over the calendar-bounded lifetime table (the product, like the
+    entropy sums, must not be a hash-agg float reduction).
+
+    Shape: one (user) agg from the (user,day) distinct, one tiny
+    per-lifetime agg, cumulative at-risk via the triangular
+    broadcast idiom, one ordered product fold. Only the first agg
+    sees the corpus."""
+    e = _tbl(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    gmax = ud.agg(F.max("day").alias("gday"))
+    life = (ud.groupBy("user_id")
+            .agg(F.min("day").alias("fd"), F.max("day").alias("ld"))
+            .crossJoin(F.broadcast(gmax))
+            .select(F.datediff("ld", "fd").cast("long").alias("t"),
+                    (F.datediff("gday", "ld")
+                     > SURVIVAL_CENSOR_DAYS).cast("int").alias("dead")))
+    per = (life.groupBy("t")
+           .agg(F.sum("dead").cast("long").alias("d"),
+                F.sum(1 - F.col("dead")).cast("long").alias("c")))
+    # at risk at t = all users with lifetime >= t
+    risk = (per.alias("a").join(F.broadcast(per.alias("b")),
+                                F.col("b.t") >= F.col("a.t"))
+            .groupBy(F.col("a.t").alias("t"))
+            .agg(F.max(F.col("a.d")).cast("long").alias("d"),
+                 F.max(F.col("a.c")).cast("long").alias("c"),
+                 F.sum(F.col("b.d") + F.col("b.c")).cast("long")
+                 .alias("n_risk")))
+    # S(t) = prod over t' <= t with d>0 of (1 - d/n): ordered fold
+    km = (risk.agg(F.sort_array(F.collect_list(F.struct(
+        F.col("t"), F.col("d"), F.col("n_risk")))).alias("arr")))
+    joined = risk.crossJoin(F.broadcast(km))
+    surv = F.round(F.aggregate(
+        F.filter(F.col("arr"),
+                 lambda x: (x.t <= F.col("t")) & (x.d > 0)),
+        F.lit(1.0),
+        lambda acc, x: acc * (F.lit(1.0) - x.d.cast("double")
+                              / x.n_risk.cast("double"))), 6)
+    return joined.select("t", "n_risk", "d", "c",
+                         surv.alias("s_km"))
+
+
+def _sql_stats_survival() -> str:
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+gmax AS (SELECT max(day) AS gday FROM ud),
+life AS (
+  SELECT CAST(datediff('day', fd, ld) AS BIGINT) AS t,
+         CAST(CASE WHEN datediff('day', ld, gday)
+                        > {SURVIVAL_CENSOR_DAYS}
+              THEN 1 ELSE 0 END AS INT) AS dead
+  FROM (SELECT user_id, min(day) AS fd, max(day) AS ld
+        FROM ud GROUP BY 1) CROSS JOIN gmax),
+per AS (
+  SELECT t, CAST(sum(dead) AS BIGINT) AS d,
+         CAST(sum(1 - dead) AS BIGINT) AS c
+  FROM life GROUP BY 1),
+risk AS (
+  SELECT a.t, max(a.d) AS d, max(a.c) AS c,
+         CAST(sum(b.d + b.c) AS BIGINT) AS n_risk
+  FROM per a JOIN per b ON b.t >= a.t
+  GROUP BY a.t),
+km AS (
+  SELECT list(struct_pack(t := t, d := d, n_risk := n_risk)
+              ORDER BY t) AS arr
+  FROM risk)
+SELECT r.t, r.n_risk, r.d, r.c,
+       round(coalesce(list_reduce(
+         list_prepend(CAST(1.0 AS DOUBLE),
+           list_transform(
+             list_filter(arr, x -> x.t <= r.t AND x.d > 0),
+             x -> 1.0 - CAST(x.d AS DOUBLE)
+                  / CAST(x.n_risk AS DOUBLE))),
+         (a, b) -> a * b), 1.0), 6) AS s_km
+FROM risk r CROSS JOIN km
+"""
+
+
+def q_dedup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-tax attribution per source [K: after keep-first dedup
+    someone's corpus shrinks — this op says WHOSE and to WHOM: under
+    a deterministic source priority (lexicographic — swap in a real
+    quality order in production) each duplicate text survives only
+    in its highest-priority source; per source the doc count, kept
+    count, shadowed ppm, and the single source that shadows it most]:
+    the attribution table a data-sourcing team reads before
+    renegotiating a crawl.
+
+    Shape: one (hash) -> min-priority-source agg (struct-min, no
+    window), a broadcast join back, one per-(loser,winner) agg and a
+    struct-max per loser. Exact integers."""
+    d = _docs(spark, sf_dir)
+    dh = d.select("source",
+                  F.md5(F.coalesce(F.col("text"), F.lit("")))
+                  .alias("h"))
+    keep = (dh.groupBy("h")
+            .agg(F.min("source").alias("keeper")))
+    j = dh.join(F.broadcast(keep), "h")
+    per = (j.groupBy("source")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum((F.col("source") == F.col("keeper"))
+                      .cast("long")).cast("long").alias("n_kept")))
+    shadow = (j.filter(F.col("source") != F.col("keeper"))
+              .groupBy("source", "keeper")
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+              .groupBy("source")
+              .agg(F.max(F.struct(F.col("cnt"),
+                                  F.col("keeper").alias("k")))
+                   .alias("top")))
+    return (per.join(F.broadcast(shadow), "source", "left")
+            .select("source", "n_docs", "n_kept",
+                    (F.col("n_docs") - F.col("n_kept")).cast("long")
+                    .alias("n_shadowed"),
+                    F.expr("(n_docs - n_kept) * 1000000 DIV n_docs")
+                    .cast("long").alias("shadowed_ppm"),
+                    F.col("top.k").alias("top_shadower"),
+                    F.coalesce(F.col("top.cnt"), F.lit(0))
+                    .cast("long").alias("top_shadow_cnt")))
+
+
+def _sql_dedup_attribution() -> str:
+    return """
+WITH dh AS (
+  SELECT source, md5(coalesce(text, '')) AS h FROM documents),
+keep AS (SELECT h, min(source) AS keeper FROM dh GROUP BY 1),
+j AS (SELECT dh.source, dh.h, keep.keeper
+      FROM dh JOIN keep USING (h)),
+per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN source = keeper THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_kept
+  FROM j GROUP BY 1),
+shadow AS (
+  SELECT source,
+         first(keeper ORDER BY cnt DESC, keeper ASC) AS top_shadower,
+         CAST(max(cnt) AS BIGINT) AS top_shadow_cnt
+  FROM (SELECT source, keeper, CAST(count(*) AS BIGINT) AS cnt
+        FROM j WHERE source <> keeper GROUP BY 1, 2)
+  GROUP BY source)
+SELECT per.source, n_docs, n_kept,
+       CAST(n_docs - n_kept AS BIGINT) AS n_shadowed,
+       CAST((n_docs - n_kept) * 1000000 // n_docs AS BIGINT)
+         AS shadowed_ppm,
+       shadow.top_shadower,
+       CAST(coalesce(shadow.top_shadow_cnt, 0) AS BIGINT)
+         AS top_shadow_cnt
+FROM per LEFT JOIN shadow ON shadow.source = per.source
 """
