@@ -3535,6 +3535,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_memorization": q_text_memorization,
         "stats_survival": q_stats_survival,
         "dedup_attribution": q_dedup_attribution,
+        "kg_thread_stats": q_kg_thread_stats,
+        "text_instruction_detect": q_text_instruction_detect,
     }
 
 
@@ -3874,6 +3876,8 @@ def build_oracle_sql() -> dict[str, str]:
         "text_memorization": _sql_text_memorization(),
         "stats_survival": _sql_stats_survival(),
         "dedup_attribution": _sql_dedup_attribution(),
+        "kg_thread_stats": _sql_kg_thread_stats(),
+        "text_instruction_detect": _sql_text_instruction_detect(),
     }
 
 
@@ -20146,4 +20150,159 @@ SELECT per.source, n_docs, n_kept,
        CAST(coalesce(shadow.top_shadow_cnt, 0) AS BIGINT)
          AS top_shadow_cnt
 FROM per LEFT JOIN shadow ON shadow.source = per.source
+"""
+
+
+IMPERATIVE_VERBS = ("answer", "create", "describe", "explain", "find",
+                    "generate", "give", "list", "make", "please",
+                    "show", "summarize", "tell", "translate", "write")
+
+
+def q_kg_thread_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation thread-topology profile [K: the transcript-
+    structure read a dialogue-data team does before modeling —
+    linear back-and-forth threads train turn-taking, branchy threads
+    (a turn answered by many) need tree-aware packing; the
+    replies_to edges carry exactly this shape]: per conversation the
+    turn count, reply-edge count, max reply fan-in, branch-point
+    count (turns with >= 2 replies), and the linear flag (no
+    branches and every non-root turn replies).
+
+    Shape: map-side conv-key extraction from the turn ids, one
+    (conv, target) fan-in agg, one per-conv agg. Exact integers."""
+    t = q_kg_triples(spark, sf_dir)
+    rep = (t.filter(F.col("pred") == "replies_to")
+           .select(F.regexp_extract("subj", "^turn:([^:]+):", 1)
+                   .alias("conv"), F.col("obj").alias("tgt")))
+    fanin = (rep.groupBy("conv", "tgt")
+             .agg(F.count(F.lit(1)).cast("long").alias("fan")))
+    per = (fanin.groupBy("conv")
+           .agg(F.sum("fan").cast("long").alias("n_reply_edges"),
+                F.max("fan").cast("long").alias("max_fanin"),
+                F.sum((F.col("fan") >= 2).cast("long")).cast("long")
+                .alias("n_branch_points")))
+    turns = (t.filter(F.col("pred") == "replies_to")
+             .select(F.regexp_extract("subj", "^turn:([^:]+):", 1)
+                     .alias("conv"), "subj")
+             .unionByName(
+                 t.filter(F.col("pred") == "replies_to")
+                 .select(F.regexp_extract("obj", "^turn:([^:]+):", 1)
+                         .alias("conv"),
+                         F.col("obj").alias("subj")))
+             .distinct()
+             .groupBy("conv")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_turns")))
+    return (turns.join(per, "conv")
+            .select("conv", "n_turns", "n_reply_edges", "max_fanin",
+                    "n_branch_points",
+                    ((F.col("n_branch_points") == 0)
+                     & (F.col("n_reply_edges")
+                        == F.col("n_turns") - 1)).cast("int")
+                    .alias("is_linear")))
+
+
+def _sql_kg_thread_stats() -> str:
+    return f"""
+WITH triples AS ({_sql_kg_triples_body()}),
+rep AS (
+  SELECT regexp_extract(subj, '^turn:([^:]+):', 1) AS conv,
+         obj AS tgt
+  FROM triples WHERE pred = 'replies_to'),
+fanin AS (
+  SELECT conv, tgt, CAST(count(*) AS BIGINT) AS fan
+  FROM rep GROUP BY 1, 2),
+per AS (
+  SELECT conv, CAST(sum(fan) AS BIGINT) AS n_reply_edges,
+         CAST(max(fan) AS BIGINT) AS max_fanin,
+         CAST(sum(CASE WHEN fan >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_branch_points
+  FROM fanin GROUP BY 1),
+turns AS (
+  SELECT conv, CAST(count(*) AS BIGINT) AS n_turns
+  FROM (
+    SELECT regexp_extract(subj, '^turn:([^:]+):', 1) AS conv,
+           subj AS t
+    FROM triples WHERE pred = 'replies_to'
+    UNION
+    SELECT regexp_extract(obj, '^turn:([^:]+):', 1) AS conv,
+           obj AS t
+    FROM triples WHERE pred = 'replies_to')
+  GROUP BY 1)
+SELECT turns.conv, n_turns, n_reply_edges, max_fanin, n_branch_points,
+       CAST(CASE WHEN n_branch_points = 0
+                  AND n_reply_edges = n_turns - 1
+            THEN 1 ELSE 0 END AS INT) AS is_linear
+FROM turns JOIN per ON per.conv = turns.conv
+"""
+
+
+def q_text_instruction_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-format detection [K: the router that separates
+    instruction-shaped documents (imperative openers, enumerated
+    steps, direct questions) from plain prose before building an
+    instruction-tuning mix — the SFT analog of text_code_detect's
+    code/prose routing]: per doc the imperative-opener flag (first
+    token in a broadcast verb list, leet-free lowercase), question
+    and list-marker and 'step N' counts (JVM regex, multiline), a
+    capped exact-integer score, and the routing flag.
+
+    Shape: pure map-side projection — one scan, zero shuffle, zero
+    UDF."""
+    d = _docs(spark, sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    first_tok = F.element_at(
+        F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != ""), 1)
+    imp = F.coalesce(first_tok.isin(*IMPERATIVE_VERBS), F.lit(False)) \
+        .cast("int")
+    nq = (F.length(t) - F.length(F.regexp_replace(t, r"\?", ""))) \
+        .cast("long")
+    nlist = F.size(F.regexp_extract_all(
+        t, F.lit(r"(?m)^\s*(?:[-*]|\d+[.)])\s"), F.lit(0))) \
+        .cast("long")
+    nstep = F.size(F.regexp_extract_all(
+        F.lower(t), F.lit(r"step [0-9]"), F.lit(0))).cast("long")
+    score = (imp.cast("long") * 400000
+             + F.least(nq, F.lit(3)) * 100000
+             + F.least(nlist, F.lit(5)) * 60000
+             + F.least(nstep, F.lit(3)) * 100000)
+    return d.select(
+        "doc_id", imp.alias("imperative_open"),
+        nq.alias("n_questions"), nlist.alias("n_list_markers"),
+        nstep.alias("n_steps"),
+        score.cast("long").alias("instruct_score"),
+        (score >= 400000).cast("int").alias("is_instruction"))
+
+
+def _sql_text_instruction_detect() -> str:
+    verbs = ", ".join(f"'{v}'" for v in IMPERATIVE_VERBS)
+    return f"""
+WITH t AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+base AS (
+  SELECT doc_id,
+         CAST(CASE WHEN len(list_filter(
+                 string_split_regex(lower(s), '\\s+'), x -> x <> ''))
+                 > 0
+               AND list_filter(string_split_regex(lower(s), '\\s+'),
+                               x -> x <> '')[1] IN ({verbs})
+              THEN 1 ELSE 0 END AS INT) AS imperative_open,
+         CAST(length(s) - length(replace(s, '?', '')) AS BIGINT)
+           AS n_questions,
+         CAST(len(regexp_extract_all(s,
+              '(?m)^\\s*(?:[-*]|\\d+[.)])\\s')) AS BIGINT)
+           AS n_list_markers,
+         CAST(len(regexp_extract_all(lower(s), 'step [0-9]'))
+              AS BIGINT) AS n_steps
+  FROM t)
+SELECT doc_id, imperative_open, n_questions, n_list_markers, n_steps,
+       CAST(imperative_open * 400000
+            + least(n_questions, 3) * 100000
+            + least(n_list_markers, 5) * 60000
+            + least(n_steps, 3) * 100000 AS BIGINT)
+         AS instruct_score,
+       CAST(CASE WHEN imperative_open * 400000
+                      + least(n_questions, 3) * 100000
+                      + least(n_list_markers, 5) * 60000
+                      + least(n_steps, 3) * 100000 >= 400000
+            THEN 1 ELSE 0 END AS INT) AS is_instruction
+FROM base
 """
