@@ -3537,6 +3537,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_attribution": q_dedup_attribution,
         "kg_thread_stats": q_kg_thread_stats,
         "text_instruction_detect": q_text_instruction_detect,
+        "rel_simpson": q_rel_simpson,
+        "rel_pvm_bridge": q_rel_pvm_bridge,
     }
 
 
@@ -3878,6 +3880,8 @@ def build_oracle_sql() -> dict[str, str]:
         "dedup_attribution": _sql_dedup_attribution(),
         "kg_thread_stats": _sql_kg_thread_stats(),
         "text_instruction_detect": _sql_text_instruction_detect(),
+        "rel_simpson": _sql_rel_simpson(),
+        "rel_pvm_bridge": _sql_rel_pvm_bridge(),
     }
 
 
@@ -20305,4 +20309,263 @@ SELECT doc_id, imperative_open, n_questions, n_list_markers, n_steps,
                       + least(n_steps, 3) * 100000 >= 400000
             THEN 1 ELSE 0 END AS INT) AS is_instruction
 FROM base
+"""
+
+
+SIMPSON_VALUE_FENCE = 100.0
+
+
+def q_rel_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox detector [K: the aggregation trap —
+    'weekends have a higher high-value rate' can hold overall yet
+    REVERSE inside every event-type stratum when the mix differs;
+    any metrics team comparing two populations must run exactly this
+    check before shipping the headline]: per stratum (and a pooled
+    __overall__ row) the weekend/weekday trial and success counts,
+    the rate-difference SIGN from exact cross-multiplication
+    (s_we*n_wd vs s_wd*n_we — no division), and on every row the
+    paradox flag: the overall sign is nonzero and every nonzero
+    stratum sign opposes it.
+
+    Shape: one conditional hash agg per stratum + pooled, a tiny
+    broadcast of the overall sign, one bounded agg for the flag.
+    Zero floats."""
+    e = _tbl(spark, sf_dir, "events")
+    base = e.select(
+        F.col("event_type").alias("stratum"),
+        (F.expr("weekday(CAST(ts AS DATE))") >= 5).cast("int")
+        .alias("we"),
+        (F.col("value") >= SIMPSON_VALUE_FENCE).cast("long")
+        .alias("hit"))
+    per = (base.groupBy("stratum")
+           .agg(F.sum(F.when(F.col("we") == 1, 1).otherwise(0))
+                .cast("long").alias("n_we"),
+                F.sum(F.when(F.col("we") == 1, F.col("hit"))
+                      .otherwise(0)).cast("long").alias("s_we"),
+                F.sum(F.when(F.col("we") == 0, 1).otherwise(0))
+                .cast("long").alias("n_wd"),
+                F.sum(F.when(F.col("we") == 0, F.col("hit"))
+                      .otherwise(0)).cast("long").alias("s_wd")))
+    overall = (per.agg(F.sum("n_we").cast("long").alias("n_we"),
+                       F.sum("s_we").cast("long").alias("s_we"),
+                       F.sum("n_wd").cast("long").alias("n_wd"),
+                       F.sum("s_wd").cast("long").alias("s_wd"))
+               .select(F.lit("__overall__").alias("stratum"),
+                       "n_we", "s_we", "n_wd", "s_wd"))
+    allr = per.unionByName(overall)
+    sign = F.expr("CASE WHEN s_we * n_wd > s_wd * n_we THEN 1"
+                  " WHEN s_we * n_wd < s_wd * n_we THEN -1"
+                  " ELSE 0 END")
+    signed = allr.withColumn("sign", sign.cast("int"))
+    osign = (signed.filter(F.col("stratum") == "__overall__")
+             .select(F.col("sign").alias("o_sign")))
+    flag = (signed.filter(F.col("stratum") != "__overall__")
+            .crossJoin(F.broadcast(osign))
+            .agg(F.min(F.when(F.col("sign") != 0,
+                              (F.col("sign") == -F.col("o_sign"))
+                              .cast("int")))
+                 .alias("all_opposed"),
+                 F.max(F.abs(F.col("o_sign"))).alias("o_nonzero")))
+    paradox = flag.select(
+        ((F.col("all_opposed") == 1) & (F.col("o_nonzero") == 1))
+        .cast("int").alias("paradox"))
+    return (signed.crossJoin(F.broadcast(paradox))
+            .select("stratum", "n_we", "s_we", "n_wd", "s_wd",
+                    "sign", "paradox"))
+
+
+def _sql_rel_simpson() -> str:
+    return f"""
+WITH base AS (
+  SELECT event_type AS stratum,
+         CAST(CASE WHEN isodow(CAST(ts AS DATE)) >= 6
+              THEN 1 ELSE 0 END AS INT) AS we,
+         CAST(CASE WHEN value >= {SIMPSON_VALUE_FENCE}
+              THEN 1 ELSE 0 END AS BIGINT) AS hit
+  FROM events),
+per AS (
+  SELECT stratum,
+         CAST(sum(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_we,
+         CAST(sum(CASE WHEN we = 1 THEN hit ELSE 0 END) AS BIGINT)
+           AS s_we,
+         CAST(sum(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_wd,
+         CAST(sum(CASE WHEN we = 0 THEN hit ELSE 0 END) AS BIGINT)
+           AS s_wd
+  FROM base GROUP BY 1),
+allr AS (
+  SELECT * FROM per
+  UNION ALL
+  SELECT '__overall__', CAST(sum(n_we) AS BIGINT),
+         CAST(sum(s_we) AS BIGINT), CAST(sum(n_wd) AS BIGINT),
+         CAST(sum(s_wd) AS BIGINT)
+  FROM per),
+signed AS (
+  SELECT *, CAST(CASE WHEN s_we * n_wd > s_wd * n_we THEN 1
+                 WHEN s_we * n_wd < s_wd * n_we THEN -1
+                 ELSE 0 END AS INT) AS sign
+  FROM allr),
+osign AS (SELECT sign AS o_sign FROM signed
+          WHERE stratum = '__overall__'),
+flag AS (
+  SELECT CAST(CASE WHEN min(CASE WHEN sign <> 0 THEN
+                     CASE WHEN sign = -o_sign THEN 1 ELSE 0 END
+                   END) = 1
+               AND max(abs(o_sign)) = 1
+              THEN 1 ELSE 0 END AS INT) AS paradox
+  FROM signed CROSS JOIN osign
+  WHERE stratum <> '__overall__')
+SELECT stratum, n_we, s_we, n_wd, s_wd, sign, paradox
+FROM signed CROSS JOIN flag
+"""
+
+
+def q_rel_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume/mix revenue bridge, month over month [K: the
+    finance-standard explanation of 'why did revenue move' — price
+    effect (old volumes at new prices), volume effect (old prices on
+    volume change), the cross term, plus new/retired assortment —
+    computed at part grain and rolled up]: per month the previous
+    and current revenue in exact cents, the five effect components
+    in cents, and the residual (nonzero only because per-part unit
+    prices are quantized to integer micro-cents before the bridge —
+    DIV on both engines, documented; the residual SIZE is the
+    honesty meter of that quantization).
+
+    Shape: the orders-lineitem join, one (month, part) agg, a
+    month-shifted self-join on part (equi-join), per-month rollup.
+    Exact integers end to end."""
+    o = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
+    mp = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+          .select((F.year("o_orderdate") * 12
+                   + F.month("o_orderdate") - 1).cast("long")
+                  .alias("mn"),
+                  F.col("l_partkey").alias("pk"),
+                  F.expr("CAST(round(l_extendedprice * 100, 0)"
+                         " AS BIGINT)").alias("c"),
+                  F.expr("CAST(round(l_quantity, 0) AS BIGINT)")
+                  .alias("q"))
+          .groupBy("mn", "pk")
+          .agg(F.sum("c").cast("long").alias("c"),
+               F.sum("q").cast("long").alias("q")))
+    cur = mp.select(F.col("mn"), F.col("pk"),
+                    F.col("c").alias("c1"), F.col("q").alias("q1"))
+    prv = mp.select((F.col("mn") + 1).alias("mn"), F.col("pk"),
+                    F.col("c").alias("c0"), F.col("q").alias("q0"))
+    j = (cur.join(prv, ["mn", "pk"], "full")
+         .select("mn", "pk",
+                 F.coalesce("c1", F.lit(0)).cast("long").alias("c1"),
+                 F.coalesce("q1", F.lit(0)).cast("long").alias("q1"),
+                 F.coalesce("c0", F.lit(0)).cast("long").alias("c0"),
+                 F.coalesce("q0", F.lit(0)).cast("long").alias("q0")))
+    # integer micro-cent unit prices; effects in exact micro-cents
+    eff = j.select(
+        "mn", "c0", "c1",
+        F.expr("CASE WHEN q0 > 0 AND q1 > 0 THEN"
+               " (c1 * 1000000 DIV q1 - c0 * 1000000 DIV q0) * q0"
+               " ELSE 0 END").alias("price_u"),
+        F.expr("CASE WHEN q0 > 0 AND q1 > 0 THEN"
+               " (c0 * 1000000 DIV q0) * (q1 - q0) ELSE 0 END")
+        .alias("vol_u"),
+        F.expr("CASE WHEN q0 > 0 AND q1 > 0 THEN"
+               " (c1 * 1000000 DIV q1 - c0 * 1000000 DIV q0)"
+               " * (q1 - q0) ELSE 0 END").alias("cross_u"),
+        F.expr("CASE WHEN q0 = 0 AND q1 > 0 THEN c1 * 1000000"
+               " ELSE 0 END").alias("new_u"),
+        F.expr("CASE WHEN q1 = 0 AND q0 > 0 THEN c0 * 1000000"
+               " ELSE 0 END").alias("retired_u"))
+    per = (eff.groupBy("mn")
+           .agg(F.sum("c0").cast("long").alias("rev0_c"),
+                F.sum("c1").cast("long").alias("rev1_c"),
+                F.expr("CAST(sum(price_u) DIV 1000000 AS BIGINT)")
+                .alias("price_eff_c"),
+                F.expr("CAST(sum(vol_u) DIV 1000000 AS BIGINT)")
+                .alias("vol_eff_c"),
+                F.expr("CAST(sum(cross_u) DIV 1000000 AS BIGINT)")
+                .alias("cross_eff_c"),
+                F.expr("CAST(sum(new_u) DIV 1000000 AS BIGINT)")
+                .alias("new_eff_c"),
+                F.expr("CAST(sum(retired_u) DIV 1000000 AS BIGINT)")
+                .alias("retired_eff_c")))
+    # bound to OBSERVED months: the +1-shifted side would otherwise
+    # emit a phantom all-retired month after the series end
+    first = mp.agg(F.min("mn").alias("mn0"),
+                   F.max("mn").alias("mn_max"))
+    return (per.crossJoin(F.broadcast(first))
+            .filter((F.col("mn") > F.col("mn0"))
+                    & (F.col("mn") <= F.col("mn_max")))
+            .select(
+                F.format_string("%04d-%02d",
+                                F.expr("mn DIV 12").cast("int"),
+                                (F.col("mn") % 12 + 1).cast("int"))
+                .alias("month"),
+                "rev0_c", "rev1_c",
+                (F.col("rev1_c") - F.col("rev0_c")).cast("long")
+                .alias("delta_c"),
+                "price_eff_c", "vol_eff_c", "cross_eff_c",
+                "new_eff_c", "retired_eff_c",
+                (F.col("rev1_c") - F.col("rev0_c")
+                 - F.col("price_eff_c") - F.col("vol_eff_c")
+                 - F.col("cross_eff_c") - F.col("new_eff_c")
+                 + F.col("retired_eff_c")).cast("long")
+                .alias("residual_c")))
+
+
+def _sql_rel_pvm_bridge() -> str:
+    return """
+WITH mp AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+              AS BIGINT) AS mn,
+         l_partkey AS pk,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS c,
+         CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+           AS q
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2),
+j AS (
+  SELECT coalesce(cur.mn, prv.mn) AS mn,
+         CAST(coalesce(cur.c, 0) AS BIGINT) AS c1,
+         CAST(coalesce(cur.q, 0) AS BIGINT) AS q1,
+         CAST(coalesce(prv.c, 0) AS BIGINT) AS c0,
+         CAST(coalesce(prv.q, 0) AS BIGINT) AS q0
+  FROM mp cur
+  FULL JOIN (SELECT mn + 1 AS mn, pk, c, q FROM mp) prv
+    ON prv.mn = cur.mn AND prv.pk = cur.pk),
+eff AS (
+  SELECT mn, c0, c1,
+         CASE WHEN q0 > 0 AND q1 > 0 THEN
+           (c1 * 1000000 // q1 - c0 * 1000000 // q0) * q0
+         ELSE 0 END AS price_u,
+         CASE WHEN q0 > 0 AND q1 > 0 THEN
+           (c0 * 1000000 // q0) * (q1 - q0) ELSE 0 END AS vol_u,
+         CASE WHEN q0 > 0 AND q1 > 0 THEN
+           (c1 * 1000000 // q1 - c0 * 1000000 // q0) * (q1 - q0)
+         ELSE 0 END AS cross_u,
+         CASE WHEN q0 = 0 AND q1 > 0 THEN c1 * 1000000
+         ELSE 0 END AS new_u,
+         CASE WHEN q1 = 0 AND q0 > 0 THEN c0 * 1000000
+         ELSE 0 END AS retired_u
+  FROM j),
+per AS (
+  SELECT mn, CAST(sum(c0) AS BIGINT) AS rev0_c,
+         CAST(sum(c1) AS BIGINT) AS rev1_c,
+         CAST(sum(price_u) // 1000000 AS BIGINT) AS price_eff_c,
+         CAST(sum(vol_u) // 1000000 AS BIGINT) AS vol_eff_c,
+         CAST(sum(cross_u) // 1000000 AS BIGINT) AS cross_eff_c,
+         CAST(sum(new_u) // 1000000 AS BIGINT) AS new_eff_c,
+         CAST(sum(retired_u) // 1000000 AS BIGINT) AS retired_eff_c
+  FROM eff GROUP BY 1),
+first AS (SELECT min(mn) AS mn0, max(mn) AS mn_max FROM mp)
+SELECT printf('%04d-%02d', CAST(mn // 12 AS INT),
+              CAST(mn % 12 + 1 AS INT)) AS month,
+       rev0_c, rev1_c,
+       CAST(rev1_c - rev0_c AS BIGINT) AS delta_c,
+       price_eff_c, vol_eff_c, cross_eff_c, new_eff_c, retired_eff_c,
+       CAST(rev1_c - rev0_c - price_eff_c - vol_eff_c - cross_eff_c
+            - new_eff_c + retired_eff_c AS BIGINT) AS residual_c
+FROM per CROSS JOIN first
+WHERE mn > mn0 AND mn <= mn_max
 """
