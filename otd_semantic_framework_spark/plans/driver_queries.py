@@ -3539,6 +3539,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_instruction_detect": q_text_instruction_detect,
         "rel_simpson": q_rel_simpson,
         "rel_pvm_bridge": q_rel_pvm_bridge,
+        "sim_anisotropy": q_sim_anisotropy,
+        "kg_storage_model": q_kg_storage_model,
     }
 
 
@@ -3882,6 +3884,8 @@ def build_oracle_sql() -> dict[str, str]:
         "text_instruction_detect": _sql_text_instruction_detect(),
         "rel_simpson": _sql_rel_simpson(),
         "rel_pvm_bridge": _sql_rel_pvm_bridge(),
+        "sim_anisotropy": _sql_sim_anisotropy(),
+        "kg_storage_model": _sql_kg_storage_model(),
     }
 
 
@@ -20568,4 +20572,170 @@ SELECT printf('%04d-%02d', CAST(mn // 12 AS INT),
             - new_eff_c + retired_eff_c AS BIGINT) AS residual_c
 FROM per CROSS JOIN first
 WHERE mn > mn0 AND mn <= mn_max
+"""
+
+
+def q_sim_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anisotropy audit [K: Ethayarajh's finding —
+    contextual embeddings huddle in a narrow cone, so the MEAN
+    PAIRWISE COSINE sits far above 0 and similarity scores lose
+    contrast; the fix (mean-centering / whitening) starts from
+    exactly this number]: the mean pairwise cosine over all n(n-1)
+    ordered pairs WITHOUT an all-pairs join, via the identity
+    sum_pairs cos = ||sum u||^2 - n over unit vectors — per-vector
+    components are normalized then INTEGERIZED to nano-units so the
+    per-dimension sums are exact BIGINTs (order-invariant), and
+    ||sum u||^2 folds over the 64 dims in index order. Also emits
+    the most biased dimension (the rogue-dimension read) with its
+    mean component in ppm.
+
+    Shape: one map-side normalize + posexplode (64x bounded), one
+    per-dim hash agg (64 rows), one ordered fold. Never a pair
+    join."""
+    v = _tbl(spark, sf_dir, "embeddings")
+    unit = v.select(
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> "
+            "CAST(round(x / sqrt(aggregate(CAST(embedding AS"
+            " ARRAY<DOUBLE>), CAST(0.0 AS DOUBLE),"
+            " (a, y) -> a + y * y)) * 1000000000, 0) AS BIGINT))")
+        .alias("u"))
+    dims = (unit.select(F.posexplode("u").alias("pos", "c"))
+            .groupBy("pos")
+            .agg(F.sum("c").cast("long").alias("s")))
+    n = unit.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    arr = dims.agg(F.sort_array(F.collect_list(F.struct(
+        F.col("pos"), F.col("s")))).alias("arr"))
+    j = arr.crossJoin(F.broadcast(n))
+    norm2 = F.aggregate(
+        F.col("arr"), F.lit(0.0),
+        lambda a, x: a + (x.s.cast("double") / 1.0e9)
+        * (x.s.cast("double") / 1.0e9))
+    biased = dims.agg(F.max(F.struct(F.abs(F.col("s")).alias("a"),
+                                     (-F.col("pos")).alias("np"),
+                                     F.col("s"))).alias("b"))
+    return (j.crossJoin(F.broadcast(biased))
+            .crossJoin(F.broadcast(n.select(
+                F.col("n").alias("n2"))))
+            .select(
+                F.col("n"),
+                F.round((norm2 - F.col("n").cast("double"))
+                        / (F.col("n").cast("double")
+                           * (F.col("n") - 1).cast("double")), 6)
+                .alias("mean_pairwise_cos"),
+                (-F.col("b.np")).cast("int").alias("biased_dim"),
+                F.expr("CAST(b.s DIV (n2 * 1000) AS BIGINT)")
+                .alias("biased_dim_mean_ppm")))
+
+
+def _sql_sim_anisotropy() -> str:
+    return """
+WITH unit AS (
+  SELECT list_transform(cast(embedding AS DOUBLE[]), x ->
+           CAST(round(x / sqrt(coalesce(list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(cast(embedding AS DOUBLE[]),
+                              y -> y * y)),
+             (a, b) -> a + b), 0.0)) * 1000000000, 0) AS BIGINT))
+         AS u
+  FROM embeddings),
+dims AS (
+  SELECT pos - 1 AS pos, CAST(sum(c) AS BIGINT) AS s
+  FROM (SELECT unnest(u) AS c,
+               generate_subscripts(u, 1) AS pos
+        FROM unit)
+  GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM unit),
+arr AS (
+  SELECT list(struct_pack(pos := pos, s := s) ORDER BY pos) AS arr
+  FROM dims),
+biased AS (
+  SELECT first(pos ORDER BY abs(s) DESC, pos ASC) AS biased_dim,
+         first(s ORDER BY abs(s) DESC, pos ASC) AS bs
+  FROM dims)
+SELECT n,
+       round((coalesce(list_reduce(
+                list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(arr, x ->
+                    (CAST(x.s AS DOUBLE) / 1.0e9)
+                    * (CAST(x.s AS DOUBLE) / 1.0e9))),
+                (a, b) -> a + b), 0.0) - CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6)
+         AS mean_pairwise_cos,
+       CAST(biased_dim AS INT) AS biased_dim,
+       CAST(bs // (n * 1000) AS BIGINT) AS biased_dim_mean_ppm
+FROM arr CROSS JOIN n CROSS JOIN biased
+"""
+
+
+def q_kg_storage_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encoding storage model for the triple store [K: the
+    capacity-planning arithmetic behind every columnar KG layout —
+    subj/pred/obj are low-cardinality strings, so dictionary + fixed-
+    width codes shrink them to ceil(log2(V)) bits per value plus the
+    dictionary itself; this op computes the exact model per column
+    and the compression ratio, which is what you quote when sizing
+    10^12 triples on object storage]: per column the row count,
+    distinct count, code bits (bit_length(V-1), exact), raw UTF-8
+    bytes, dictionary bytes, encoded bytes (codes + dict), and the
+    compression ratio in ppm.
+
+    Shape: per column one distinct agg + one length sum — three
+    column passes over the triple projection, tiny output. Exact
+    integers."""
+    t = q_kg_triples(spark, sf_dir)
+    outs = []
+    for col in ("subj", "pred", "obj"):
+        c = t.select(F.col(col).alias("v"))
+        raw = c.agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum(F.length(F.col("v"))).cast("long")
+                    .alias("raw_bytes"))
+        dc = (c.distinct()
+              .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                   F.sum(F.length(F.col("v"))).cast("long")
+                   .alias("dict_bytes")))
+        outs.append(
+            raw.crossJoin(F.broadcast(dc))
+            .select(F.lit(col).alias("column"), "n_rows",
+                    "n_distinct", "raw_bytes", "dict_bytes",
+                    F.expr("CAST(CASE WHEN n_distinct <= 1 THEN 1"
+                           " ELSE length(bin(n_distinct - 1)) END"
+                           " AS BIGINT)").alias("code_bits"))
+            .withColumn("encoded_bytes", F.expr(
+                "(n_rows * code_bits + 7) DIV 8 + dict_bytes")
+                .cast("long"))
+            .withColumn("ratio_ppm", F.expr(
+                "encoded_bytes * 1000000 DIV greatest(raw_bytes, 1)")
+                .cast("long")))
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def _sql_kg_storage_model() -> str:
+    blocks = []
+    for col in ("subj", "pred", "obj"):
+        blocks.append(f"""
+SELECT '{col}' AS "column",
+       (SELECT CAST(count(*) AS BIGINT) FROM triples) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       (SELECT CAST(sum(length({col})) AS BIGINT) FROM triples)
+         AS raw_bytes,
+       CAST(sum(length(v)) AS BIGINT) AS dict_bytes,
+       CAST(CASE WHEN count(*) <= 1 THEN 1
+            ELSE length(bin(count(*) - 1)) END AS BIGINT)
+         AS code_bits
+FROM (SELECT DISTINCT {col} AS v FROM triples)""")
+    body = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH triples AS ({_sql_kg_triples_body()}),
+base AS (
+{body})
+SELECT "column", n_rows, n_distinct, raw_bytes, dict_bytes, code_bits,
+       CAST((n_rows * code_bits + 7) // 8 + dict_bytes AS BIGINT)
+         AS encoded_bytes,
+       CAST(((n_rows * code_bits + 7) // 8 + dict_bytes) * 1000000
+            // greatest(raw_bytes, 1) AS BIGINT) AS ratio_ppm
+FROM base
 """
