@@ -87,7 +87,7 @@ DRIVER_SAMPLE_FIRST_50 = [
 # pred_cooccur,collective_linking,concept_transitions,entity_cards},
 # stats_{cms_tokens,binned_quantiles,kmv_distinct}, and waves 21-22:
 # rel_chisq, kg_{graph_summary,surface_ambiguity,transitive_reduction},
-# and the r4 wave-23..78 additions (see COVERAGE.md; highlights:
+# and the r4 wave-23..82 additions (see COVERAGE.md; highlights:
 # kg_{truss,pathsim,rank_corr,diameter_est,topic_focus,calibration,
 # degree_anomaly,neighbor_sampling}, sim_{knn_graph,semantic_clusters,
 # outliers,ann_sweep,bucket_balance,pq_recall,label_calibration,
@@ -104,9 +104,11 @@ DRIVER_SAMPLE_FIRST_50 = [
 # velocity,stickiness,dormancy,growth_accounting,error_cascade,
 # fulfillment,hhi_trend,anova,sla_inversion}, kg_{cardinality_profile,
 # join_cardinality,rich_club,domain_range_audit,reciprocity,
-# salt_planner}, curation_{apportion,sample_audit,curriculum,
-# dataset_card,pii_audit}, dedup_{population_est,hash_collision_audit},
-# text_{class_entropy,memorization}).
+# salt_planner,thread_stats,storage_model},
+# curation_{apportion,sample_audit,curriculum,dataset_card,pii_audit},
+# dedup_{population_est,hash_collision_audit,attribution},
+# text_{class_entropy,memorization,instruction_detect},
+# stats_survival, rel_{simpson,pvm_bridge}, sim_anisotropy).
 # Rotate 41 of them into slots 10-50 of DRIVER_SAMPLE_FIRST_50 next
 # round (keep the core nine; prefer cross-query compositions), and the
 # remainder the round after. EVERY pair — sampled or not — was gated
