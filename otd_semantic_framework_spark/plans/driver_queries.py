@@ -3541,6 +3541,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pvm_bridge": q_rel_pvm_bridge,
         "sim_anisotropy": q_sim_anisotropy,
         "kg_storage_model": q_kg_storage_model,
+        "rel_interaction": q_rel_interaction,
+        "stats_qq_shift": q_stats_qq_shift,
     }
 
 
@@ -3886,6 +3888,8 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_pvm_bridge": _sql_rel_pvm_bridge(),
         "sim_anisotropy": _sql_sim_anisotropy(),
         "kg_storage_model": _sql_kg_storage_model(),
+        "rel_interaction": _sql_rel_interaction(),
+        "stats_qq_shift": _sql_stats_qq_shift(),
     }
 
 
@@ -20738,4 +20742,239 @@ SELECT "column", n_rows, n_distinct, raw_bytes, dict_bytes, code_bits,
        CAST(((n_rows * code_bits + 7) // 8 + dict_bytes) * 1000000
             // greatest(raw_bytes, 1) AS BIGINT) AS ratio_ppm
 FROM base
+"""
+
+
+def q_rel_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way variance decomposition with INTERACTION [K: one-way
+    eta^2 (rel_anova) misses the cases where a factor only matters
+    inside another's levels — weekend orders may price differently
+    ONLY for urgent priorities; SS_interaction = SS_cells - SS_A -
+    SS_B is the classic detection]: one row per component (factor_a
+    = weekend flag, factor_b = order priority, interaction, cells)
+    with the exact integer sum bookkeeping and the eta^2 share of
+    total variance (round 6). Between-group terms fold S^2/n in
+    DETERMINISTIC group order (bounded cells: 2 x 5).
+
+    Shape: ONE (cell) hash agg on the corpus; every SS derives from
+    the 10-cell table via ordered folds. Whole-dollar integers (the
+    rel_anova overflow trade)."""
+    o = _tbl(spark, sf_dir, "orders")
+    cells = (o.select(
+        (F.expr("weekday(CAST(o_orderdate AS DATE))") >= 5)
+        .cast("int").alias("a"),
+        F.col("o_orderpriority").alias("b"),
+        F.expr("CAST(round(o_totalprice, 0) AS BIGINT)").alias("d"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("ng"),
+             F.sum("d").cast("long").alias("sg"),
+             F.sum(F.col("d") * F.col("d")).cast("long")
+             .alias("ssg")))
+
+    def fold(groupcols):
+        # sum of S^2/n over groups defined by groupcols, ordered fold
+        g = (cells.groupBy(*groupcols)
+             .agg(F.sum("sg").cast("long").alias("s"),
+                  F.sum("ng").cast("long").alias("n")))
+        key = F.concat_ws("|", *[F.col(c).cast("string")
+                                 for c in groupcols])
+        return (g.agg(F.aggregate(
+            F.sort_array(F.collect_list(F.struct(
+                key.alias("k"), F.col("s"), F.col("n")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x.s.cast("double")
+            * x.s.cast("double") / x.n.cast("double"))
+            .alias("v")))
+
+    tot = cells.agg(F.sum("ng").cast("long").alias("n"),
+                    F.sum("sg").cast("long").alias("s"),
+                    F.sum("ssg").cast("long").alias("ss"))
+    fa = fold(["a"]).select(F.col("v").alias("fa"))
+    fb = fold(["b"]).select(F.col("v").alias("fb"))
+    fc = fold(["a", "b"]).select(F.col("v").alias("fc"))
+    j = (tot.crossJoin(F.broadcast(fa)).crossJoin(F.broadcast(fb))
+         .crossJoin(F.broadcast(fc)))
+    grand = (F.col("s").cast("double") * F.col("s").cast("double")
+             / F.col("n").cast("double"))
+    sst = F.col("ss").cast("double") - grand
+    ss_a = F.col("fa") - grand
+    ss_b = F.col("fb") - grand
+    ss_cells = F.col("fc") - grand
+    ss_int = ss_cells - ss_a - ss_b
+    rows = [
+        ("factor_weekend", ss_a), ("factor_priority", ss_b),
+        ("interaction", ss_int), ("cells_total", ss_cells),
+    ]
+    outs = []
+    for name, expr in rows:
+        outs.append(j.select(
+            F.lit(name).alias("component"),
+            F.col("n"),
+            F.round(expr, 6).alias("ss"),
+            F.round(expr / sst, 6).alias("eta2")))
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def _sql_rel_interaction() -> str:
+    fold = ("coalesce(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            " list_transform(list(struct_pack(k := {key}, s := s,"
+            " n := n) ORDER BY {key}), x -> CAST(x.s AS DOUBLE)"
+            " * CAST(x.s AS DOUBLE) / CAST(x.n AS DOUBLE))),"
+            " (a, b) -> a + b), 0.0)")
+    return f"""
+WITH cells AS (
+  SELECT CAST(CASE WHEN isodow(CAST(o_orderdate AS DATE)) >= 6
+              THEN 1 ELSE 0 END AS INT) AS a,
+         o_orderpriority AS b,
+         CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT)) AS BIGINT)
+           AS sg,
+         CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT)
+                  * CAST(round(o_totalprice, 0) AS BIGINT)) AS BIGINT)
+           AS ssg
+  FROM orders GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS s,
+         CAST(sum(ssg) AS BIGINT) AS ss
+  FROM cells),
+fa AS (
+  SELECT {fold.format(key="CAST(a AS VARCHAR)")} AS v
+  FROM (SELECT a, CAST(sum(sg) AS BIGINT) AS s,
+               CAST(sum(ng) AS BIGINT) AS n FROM cells GROUP BY 1)),
+fb AS (
+  SELECT {fold.format(key="b")} AS v
+  FROM (SELECT b, CAST(sum(sg) AS BIGINT) AS s,
+               CAST(sum(ng) AS BIGINT) AS n FROM cells GROUP BY 1)),
+fc AS (
+  SELECT {fold.format(key="CAST(a AS VARCHAR) || '|' || b")} AS v
+  FROM (SELECT a, b, CAST(sum(sg) AS BIGINT) AS s,
+               CAST(sum(ng) AS BIGINT) AS n FROM cells GROUP BY 1, 2)),
+j AS (
+  SELECT n, s, ss, fa.v AS fa, fb.v AS fb, fc.v AS fc
+  FROM tot CROSS JOIN fa CROSS JOIN fb CROSS JOIN fc),
+base AS (
+  SELECT 'factor_weekend' AS component, n,
+         fa - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+              / CAST(n AS DOUBLE) AS ssv,
+         ss, s, fa, fb, fc FROM j
+  UNION ALL
+  SELECT 'factor_priority', n,
+         fb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+              / CAST(n AS DOUBLE), ss, s, fa, fb, fc FROM j
+  UNION ALL
+  SELECT 'interaction', n,
+         (fc - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE))
+         - (fa - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+         - (fb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE)), ss, s, fa, fb, fc FROM j
+  UNION ALL
+  SELECT 'cells_total', n,
+         fc - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+              / CAST(n AS DOUBLE), ss, s, fa, fb, fc FROM j)
+SELECT component, n, round(ssv, 6) AS ss,
+       round(ssv / (CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE)), 6) AS eta2
+FROM base
+"""
+
+
+QQ_DECILES = (10, 20, 30, 40, 50, 60, 70, 80, 90)
+
+
+def q_stats_qq_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile QQ-shift table between the two halves of the daily
+    series [K: PSI (stats_psi) bins by VALUE and can alias; the
+    quantile-by-quantile comparison reads WHERE the distribution
+    moved — a pure location shift moves every decile equally, a tail
+    event moves only the top]: per decile the TYPE-1 (lower order
+    statistic — no interpolation, whose lerp formula is the known
+    cross-engine hazard) daily-count quantile of each half and the
+    delta in exact per-mille of the first half's median.
+
+    Shape: one daily hash agg split by the span midpoint, a
+    triangular broadcast rank on the calendar-bounded halves, a
+    9-row decile join. Exact integers end to end."""
+    o = _tbl(spark, sf_dir, "orders")
+    daily = (o.select(F.to_date("o_orderdate").alias("day"))
+             .groupBy("day")
+             .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    lab = (daily.crossJoin(F.broadcast(span))
+           .select("x", (F.datediff("day", "d0") * 2
+                         >= F.datediff("d1", "d0")).cast("int")
+                   .alias("half")))
+    per = (lab.groupBy("half", "x")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    cum = (per.alias("p").join(
+        F.broadcast(per.alias("q")),
+        (F.col("q.half") == F.col("p.half"))
+        & (F.col("q.x") <= F.col("p.x")))
+        .groupBy(F.col("p.half").alias("half"),
+                 F.col("p.x").alias("x"))
+        .agg(F.sum(F.col("q.c")).cast("long").alias("cum")))
+    tot = (per.groupBy("half")
+           .agg(F.sum("c").cast("long").alias("n")))
+    ds = spark.createDataFrame([(d,) for d in QQ_DECILES], "pct int")
+    # type-1 quantile: smallest x with cum*100 >= pct*n
+    qv = (cum.join(F.broadcast(tot), "half")
+          .crossJoin(F.broadcast(ds))
+          .filter(F.col("cum") * 100 >= F.col("pct") * F.col("n"))
+          .groupBy("half", "pct")
+          .agg(F.min("x").cast("long").alias("qx")))
+    h0 = qv.filter(F.col("half") == 0).select(
+        "pct", F.col("qx").alias("q_first"))
+    h1 = qv.filter(F.col("half") == 1).select(
+        "pct", F.col("qx").alias("q_second"))
+    med0 = h0.filter(F.col("pct") == 50).select(
+        F.col("q_first").alias("m0"))
+    return (h0.join(h1, "pct").crossJoin(F.broadcast(med0))
+            .select("pct", "q_first", "q_second",
+                    (F.col("q_second") - F.col("q_first")).cast("long")
+                    .alias("delta"),
+                    F.expr("(q_second - q_first) * 1000"
+                           " DIV greatest(m0, 1)").cast("long")
+                    .alias("delta_permille_of_med")))
+
+
+def _sql_stats_qq_shift() -> str:
+    ds = ", ".join(f"({d})" for d in QQ_DECILES)
+    return f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+lab AS (
+  SELECT x, CAST(CASE WHEN datediff('day', d0, day) * 2
+                      >= datediff('day', d0, d1)
+                 THEN 1 ELSE 0 END AS INT) AS half
+  FROM daily CROSS JOIN span),
+per AS (
+  SELECT half, x, CAST(count(*) AS BIGINT) AS c
+  FROM lab GROUP BY 1, 2),
+cum AS (
+  SELECT p.half, p.x, CAST(sum(q.c) AS BIGINT) AS cum
+  FROM per p JOIN per q ON q.half = p.half AND q.x <= p.x
+  GROUP BY 1, 2),
+tot AS (SELECT half, CAST(sum(c) AS BIGINT) AS n FROM per GROUP BY 1),
+ds(pct) AS (VALUES {ds}),
+qv AS (
+  SELECT cum.half, pct, CAST(min(x) AS BIGINT) AS qx
+  FROM cum JOIN tot USING (half) CROSS JOIN ds
+  WHERE cum * 100 >= pct * n
+  GROUP BY 1, 2),
+h0 AS (SELECT pct, qx AS q_first FROM qv WHERE half = 0),
+h1 AS (SELECT pct, qx AS q_second FROM qv WHERE half = 1),
+med0 AS (SELECT q_first AS m0 FROM h0 WHERE pct = 50)
+SELECT pct, q_first, q_second,
+       CAST(q_second - q_first AS BIGINT) AS delta,
+       CAST((q_second - q_first) * 1000 // greatest(m0, 1) AS BIGINT)
+         AS delta_permille_of_med
+FROM h0 JOIN h1 USING (pct) CROSS JOIN med0
 """
