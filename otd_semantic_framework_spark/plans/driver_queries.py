@@ -3543,6 +3543,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_storage_model": q_kg_storage_model,
         "rel_interaction": q_rel_interaction,
         "stats_qq_shift": q_stats_qq_shift,
+        "sim_mahalanobis_ood": q_sim_mahalanobis_ood,
+        "rel_calendar_effects": q_rel_calendar_effects,
     }
 
 
@@ -3890,6 +3892,8 @@ def build_oracle_sql() -> dict[str, str]:
         "kg_storage_model": _sql_kg_storage_model(),
         "rel_interaction": _sql_rel_interaction(),
         "stats_qq_shift": _sql_stats_qq_shift(),
+        "sim_mahalanobis_ood": _sql_sim_mahalanobis_ood(),
+        "rel_calendar_effects": _sql_rel_calendar_effects(),
     }
 
 
@@ -20977,4 +20981,219 @@ SELECT pct, q_first, q_second,
        CAST((q_second - q_first) * 1000 // greatest(m0, 1) AS BIGINT)
          AS delta_permille_of_med
 FROM h0 JOIN h1 USING (pct) CROSS JOIN med0
+"""
+
+
+def q_sim_mahalanobis_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-Mahalanobis OOD scoring [K: the model-based
+    out-of-distribution detector — score = sum_i (x_i - mu_i)^2 /
+    var_i is chi^2(d)-distributed for in-distribution gaussians, so
+    anything far above d + 3*sqrt(2d) is OOD; complements the
+    NEIGHBOR-based sim_outliers with a parametric read that needs no
+    join at query time]: per vector the score (round 6) and the OOD
+    flag, plus corpus d and the fence on every row. The per-dim
+    mean/variance come from exact integer micro-unit moments
+    (n, S, SS per position — the sim_dim_variance idiom) and the
+    per-vector score folds over dims in index order (deterministic).
+
+    Shape: one bounded posexplode + per-dim hash agg (64 rows,
+    broadcast back as a sorted array), then a map-side fold per
+    vector. At 10^12 vectors the stats pass is one scan and scoring
+    is embarrassingly parallel."""
+    v = _tbl(spark, sf_dir, "embeddings")
+    comp = v.select(F.posexplode(
+        F.expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x ->"
+               " CAST(round(x * 1000000, 0) AS BIGINT))"))
+        .alias("pos", "c"))
+    stats = (comp.groupBy("pos")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum("c").cast("long").alias("s"),
+                  F.sum(F.col("c") * F.col("c")).cast("long")
+                  .alias("ss")))
+    arr = stats.agg(F.sort_array(F.collect_list(F.struct(
+        "pos", "n", "s", "ss"))).alias("st"),
+        F.count(F.lit(1)).cast("long").alias("d"))
+    j = v.crossJoin(F.broadcast(arr))
+    # mu_u = s/n (micro-units, double); var_u2 = (n*ss - s*s)/(n*(n-1))
+    score = F.aggregate(
+        F.expr("arrays_zip(transform(CAST(embedding AS ARRAY<DOUBLE>),"
+               " x -> CAST(round(x * 1000000, 0) AS BIGINT)), st)"),
+        F.lit(0.0),
+        lambda a, z: a
+        + (z["0"].cast("double") - z.st.s.cast("double")
+           / z.st.n.cast("double"))
+        * (z["0"].cast("double") - z.st.s.cast("double")
+           / z.st.n.cast("double"))
+        / ((z.st.n.cast("double") * z.st.ss.cast("double")
+            - z.st.s.cast("double") * z.st.s.cast("double"))
+           / (z.st.n.cast("double") * (z.st.n.cast("double")
+                                       - F.lit(1.0)))))
+    fence = (F.col("d").cast("double")
+             + F.lit(3.0) * F.sqrt(F.lit(2.0)
+                                   * F.col("d").cast("double")))
+    return j.select(
+        "vec_id",
+        F.round(score, 6).alias("m2_score"),
+        F.col("d").cast("int").alias("d"),
+        F.round(fence, 6).alias("fence"),
+        (score > fence).cast("int").alias("is_ood"))
+
+
+def _sql_sim_mahalanobis_ood() -> str:
+    return """
+WITH comp AS (
+  SELECT pos - 1 AS pos, c
+  FROM (SELECT unnest(list_transform(cast(embedding AS DOUBLE[]),
+                 x -> CAST(round(x * 1000000, 0) AS BIGINT))) AS c,
+               generate_subscripts(cast(embedding AS DOUBLE[]), 1)
+                 AS pos
+        FROM embeddings)),
+stats AS (
+  SELECT pos, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS ss
+  FROM comp GROUP BY 1),
+arr AS (
+  SELECT list(struct_pack(pos := pos, n := n, s := s, ss := ss)
+              ORDER BY pos) AS st,
+         CAST(count(*) AS BIGINT) AS d
+  FROM stats)
+SELECT vec_id,
+       round(coalesce(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(
+           list_zip(list_transform(cast(embedding AS DOUBLE[]),
+                      x -> CAST(round(x * 1000000, 0) AS BIGINT)),
+                    st),
+           z -> (CAST(z[1] AS DOUBLE)
+                 - CAST(z[2].s AS DOUBLE) / CAST(z[2].n AS DOUBLE))
+                * (CAST(z[1] AS DOUBLE)
+                   - CAST(z[2].s AS DOUBLE) / CAST(z[2].n AS DOUBLE))
+                / ((CAST(z[2].n AS DOUBLE) * CAST(z[2].ss AS DOUBLE)
+                    - CAST(z[2].s AS DOUBLE) * CAST(z[2].s AS DOUBLE))
+                   / (CAST(z[2].n AS DOUBLE)
+                      * (CAST(z[2].n AS DOUBLE) - 1.0))))),
+         (a, b) -> a + b), 0.0), 6) AS m2_score,
+       CAST(d AS INT) AS d,
+       round(CAST(d AS DOUBLE) + 3.0 * sqrt(2.0 * CAST(d AS DOUBLE)),
+             6) AS fence,
+       CAST(CASE WHEN coalesce(list_reduce(list_prepend(
+              CAST(0.0 AS DOUBLE),
+              list_transform(
+                list_zip(list_transform(cast(embedding AS DOUBLE[]),
+                           x -> CAST(round(x * 1000000, 0)
+                                     AS BIGINT)),
+                         st),
+                z -> (CAST(z[1] AS DOUBLE)
+                      - CAST(z[2].s AS DOUBLE)
+                        / CAST(z[2].n AS DOUBLE))
+                     * (CAST(z[1] AS DOUBLE)
+                        - CAST(z[2].s AS DOUBLE)
+                          / CAST(z[2].n AS DOUBLE))
+                     / ((CAST(z[2].n AS DOUBLE)
+                         * CAST(z[2].ss AS DOUBLE)
+                         - CAST(z[2].s AS DOUBLE)
+                           * CAST(z[2].s AS DOUBLE))
+                        / (CAST(z[2].n AS DOUBLE)
+                           * (CAST(z[2].n AS DOUBLE) - 1.0))))),
+              (a, b) -> a + b), 0.0)
+            > CAST(d AS DOUBLE) + 3.0 * sqrt(2.0 * CAST(d AS DOUBLE))
+            THEN 1 ELSE 0 END AS INT) AS is_ood
+FROM embeddings CROSS JOIN arr
+"""
+
+
+def q_rel_calendar_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-month calendar-effect profile [K: billing cycles,
+    payday spikes and month-end batch jobs all show as day-of-month
+    structure that day-of-week seasonality misses]: per day-of-month
+    the order count, share in exact ppm, lift vs the uniform
+    expectation (days 29-31 occur in fewer months — the expectation
+    weights by how often each dom EXISTS in the observed span,
+    computed from the gap-filled calendar), and a MAD-fenced spike
+    flag on the lift.
+
+    Shape: one daily hash agg, a calendar-bounded gap-fill for the
+    dom-frequency weights, one 31-row profile, the doubled-integer
+    MAD fence. Exact integers."""
+    o = _tbl(spark, sf_dir, "orders")
+    daily = (o.select(F.to_date("o_orderdate").alias("day"))
+             .groupBy("day")
+             .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = span.select(F.explode(F.expr("sequence(d0, d1)"))
+                      .alias("day"))
+    domc = (cal.select(F.dayofmonth("day").cast("int").alias("dom"))
+            .groupBy("dom")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_days")))
+    per = (daily.select(F.dayofmonth("day").cast("int").alias("dom"),
+                        "x")
+           .groupBy("dom")
+           .agg(F.sum("x").cast("long").alias("n_orders")))
+    tot = per.agg(F.sum("n_orders").cast("long").alias("n_tot"))
+    caltot = domc.agg(F.sum("n_days").cast("long").alias("cal_tot"))
+    j = (per.join(F.broadcast(domc), "dom")
+         .crossJoin(F.broadcast(tot))
+         .crossJoin(F.broadcast(caltot))
+         # lift ppm = (n_orders/n_tot) / (n_days/cal_tot)
+         .withColumn("lift_ppm", F.expr(
+             "n_orders * cal_tot * 1000000 DIV (n_tot * n_days)")
+             .cast("long")))
+    m1 = j.agg(F.expr("CAST(percentile(lift_ppm * 2, 0.5) AS BIGINT)")
+               .alias("med2"))
+    dv = (j.crossJoin(F.broadcast(m1))
+          .withColumn("dev2", F.abs(2 * F.col("lift_ppm")
+                                    - F.col("med2"))))
+    m2 = dv.agg(F.expr("CAST(percentile(2 * dev2, 0.5) AS BIGINT)")
+                .alias("mad4"))
+    return (dv.crossJoin(F.broadcast(m2))
+            .select("dom", "n_orders", "n_days",
+                    F.expr("n_orders * 1000000 DIV n_tot")
+                    .cast("long").alias("share_ppm"),
+                    "lift_ppm",
+                    F.expr("CASE WHEN dev2 * 10000 > 22239 * mad4"
+                           " THEN 1 ELSE 0 END").cast("int")
+                    .alias("is_spike")))
+
+
+def _sql_rel_calendar_effects() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+cal AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+              AS DATE) AS day
+  FROM span),
+domc AS (
+  SELECT CAST(day(day) AS INT) AS dom,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM cal GROUP BY 1),
+per AS (
+  SELECT CAST(day(day) AS INT) AS dom,
+         CAST(sum(x) AS BIGINT) AS n_orders
+  FROM daily GROUP BY 1),
+tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_tot FROM per),
+caltot AS (SELECT CAST(sum(n_days) AS BIGINT) AS cal_tot FROM domc),
+j AS (
+  SELECT per.dom, n_orders, n_days,
+         CAST(n_orders * cal_tot * 1000000 // (n_tot * n_days)
+              AS BIGINT) AS lift_ppm,
+         n_tot
+  FROM per JOIN domc USING (dom)
+  CROSS JOIN tot CROSS JOIN caltot),
+m1 AS (SELECT CAST(quantile_cont(lift_ppm * 2, 0.5) AS BIGINT)
+         AS med2 FROM j),
+dv AS (
+  SELECT j.*, abs(2 * lift_ppm - med2) AS dev2, med2
+  FROM j CROSS JOIN m1),
+m2 AS (SELECT CAST(quantile_cont(2 * dev2, 0.5) AS BIGINT) AS mad4
+       FROM dv)
+SELECT dom, n_orders, n_days,
+       CAST(n_orders * 1000000 // n_tot AS BIGINT) AS share_ppm,
+       lift_ppm,
+       CAST(CASE WHEN dev2 * 10000 > 22239 * mad4
+            THEN 1 ELSE 0 END AS INT) AS is_spike
+FROM dv CROSS JOIN m2
 """
