@@ -87,7 +87,7 @@ DRIVER_SAMPLE_FIRST_50 = [
 # pred_cooccur,collective_linking,concept_transitions,entity_cards},
 # stats_{cms_tokens,binned_quantiles,kmv_distinct}, and waves 21-22:
 # rel_chisq, kg_{graph_summary,surface_ambiguity,transitive_reduction},
-# and the r4 wave-23..82 additions (see COVERAGE.md; highlights:
+# and the r4 wave-23..84 additions (see COVERAGE.md; highlights:
 # kg_{truss,pathsim,rank_corr,diameter_est,topic_focus,calibration,
 # degree_anomaly,neighbor_sampling}, sim_{knn_graph,semantic_clusters,
 # outliers,ann_sweep,bucket_balance,pq_recall,label_calibration,
@@ -108,7 +108,17 @@ DRIVER_SAMPLE_FIRST_50 = [
 # curation_{apportion,sample_audit,curriculum,dataset_card,pii_audit},
 # dedup_{population_est,hash_collision_audit,attribution},
 # text_{class_entropy,memorization,instruction_detect},
-# stats_survival, rel_{simpson,pvm_bridge}, sim_anisotropy).
+# stats_survival, rel_{simpson,pvm_bridge,interaction,
+# calendar_effects}, sim_{anisotropy,mahalanobis_ood},
+# stats_qq_shift).
+# ROUND-5 VALIDATION LEDGER (this session, r4 continuation): EVERY
+# pair was gated by the strict local checker at sf0.01 (full-registry
+# run, 331/331 pre-wave-81 + per-wave runs) AND at sf0.1 under the
+# driver-harness-like CHECK_MASTER=local[32]/CHECK_PARTITIONS=96
+# config (full-registry run ALL OK); waves 81-84 additionally gated
+# per-wave at both SFs. Plan gate (no partitionless windows) green
+# across the registry. Full bench archived:
+# BENCH/bench_r4_final_post_wave82.json, scaling 0.843 PASS.
 # Rotate 41 of them into slots 10-50 of DRIVER_SAMPLE_FIRST_50 next
 # round (keep the core nine; prefer cross-query compositions), and the
 # remainder the round after. EVERY pair — sampled or not — was gated
