@@ -3545,6 +3545,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_qq_shift": q_stats_qq_shift,
         "sim_mahalanobis_ood": q_sim_mahalanobis_ood,
         "rel_calendar_effects": q_rel_calendar_effects,
+        "stats_longmemory": q_stats_longmemory,
+        "curation_ablation": q_curation_ablation,
     }
 
 
@@ -3894,6 +3896,8 @@ def build_oracle_sql() -> dict[str, str]:
         "stats_qq_shift": _sql_stats_qq_shift(),
         "sim_mahalanobis_ood": _sql_sim_mahalanobis_ood(),
         "rel_calendar_effects": _sql_rel_calendar_effects(),
+        "stats_longmemory": _sql_stats_longmemory(),
+        "curation_ablation": _sql_curation_ablation(),
     }
 
 
@@ -21196,4 +21200,197 @@ SELECT dom, n_orders, n_days,
        CAST(CASE WHEN dev2 * 10000 > 22239 * mad4
             THEN 1 ELSE 0 END AS INT) AS is_spike
 FROM dv CROSS JOIN m2
+"""
+
+
+LONGMEM_BLOCKS = (4, 8, 16)
+
+
+def q_stats_longmemory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-memory (Hurst) read on the daily series via the
+    aggregated-variance method [K: if daily volumes have long-range
+    dependence, variance of m-day block MEANS decays like m^(2H-2)
+    instead of 1/m — H near 1 means shocks persist for weeks and
+    capacity buffers sized from daily sigma are wrong; the
+    block-variance ladder is the standard estimator]: per dyadic
+    block size m in {4,8,16} the complete-block count, the exact
+    integer variance numerator of block SUMS, the block-mean
+    variance (round 6), and the Hurst estimate from the adjacent
+    size pair H = 1 + log2(var(2m)/var(m))/2 (NULL on the first
+    row).
+
+    Shape: one daily agg, a calendar gap-fill, three bounded
+    (blk) -> sum aggs, a 3-row ladder self-join. Exact integers
+    until the final divisions."""
+    o = _tbl(spark, sf_dir, "orders")
+    daily = (o.select(F.to_date("o_orderdate").alias("day"))
+             .groupBy("day")
+             .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    filled = (span.select(F.explode(F.expr("sequence(d0, d1)"))
+                          .alias("day"))
+              .join(daily, "day", "left")
+              .crossJoin(F.broadcast(span))
+              .select(F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+                      F.datediff("day", "d0").cast("long").alias("i")))
+    outs = []
+    for m in LONGMEM_BLOCKS:
+        blocks = (filled.withColumn("blk", F.expr(f"i DIV {m}"))
+                  .groupBy("blk")
+                  .agg(F.count(F.lit(1)).cast("long").alias("c"),
+                       F.sum("x").cast("long").alias("s"))
+                  .filter(F.col("c") == m))
+        agg = blocks.agg(
+            F.lit(m).cast("int").alias("m"),
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum("s").cast("long").alias("s1"),
+            F.sum(F.col("s") * F.col("s")).cast("long").alias("s2"))
+        outs.append(agg.select(
+            "m", "n_blocks",
+            (F.col("n_blocks") * F.col("s2")
+             - F.col("s1") * F.col("s1")).cast("long")
+            .alias("var_num"),
+            # block-MEAN variance = var_num / (n*(n-1)*m^2)
+            F.round((F.col("n_blocks") * F.col("s2")
+                     - F.col("s1") * F.col("s1")).cast("double")
+                    / (F.col("n_blocks").cast("double")
+                       * (F.col("n_blocks") - 1).cast("double")
+                       * F.lit(float(m * m))), 6).alias("var_mean")))
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    prev = out.select(F.col("m").alias("pm"),
+                      F.col("var_mean").alias("prev_var"))
+    return (out.join(F.broadcast(prev),
+                     out["m"] == prev["pm"] * 2, "left")
+            .select("m", "n_blocks", "var_num", "var_mean",
+                    F.round(F.lit(1.0)
+                            + F.log2(F.col("var_mean")
+                                     / F.col("prev_var")) / F.lit(2.0),
+                            6).alias("hurst_est")))
+
+
+def _sql_stats_longmemory() -> str:
+    blocks = []
+    for m in LONGMEM_BLOCKS:
+        blocks.append(f"""
+SELECT {m} AS m, CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(count(*) * sum(s * s) - sum(s) * sum(s) AS BIGINT)
+         AS var_num,
+       round(CAST(count(*) * sum(s * s) - sum(s) * sum(s) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE)
+                * CAST(count(*) - 1 AS DOUBLE) * {float(m * m)}), 6)
+         AS var_mean
+FROM (SELECT i // {m} AS blk, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(x) AS BIGINT) AS s
+      FROM filled GROUP BY 1)
+WHERE c = {m} IS NOT NULL AND TRUE
+  AND c = {m}""")
+    body = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+filled AS (
+  SELECT CAST(coalesce(daily.x, 0) AS BIGINT) AS x,
+         CAST(datediff('day', d0, c.day) AS BIGINT) AS i
+  FROM (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+               AS DATE) AS day, d0
+        FROM span) c
+  LEFT JOIN daily ON daily.day = c.day),
+base AS (
+{body})
+SELECT b.m, b.n_blocks, b.var_num, b.var_mean,
+       round(1.0 + log2(b.var_mean / p.var_mean) / 2.0, 6)
+         AS hurst_est
+FROM base b LEFT JOIN base p ON b.m = p.m * 2
+"""
+
+
+def q_curation_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out ablation manifest [K: before an ablation
+    run a data team needs the exact complements — 'corpus minus
+    source X' sizes, token budgets, and unique-text counts, because
+    removing a heavily-duplicated source shrinks unique mass less
+    than raw mass]: per source the removed doc/token counts, the
+    REMAINING docs / tokens / unique texts, and remaining shares in
+    exact ppm. The unique-text complement is exact (distinct hashes
+    minus hashes exclusive to the removed source), not an estimate.
+
+    Shape: one per-source agg, one (hash) agg for exclusivity, two
+    broadcast-sized joins. Exact integers."""
+    d = _docs(spark, sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    base = d.select("source",
+                    F.size(F.filter(F.split(t, r"\s+"),
+                                    lambda x: x != ""))
+                    .cast("long").alias("nt"),
+                    F.md5(t).alias("h"))
+    per = (base.groupBy("source")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("nt").cast("long").alias("n_tokens")))
+    tot = per.agg(F.sum("n_docs").cast("long").alias("td"),
+                  F.sum("n_tokens").cast("long").alias("tt"))
+    uniq = base.select("h").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("tu"))
+    # hashes exclusive to one source: distinct-source count == 1
+    excl = (base.select("source", "h").distinct()
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).cast("long").alias("ns"),
+                 F.min("source").alias("only_src"))
+            .filter(F.col("ns") == 1)
+            .groupBy(F.col("only_src").alias("source"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_excl")))
+    return (per.join(F.broadcast(excl), "source", "left")
+            .crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(uniq))
+            .select("source", "n_docs", "n_tokens",
+                    (F.col("td") - F.col("n_docs")).cast("long")
+                    .alias("remaining_docs"),
+                    (F.col("tt") - F.col("n_tokens")).cast("long")
+                    .alias("remaining_tokens"),
+                    (F.col("tu") - F.coalesce("n_excl", F.lit(0)))
+                    .cast("long").alias("remaining_unique"),
+                    F.expr("(td - n_docs) * 1000000 DIV td")
+                    .cast("long").alias("remaining_docs_ppm"),
+                    F.expr("(tt - n_tokens) * 1000000"
+                           " DIV greatest(tt, 1)").cast("long")
+                    .alias("remaining_tokens_ppm")))
+
+
+def _sql_curation_ablation() -> str:
+    return """
+WITH base AS (
+  SELECT source,
+         CAST(len(list_filter(
+               string_split_regex(coalesce(text, ''), '\\s+'),
+               x -> x <> '')) AS BIGINT) AS nt,
+         md5(coalesce(text, '')) AS h
+  FROM documents),
+per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nt) AS BIGINT) AS n_tokens
+  FROM base GROUP BY 1),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+               CAST(sum(n_tokens) AS BIGINT) AS tt FROM per),
+uniq AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS tu FROM base),
+excl AS (
+  SELECT only_src AS source, CAST(count(*) AS BIGINT) AS n_excl
+  FROM (SELECT h, CAST(count(*) AS BIGINT) AS ns,
+               min(source) AS only_src
+        FROM (SELECT DISTINCT source, h FROM base) GROUP BY h)
+  WHERE ns = 1 GROUP BY 1)
+SELECT per.source, n_docs, n_tokens,
+       CAST(td - n_docs AS BIGINT) AS remaining_docs,
+       CAST(tt - n_tokens AS BIGINT) AS remaining_tokens,
+       CAST(tu - coalesce(excl.n_excl, 0) AS BIGINT)
+         AS remaining_unique,
+       CAST((td - n_docs) * 1000000 // td AS BIGINT)
+         AS remaining_docs_ppm,
+       CAST((tt - n_tokens) * 1000000 // greatest(tt, 1) AS BIGINT)
+         AS remaining_tokens_ppm
+FROM per LEFT JOIN excl ON excl.source = per.source
+CROSS JOIN tot CROSS JOIN uniq
 """
