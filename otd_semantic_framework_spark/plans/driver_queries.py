@@ -3547,6 +3547,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_calendar_effects": q_rel_calendar_effects,
         "stats_longmemory": q_stats_longmemory,
         "curation_ablation": q_curation_ablation,
+        "stats_cusum": q_stats_cusum,
+        "dedup_truncation": q_dedup_truncation,
     }
 
 
@@ -3898,6 +3900,8 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_calendar_effects": _sql_rel_calendar_effects(),
         "stats_longmemory": _sql_stats_longmemory(),
         "curation_ablation": _sql_curation_ablation(),
+        "stats_cusum": _sql_stats_cusum(),
+        "dedup_truncation": _sql_dedup_truncation(),
     }
 
 
@@ -21393,4 +21397,168 @@ SELECT per.source, n_docs, n_tokens,
          AS remaining_tokens_ppm
 FROM per LEFT JOIN excl ON excl.source = per.source
 CROSS JOIN tot CROSS JOIN uniq
+"""
+
+
+CUSUM_K_HALF = True  # slack k = sigma/2 idiom, see docstring
+
+
+def q_stats_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM sequential changepoint monitor on the daily
+    series [K: the offline split test (rel_changepoint) finds ONE
+    break after the fact; Page's one-sided CUSUM with reset is the
+    ONLINE monitor — it accumulates only above-slack deviations,
+    resets at zero, and alarms when the sum crosses h; ops teams run
+    exactly this on daily volume]: per day the raw count, the upper
+    and lower CUSUM statistics in exact DOUBLED-count units
+    (reference mu = corpus median via the doubled idiom, slack k =
+    MAD/2, threshold h = 5*MAD — all exact integers; the recurrence
+    max(0, S + x - mu - k) folds over the calendar-bounded day array
+    in date order), and the alarm flags.
+
+    Shape: one daily agg, two O(1) percentile aggs, ONE ordered fold
+    producing the full alarm series as an array, re-exploded with
+    its index. Only the first agg sees the corpus."""
+    o = _tbl(spark, sf_dir, "orders")
+    daily = (o.select(F.to_date("o_orderdate").alias("day"))
+             .groupBy("day")
+             .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    m1 = daily.agg(F.expr("CAST(percentile(x * 2, 0.5) AS BIGINT)")
+                   .alias("med2"))
+    dv = (daily.crossJoin(F.broadcast(m1))
+          .withColumn("dev2", F.abs(2 * F.col("x") - F.col("med2"))))
+    m2 = dv.agg(F.expr("CAST(percentile(2 * dev2, 0.5) AS BIGINT)")
+                .alias("mad4"))
+    arr = (dv.crossJoin(F.broadcast(m2))
+           .groupBy("med2", "mad4")
+           .agg(F.sort_array(F.collect_list(F.struct(
+               "day", "x"))).alias("days")))
+    # scale everything x4: x4 = 4x, mu4 = 2*med2, k4 = mad4/2 -> use
+    # 8x units to keep k integral: x8 = 8x, mu8 = 4*med2, k8 = mad4,
+    # h8 = 10*mad4
+    folded = arr.select(
+        "med2", "mad4",
+        F.expr(
+            "aggregate(days, "
+            " named_struct('su', CAST(0 AS BIGINT),"
+            "              'sl', CAST(0 AS BIGINT),"
+            "              'out', CAST(array() AS"
+            "   ARRAY<STRUCT<day: DATE, x: BIGINT, su: BIGINT,"
+            "                sl: BIGINT>>)),"
+            " (acc, d) -> named_struct("
+            "   'su', greatest(CAST(0 AS BIGINT),"
+            "         acc.su + 8 * d.x - 4 * med2 - mad4),"
+            "   'sl', greatest(CAST(0 AS BIGINT),"
+            "         acc.sl - 8 * d.x + 4 * med2 - mad4),"
+            "   'out', concat(acc.out, array(named_struct("
+            "     'day', d.day, 'x', d.x,"
+            "     'su', greatest(CAST(0 AS BIGINT),"
+            "           acc.su + 8 * d.x - 4 * med2 - mad4),"
+            "     'sl', greatest(CAST(0 AS BIGINT),"
+            "           acc.sl - 8 * d.x + 4 * med2 - mad4))))),"
+            " acc -> acc.out)").alias("out"))
+    ex = folded.select("med2", "mad4",
+                       F.explode("out").alias("r"))
+    return ex.select(
+        F.date_format(F.col("r.day"), "yyyy-MM-dd").alias("day"),
+        F.col("r.x").cast("long").alias("x"),
+        F.col("r.su").cast("long").alias("cusum_up8"),
+        F.col("r.sl").cast("long").alias("cusum_dn8"),
+        (F.col("r.su") > 10 * F.col("mad4")).cast("int")
+        .alias("alarm_up"),
+        (F.col("r.sl") > 10 * F.col("mad4")).cast("int")
+        .alias("alarm_dn"))
+
+
+def _sql_stats_cusum() -> str:
+    return """
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+m1 AS (SELECT CAST(quantile_cont(x * 2, 0.5) AS BIGINT) AS med2
+       FROM daily),
+dv AS (SELECT day, x, abs(2 * x - med2) AS dev2, med2
+       FROM daily CROSS JOIN m1),
+m2 AS (SELECT CAST(quantile_cont(2 * dev2, 0.5) AS BIGINT) AS mad4
+       FROM dv),
+di AS (
+  SELECT row_number() OVER (ORDER BY day) AS i, day, x, med2, mad4
+  FROM dv CROSS JOIN m2),
+rec AS (
+  SELECT i, day, x, med2, mad4,
+         greatest(CAST(0 AS BIGINT), 8 * x - 4 * med2 - mad4) AS su,
+         greatest(CAST(0 AS BIGINT), -8 * x + 4 * med2 - mad4) AS sl
+  FROM di WHERE i = 1
+  UNION ALL
+  SELECT d.i, d.day, d.x, d.med2, d.mad4,
+         greatest(CAST(0 AS BIGINT),
+                  r.su + 8 * d.x - 4 * d.med2 - d.mad4),
+         greatest(CAST(0 AS BIGINT),
+                  r.sl - 8 * d.x + 4 * d.med2 - d.mad4)
+  FROM rec r JOIN di d ON d.i = r.i + 1)
+SELECT strftime(day, '%Y-%m-%d') AS day, x,
+       CAST(su AS BIGINT) AS cusum_up8,
+       CAST(sl AS BIGINT) AS cusum_dn8,
+       CAST(CASE WHEN su > 10 * mad4 THEN 1 ELSE 0 END AS INT)
+         AS alarm_up,
+       CAST(CASE WHEN sl > 10 * mad4 THEN 1 ELSE 0 END AS INT)
+         AS alarm_dn
+FROM rec
+"""
+
+
+TRUNC_PREFIX_CHARS = 64
+
+
+def q_dedup_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-family detection [K: crawler artifacts — the same
+    page fetched with different size limits yields docs that agree
+    on a long PREFIX but differ in length; exact-hash dedup misses
+    them and near-dup may too when the tails diverge enough; keying
+    on the first 64 chars finds the families directly]: per prefix
+    family with >= 2 docs, the family size, distinct full-text
+    count, length spread, and the truncation flag (distinct texts
+    AND length spread — same-length same-text families are plain
+    exact dups, not truncations).
+
+    Shape: map-side prefix hash -> one family agg -> HAVING >= 2.
+    The prefix hash (not the raw prefix) is the shuffle key."""
+    d = _docs(spark, sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    base = d.select(
+        F.md5(F.substring(t, 1, TRUNC_PREFIX_CHARS)).alias("pk"),
+        F.length(t).cast("long").alias("nc"),
+        F.md5(t).alias("h"))
+    fam = (base.groupBy("pk")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.countDistinct("h").cast("long").alias("n_texts"),
+                F.min("nc").cast("long").alias("min_chars"),
+                F.max("nc").cast("long").alias("max_chars")))
+    return (fam.filter(F.col("n_docs") >= 2)
+            .select("pk", "n_docs", "n_texts", "min_chars",
+                    "max_chars",
+                    ((F.col("n_texts") >= 2)
+                     & (F.col("max_chars") > F.col("min_chars")))
+                    .cast("int").alias("is_truncation_family")))
+
+
+def _sql_dedup_truncation() -> str:
+    return f"""
+WITH base AS (
+  SELECT md5(substring(coalesce(text, ''), 1,
+                       {TRUNC_PREFIX_CHARS})) AS pk,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS nc,
+         md5(coalesce(text, '')) AS h
+  FROM documents),
+fam AS (
+  SELECT pk, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT h) AS BIGINT) AS n_texts,
+         CAST(min(nc) AS BIGINT) AS min_chars,
+         CAST(max(nc) AS BIGINT) AS max_chars
+  FROM base GROUP BY 1)
+SELECT pk, n_docs, n_texts, min_chars, max_chars,
+       CAST(CASE WHEN n_texts >= 2 AND max_chars > min_chars
+            THEN 1 ELSE 0 END AS INT) AS is_truncation_family
+FROM fam WHERE n_docs >= 2
 """
