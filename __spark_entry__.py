@@ -87,7 +87,7 @@ DRIVER_SAMPLE_FIRST_50 = [
 # pred_cooccur,collective_linking,concept_transitions,entity_cards},
 # stats_{cms_tokens,binned_quantiles,kmv_distinct}, and waves 21-22:
 # rel_chisq, kg_{graph_summary,surface_ambiguity,transitive_reduction},
-# and the r4 wave-23..84 additions (see COVERAGE.md; highlights:
+# and the r4 wave-23..86 additions (see COVERAGE.md; highlights:
 # kg_{truss,pathsim,rank_corr,diameter_est,topic_focus,calibration,
 # degree_anomaly,neighbor_sampling}, sim_{knn_graph,semantic_clusters,
 # outliers,ann_sweep,bucket_balance,pq_recall,label_calibration,
@@ -110,7 +110,8 @@ DRIVER_SAMPLE_FIRST_50 = [
 # text_{class_entropy,memorization,instruction_detect},
 # stats_survival, rel_{simpson,pvm_bridge,interaction,
 # calendar_effects}, sim_{anisotropy,mahalanobis_ood},
-# stats_qq_shift).
+# stats_{qq_shift,longmemory,cusum}, curation_ablation,
+# dedup_truncation).
 # ROUND-5 VALIDATION LEDGER (this session, r4 continuation): EVERY
 # pair was gated by the strict local checker at sf0.01 (full-registry
 # run, 331/331 pre-wave-81 + per-wave runs) AND at sf0.1 under the
