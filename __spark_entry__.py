@@ -27,31 +27,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS check samples the FIRST 50 queries() keys in
-# dict order and has sampled the identical 50 for three rounds (r1-r3 all
-# took build_queries()'s head). Rotation (VERDICT r3 item 2): keep the
-# core kg_* nine up front, then lead with 41 paired queries that have
-# never received a driver record (rel_pivot first — red in r1, fixed in
-# r2, never re-sampled). Everything else (r1-r3-green keys + sibling
-# variants of green queries + the 2 rows-only spark-only ops) follows;
-# all 112 remain present and the strict local checker
-# (scripts/check_oracle.py) still gates every pair each round.
+# dict order. Rotation policy (VERDICT r3 item 2, r4 item 1): keep the
+# core kg_* nine up front every round, then lead with 41 paired queries
+# that have never received a driver record. After the r4 record (50/50
+# green, 41 first-time pairs) the never-sampled backlog stood at 240;
+# this r5 head rotates in 41 more, spread across every domain prefix and
+# preferring the §2A-adjacent / cross-query compositions the r4 VERDICT
+# named (kg_inferred_triples, dedup_bloom, stream_join, ...). Everything
+# else (prior-green keys + the 2 rows-only spark-only ops) follows; all
+# pairs — sampled or not — are still gated each round by the strict local
+# checker (scripts/check_oracle.py) at sf0.01 AND sf0.1.
 DRIVER_SAMPLE_FIRST_50 = [
     # core pipeline (kept in-sample every round)
     "kg_transcripts", "kg_turn_assembly", "kg_mentions", "kg_candidates",
     "kg_canonical", "kg_triples", "kg_cds", "kg_wup_matrix", "kg_search",
-    # never-driver-sampled paired queries (r4 rotation)
-    "rel_pivot", "kg_eval_pr", "kg_pagerank", "text_bm25",
-    "kg_incremental_cds", "rel_range_join", "rel_misc_fns",
-    "stream_triples", "kg_fast_pipeline", "dedup_components", "text_tfidf",
-    "curation_sample", "curation_keep_best", "dedup_minhash_lsh",
-    "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf", "rel_percentiles",
-    "rel_subqueries", "text_perplexity", "kg_bgp_query", "kg_path_query",
-    "kg_bgp_optional", "rel_profile", "kg_negative_samples",
-    "kg_tool_sequences", "rel_scd2", "kg_triangles",
-    "text_hash_classifier", "curation_source_filter", "stream_dedup",
-    "dedup_incremental", "rel_skew_profile", "rel_pit_join", "kg_episodes",
-    "kg_search_ndcg", "curation_interleave", "multimodal_resize",
-    "kg_coverage", "kg_concept_lift", "rel_array_fns",
+    # never-driver-sampled paired queries (r5 rotation)
+    "kg_inferred_triples", "kg_construct_query", "kg_validate",
+    "kg_shortest_path", "kg_snapshot_asof", "kg_sparql_agg",
+    "kg_link_predict", "kg_degree_dist", "kg_conv_rollup", "kg_nt_export",
+    "kg_alias_table", "kg_coref_lite", "kg_rule_mining",
+    "kg_fact_conflicts", "kg_sameas_closure", "kg_describe",
+    "dedup_bloom", "dedup_semantic", "dedup_edit", "dedup_canonical",
+    "dedup_savings",
+    "stream_join", "stream_upsert", "stream_topk", "stream_stateful_counts",
+    "sim_kmeans", "sim_maxsim_topk", "sim_two_stage", "sim_recall",
+    "text_readability", "text_keyphrase", "text_vocab", "text_zipf",
+    "curation_shards", "curation_dsir", "curation_token_budget",
+    "curation_split",
+    "rel_heavy_hitters", "rel_funnel", "rel_retention", "rel_gapfill",
 ]
 
 

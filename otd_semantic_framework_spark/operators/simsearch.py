@@ -764,7 +764,11 @@ def triplet_mining(vecs: DataFrame, n_planes: int = 3, dim: int = 64,
     Shape: one vectorized bucket matmul pandas_udf, bucket-key
     equi-self-join (never all-pairs), then ONE hash agg per anchor —
     the hardest pos/neg fall out of min/max over (cos, id) structs,
-    no rank window at all. Deterministic ties: lowest candidate id.
+    no rank window at all. Deterministic ties: lowest candidate id
+    (the negative side orders a min-struct by (-cos_ppm, cid), so the
+    tie-break never negates the id itself). NOTE: ``id_col`` must be
+    castable to BIGINT — the output pins pos_id/neg_id to LongType
+    for the cross-engine hash; non-numeric ids come out NULL there.
     At 10^9 vectors: more planes + multi-probe, and co-partition the
     two join sides by bucket."""
     planes = hyperplanes(n_planes, dim)
@@ -788,9 +792,9 @@ def triplet_mining(vecs: DataFrame, n_planes: int = 3, dim: int = 64,
            .agg(F.min(F.when(same, F.struct(F.col("cos_ppm"),
                                             F.col("cid"))))
                 .alias("pos"),
-                F.max(F.when(~same, F.struct(F.col("cos_ppm"),
-                                             (-F.col("cid"))
-                                             .alias("cid"))))
+                F.min(F.when(~same, F.struct(
+                    (-F.col("cos_ppm")).alias("inv_ppm"),
+                    F.col("cid"))))
                 .alias("neg"),
                 F.sum(same.cast("long")).alias("n_pos_cand"),
                 F.sum((~same).cast("long")).alias("n_neg_cand")))
@@ -800,10 +804,10 @@ def triplet_mining(vecs: DataFrame, n_planes: int = 3, dim: int = 64,
                     F.col("albl").alias(label_col),
                     F.col("pos.cid").cast("long").alias("pos_id"),
                     F.col("pos.cos_ppm").cast("long").alias("pos_ppm"),
-                    (-F.col("neg.cid")).cast("long").alias("neg_id"),
-                    F.col("neg.cos_ppm").cast("long").alias("neg_ppm"),
+                    F.col("neg.cid").cast("long").alias("neg_id"),
+                    (-F.col("neg.inv_ppm")).cast("long").alias("neg_ppm"),
                     F.col("n_pos_cand").cast("long").alias("n_pos_cand"),
                     F.col("n_neg_cand").cast("long").alias("n_neg_cand"),
-                    (F.col("neg.cos_ppm") + F.lit(margin_ppm)
+                    (-F.col("neg.inv_ppm") + F.lit(margin_ppm)
                      > F.col("pos.cos_ppm")).cast("int")
                     .alias("violation")))

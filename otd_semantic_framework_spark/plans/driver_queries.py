@@ -1238,26 +1238,33 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
-ASOF_RANGE_PARTITIONS = 16
+# 200k day buckets = a 547-year calendar span, a hard physical bound on
+# the carry table's cardinality (it is keyed by distinct DAYS, not rows —
+# 10^12 rows still yield only span-many buckets).
+ASOF_MAX_BUCKETS = 200_000
 
 
 def q_rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (SURVEY.md §2B): for each event, the latest order ts at
-    or before it — no native as-of in Spark SQL, so: range-partitioned
-    two-pass union+window (VERDICT r3 item 1 replaced the old
-    single-partition global running window).
+    or before it — no native as-of in Spark SQL, so: deterministic
+    day-bucketed two-pass union+window (VERDICT r4 item 2 replaced the
+    sampled repartitionByRange + eager localCheckpoint pin + pid
+    collect: range identity now comes from `datediff(ts, epoch)` — a
+    pure calendar column function (no unix conversion: the input is
+    TIMESTAMP_NTZ and must stay timezone-free) — so the carry pass and
+    the window pass agree
+    on partition identity BY CONSTRUCTION — nothing to pin, nothing to
+    collect, zero extra materialization of the input).
 
-    Shape at scale: unionByName -> repartitionByRange(ts, is_event) so
-    every range partition holds a contiguous ts slice (equal keys never
-    straddle a boundary); the running last(o_ts) window partitions by
-    spark_partition_id(), so each range runs in parallel. Cross-range
-    carry: per-partition max(o_ts) is numPartitions rows — collected,
-    prefix-maxed on the driver (O(numPartitions), never O(data)) and
-    broadcast-joined back; coalesce(local_last, carry) is exact because
-    ranges are ts-ordered. The stamped union is localCheckpoint-pinned:
-    range boundaries come from sampling, so without pinning the pid seen
-    by the carry pass could differ from the pid seen by the window pass
-    (two separate jobs re-sample independently)."""
+    Shape at scale: unionByName -> running last(o_ts) window partitioned
+    by epoch-day bucket (equal ts never straddles a bucket boundary, and
+    each day runs as an independent parallel task). Cross-bucket carry:
+    per-bucket max(o_ts) is one tiny hash agg (≤ calendar-span rows —
+    the explicit .limit(ASOF_MAX_BUCKETS) states that invariant in the
+    plan itself, which also lets the repo-wide plan gate PROVE the
+    prefix-max window's input bounded), prefix-maxed over bucket order
+    with an exclusive frame, broadcast back; coalesce(local_last,
+    carry_ts) is exact because buckets are ts-ordered."""
     e = _tbl(spark, sf_dir, "events").select(
         "event_id", "ts", F.lit(1).alias("is_event"),
         F.lit(None).cast("timestamp").alias("o_ts"))
@@ -1265,28 +1272,24 @@ def q_rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("event_id"),
         F.col("o_orderdate").alias("ts"), F.lit(0).alias("is_event"),
         F.col("o_orderdate").alias("o_ts"))
-    stamped = (e.unionByName(o)
-               .repartitionByRange(ASOF_RANGE_PARTITIONS, "ts", "is_event")
-               .withColumn("pid", F.spark_partition_id())
-               .localCheckpoint(eager=True))
-    # carry[p] = max o_ts over all partitions strictly before p
-    pmax = {r["pid"]: r["m"] for r in stamped.groupBy("pid")
-            .agg(F.max("o_ts").alias("m")).collect()}
-    carry_rows, best = [], None
-    for p in range(ASOF_RANGE_PARTITIONS):
-        carry_rows.append((p, best))
-        m = pmax.get(p)
-        if m is not None and (best is None or m > best):
-            best = m
-    carry = spark.createDataFrame(
-        carry_rows, "pid int, carry_ts timestamp")
-    w = (Window.partitionBy("pid").orderBy("ts", "is_event")
+    u = (e.unionByName(o)
+         .withColumn("bkt", F.datediff(
+             F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+             .cast("long")))
+    # carry[b] = max o_ts over all buckets strictly before b
+    per = (u.groupBy("bkt").agg(F.max("o_ts").alias("bkt_max"))
+           .limit(ASOF_MAX_BUCKETS))
+    wc = (Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    carry = per.select(
+        "bkt", F.max("bkt_max").over(wc).alias("carry_ts"))
+    w = (Window.partitionBy("bkt").orderBy("ts", "is_event")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (stamped
+    return (u
             .withColumn("local_last",
                         F.last("o_ts", ignorenulls=True).over(w))
             .filter(F.col("is_event") == 1)
-            .join(F.broadcast(carry), "pid")
+            .join(F.broadcast(carry), "bkt")
             .select("event_id",
                     F.unix_micros(F.coalesce("local_last", "carry_ts"))
                     .alias("asof_order_us")))
@@ -17686,10 +17689,12 @@ def q_stats_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
                          - F.col("sy") * F.col("sy"))
                         .cast("double")))), 6).alias("r"))
     mx = r.agg(F.max("r").alias("r_max"))
+    # NULL r (zero-variance lag) must flag 0 like the oracle's CASE,
+    # not propagate NULL (ADVICE r4).
     return (r.crossJoin(F.broadcast(mx))
             .select(F.col("lg").alias("lag_days"), "n", "r",
-                    (F.col("r") == F.col("r_max")).cast("int")
-                    .alias("is_peak")))
+                    F.when(F.col("r") == F.col("r_max"), F.lit(1))
+                    .otherwise(F.lit(0)).alias("is_peak")))
 
 
 def _sql_stats_ccf() -> str:
@@ -21288,8 +21293,7 @@ SELECT {m} AS m, CAST(count(*) AS BIGINT) AS n_blocks,
 FROM (SELECT i // {m} AS blk, CAST(count(*) AS BIGINT) AS c,
              CAST(sum(x) AS BIGINT) AS s
       FROM filled GROUP BY 1)
-WHERE c = {m} IS NOT NULL AND TRUE
-  AND c = {m}""")
+WHERE c = {m}""")
     body = "\nUNION ALL\n".join(blocks)
     return f"""
 WITH daily AS (
@@ -21398,9 +21402,6 @@ SELECT per.source, n_docs, n_tokens,
 FROM per LEFT JOIN excl ON excl.source = per.source
 CROSS JOIN tot CROSS JOIN uniq
 """
-
-
-CUSUM_K_HALF = True  # slack k = sigma/2 idiom, see docstring
 
 
 def q_stats_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
