@@ -51,10 +51,13 @@ DRIVER_SAMPLE_FIRST_50 = [
     "dedup_savings",
     "stream_join", "stream_upsert", "stream_topk", "stream_stateful_counts",
     "sim_kmeans", "sim_maxsim_topk", "sim_two_stage", "sim_recall",
-    "text_readability", "text_keyphrase", "text_vocab", "text_zipf",
+    "text_readability", "text_keyphrase", "text_vocab",
     "curation_shards", "curation_dsir", "curation_token_budget",
     "curation_split",
-    "rel_heavy_hitters", "rel_funnel", "rel_retention", "rel_gapfill",
+    "rel_heavy_hitters", "rel_funnel", "rel_retention",
+    # new this round (VERDICT r4 items 7+8): streaming IVM CDS (paired)
+    # and the real-codec multimodal decode (rows-only by design)
+    "stream_cds", "multimodal_decode_pil",
 ]
 
 

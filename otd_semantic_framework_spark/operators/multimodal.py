@@ -53,6 +53,49 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, [float(x) for x in feats]
 
 
+def png_bytes(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal VALID solid-color RGB PNG, pure stdlib (public PNG spec:
+    8-byte signature + IHDR + one zlib IDAT of filter-0 scanlines +
+    IEND). Lets fixtures carry REAL image payloads — decodable by any
+    codec (Pillow included) — without shipping binary test assets or
+    needing an image library to generate them."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = (b"\x00" + bytes(rgb) * width) * height
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def attach_png_media(docs: DataFrame) -> DataFrame:
+    """Attach a REAL deterministic PNG payload per doc (vs
+    attach_fake_media's opaque text bytes): dimensions and solid color
+    are pure functions of doc_id, so a real decoder's output is exactly
+    predictable (pytest pins the Pillow channel means). Arrow-batched
+    pandas construction — the PNG encode is the honest Python-boundary
+    work, one batch at a time."""
+    import pandas as pd  # noqa: F811
+
+    @F.pandas_udf("binary")
+    def _payload(doc_id: pd.Series) -> pd.Series:
+        return doc_id.map(lambda i: png_bytes(
+            4 + int(i) % 5, 3 + int(i) % 4,
+            ((int(i) * 37) % 256, (int(i) * 59) % 256,
+             (int(i) * 83) % 256)))
+
+    return (docs
+            .select("doc_id", _payload(F.col("doc_id")).alias("payload"))
+            .select("doc_id", "payload",
+                    F.struct(F.lit("image/png").alias("media_type"),
+                             F.octet_length("payload").alias("n_bytes"))
+                    .alias("meta")))
+
+
 def pil_available() -> bool:
     """True when a real image codec (Pillow) is importable at runtime."""
     try:

@@ -118,7 +118,9 @@ class TestClassEntropy:
         repeated-char run collapse below it (both branches)."""
         from otd_semantic_framework_spark.plans.driver_queries import (
             q_text_class_entropy)
-        import otd_semantic_framework_spark.plans.driver_queries as dq
+        # patch the module that OWNS the query fn (post-split, a query
+        # resolves _docs from its defining plans.queries.* module)
+        import otd_semantic_framework_spark.plans.queries.text as dq
         rows = [(1, "The quick brown fox jumps over the lazy dog."),
                 (2, "0123456789" * 5),
                 (3, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),

@@ -87,7 +87,9 @@ class TestPiiAudit:
     def test_planted_pii_is_counted(self, spark):
         """A crafted corpus with known PII plants yields exact counts
         per category and exposure."""
-        import otd_semantic_framework_spark.plans.driver_queries as dq
+        # patch the module that OWNS the query fn (post-split, a query
+        # resolves _docs from its defining plans.queries.* module)
+        import otd_semantic_framework_spark.plans.queries.curation as dq
         rows = [
             (1, "mail me at alice@example.com or bob@test.org", "a",
              "en", 0),

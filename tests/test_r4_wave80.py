@@ -77,7 +77,9 @@ class TestInstructionDetect:
 
     def test_crafted_instructions_route(self, spark):
         """Planted instruction shapes fire; plain prose does not."""
-        import otd_semantic_framework_spark.plans.driver_queries as dq
+        # patch the module that OWNS the query fn (post-split, a query
+        # resolves _docs from its defining plans.queries.* module)
+        import otd_semantic_framework_spark.plans.queries.text as dq
         rows = [
             (1, "Write a poem about autumn. Step 1: think."),
             (2, "Explain why the sky is blue?"),

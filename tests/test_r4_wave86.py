@@ -83,7 +83,9 @@ class TestTruncation:
     def test_planted_truncation_family(self, spark):
         """A doc and its truncated twin share the prefix key and flag
         as a truncation family; two exact dups do not."""
-        import otd_semantic_framework_spark.plans.driver_queries as dq
+        # patch the module that OWNS the query fn (post-split, a query
+        # resolves _docs from its defining plans.queries.* module)
+        import otd_semantic_framework_spark.plans.queries.dedup as dq
         base = "x" * 64 + " tail content that goes on for a while"
         rows = [(1, base, "a", "en", 0),
                 (2, base[:80], "a", "en", 0),
