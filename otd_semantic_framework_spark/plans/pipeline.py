@@ -168,9 +168,15 @@ def build_triples_fast(spark: SparkSession, transcripts: DataFrame,
     canon_table = surface_canonical_table(ontology_pdf, gaz, wup_pdf)
     # P11: the mention UDF is map-only, so a round-robin respread defuses
     # hot-conversation stragglers (one skewed input partition otherwise
-    # pins the whole wave). Default 3 waves per core.
-    n = spread_partitions or spark.sparkContext.defaultParallelism * 3
-    spread = transcripts.repartition(n)
+    # pins the whole wave). Default 3 waves per core;
+    # ``spread_partitions=0`` disables the respread entirely — the
+    # DIAGNOSTIC baseline the adversarial-skew bench
+    # (scripts/skew_bench.py) measures the salting against.
+    if spread_partitions == 0:
+        spread = transcripts
+    else:
+        n = spread_partitions or spark.sparkContext.defaultParallelism * 3
+        spread = transcripts.repartition(n)
     if fuse_canonical:
         canon_concepts = detect_canonical_concepts_exploded(
             normalize_turns(spread), gaz, canon_table)

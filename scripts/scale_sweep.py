@@ -4,8 +4,17 @@ parallelism and report throughput at each — the evidence that
 triples/sec HOLDS as data grows (a linear-scan pipeline; throughput
 sagging with corpus size would reveal a hidden super-linear stage).
 
-Usage: python scripts/scale_sweep.py [n_convs ...]   (default 360k/1.44M/5.76M
-≈ 4M/16M/64M turns). Prints one JSON line per size plus a summary.
+Round 5 (VERDICT r4 item 5) adds the MEMORY ENVELOPE: per size the
+sweep now records the JVM's peak RSS (/proc VmHWM — the local-mode
+stand-in for peak executor memory) and cumulative shuffle/spill bytes
+from Spark's own REST API, and the default sizes extend to ~128M turns.
+A healthy linear pipeline shows flat-or-better throughput AND bounded
+peak memory (scan+UDF+write stream through; only shuffle buffers and
+the broadcast ontology are resident), with zero spill.
+
+Usage: python scripts/scale_sweep.py [n_convs ...]
+(default 360k/1.44M/5.76M/11.52M convs ≈ 4M/16M/64M/128M turns).
+Prints one JSON line per size plus a summary; archive under BENCH/.
 """
 
 from __future__ import annotations
@@ -18,8 +27,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from otd_semantic_framework_spark.session import get_spark  # noqa: E402
+from scripts.bench_metrics import (jvm_peak_rss_mb,  # noqa: E402
+                                   stage_totals)
 
-SIZES = [int(x) for x in sys.argv[1:]] or [360000, 1440000, 5760000]
+SIZES = [int(x) for x in sys.argv[1:]] or [360000, 1440000, 5760000,
+                                           11520000]
 
 
 def main() -> None:
@@ -34,7 +46,9 @@ def main() -> None:
             transcripts_spark(spark, n_convs).write.mode("overwrite") \
                 .parquet(path)
             spark.stop()
-        spark = get_spark("sweep", master="local[32]")
+        # fresh session per size -> VmHWM and stage totals are per-size
+        spark = get_spark("sweep", master="local[32]",
+                          extra_conf={"spark.ui.enabled": "true"})
         try:
             transcripts = spark.read.parquet(path)
             n_turns = transcripts.count()  # warm scan
@@ -51,7 +65,9 @@ def main() -> None:
                  "triples": n_triples, "sec": round(wall, 2),
                  "all_runs_sec": [round(w, 2) for w in walls],
                  "triples_per_sec": round(n_triples / wall, 1),
-                 "turns_per_sec": round(n_turns / wall, 1)}
+                 "turns_per_sec": round(n_turns / wall, 1),
+                 "jvm_peak_rss_mb": jvm_peak_rss_mb(),
+                 "stages": stage_totals(spark)}
             print(json.dumps(r), flush=True)
             results.append(r)
         finally:
@@ -62,6 +78,9 @@ def main() -> None:
             "sweep": [(r["turns"], r["turns_per_sec"]) for r in results],
             "throughput_vs_smallest": [
                 round(r["turns_per_sec"] / base, 3) for r in results],
+            "peak_rss_mb": [r["jvm_peak_rss_mb"] for r in results],
+            "disk_spill_mb": [r["stages"]["disk_spill_mb"]
+                              for r in results],
         }), flush=True)
 
 
