@@ -61,75 +61,20 @@ DRIVER_SAMPLE_FIRST_50 = [
 ]
 
 
-# ROUND-5 ROTATION TODO: after the r4 driver record lands, 86 paired
-# queries will still lack one (plus the 2 rows-only by design) — the
-# pre-rotation backlog plus the r4 wave-2/3/4 additions:
-# kg_mentions_regex, multimodal_{frames,decode,stats,phash},
-# text_{token_counts,langid,winnow,ttr,boilerplate,vocab,
-# source_overlap,zipf}, rel_{unpivot,window_analytics,datefns,
-# collect_list,cube,heavy_hitters,funnel,funnel_latency,retention,
-# window_dist,kanon}, curation_{deciles,weighted,shards,dsir,attrition,
-# chunks}, sim_{recall,maxsim_topk,kmeans}, kg_{tool_latency,
-# conv_rollup,degree_dist,batch_search,nt_export,inferred_triples,
-# construct_query,validate,search_closure,branch_rollup,ontology_diff,
-# clustering,concept_drift,related,resnik,kcore,lin_jc,hits,ask,bfs,
-# community}, dedup_{semantic,bloom,edit}, curation_split,
-# text_{readability,keyphrase}, rel_{islands,ks_drift,benford},
-# sim_silhouette,
-# stream_{join,attrition,upsert,topk,late_audit,stateful_counts},
-# and the r4 wave-7/8 additions: rel_{gapfill,changepoint},
-# kg_{shortest_path,snapshot_asof,sparql_agg,link_predict},
-# sim_pq_topk, curation_skipgram, text_collocations, and wave 9:
-# rel_concurrency, kg_random_walks, dedup_canonical, and wave 10:
-# dedup_containment, kg_describe, sim_two_stage, kg_walk_pairs,
-# and wave 11: kg_{direct_mapping,fact_fusion,open_relations,
-# dialogue_acts,property_stats}, dedup_blocking_audit, and wave 12:
-# kg_{coref_lite,entity_salience,turn_novelty,alias_table,
-# transe_score}, and wave 13: kg_{rule_mining,completeness_est,
-# fact_conflicts}, dedup_savings, and wave 14:
-# kg_{sparql_setops,reify,void_stats}, and waves 15-20:
-# rel_{outliers,seq_patterns,skyline,nearest_event,fk_discovery},
-# curation_{token_budget,contrastive_pairs}, kg_{closeness,decay_cds,
-# pred_cooccur,collective_linking,concept_transitions,entity_cards},
-# stats_{cms_tokens,binned_quantiles,kmv_distinct}, and waves 21-22:
-# rel_chisq, kg_{graph_summary,surface_ambiguity,transitive_reduction},
-# and the r4 wave-23..86 additions (see COVERAGE.md; highlights:
-# kg_{truss,pathsim,rank_corr,diameter_est,topic_focus,calibration,
-# degree_anomaly,neighbor_sampling}, sim_{knn_graph,semantic_clusters,
-# outliers,ann_sweep,bucket_balance,pq_recall,label_calibration,
-# centroid_drift,dim_variance}, stats_{welch,autocorr,runs,
-# seasonality,evt,chao1,jackknife,bootstrap_ci,ewma,backtest,
-# anomaly_days}, rel_{abtest,ltv,ri_audit,new_returning},
-# text_{gini,heaps,code_detect,blocklist,class_entropy},
-# curation_{anneal,fertility,curriculum,dataset_card,pii_audit},
-# dedup_{threshold_sweep,cluster_quality,population_est},
-# sim_{triplet_mining,hubness,norm_audit,knn_label_smooth,
-# intrinsic_dim,ivf_sweep}, stats_{mannwhitney,trend,friedman,
-# dispersion,control_chart,ccf,psi,mix_shift,entropy_rate,
-# transition_drift,records,circadian,interarrival}, rel_{user_entropy,
-# velocity,stickiness,dormancy,growth_accounting,error_cascade,
-# fulfillment,hhi_trend,anova,sla_inversion}, kg_{cardinality_profile,
-# join_cardinality,rich_club,domain_range_audit,reciprocity,
-# salt_planner,thread_stats,storage_model},
-# curation_{apportion,sample_audit,curriculum,dataset_card,pii_audit},
-# dedup_{population_est,hash_collision_audit,attribution},
-# text_{class_entropy,memorization,instruction_detect},
-# stats_survival, rel_{simpson,pvm_bridge,interaction,
-# calendar_effects}, sim_{anisotropy,mahalanobis_ood},
-# stats_{qq_shift,longmemory,cusum}, curation_ablation,
-# dedup_truncation).
-# ROUND-5 VALIDATION LEDGER (this session, r4 continuation): EVERY
-# pair was gated by the strict local checker at sf0.01 (full-registry
-# run, 331/331 pre-wave-81 + per-wave runs) AND at sf0.1 under the
-# driver-harness-like CHECK_MASTER=local[32]/CHECK_PARTITIONS=96
-# config (full-registry run ALL OK); waves 81-84 additionally gated
-# per-wave at both SFs. Plan gate (no partitionless windows) green
-# across the registry. Full bench archived:
-# BENCH/bench_r4_final_post_wave82.json, scaling 0.843 PASS.
-# Rotate 41 of them into slots 10-50 of DRIVER_SAMPLE_FIRST_50 next
-# round (keep the core nine; prefer cross-query compositions), and the
-# remainder the round after. EVERY pair — sampled or not — was gated
-# this session by the strict local checker at sf0.01 AND sf0.1.
+# ROUND-5 LEDGER (this session). Backlog: after the r4 driver record
+# (50/50 green, 41 first-time pairs) 240 paired queries had never been
+# driver-sampled; this round's head-50 takes 39 of them plus the two r5
+# additions (stream_cds — streaming IVM CDS, paired against the full-
+# recompute oracle; multimodal_decode_pil — real-codec decode over
+# stdlib-generated PNGs, rows-only by design since the value surface
+# depends on whether Pillow is installed). ~200 paired queries remain
+# never-sampled (see COVERAGE.md for the full inventory); every one of
+# them — sampled or not — is still gated by the strict local checker
+# each round: this session the FULL registry ran ALL OK at sf0.01
+# post-module-split (343 paired + 2 rows-only, 0 fails) and again at
+# sf0.1 under CHECK_MASTER=local[32]/CHECK_PARTITIONS=96 (see the
+# round-5 commits), with registry identity itself pinned by
+# tests/test_registry_hash.py.
 
 
 def _rotate(d: dict) -> dict:

@@ -21,8 +21,10 @@ Measured, on the SAME input:
   results.
 
 Writes BENCH/bench_r5_skew.json and prints one JSON line.
-Usage: python scripts/skew_bench.py [n_convs] (default 720000 ≈ 8M
-turns; keep the machine otherwise idle).
+Usage: python scripts/skew_bench.py [n_convs] [hot_frac]
+(default 720000 convs ≈ 8M turns, hot_frac 0.01; a second leg at
+hot_frac 0.2 shows the crossover where the respread WINS on wall too;
+keep the machine otherwise idle).
 """
 
 from __future__ import annotations
@@ -40,15 +42,16 @@ from otd_semantic_framework_spark.session import get_spark  # noqa: E402
 from scripts.bench_metrics import straggler_profile  # noqa: E402
 
 N_CONVS = int(sys.argv[1]) if len(sys.argv) > 1 else 720000
+HOT_FRAC = float(sys.argv[2]) if len(sys.argv) > 2 else 0.01
 HOT_SURFACE = "ferry service"  # gazetteer surface -> one hot concept
 
 
 def build_corpus(spark) -> str:
     from otd_semantic_framework_spark.sources.fixtures import transcripts_spark
-    path = f"/tmp/skew_transcripts_{N_CONVS}.parquet"
+    path = f"/tmp/skew_transcripts_{N_CONVS}_{HOT_FRAC}.parquet"
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
-    t = transcripts_spark(spark, N_CONVS, hot_frac=0.01)
+    t = transcripts_spark(spark, N_CONVS, hot_frac=HOT_FRAC)
     # plant the hot concept: ~30% of turns mention HOT_SURFACE
     t = t.withColumn(
         "text",
@@ -101,7 +104,7 @@ def main() -> None:
     path = build_corpus(gen)
     gen.stop()
 
-    res = {"n_convs": N_CONVS, "hot_frac": 0.01,
+    res = {"n_convs": N_CONVS, "hot_frac": HOT_FRAC,
            "hot_concept_share": 0.3, "input": path}
 
     # Leg 1: no respread (straggler baseline) — separate session so the
@@ -144,7 +147,7 @@ def main() -> None:
     for k in ("unsalted", "salted"):
         res[k].pop("out", None)
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH", "bench_r5_skew.json")
+        os.path.abspath(__file__))), "BENCH", f"bench_r5_skew_hot{int(HOT_FRAC * 100)}.json")
     with open(out, "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps({k: v for k, v in res.items()
