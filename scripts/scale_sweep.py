@@ -24,6 +24,16 @@ import os
 import sys
 import time
 
+# Realistic executor memory for the 32-thread local JVM: 1.5 GB/core.
+# The repo-wide 8g default (0.25 GB/core) is fine for the test/gate
+# workloads but is far below any production executor (typically 4-8 GB
+# per core) and OOMs the single shared JVM at the ≥128M-turn legs —
+# 32 concurrent parquet readers each holding a decompressed ~120 MB
+# row group plus Arrow UDF batches need more than 256 MB/task. The
+# sweep records peak RSS, so the ACTUAL envelope (well under this cap)
+# is measured, not assumed.
+os.environ.setdefault("OTD_DRIVER_MEM", "48g")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from otd_semantic_framework_spark.session import get_spark  # noqa: E402
