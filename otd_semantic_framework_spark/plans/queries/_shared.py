@@ -52,7 +52,6 @@ __all__ = [
     "HH_PHI_INV",
     "_manual_raw_df",
     "_onto_ids_df",
-    "_merged_tags_df",
     "_views",
     "ASOF_MAX_BUCKETS",
     "JACCARD_THRESHOLD",
@@ -416,12 +415,6 @@ def _manual_raw_df(spark: SparkSession) -> DataFrame:
 def _onto_ids_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [(c.concept_id,) for c in driver_concepts()], "concept_id string")
-
-
-def _merged_tags_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ...operators.manual import ingest_manual_tags, merge_tag_sources
-    valid = ingest_manual_tags(_manual_raw_df(spark), _onto_ids_df(spark))
-    return merge_tag_sources(_auto_tags_df(spark, sf_dir), valid)
 
 
 def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
@@ -1029,7 +1022,3 @@ LONGMEM_BLOCKS = (4, 8, 16)
 
 TRUNC_PREFIX_CHARS = 64
 
-
-# Cross-module references (resolved at call time; these imports sit
-# BELOW every def so the module cycles close deterministically).
-from .kg1 import _auto_tags_df  # noqa: E402

@@ -65,6 +65,7 @@ __all__ = [
     "q_kg_batch_search",
     "_sql_kg_batch_search",
     "_auto_tags_df",
+    "_merged_tags_df",
     "q_kg_manual_merge",
     "_sql_manual_merge_ctes",
     "_sql_kg_manual_merge",
@@ -733,6 +734,16 @@ def _auto_tags_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concept_id")
         .agg(F.max("link_score").alias("tag_score")))
 
+
+def _merged_tags_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lives HERE (not _shared) because it composes _auto_tags_df, a kg1
+    # def: _shared must never import from chunk modules — a chunk can be
+    # imported first, at which point _shared's bottom import would see a
+    # partially initialized chunk (caught by
+    # tests/test_registry_hash.py::test_each_query_module_imports_standalone).
+    from ...operators.manual import ingest_manual_tags, merge_tag_sources
+    valid = ingest_manual_tags(_manual_raw_df(spark), _onto_ids_df(spark))
+    return merge_tag_sources(_auto_tags_df(spark, sf_dir), valid)
 
 def q_kg_manual_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curated-tag ingestion: validate an external manual tag table

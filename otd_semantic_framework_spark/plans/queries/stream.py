@@ -777,7 +777,16 @@ def q_stream_cds(spark: SparkSession, sf_dir: str) -> DataFrame:
         sp, cp = f"{base}_v{v}_state", f"{base}_v{v}_cds"
         new_state.write.mode("overwrite").parquet(sp)
         new_cds.write.mode("overwrite").parquet(cp)
+        prev = (holder["state"], holder["cds"])
         holder.update(state=sp, cds=cp, v=v)
+        # retire the superseded version AFTER the new one is fully
+        # written (write-then-swap): state size stays O(1) versions,
+        # not O(triggers) — a long-running stream must not grow tmp
+        # unboundedly. (At scale this is the sink table's snapshot
+        # expiry.)
+        for d in prev:
+            if d is not None:
+                _shutil.rmtree(d, ignore_errors=True)
 
     q = (stream.writeStream.outputMode("update").foreachBatch(_fold)
          .trigger(availableNow=True)

@@ -45,6 +45,33 @@ def test_spark_only_disjoint_and_rows_only():
     assert not set(soq) & set(DQ.build_queries())
 
 
+def test_each_query_module_imports_standalone():
+    """Import-order independence: every plans/queries/* module must
+    import in a FRESH interpreter with nothing else loaded. Guards the
+    _shared invariant (never import from chunk modules): a chunk
+    imported first executes `from ._shared import *` at its top, so any
+    _shared→chunk import would hit a partially initialized chunk —
+    exactly the failure r5 hit when a test imported queries.kg1 before
+    driver_queries."""
+    import glob
+    import os
+    import subprocess
+    import sys
+    root = os.path.dirname(os.path.dirname(DQ.__file__))
+    pkgroot = os.path.dirname(root)
+    mods = sorted(
+        os.path.basename(f)[:-3]
+        for f in glob.glob(os.path.join(root, "plans", "queries", "*.py"))
+        if not f.endswith("__init__.py"))
+    assert len(mods) >= 12
+    for m in mods:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             f"import otd_semantic_framework_spark.plans.queries.{m}"],
+            cwd=pkgroot, capture_output=True, text=True)
+        assert r.returncode == 0, f"{m}: {r.stderr[-500:]}"
+
+
 def test_no_module_exceeds_4k_lines():
     """The split's whole point (VERDICT r4: 'no file >4k lines')."""
     import glob
