@@ -54,6 +54,7 @@ __all__ = [
     "_onto_ids_df",
     "_views",
     "ASOF_MAX_BUCKETS",
+    "ASOF_BUCKET_MIN",
     "JACCARD_THRESHOLD",
     "JACCARD_MAX_DOC",
     "JACCARD_DF_CAP",
@@ -423,6 +424,10 @@ def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
 
 
 ASOF_MAX_BUCKETS = 200_000
+# envelope start: 100 years before epoch (day -36500 ≈ 1870); with
+# ASOF_MAX_BUCKETS days the envelope ends ≈ year 2417. Out-of-envelope
+# timestamps raise (see q_rel_asof_join) rather than silently dropping.
+ASOF_BUCKET_MIN = -36_500
 
 
 JACCARD_THRESHOLD = 0.84

@@ -8,28 +8,9 @@ back into existence — edit here.
 from __future__ import annotations
 
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ... import semantics as S
-from ...operators.linking import canonicalize
-from ...operators.wup import concept_similarity
-from ...schemas import CONCEPT_SIMILARITY
-from ..driver_ontology import (driver_ancestors, driver_concepts,
-                              driver_gazetteer, driver_scores, driver_wup,
-                              values_sql)
-
-# ---------------------------------------------------------------------------
-# Derived transcripts (portable across Spark SQL and DuckDB)
-# ---------------------------------------------------------------------------
-
-import math as _math
-
-#: Benford expected share of first significant digit d, in exact ppm —
-#: computed ONCE here and inlined into both engines as the same integer
-#: literal, so no cross-engine transcendental is ever compared.
 
 from ._shared import *  # noqa: F401,F403
 
@@ -400,10 +381,23 @@ def q_rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("event_id"),
         F.col("o_orderdate").alias("ts"), F.lit(0).alias("is_event"),
         F.col("o_orderdate").alias("o_ts"))
-    u = (e.unionByName(o)
-         .withColumn("bkt", F.datediff(
-             F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
-             .cast("long")))
+    raw = F.datediff(F.to_date("ts"),
+                     F.to_date(F.lit("1970-01-01"))).cast("long")
+    # Loud envelope guard (r5 review): the downstream
+    # .limit(ASOF_MAX_BUCKETS) would SILENTLY drop buckets — and with
+    # them every event they hold — if the 547-year day-span invariant
+    # were ever violated (think year-9999 sentinel dates across a
+    # 600-year spread). raise_error on any out-of-envelope day makes the
+    # violation fail the job instead, and proves the limit inert: at
+    # most ASOF_MAX_BUCKETS distinct in-envelope days exist. One scalar
+    # comparison per row, no extra shuffle.
+    bkt = F.when(
+        (raw >= ASOF_BUCKET_MIN)
+        & (raw < ASOF_BUCKET_MIN + ASOF_MAX_BUCKETS), raw) \
+        .otherwise(F.raise_error(F.concat(
+            F.lit("rel_asof_join: ts outside the bucket envelope "
+                  "(day offset "), raw.cast("string"), F.lit(")"))))
+    u = e.unionByName(o).withColumn("bkt", bkt)
     # carry[b] = max o_ts over all buckets strictly before b
     per = (u.groupBy("bkt").agg(F.max("o_ts").alias("bkt_max"))
            .limit(ASOF_MAX_BUCKETS))

@@ -8,28 +8,9 @@ back into existence — edit here.
 from __future__ import annotations
 
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ... import semantics as S
-from ...operators.linking import canonicalize
-from ...operators.wup import concept_similarity
-from ...schemas import CONCEPT_SIMILARITY
-from ..driver_ontology import (driver_ancestors, driver_concepts,
-                              driver_gazetteer, driver_scores, driver_wup,
-                              values_sql)
-
-# ---------------------------------------------------------------------------
-# Derived transcripts (portable across Spark SQL and DuckDB)
-# ---------------------------------------------------------------------------
-
-import math as _math
-
-#: Benford expected share of first significant digit d, in exact ppm —
-#: computed ONCE here and inlined into both engines as the same integer
-#: literal, so no cross-engine transcendental is ever compared.
 
 from ._shared import *  # noqa: F401,F403
 

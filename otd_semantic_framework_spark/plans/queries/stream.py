@@ -8,28 +8,9 @@ back into existence — edit here.
 from __future__ import annotations
 
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ... import semantics as S
-from ...operators.linking import canonicalize
-from ...operators.wup import concept_similarity
-from ...schemas import CONCEPT_SIMILARITY
-from ..driver_ontology import (driver_ancestors, driver_concepts,
-                              driver_gazetteer, driver_scores, driver_wup,
-                              values_sql)
-
-# ---------------------------------------------------------------------------
-# Derived transcripts (portable across Spark SQL and DuckDB)
-# ---------------------------------------------------------------------------
-
-import math as _math
-
-#: Benford expected share of first significant digit d, in exact ppm —
-#: computed ONCE here and inlined into both engines as the same integer
-#: literal, so no cross-engine transcendental is ever compared.
 
 from ._shared import *  # noqa: F401,F403
 
@@ -792,6 +773,15 @@ def q_stream_cds(spark: SparkSession, sf_dir: str) -> DataFrame:
          .trigger(availableNow=True)
          .option("checkpointLocation", ckpt).start())
     q.awaitTermination()
+    # End-of-run residue (r5 review): the staged src copy, the stream
+    # checkpoint, and the final tag-STATE version are no longer needed
+    # once the query terminates — only the final CDS parquet must
+    # survive, because the returned DataFrame reads it lazily. Leaves
+    # exactly one directory per (sf, pid) instead of four.
+    _shutil.rmtree(src, ignore_errors=True)
+    _shutil.rmtree(ckpt, ignore_errors=True)
+    if holder["state"] is not None:
+        _shutil.rmtree(holder["state"], ignore_errors=True)
     final = spark.read.parquet(holder["cds"])
     return final.select("subj_key",
                         F.col("concept_id").alias("cds_concept"), "score")

@@ -16,10 +16,18 @@ import urllib.request
 
 
 def jvm_peak_rss_mb() -> int | None:
-    """Peak resident set size (VmHWM) of the local-mode Spark JVM —
-    the single-process stand-in for 'peak executor memory'. Scans
-    /proc for the java child running this session's gateway."""
-    best = None
+    """Peak resident set size (VmHWM) of THIS process's Spark JVM —
+    the single-process stand-in for 'peak executor memory'.
+
+    Two caveats the r5 review surfaced, both handled by callers:
+    VmHWM is a JVM-process-LIFETIME high-water mark (never decreases),
+    so a per-leg reading requires a fresh JVM per leg — scale_sweep
+    runs every size in its own subprocess; and to avoid reading some
+    OTHER concurrent Spark job's JVM, the scan prefers java processes
+    whose parent is this python (the py4j child), falling back to the
+    global max only when no child JVM is found."""
+    best_child, best_any = None, None
+    me = str(os.getpid())
     for status in glob.glob("/proc/[0-9]*/status"):
         pid = status.split("/")[2]
         try:
@@ -29,14 +37,21 @@ def jvm_peak_rss_mb() -> int | None:
                 continue
             if b"pyspark" not in cmd and b"spark" not in cmd:
                 continue
+            hwm, ppid = None, None
             with open(status) as f:
                 for line in f:
                     if line.startswith("VmHWM:"):
-                        kb = int(line.split()[1])
-                        best = max(best or 0, kb // 1024)
+                        hwm = int(line.split()[1]) // 1024
+                    elif line.startswith("PPid:"):
+                        ppid = line.split()[1]
+            if hwm is None:
+                continue
+            best_any = max(best_any or 0, hwm)
+            if ppid == me:
+                best_child = max(best_child or 0, hwm)
         except (OSError, ValueError):
             continue
-    return best
+    return best_child if best_child is not None else best_any
 
 
 def _api(spark, path: str):
@@ -60,8 +75,16 @@ def stage_totals(spark) -> dict:
     return t
 
 
+def completed_stage_ids(spark) -> set[int]:
+    """Ids of every completed stage so far — snapshot between runs to
+    attribute later stages to the run that created them (stage ids
+    never repeat within an application)."""
+    return {s["stageId"] for s in _api(spark, "/stages?status=COMPLETE")}
+
+
 def straggler_profile(spark, min_tasks: int = 8,
-                      min_stage_ms: int = 500) -> list[dict]:
+                      min_stage_ms: int = 500,
+                      exclude_ids: set[int] | None = None) -> list[dict]:
     """Per-stage task-time skew: (median, max, max/median) of
     executorRunTime over each completed stage with enough tasks to make
     a ratio meaningful. The north-rule skew claim is exactly
@@ -69,6 +92,8 @@ def straggler_profile(spark, min_tasks: int = 8,
     out = []
     for s in _api(spark, "/stages?status=COMPLETE"):
         sid, att = s["stageId"], s["attemptId"]
+        if exclude_ids and sid in exclude_ids:
+            continue
         if s.get("numCompleteTasks", 0) < min_tasks:
             continue
         try:

@@ -39,7 +39,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from otd_semantic_framework_spark.session import get_spark  # noqa: E402
-from scripts.bench_metrics import straggler_profile  # noqa: E402
+from scripts.bench_metrics import (completed_stage_ids,  # noqa: E402
+                                   straggler_profile)
 
 N_CONVS = int(sys.argv[1]) if len(sys.argv) > 1 else 720000
 HOT_FRAC = float(sys.argv[2]) if len(sys.argv) > 2 else 0.01
@@ -68,8 +69,13 @@ def build_corpus(spark) -> str:
 def timed_run(spark, transcripts, spread_partitions, tag: str) -> dict:
     from otd_semantic_framework_spark.plans.pipeline import build_triples_fast
     out = f"/tmp/skew_triples_{tag}"
-    walls = []
-    for _ in range(2):
+    walls, pre_warm_ids = [], set()
+    for i in range(2):
+        if i == 1:
+            # r5 review: snapshot stage ids so the reported straggler
+            # profile covers the WARM run only — cold-run JIT/IO
+            # stragglers are not key skew
+            pre_warm_ids = completed_stage_ids(spark)
         t0 = time.time()
         build_triples_fast(
             spark, transcripts,
@@ -84,7 +90,8 @@ def timed_run(spark, transcripts, spread_partitions, tag: str) -> dict:
          .agg(F.sum(F.conv(F.substring("h", 1, 15), 16, 10)
                     .cast("decimal(38,0)")).alias("s")).collect()[0]["s"])
     return {"tag": tag, "walls_sec": walls, "sec": min(walls),
-            "triples": tri.count(), "hash": str(h), "out": out}
+            "triples": tri.count(), "hash": str(h), "out": out,
+            "pre_warm_ids": pre_warm_ids}
 
 
 def cds_run(spark, triples_path: str) -> dict:
@@ -115,7 +122,8 @@ def main() -> None:
         t = s1.read.parquet(path)
         res["turns"] = t.count()
         res["unsalted"] = timed_run(s1, t, 0, "unsalted")
-        res["unsalted"]["stages"] = straggler_profile(s1)
+        res["unsalted"]["stages"] = straggler_profile(
+            s1, exclude_ids=res["unsalted"].pop("pre_warm_ids"))
     finally:
         s1.stop()
 
@@ -126,11 +134,11 @@ def main() -> None:
         t = s2.read.parquet(path)
         t.count()
         res["salted"] = timed_run(s2, t, None, "salted")
-        res["salted"]["stages"] = straggler_profile(s2)
-        seen = {st["stage"] for st in res["salted"]["stages"]}
+        res["salted"]["stages"] = straggler_profile(
+            s2, exclude_ids=res["salted"].pop("pre_warm_ids"))
+        pre_cds = completed_stage_ids(s2)
         res["cds"] = cds_run(s2, res["salted"]["out"])
-        res["cds"]["stages"] = [st for st in straggler_profile(s2)
-                                if st["stage"] not in seen]
+        res["cds"]["stages"] = straggler_profile(s2, exclude_ids=pre_cds)
     finally:
         s2.stop()
 

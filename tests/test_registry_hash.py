@@ -45,6 +45,28 @@ def test_spark_only_disjoint_and_rows_only():
     assert not set(soq) & set(DQ.build_queries())
 
 
+def test_driver_sample_head_is_exactly_the_intended_50():
+    """__spark_entry__._rotate silently skips unknown keys ('if k in
+    d'), so a typo in the hand-rewritten DRIVER_SAMPLE_FIRST_50 would
+    silently shrink the head and let an arbitrary dict-order query
+    slide into the driver's 50-query correctness sample (r5 review).
+    Pin: every listed key resolves, no dupes, and the merged registry's
+    first 50 keys are exactly the list."""
+    import importlib
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    E = importlib.import_module("__spark_entry__")
+    want = E.DRIVER_SAMPLE_FIRST_50
+    assert len(want) == 50 and len(set(want)) == 50
+    merged = dict(DQ.build_queries())
+    merged.update(SOQ.build_queries())
+    missing = [k for k in want if k not in merged]
+    assert not missing, f"sample keys not in registry: {missing}"
+    assert list(E.queries().keys())[:50] == want
+
+
 def test_each_query_module_imports_standalone():
     """Import-order independence: every plans/queries/* module must
     import in a FRESH interpreter with nothing else loaded. Guards the
